@@ -1,0 +1,351 @@
+"""The ``apply`` post-processing pipeline — Akumuli's ~18 registered stream
+operators (/root/reference/libakumuli/queryprocessor_framework.h:306-338,
+pipeline assembly queryparser.cpp:2079-2113) re-expressed as DataFrame
+transformations.
+
+Mapping strategy (SURVEY.md §2.6):
+
+* stateless nodes (``abs``, ``scale``, horizontal ``sum/diff/multiply/
+  divide``, ``eval``) — pure column expressions, fully codegen'd;
+* per-series scan nodes (``rate``, ``accumulate``, ``sma``, ``cma``) —
+  window functions partitioned by series, ordered in stream direction;
+* order-sensitive recursive nodes (``ewma``, ``ewma-error``) — Arrow-batched
+  ``applyInPandas`` per series (the recursion has no closed SQL form due to
+  the 10-point warm-up, sliding_window.cpp:15-51);
+* terminal ranking nodes (``top``, ``frequent-items``, ``heavy-hitters``) —
+  aggregations + sort, exact at Spark scale (the reference uses a
+  SpaceSaving sketch because it streams on one core; a distributed exact
+  group-by is both cheaper and precise here — the sketch is only an
+  approximation of this result).
+
+Reference bugs replicated *by documented intent, not by bug*
+(SURVEY.md §2.2/§2.6): CMA's double-add (sliding_window.cpp:245) and the
+broken offset counter.  Faithfully replicated oddities: ``rate``'s
+implicit (0,0) seed (rate.cpp:31-40), SMA's zero-filled initial window
+(sum over the last n slots / n, sliding_window.cpp:140-151), EWMA's
+emit-the-raw-value warm-up for the first 11 points.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from akumuli_spark.query.errors import QueryValidationError
+from akumuli_spark.query.plan import ApplyNode, Query
+
+NANOS_PER_SEC = 1_000_000_000.0
+
+#: nodes that must terminate the chain (queryprocessor.cpp:48-58)
+TERMINAL_NODES = {"top", "frequent-items", "heavy-hitters"}
+
+
+def _stream_window(q: Query) -> Window:
+    ts = F.col("ts_ns").asc() if q.range.forward else F.col("ts_ns").desc()
+    return Window.partitionBy("series").orderBy(ts)
+
+
+# ---------------------------------------------------------------------------
+# stateless column nodes
+# ---------------------------------------------------------------------------
+
+
+def _node_abs(res, node: ApplyNode):
+    df = res.df
+    for c in res.value_cols:
+        df = df.withColumn(c, F.abs(F.col(f"`{c}`")))
+    res.df = df
+    return res
+
+
+def _node_scale(res, node: ApplyNode):
+    weights = node.param("weights") or node.param("weight")
+    if weights is None:
+        raise QueryValidationError("scale requires 'weights'")
+    if not isinstance(weights, (list, tuple)):
+        weights = (weights,)
+    if len(weights) != len(res.value_cols):
+        raise QueryValidationError(
+            f"scale: {len(weights)} weights for {len(res.value_cols)} components"
+        )
+    df = res.df
+    for c, w in zip(res.value_cols, weights):
+        df = df.withColumn(c, F.col(f"`{c}`") * F.lit(float(w)))
+    res.df = df
+    return res
+
+
+# ---------------------------------------------------------------------------
+# horizontal (cross-component) folds — math.h:9-80
+# ---------------------------------------------------------------------------
+
+
+def _horizontal(res, node: ApplyNode, op: str):
+    cols = [F.col(f"`{c}`") for c in res.value_cols]
+    ignore_missing = bool(node.param("ignore_missing", False))
+    nan = F.lit(float("nan"))
+    unit = {"sum": 0.0, "diff": 0.0, "multiply": 1.0, "divide": 1.0}[op]
+    if ignore_missing:
+        cols = [F.coalesce(c, F.lit(unit)) for c in cols]
+    acc = cols[0] if not ignore_missing else F.coalesce(cols[0], F.lit(unit))
+    for c in cols[1:]:
+        if op == "sum":
+            acc = acc + c
+        elif op == "diff":
+            acc = acc - c
+        elif op == "multiply":
+            acc = acc * c
+        elif op == "divide":
+            acc = acc / c
+    if not ignore_missing:
+        # missing component ⇒ NaN result (math.h unit/NaN rule)
+        any_null = F.lit(False)
+        for c in res.value_cols:
+            any_null = any_null | F.col(f"`{c}`").isNull()
+        acc = F.when(any_null, nan).otherwise(acc)
+    res.df = res.df.select("series", "ts_ns", acc.alias("value"))
+    res.value_cols = ["value"]
+    return res
+
+
+# ---------------------------------------------------------------------------
+# per-series windowed nodes
+# ---------------------------------------------------------------------------
+
+
+def _node_rate(res, node: ApplyNode):
+    """Δx/Δt per second with implicit previous point (0, 0)
+    (rate.cpp:31-40: oldT = 0, oldX = 0 for the first sample)."""
+    w = _stream_window(res.query)
+    df = res.df
+    for c in res.value_cols:
+        col = F.col(f"`{c}`")
+        prev_v = F.lag(col, 1, 0.0).over(w)
+        prev_t = F.lag(F.col("ts_ns"), 1, 0).over(w)
+        rate = (col - prev_v) / (F.col("ts_ns") - prev_t) * F.lit(NANOS_PER_SEC)
+        df = df.withColumn(c, rate)
+    res.df = df
+    return res
+
+
+def _node_accumulate(res, node: ApplyNode):
+    w = _stream_window(res.query).rowsBetween(Window.unboundedPreceding, 0)
+    df = res.df
+    for c in res.value_cols:
+        df = df.withColumn(c, F.sum(F.col(f"`{c}`")).over(w))
+    res.df = df
+    return res
+
+
+def _node_sma(res, node: ApplyNode, delta: bool = False):
+    """Predict-then-add with a zero-prefilled ring buffer
+    (sliding_window.cpp:140-160): prediction_i = Σ last n values *before*
+    i, divided by n (missing slots count as 0)."""
+    width = node.param("window-width")
+    if width is None:
+        raise QueryValidationError("sma requires 'window-width'")
+    n = int(float(width))
+    if n <= 0:
+        raise QueryValidationError("window-width must be positive")
+    w = _stream_window(res.query).rowsBetween(-n, -1)
+    df = res.df
+    for c in res.value_cols:
+        col = F.col(f"`{c}`")
+        pred = F.coalesce(F.sum(col).over(w), F.lit(0.0)) / F.lit(float(n))
+        df = df.withColumn(c, col - pred if delta else pred)
+    res.df = df
+    return res
+
+
+def _node_cma(res, node: ApplyNode):
+    """Cumulative moving average — documented intent (mean of all points so
+    far, inclusive); the reference's version double-adds state
+    (sliding_window.cpp:245, SURVEY.md §2.6)."""
+    w = _stream_window(res.query).rowsBetween(Window.unboundedPreceding, 0)
+    df = res.df
+    for c in res.value_cols:
+        df = df.withColumn(c, F.avg(F.col(f"`{c}`")).over(w))
+    res.df = df
+    return res
+
+
+def _node_ewma(res, node: ApplyNode, delta: bool = False):
+    """EWMA with the reference's exact warm-up (sliding_window.cpp:15-51):
+    prediction_i = x_i for i ≤ 10 (get() returns the default while
+    warmup ≤ 10); at i == 10 the state collapses to
+    decay·x₁₀ + (1-decay)·mean(x₀..x₁₀); afterwards
+    v = decay·x + (1-decay)·v.  Recursive ⇒ applyInPandas per series."""
+    decay = node.param("decay")
+    if decay is None:
+        raise QueryValidationError("ewma requires 'decay'")
+    decay = float(decay)
+    value_cols = list(res.value_cols)
+    forward = res.query.range.forward
+    schema = res.df.schema
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
+        for c in value_cols:
+            xs = pdf[c].to_numpy(dtype=float, na_value=math.nan)
+            out = xs.copy()
+            v, warm = 0.0, 0
+            for i, x in enumerate(xs):
+                if math.isnan(x):
+                    continue
+                out[i] = x if warm <= 10 else v
+                if warm < 10:
+                    v += x
+                elif warm == 10:
+                    v = (v + x) / 11.0
+                    v = x * decay + v * (1.0 - decay)
+                else:
+                    v = x * decay + v * (1.0 - decay)
+                warm += 1
+            pdf[c] = out - xs if delta else out
+        return pdf
+
+    res.df = res.df.groupBy("series").applyInPandas(per_series, schema=schema)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# eval — arithmetic over the joined metrics' components (eval.cpp:36-205)
+# ---------------------------------------------------------------------------
+
+
+def _node_eval(res, node: ApplyNode):
+    expr = node.param("expr")
+    if not expr:
+        raise QueryValidationError("eval requires 'expr'")
+    # Rewrite metric names to safe identifiers (the reference's _var_i
+    # rewrite, eval.cpp:52-76), longest name first so prefixes don't clash.
+    rewritten = str(expr)
+    select_cols = ["series", "ts_ns"]
+    for i, name in enumerate(sorted(res.value_cols, key=len, reverse=True)):
+        var = f"_var_{i}"
+        rewritten = rewritten.replace(name, var)
+        select_cols.append(f"`{name}` AS {var}")
+    tmp = res.df.selectExpr(*select_cols)
+    out = tmp.select(
+        "series", "ts_ns", F.expr(rewritten).cast("double").alias("value")
+    )
+    # NaN results are dropped (eval.cpp drops non-finite outputs)
+    out = out.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+    res.df = out
+    res.value_cols = ["value"]
+    return res
+
+
+# ---------------------------------------------------------------------------
+# terminal ranking nodes
+# ---------------------------------------------------------------------------
+
+
+def _node_top(res, node: ApplyNode):
+    """Top-N series by time-weighted sum Σ value·Δt (documented intent of
+    top.cpp:44-74 — a left Riemann integral; the reference's zero-initialised
+    context silently drops the first point's contribution, we integrate all
+    consecutive pairs).  Output: one row per series, ts = last ts,
+    value = the integral, sorted descending."""
+    n = node.param("N") or node.param("n")
+    if n is None:
+        raise QueryValidationError("top requires 'N'")
+    n = int(n)
+    if len(res.value_cols) != 1:
+        raise QueryValidationError("top requires scalar samples (AKU_EHIGH_CARDINALITY)")
+    c = res.value_cols[0]
+    w = _stream_window(res.query)
+    nxt_ts = F.lead(F.col("ts_ns")).over(w)
+    contrib = (nxt_ts - F.col("ts_ns")) / F.lit(NANOS_PER_SEC) * F.col(f"`{c}`")
+    per_series = (
+        res.df.withColumn("__contrib", contrib)
+        .groupBy("series")
+        .agg(
+            F.max("ts_ns").alias("ts_ns") if res.query.range.forward
+            else F.min("ts_ns").alias("ts_ns"),
+            F.sum("__contrib").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("series").asc())
+        .limit(n)
+    )
+    res.df = per_series.select("series", "ts_ns", "value")
+    res.value_cols = ["value"]
+    res.presorted = True
+    return res
+
+
+def _node_spacesaver(res, node: ApplyNode, weighted: bool):
+    """frequent-items / heavy-hitters (spacesaver.h:12-190).  The reference
+    approximates with a SpaceSaving sketch sized 1/error because it streams
+    single-core; distributed exact group-by returns the exact answer the
+    sketch approximates: items whose count (or summed weight) exceeds
+    portion·N, value = the count, ts = last seen, sorted descending."""
+    portion = node.param("portion")
+    if portion is None:
+        raise QueryValidationError("frequent-items requires 'portion'")
+    portion = float(portion)
+    if not 0.0 <= portion <= 1.0:
+        raise QueryValidationError("'portion' must be in [0, 1]")
+    if len(res.value_cols) != 1:
+        raise QueryValidationError("spacesaver requires scalar samples")
+    c = res.value_cols[0]
+    weight = F.col(f"`{c}`") if weighted else F.lit(1.0)
+    per_series = res.df.groupBy("series").agg(
+        (F.max("ts_ns") if res.query.range.forward else F.min("ts_ns")).alias("ts_ns"),
+        F.sum(weight).alias("value"),
+    )
+    total = per_series.select(F.sum("value").alias("__total"))
+    out = (
+        per_series.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__total") * F.lit(portion))
+        .select("series", "ts_ns", "value")
+        .orderBy(F.col("value").desc(), F.col("series").asc())
+    )
+    res.df = out
+    res.value_cols = ["value"]
+    res.presorted = True
+    return res
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_NODES = {
+    "abs": _node_abs,
+    "scale": _node_scale,
+    "rate": _node_rate,
+    "accumulate": _node_accumulate,
+    "cusum": _node_accumulate,
+    "sum": lambda r, n: _horizontal(r, n, "sum"),
+    "diff": lambda r, n: _horizontal(r, n, "diff"),
+    "multiply": lambda r, n: _horizontal(r, n, "multiply"),
+    "divide": lambda r, n: _horizontal(r, n, "divide"),
+    "sma": _node_sma,
+    "sma-error": lambda r, n: _node_sma(r, n, delta=True),
+    "cma": _node_cma,
+    "ewma": _node_ewma,
+    "ewma-error": lambda r, n: _node_ewma(r, n, delta=True),
+    "eval": _node_eval,
+    "top": _node_top,
+    "frequent-items": lambda r, n: _node_spacesaver(r, n, weighted=False),
+    "heavy-hitters": lambda r, n: _node_spacesaver(r, n, weighted=True),
+}
+
+
+def apply_pipeline(res, q: Query):
+    """Apply nodes in listed order (queryparser.cpp:2079-2113); terminal
+    nodes only at the tail (queryprocessor.cpp:48-58)."""
+    for i, node in enumerate(q.apply):
+        if node.name not in _NODES:
+            raise QueryValidationError(f"unknown apply node {node.name!r}")
+        if node.name in TERMINAL_NODES and i != len(q.apply) - 1:
+            raise QueryValidationError(
+                f"terminal node {node.name!r} must be last in the apply chain"
+            )
+        res = _NODES[node.name](res, node)
+    return res

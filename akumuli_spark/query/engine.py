@@ -1,0 +1,419 @@
+"""Query plan → DataFrame compilation.
+
+The reference hard-wires one of five two-tier iterator plans
+(/root/reference/libakumuli/query_processing/queryplan.cpp:1407-1428); here
+every query kind compiles to a declarative DataFrame expression and Catalyst
+picks the physical strategy.  Scale notes per kind:
+
+* ``select``/``select-events`` — pure filter + sort; metric/tag/time
+  predicates push down to the parquet scan (partition pruning when the
+  table is laid out by metric/time bucket).
+* ``aggregate``/``group-aggregate`` — hash aggregate with map-side partial
+  combine, the Spark-native analogue of the reference's
+  ``AggregationResult::combine`` (operators/aggregate.cpp).
+* ``join``/``group-aggregate-join`` — the reference's per-tag-set
+  timestamp merge-join (operators/join.cpp:1-109) is a pivot: one shuffle
+  on (tagset, ts), no N-way join.
+
+Determinism: where the reference leaves ties unspecified (min_by over equal
+values, first/last over duplicate timestamps), we pin tie-breaks with
+struct-ordering (min/max over ``struct(value, ts)``) so results are stable
+across engines — the DuckDB oracle mirrors the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from akumuli_spark.query import apply as apply_mod
+from akumuli_spark.query.errors import QueryValidationError
+from akumuli_spark.query.parser import parse_query
+from akumuli_spark.query.plan import (
+    FilterClause,
+    GroupByOp,
+    GroupByTag,
+    OrderBy,
+    Query,
+    QueryKind,
+    QueryRange,
+    ValueFilter,
+    WherePredicate,
+)
+
+
+class Result:
+    """A compiled query result: the frame plus which columns carry values
+    (the analogue of the reference's tuple components —
+    queryprocessor_framework.h:180-214 ``MutableSample``)."""
+
+    def __init__(self, df: DataFrame, value_cols: list[str], query: Query,
+                 presorted: bool = False):
+        self.df = df
+        self.value_cols = value_cols
+        self.query = query
+        self.presorted = presorted
+
+
+# ---------------------------------------------------------------------------
+# predicate builders
+# ---------------------------------------------------------------------------
+
+
+def range_predicate(rng: QueryRange, ts_col: Column) -> Column:
+    """Semi-open [from, to): from-side inclusive, to-side exclusive in both
+    directions (operators/operator.h:77-104)."""
+    if rng.forward:
+        return (ts_col >= F.lit(rng.begin_ns)) & (ts_col < F.lit(rng.end_ns))
+    return (ts_col <= F.lit(rng.begin_ns)) & (ts_col > F.lit(rng.end_ns))
+
+
+def where_predicate(where: WherePredicate, tags_col: Column) -> Column:
+    combo_preds = []
+    for combo in where.combinations:
+        conj = None
+        for tag, values in combo.tags:
+            p = tags_col.getItem(tag).isin(list(values))
+            conj = p if conj is None else (conj & p)
+        combo_preds.append(conj)
+    pred = combo_preds[0]
+    for p in combo_preds[1:]:
+        pred = pred | p
+    return pred
+
+
+def value_filter_predicate(vf: ValueFilter, col: Column) -> Column:
+    pred = F.lit(True)
+    if vf.gt is not None:
+        pred = pred & (col > F.lit(vf.gt))
+    if vf.ge is not None:
+        pred = pred & (col >= F.lit(vf.ge))
+    if vf.lt is not None:
+        pred = pred & (col < F.lit(vf.lt))
+    if vf.le is not None:
+        pred = pred & (col <= F.lit(vf.le))
+    return pred
+
+
+def _tagstr() -> Column:
+    """The tag part of the canonical series name (everything after
+    'metric ')."""
+    return F.expr("substring(series, length(metric) + 2)")
+
+
+def _rekey_group_by(df: DataFrame, gb: GroupByTag) -> DataFrame:
+    """group-by-tag (drop listed tags) / pivot-by-tag (keep only listed):
+    rebuild the canonical series key from the filtered tag map
+    (index/seriesparser.h:271-312 GroupByTag)."""
+    listed = F.array(*[F.lit(t) for t in gb.tags])
+    if gb.op is GroupByOp.GROUP:
+        keep = "NOT array_contains({listed}, k)"
+    else:
+        keep = "array_contains({listed}, k)"
+    listed_sql = "array(" + ", ".join(f"'{t}'" for t in gb.tags) + ")"
+    keep_sql = keep.format(listed=listed_sql)
+    kept_tags = F.expr(f"map_filter(tags, (k, v) -> {keep_sql})")
+    tagstr = F.expr(
+        "array_join(transform(array_sort(map_keys(map_filter(tags, (k, v) -> "
+        + keep_sql
+        + "))), k -> concat(k, '=', tags[k])), ' ')"
+    )
+    new_series = F.when(tagstr == "", F.col("metric")).otherwise(
+        F.concat(F.col("metric"), F.lit(" "), tagstr)
+    )
+    return df.withColumn("series", new_series).withColumn("tags", kept_tags)
+
+
+def _base_scan(df: DataFrame, q: Query, metrics: list[str]) -> DataFrame:
+    pred = F.col("metric").isin(metrics) if len(metrics) > 1 else (
+        F.col("metric") == metrics[0]
+    )
+    out = df.filter(pred).filter(range_predicate(q.range, F.col("ts_ns")))
+    if q.where is not None:
+        out = out.filter(where_predicate(q.where, F.col("tags")))
+    if q.group_by is not None:
+        out = _rekey_group_by(out, q.group_by)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# aggregation functions (the 11 of operator.h:20-32)
+# ---------------------------------------------------------------------------
+
+
+def agg_expr(func: str, value: str = "value", ts: str = "ts_ns") -> Column:
+    v, t = F.col(value), F.col(ts)
+    if func == "count":
+        return F.count(v).cast("double")
+    if func == "sum":
+        return F.sum(v)
+    if func == "min":
+        return F.min(v)
+    if func == "max":
+        return F.max(v)
+    if func == "mean":
+        return F.avg(v)
+    if func == "min_timestamp":
+        # ts at which the min value occurred; ties → smallest ts (struct order)
+        return F.min(F.struct(v.alias("v"), t.alias("t"))).getField("t").cast("double")
+    if func == "max_timestamp":
+        return F.max(F.struct(v.alias("v"), t.alias("t"))).getField("t").cast("double")
+    if func == "first":
+        # value at the smallest ts; ties → smallest value
+        return F.min(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+    if func == "last":
+        return F.max(F.struct(t.alias("t"), v.alias("v"))).getField("v")
+    if func == "first_timestamp":
+        return F.min(t).cast("double")
+    if func == "last_timestamp":
+        return F.max(t).cast("double")
+    raise QueryValidationError(f"unknown aggregate function {func!r}")
+
+
+# ---------------------------------------------------------------------------
+# kind builders
+# ---------------------------------------------------------------------------
+
+
+def _build_select(df: DataFrame, q: Query) -> Result:
+    base = _base_scan(df, q, list(q.metrics))
+    if q.filter is not None:
+        # select has a single metric: the one (or shorthand) filter applies
+        # to the value column
+        for _, vf in q.filter.by_key:
+            base = base.filter(value_filter_predicate(vf, F.col("value")))
+    return Result(base.select("series", "ts_ns", "value"), ["value"], q)
+
+
+def _build_select_events(df: DataFrame, q: Query) -> Result:
+    base = _base_scan(df, q, list(q.metrics))
+    if q.event_regex:
+        base = base.filter(F.col("body").rlike(q.event_regex))
+    return Result(base.select("series", "ts_ns", "body"), ["body"], q)
+
+
+def _build_aggregate(df: DataFrame, q: Query) -> Result:
+    metrics = list(q.metrics)
+    base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
+    funcs_needed = sorted({f for _, fns in q.agg_funcs for f in fns})
+    ts_out = F.min("ts_ns") if q.range.forward else F.max("ts_ns")
+    agged = base.groupBy("metric", "tagstr").agg(
+        ts_out.alias("ts_ns"), *[agg_expr(f).alias(f"__{f}") for f in funcs_needed]
+    )
+    branches = []
+    for metric, fns in q.agg_funcs:
+        for fn in fns:
+            # output series renamed `metric:func tags` (queryparser.cpp:1447-1472)
+            renamed = F.when(
+                F.col("tagstr") == "", F.concat(F.lit(f"{metric}:{fn}"))
+            ).otherwise(F.concat(F.lit(f"{metric}:{fn} "), F.col("tagstr")))
+            branches.append(
+                agged.filter(F.col("metric") == metric).select(
+                    renamed.alias("series"),
+                    F.col("ts_ns"),
+                    F.col(f"__{fn}").cast("double").alias("value"),
+                )
+            )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return Result(out, ["value"], q)
+
+
+def _bucket_label(rng: QueryRange, step_ns: int) -> Column:
+    """Begin-anchored buckets (nbtree.cpp:1228-1247): label = bucket start,
+    anchored at the query's `from`, direction-aware.  Integer floor-div is
+    safe: operands are non-negative by the range predicate."""
+    if rng.forward:
+        return F.expr(
+            f"{rng.begin_ns}L + ((ts_ns - {rng.begin_ns}L) div {step_ns}L) * {step_ns}L"
+        )
+    return F.expr(
+        f"{rng.begin_ns}L - (({rng.begin_ns}L - ts_ns) div {step_ns}L) * {step_ns}L"
+    )
+
+
+def _having(df: DataFrame, filt: FilterClause, col_of: dict[str, str]) -> DataFrame:
+    preds = [value_filter_predicate(vf, F.col(col_of[key])) for key, vf in filt.by_key]
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = (pred & p) if filt.require_all else (pred | p)
+    return df.filter(pred)
+
+
+def _build_group_aggregate(df: DataFrame, q: Query) -> Result:
+    metrics = list(q.metrics)
+    funcs = list(q.agg_funcs[0][1])
+    base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
+    bucket = _bucket_label(q.range, q.step_ns)
+    agged = base.groupBy("metric", "tagstr", bucket.alias("ts_ns")).agg(
+        *[agg_expr(f).alias(f) for f in funcs]
+    )
+    if q.filter is not None:
+        # group-aggregate filters apply to output components = HAVING
+        # (queryparser.cpp:1726-1738)
+        agged = _having(agged, q.filter, {f: f for f in funcs})
+    branches = []
+    for metric in metrics:
+        # series renamed `metric:f1|metric:f2 tags` (queryparser.cpp:1588-1664)
+        head = "|".join(f"{metric}:{f}" for f in funcs)
+        renamed = F.when(F.col("tagstr") == "", F.lit(head)).otherwise(
+            F.concat(F.lit(head + " "), F.col("tagstr"))
+        )
+        branches.append(
+            agged.filter(F.col("metric") == metric).select(
+                renamed.alias("series"),
+                "ts_ns",
+                *[F.col(f).cast("double").alias(f) for f in funcs],
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return Result(out, funcs, q)
+
+
+def _metric_filter_pred(q: Query) -> Column | None:
+    """Per-sample value filters for join queries, applied during the scan
+    like the reference (queryplan.cpp:1251-1339): a row survives if its
+    metric has no filter or passes it."""
+    if q.filter is None:
+        return None
+    pred = F.lit(True)
+    filtered = dict(q.filter.by_key)
+    cases = None
+    for metric in q.metrics:
+        if metric in filtered:
+            p = value_filter_predicate(filtered[metric], F.col("value"))
+        else:
+            p = F.lit(True)
+        branch = F.when(F.col("metric") == metric, p)
+        cases = branch if cases is None else cases.when(F.col("metric") == metric, p)
+    return cases.otherwise(F.lit(True)) if cases is not None else pred
+
+
+def _join_series_name(metrics: list[str]) -> Column:
+    head = "|".join(metrics)
+    return F.when(F.col("tagstr") == "", F.lit(head)).otherwise(
+        F.concat(F.lit(head + " "), F.col("tagstr"))
+    )
+
+
+def _apply_join_require(df: DataFrame, q: Query) -> DataFrame:
+    """ALL ⇒ every filtered metric's component must be present post-filter;
+    ANY ⇒ at least one (queryparser.cpp:759-870 combiner)."""
+    if q.filter is None:
+        return df
+    filtered_metrics = [m for m, _ in q.filter.by_key]
+    preds = [F.col(f"`{m}`").isNotNull() for m in filtered_metrics]
+    pred = preds[0]
+    for p in preds[1:]:
+        pred = (pred & p) if q.filter.require_all else (pred | p)
+    return df.filter(pred)
+
+
+def _build_join(df: DataFrame, q: Query) -> Result:
+    """Align N metrics sharing a tag-set on exact timestamp
+    (operators/join.cpp:1-109) — expressed as groupBy+pivot: one shuffle on
+    (tagset, ts), which scales linearly instead of an N-way join.
+
+    DataFrame semantics are set-based, so duplicate samples of one series
+    at the same timestamp (possible in the driver data) are combined with
+    SUM before alignment; absent components are NULL (the reference's
+    presence bitmap, join.h:40-47).
+    """
+    metrics = list(q.metrics)
+    base = _base_scan(df, q, metrics)
+    mf = _metric_filter_pred(q)
+    if mf is not None:
+        base = base.filter(mf)
+    base = base.withColumn("tagstr", _tagstr())
+    pivoted = (
+        base.groupBy("tagstr", "ts_ns")
+        .pivot("metric", metrics)
+        .agg(F.sum("value"))
+    )
+    pivoted = _apply_join_require(pivoted, q)
+    out = pivoted.select(
+        _join_series_name(metrics).alias("series"),
+        "ts_ns",
+        *[F.col(f"`{m}`").alias(m) for m in metrics],
+    )
+    return Result(out, metrics, q)
+
+
+def _build_group_aggregate_join(df: DataFrame, q: Query) -> Result:
+    metrics = list(q.metrics)
+    func = q.agg_funcs[0][1][0]
+    base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
+    bucket = _bucket_label(q.range, q.step_ns)
+    agged = base.groupBy("metric", "tagstr", bucket.alias("ts_ns")).agg(
+        agg_expr(func).alias("__v")
+    )
+    if q.filter is not None:
+        agged = _having(agged, q.filter, {func: "__v"})
+    pivoted = (
+        agged.groupBy("tagstr", "ts_ns").pivot("metric", metrics).agg(F.sum("__v"))
+    )
+    out = pivoted.select(
+        _join_series_name(metrics).alias("series"),
+        "ts_ns",
+        *[F.col(f"`{m}`").cast("double").alias(m) for m in metrics],
+    )
+    return Result(out, metrics, q)
+
+
+_BUILDERS = {
+    QueryKind.SELECT: _build_select,
+    QueryKind.SELECT_EVENTS: _build_select_events,
+    QueryKind.AGGREGATE: _build_aggregate,
+    QueryKind.GROUP_AGGREGATE: _build_group_aggregate,
+    QueryKind.JOIN: _build_join,
+    QueryKind.GROUP_AGGREGATE_JOIN: _build_group_aggregate_join,
+}
+
+
+# ---------------------------------------------------------------------------
+# output stage: order-by, limit/offset
+# ---------------------------------------------------------------------------
+
+
+def _finalize(res: Result) -> DataFrame:
+    q = res.query
+    df = res.df
+    if not res.presorted:
+        ts = F.col("ts_ns").asc() if q.range.forward else F.col("ts_ns").desc()
+        if q.order_by is OrderBy.TIME:
+            df = df.orderBy(ts, F.col("series").asc())
+        else:
+            df = df.orderBy(F.col("series").asc(), ts)
+    if q.offset:
+        df = df.offset(q.offset)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+def execute_query(
+    spark: SparkSession,
+    query: dict | Query,
+    metrics: DataFrame,
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """Execute one JSON query (or pre-parsed plan) against the long
+    ``metrics`` frame (and ``events`` frame for select-events)."""
+    q = query if isinstance(query, Query) else parse_query(query)
+    if q.kind is QueryKind.SELECT_EVENTS:
+        if events is None:
+            raise QueryValidationError("select-events requires an events frame")
+        res = _build_select_events(events, q)
+    else:
+        res = _BUILDERS[q.kind](metrics, q)
+    if q.apply:
+        res = apply_mod.apply_pipeline(res, q)
+    return _finalize(res)
+
+
+def execute_events_query(
+    spark: SparkSession, query: dict | Query, events: DataFrame
+) -> DataFrame:
+    return execute_query(spark, query, metrics=events, events=events)

@@ -1,0 +1,179 @@
+"""Loaders + series-model views over the driver's parquet testdata.
+
+The driver generates TPC-H-ish tables (TESTDATA.md).  Per FIXTURES.md §4 we
+adapt them to the reference's series model so every Akumuli-class operator
+can be exercised — and hash-checked against a DuckDB oracle — at real data
+volume:
+
+* ``metrics`` view (from ``lineitem``): three metrics
+  ``lineitem.price|qty|disc`` (unpivoted value columns), tags
+  ``{linestatus, returnflag}``, ``ts_ns`` from ``l_shipdate``.
+* ``app_metrics`` view (from ``events``): metric ``app.<event_type>``,
+  tag ``user = user_id % 8``, native nanosecond timestamps, irregular
+  spacing (good for rate / time-weighted operators).
+* ``evt`` view (from ``events``): Akumuli string events — metric
+  ``!<event_type>``, body = ``props`` JSON string.
+
+Each view has a twin ``*_SQL`` constant: the equivalent DuckDB SQL used as
+a CTE prefix in ``oracle_sql()`` entries.  Keeping both definitions in one
+module is what keeps the Spark plan and the oracle in lockstep.
+
+Scale note: the views are narrow projections + a 3-way unpivot; Catalyst
+pushes metric/tag/time filters through them to the parquet scan, so at
+100 TB a query touching one metric with a time range reads only the
+pruned row groups, never the whole table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts_ns_from_ntz(col):
+    # l_shipdate/o_orderdate are parquet TIMESTAMP(MILLIS) → Spark TIMESTAMP_NTZ.
+    # Session TZ is UTC, so casting NTZ→TIMESTAMP then unix_micros is exact.
+    return F.unix_micros(col.cast("timestamp")) * F.lit(1000)
+
+
+# ---------------------------------------------------------------------------
+# metrics view: lineitem → 3 metrics keyed by (linestatus, returnflag)
+# ---------------------------------------------------------------------------
+
+LINEITEM_METRICS = {
+    "lineitem.price": "l_extendedprice",
+    "lineitem.qty": "l_quantity",
+    "lineitem.disc": "l_discount",
+}
+
+
+def metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ts_ns = _ts_ns_from_ntz(F.col("l_shipdate"))
+    tags = F.create_map(
+        F.lit("linestatus"), F.col("l_linestatus"), F.lit("returnflag"), F.col("l_returnflag")
+    )
+    # unpivot via stack: one row per (metric, value column)
+    stack_expr = ", ".join(f"'{m}', {c}" for m, c in LINEITEM_METRICS.items())
+    unpivoted = li.select(
+        F.col("l_linestatus"),
+        F.col("l_returnflag"),
+        ts_ns.alias("ts_ns"),
+        F.expr(f"stack({len(LINEITEM_METRICS)}, {stack_expr}) as (metric, value)"),
+    )
+    return unpivoted.select(
+        F.concat(
+            F.col("metric"),
+            F.lit(" linestatus="),
+            F.col("l_linestatus"),
+            F.lit(" returnflag="),
+            F.col("l_returnflag"),
+        ).alias("series"),
+        "metric",
+        tags.alias("tags"),
+        "ts_ns",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+METRICS_SQL = """
+metrics AS (
+  SELECT u.metric || ' linestatus=' || l_linestatus || ' returnflag=' || l_returnflag AS series,
+         u.metric AS metric,
+         l_linestatus AS tag_linestatus,
+         l_returnflag AS tag_returnflag,
+         epoch_ns(l_shipdate) AS ts_ns,
+         u.value AS value
+  FROM lineitem,
+  LATERAL (VALUES ('lineitem.price', l_extendedprice),
+                  ('lineitem.qty',   l_quantity),
+                  ('lineitem.disc',  l_discount)) AS u(metric, value)
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# app_metrics view: events → numeric series at native ns resolution
+# ---------------------------------------------------------------------------
+
+
+def app_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user = (F.col("user_id") % 8).cast("string")
+    metric = F.concat(F.lit("app."), F.col("event_type"))
+    # Spark reads the parquet TIMESTAMP(NANOS) column as long ns
+    # (spark.sql.legacy.parquet.nanosAsLong); DuckDB truncates it to µs.
+    # Truncate to µs here too so both engines see identical ts_ns values.
+    ts_ns = F.expr("(ts div 1000) * 1000")
+    return ev.select(
+        F.concat(metric, F.lit(" user="), user).alias("series"),
+        metric.alias("metric"),
+        F.create_map(F.lit("user"), user).alias("tags"),
+        ts_ns.alias("ts_ns"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+APP_METRICS_SQL = """
+app_metrics AS (
+  SELECT 'app.' || event_type || ' user=' || CAST(user_id % 8 AS VARCHAR) AS series,
+         'app.' || event_type AS metric,
+         CAST(user_id % 8 AS VARCHAR) AS tag_user,
+         epoch_ns(ts) AS ts_ns,
+         value AS value
+  FROM events
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# evt view: events → Akumuli string events (metric starts with '!')
+# ---------------------------------------------------------------------------
+
+
+def events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    user = (F.col("user_id") % 8).cast("string")
+    metric = F.concat(F.lit("!"), F.col("event_type"))
+    return ev.select(
+        F.concat(metric, F.lit(" user="), user).alias("series"),
+        metric.alias("metric"),
+        F.create_map(F.lit("user"), user).alias("tags"),
+        F.expr("(ts div 1000) * 1000").alias("ts_ns"),
+        F.col("props").alias("body"),
+    )
+
+
+EVENTS_SQL = """
+evt AS (
+  SELECT '!' || event_type || ' user=' || CAST(user_id % 8 AS VARCHAR) AS series,
+         '!' || event_type AS metric,
+         CAST(user_id % 8 AS VARCHAR) AS tag_user,
+         epoch_ns(ts) AS ts_ns,
+         props AS body
+  FROM events
+)
+""".strip()
+
+
+def series_dim(metrics: DataFrame) -> DataFrame:
+    """Distinct series dimension (for search/suggest), derived from a
+    metrics or events frame — the analogue of the reference's series
+    index (/root/reference/libakumuli/index/seriesparser.h:74-140)."""
+    return metrics.select("series", "metric", "tags").distinct()

@@ -133,7 +133,10 @@ def _node_rate(res, node: ApplyNode):
 
 
 def _node_accumulate(res, node: ApplyNode):
-    w = _stream_window(res.query).rowsBetween(Window.unboundedPreceding, 0)
+    # Default RANGE frame (not ROWS): duplicate timestamps are peers and get
+    # the same running value — the only deterministic choice for a set-based
+    # engine (the reference's per-arrival order is not reproducible anyway).
+    w = _stream_window(res.query)
     df = res.df
     for c in res.value_cols:
         df = df.withColumn(c, F.sum(F.col(f"`{c}`")).over(w))
@@ -165,10 +168,14 @@ def _node_cma(res, node: ApplyNode):
     """Cumulative moving average — documented intent (mean of all points so
     far, inclusive); the reference's version double-adds state
     (sliding_window.cpp:245, SURVEY.md §2.6)."""
-    w = _stream_window(res.query).rowsBetween(Window.unboundedPreceding, 0)
+    # Default RANGE frame for tie determinism (see _node_accumulate);
+    # sum/count instead of avg() because windowed-avg implementations differ
+    # in FP association across engines.
+    w = _stream_window(res.query)
     df = res.df
     for c in res.value_cols:
-        df = df.withColumn(c, F.avg(F.col(f"`{c}`")).over(w))
+        col = F.col(f"`{c}`")
+        df = df.withColumn(c, F.sum(col).over(w) / F.count(col).over(w))
     res.df = df
     return res
 

@@ -151,7 +151,11 @@ def agg_expr(func: str, value: str = "value", ts: str = "ts_ns") -> Column:
     if func == "max":
         return F.max(v)
     if func == "mean":
-        return F.avg(v)
+        # sum/count, not avg(): both engines then divide their own exact
+        # partials the same way, keeping results reproducible cross-engine
+        # (mean = sum/cnt is also how the reference materializes it,
+        # tuples.h:66-68)
+        return F.sum(v) / F.count(v)
     if func == "min_timestamp":
         # ts at which the min value occurred; ties → smallest ts (struct order)
         return F.min(F.struct(v.alias("v"), t.alias("t"))).getField("t").cast("double")

@@ -1,0 +1,687 @@
+"""Driver-contract registry: every implemented operator from SURVEY.md §2
+as a (spark_query, duckdb_oracle_sql) pair over the driver's testdata.
+
+Each Spark callable runs through the real JSON query engine
+(akumuli_spark.query.engine) over the series-model views
+(akumuli_spark.sources.testdata); each oracle re-states the same semantics
+in ANSI SQL for DuckDB.  Column names are aliased identically on both
+sides, and *every* double-typed output column is rounded to 4 decimals on
+both sides so the driver's order-insensitive value-hash is insensitive to
+summation-order FP noise.
+
+Queries with no SQL-expressible oracle (EWMA's recursive warm-up) omit the
+oracle — the driver records a weaker rows-only check (per the contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from akumuli_spark.query.engine import execute_query
+from akumuli_spark.query.metadata import search, suggest
+from akumuli_spark.query.plan import parse_timestamp_ns
+from akumuli_spark.sources.testdata import (
+    APP_METRICS_SQL,
+    EVENTS_SQL,
+    METRICS_SQL,
+    app_metrics_view,
+    events_view,
+    metrics_view,
+    series_dim,
+)
+
+NS = 10**9
+T96 = parse_timestamp_ns("19960101T000000")
+T97 = parse_timestamp_ns("19970101T000000")
+E0 = parse_timestamp_ns("20240101T000000")
+E1 = parse_timestamp_ns("20240201T000000")
+WEEK = 7 * 86400 * NS
+MONTH30 = 30 * 86400 * NS
+
+TAGSTR = "'linestatus=' || tag_linestatus || ' returnflag=' || tag_returnflag"
+W = "OVER (PARTITION BY series ORDER BY ts_ns)"
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+# Canonical rounding: floor(x·10⁴ + 0.5)/10⁴, the SAME IEEE formula on both
+# engines.  Native ROUND()s disagree near boundaries (Spark = BigDecimal
+# HALF_UP on the decimal expansion, DuckDB = FP-based), which flips the last
+# digit for values parked on a boundary by FP summation noise.  A shared
+# formula evaluated in double arithmetic is bit-identical by construction.
+# The tie-break threshold is shifted by 1e-3/pi: data values are short
+# terminating decimals (money, quantities, exact-rational means), so none
+# can land within FP-summation noise of the shifted boundary — which kills
+# the remaining class of noise-decided rounding flips (e.g. sum/2^k means
+# that sit exactly on .00005).
+# Values ≥ 1e12 (timestamps-as-doubles) pass through: they are exact copies
+# of the same integers on both sides and floor(x·1e4) would overflow.
+
+
+def _canon_round_expr(col: str) -> str:
+    c = f"`{col}`"
+    return (
+        f"CASE WHEN isnan({c}) THEN {c} "
+        f"WHEN abs({c}) < 1e12 THEN floor({c} * 10000.0 + 0.50031830988618379) / 10000.0 "
+        f"ELSE {c} END"
+    )
+
+
+def _round_doubles(df: DataFrame) -> DataFrame:
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DoubleType):
+            cols.append(F.expr(_canon_round_expr(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f"`{f.name}`"))
+    return df.select(*cols)
+
+
+def _sql_canon_round(col: str) -> str:
+    c = f'"{col}"'
+    return (
+        f"CASE WHEN isnan({c}) THEN {c} "
+        f"WHEN abs({c}) < 1e12 THEN floor({c} * 10000.0 + 0.50031830988618379) / 10000.0 "
+        f"ELSE {c} END AS {c}"
+    )
+
+
+def _wrap_round(inner_sql: str, double_cols: list[str], other_cols: list[str]) -> str:
+    sel = ", ".join(
+        [f'"{c}"' for c in other_cols] + [_sql_canon_round(c) for c in double_cols]
+    )
+    return f"SELECT {sel} FROM (\n{inner_sql}\n) __r"
+
+
+def _register(name: str, view: str, query_json: dict, oracle: str | None,
+              double_cols: list[str] | None = None,
+              other_cols: list[str] | None = None) -> None:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        if view == "metrics":
+            frame = metrics_view(spark, sf_dir)
+            df = execute_query(spark, query_json, frame)
+        elif view == "app_metrics":
+            frame = app_metrics_view(spark, sf_dir)
+            df = execute_query(spark, query_json, frame)
+        elif view == "events":
+            frame = events_view(spark, sf_dir)
+            df = execute_query(spark, query_json, metrics=None, events=frame)
+        else:  # pragma: no cover
+            raise ValueError(view)
+        return _round_doubles(df)
+
+    if oracle is not None:
+        oracle = _wrap_round(
+            oracle,
+            double_cols if double_cols is not None else ["value"],
+            other_cols if other_cols is not None else ["series", "ts_ns"],
+        )
+    REGISTRY[name] = (run, oracle)
+
+
+# ---------------------------------------------------------------------------
+# select family
+# ---------------------------------------------------------------------------
+
+_register(
+    "select_fwd",
+    "metrics",
+    {
+        "select": "lineitem.price",
+        "range": {"from": T96, "to": T97},
+        "where": {"returnflag": ["A", "R"]},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {T97}
+      AND tag_returnflag IN ('A', 'R')""",
+)
+
+_register(
+    "select_bwd",
+    "metrics",
+    {"select": "lineitem.qty", "range": {"from": T97, "to": T96}},
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.qty' AND ts_ns <= {T97} AND ts_ns > {T96}""",
+)
+
+_register(
+    "select_value_filter",
+    "metrics",
+    {
+        "select": "lineitem.qty",
+        "range": {"from": T96, "to": T97},
+        "filter": {"gt": 10, "le": 40},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
+      AND value > 10 AND value <= 40""",
+)
+
+_register(
+    "select_where_list_form",
+    "metrics",
+    {
+        "select": "lineitem.disc",
+        "range": {"from": T96, "to": T97},
+        "where": [
+            {"returnflag": "A", "linestatus": "F"},
+            {"returnflag": "N", "linestatus": "O"},
+        ],
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.disc' AND ts_ns >= {T96} AND ts_ns < {T97}
+      AND ((tag_returnflag = 'A' AND tag_linestatus = 'F')
+        OR (tag_returnflag = 'N' AND tag_linestatus = 'O'))""",
+)
+
+_register(
+    "select_limit_offset",
+    "app_metrics",
+    {
+        "select": "app.click",
+        "range": {"from": E0, "to": E1},
+        "order-by": "time",
+        "limit": 100,
+        "offset": 10,
+    },
+    f"""WITH {APP_METRICS_SQL}
+    SELECT series, ts_ns, value FROM app_metrics
+    WHERE metric = 'app.click' AND ts_ns >= {E0} AND ts_ns < {E1}
+    ORDER BY ts_ns, series LIMIT 100 OFFSET 10""",
+)
+
+_register(
+    "select_group_by_tag",
+    "metrics",
+    {
+        "select": "lineitem.price",
+        "range": {"from": T96, "to": T97},
+        "group-by-tag": ["linestatus"],
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price returnflag=' || tag_returnflag AS series, ts_ns, value
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {T97}""",
+)
+
+_register(
+    "select_pivot_by_tag",
+    "metrics",
+    {
+        "select": "lineitem.price",
+        "range": {"from": T96, "to": T97},
+        "pivot-by-tag": ["linestatus"],
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price linestatus=' || tag_linestatus AS series, ts_ns, value
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {T97}""",
+)
+
+# ---------------------------------------------------------------------------
+# aggregate family
+# ---------------------------------------------------------------------------
+
+_AGG_ORACLE = {
+    "count": "CAST(count(value) AS DOUBLE)",
+    "sum": "sum(value)",
+    "min": "min(value)",
+    "max": "max(value)",
+    "mean": "sum(value) / count(value)",
+    "min_timestamp": "CAST((min(struct_pack(v := value, t := ts_ns))).t AS DOUBLE)",
+    "max_timestamp": "CAST((max(struct_pack(v := value, t := ts_ns))).t AS DOUBLE)",
+    "first": "(min(struct_pack(t := ts_ns, v := value))).v",
+    "last": "(max(struct_pack(t := ts_ns, v := value))).v",
+    "first_timestamp": "CAST(min(ts_ns) AS DOUBLE)",
+    "last_timestamp": "CAST(max(ts_ns) AS DOUBLE)",
+}
+
+_funcs = list(_AGG_ORACLE)
+_branches = "\nUNION ALL\n".join(
+    f"SELECT 'lineitem.qty:{fn} ' || tagstr AS series, first_ts AS ts_ns, f_{i} AS value FROM g"
+    for i, fn in enumerate(_funcs)
+)
+_register(
+    "aggregate_all_funcs",
+    "metrics",
+    {"aggregate": {"lineitem.qty": _funcs}, "range": {"from": T96, "to": T97}},
+    f"""WITH {METRICS_SQL},
+    g AS (
+      SELECT {TAGSTR} AS tagstr, min(ts_ns) AS first_ts,
+             {", ".join(f"{_AGG_ORACLE[fn]} AS f_{i}" for i, fn in enumerate(_funcs))}
+      FROM metrics
+      WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
+      GROUP BY 1
+    )
+    {_branches}""",
+)
+
+_register(
+    "aggregate_group_by_tag",
+    "metrics",
+    {
+        "aggregate": {"lineitem.price": "sum"},
+        "range": {"from": T96, "to": T97},
+        "group-by-tag": ["linestatus", "returnflag"],
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price:sum' AS series, min(ts_ns) AS ts_ns, sum(value) AS value
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {T97}""",
+)
+
+_T96_OFF = T96 + 3 * 86400 * NS
+_register(
+    "group_aggregate",
+    "metrics",
+    {
+        "group-aggregate": {
+            "metric": "lineitem.price",
+            "step": "7d",
+            "func": ["sum", "count", "mean"],
+        },
+        "range": {"from": _T96_OFF, "to": T97},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price:sum|lineitem.price:count|lineitem.price:mean ' || {TAGSTR} AS series,
+           {_T96_OFF} + ((ts_ns - {_T96_OFF}) // {WEEK}) * {WEEK} AS ts_ns,
+           sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count, sum(value) / count(value) AS mean
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {_T96_OFF} AND ts_ns < {T97}
+    GROUP BY 1, 2""",
+    double_cols=["sum", "count", "mean"],
+)
+
+_register(
+    "group_aggregate_bwd",
+    "metrics",
+    {
+        "group-aggregate": {"metric": "lineitem.qty", "step": "30d", "func": "max"},
+        "range": {"from": T97, "to": T96},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.qty:max ' || {TAGSTR} AS series,
+           {T97} - (({T97} - ts_ns) // {MONTH30}) * {MONTH30} AS ts_ns,
+           max(value) AS max
+    FROM metrics
+    WHERE metric = 'lineitem.qty' AND ts_ns <= {T97} AND ts_ns > {T96}
+    GROUP BY 1, 2""",
+    double_cols=["max"],
+)
+
+_register(
+    "group_aggregate_having",
+    "metrics",
+    {
+        "group-aggregate": {
+            "metric": "lineitem.qty",
+            "step": "7d",
+            "func": ["min", "max"],
+        },
+        "range": {"from": T96, "to": T97},
+        "filter": {"max": {"gt": 45}},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.qty:min|lineitem.qty:max ' || {TAGSTR} AS series,
+           {T96} + ((ts_ns - {T96}) // {WEEK}) * {WEEK} AS ts_ns,
+           min(value) AS min, max(value) AS max
+    FROM metrics
+    WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
+    GROUP BY 1, 2
+    HAVING max(value) > 45""",
+    double_cols=["min", "max"],
+)
+
+# ---------------------------------------------------------------------------
+# join family
+# ---------------------------------------------------------------------------
+
+_JOIN3 = ["lineitem.price", "lineitem.qty", "lineitem.disc"]
+
+_register(
+    "join_metrics",
+    "metrics",
+    {"join": _JOIN3, "range": {"from": T96, "to": T97}},
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price|lineitem.qty|lineitem.disc ' || {TAGSTR} AS series, ts_ns,
+      sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS "lineitem.price",
+      sum(CASE WHEN metric = 'lineitem.qty'  THEN value END) AS "lineitem.qty",
+      sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS "lineitem.disc"
+    FROM metrics
+    WHERE ts_ns >= {T96} AND ts_ns < {T97}
+    GROUP BY 1, 2""",
+    double_cols=_JOIN3,
+)
+
+_register(
+    "join_filter_any",
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.qty"],
+        "range": {"from": T96, "to": T97},
+        "filter": {
+            "lineitem.price": {"gt": 30000},
+            "lineitem.qty": {"lt": 5},
+            "=": {"require": "any"},
+        },
+    },
+    f"""WITH {METRICS_SQL},
+    filtered AS (
+      SELECT * FROM metrics
+      WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND ((metric = 'lineitem.price' AND value > 30000)
+          OR (metric = 'lineitem.qty' AND value < 5))
+    ),
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS "lineitem.price",
+        sum(CASE WHEN metric = 'lineitem.qty' THEN value END) AS "lineitem.qty"
+      FROM filtered GROUP BY 1, 2
+    )
+    SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
+           "lineitem.price", "lineitem.qty"
+    FROM p
+    WHERE "lineitem.price" IS NOT NULL OR "lineitem.qty" IS NOT NULL""",
+    double_cols=["lineitem.price", "lineitem.qty"],
+)
+
+_register(
+    "group_aggregate_join",
+    "metrics",
+    {
+        "group-aggregate-join": {
+            "metric": ["lineitem.price", "lineitem.qty"],
+            "step": "30d",
+            "func": "mean",
+        },
+        "range": {"from": T96, "to": T97},
+    },
+    f"""WITH {METRICS_SQL},
+    b AS (
+      SELECT metric, {TAGSTR} AS tagstr,
+             {T96} + ((ts_ns - {T96}) // {MONTH30}) * {MONTH30} AS ts_ns,
+             avg(value) AS v
+      FROM metrics
+      WHERE metric IN ('lineitem.price', 'lineitem.qty')
+        AND ts_ns >= {T96} AND ts_ns < {T97}
+      GROUP BY 1, 2, 3
+    )
+    SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
+      sum(CASE WHEN metric = 'lineitem.price' THEN v END) AS "lineitem.price",
+      sum(CASE WHEN metric = 'lineitem.qty'  THEN v END) AS "lineitem.qty"
+    FROM b GROUP BY 1, 2""",
+    double_cols=["lineitem.price", "lineitem.qty"],
+)
+
+# ---------------------------------------------------------------------------
+# events
+# ---------------------------------------------------------------------------
+
+_register(
+    "select_events_regex",
+    "events",
+    {
+        "select-events": "!error",
+        "range": {"from": E0, "to": E1},
+        "filter": '"k": 8[0-9]',
+    },
+    f"""WITH {EVENTS_SQL}
+    SELECT series, ts_ns, body FROM evt
+    WHERE metric = '!error' AND ts_ns >= {E0} AND ts_ns < {E1}
+      AND regexp_matches(body, '"k": 8[0-9]')""",
+    double_cols=[],
+    other_cols=["series", "ts_ns", "body"],
+)
+
+_register(
+    "select_events_bwd",
+    "events",
+    {
+        "select-events": "!purchase",
+        "range": {"from": E1, "to": E0},
+        "where": {"user": ["0", "4", "7"]},
+    },
+    f"""WITH {EVENTS_SQL}
+    SELECT series, ts_ns, body FROM evt
+    WHERE metric = '!purchase' AND ts_ns <= {E1} AND ts_ns > {E0}
+      AND tag_user IN ('0', '4', '7')""",
+    double_cols=[],
+    other_cols=["series", "ts_ns", "body"],
+)
+
+# ---------------------------------------------------------------------------
+# apply pipeline
+# ---------------------------------------------------------------------------
+
+
+def _app_base(metric: str, backward: bool = False) -> str:
+    if backward:
+        rng = f"ts_ns <= {E1} AND ts_ns > {E0}"
+    else:
+        rng = f"ts_ns >= {E0} AND ts_ns < {E1}"
+    return (
+        f"SELECT series, ts_ns, value FROM app_metrics "
+        f"WHERE metric = '{metric}' AND {rng}"
+    )
+
+
+_register(
+    "apply_rate",
+    "app_metrics",
+    {"select": "app.click", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "rate"}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    SELECT series, ts_ns,
+           (value - lag(value, 1, 0.0) {W}) / (ts_ns - lag(ts_ns, 1, 0) {W}) * 1e9 AS value
+    FROM base""",
+)
+
+_register(
+    "apply_rate_bwd",
+    "app_metrics",
+    {"select": "app.click", "range": {"from": E1, "to": E0},
+     "apply": [{"name": "rate"}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click', backward=True)})
+    SELECT series, ts_ns,
+           (value - lag(value, 1, 0.0) OVER (PARTITION BY series ORDER BY ts_ns DESC))
+           / (ts_ns - lag(ts_ns, 1, 0) OVER (PARTITION BY series ORDER BY ts_ns DESC)) * 1e9 AS value
+    FROM base""",
+)
+
+_register(
+    "apply_cusum",
+    "app_metrics",
+    {"select": "app.view", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "cusum"}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.view')})
+    SELECT series, ts_ns,
+           sum(value) OVER (PARTITION BY series ORDER BY ts_ns
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM base""",
+)
+
+_register(
+    "apply_sma",
+    "app_metrics",
+    {"select": "app.click", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "sma", "window-width": 4}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    SELECT series, ts_ns,
+           coalesce(sum(value) OVER (PARTITION BY series ORDER BY ts_ns
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS value
+    FROM base""",
+)
+
+# cma demo runs on lineitem.qty: integer-valued, so the RANGE-frame running
+# sums are exact in both engines and sum/count is bit-identical (2-decimal
+# money values would park some quotients exactly on a rounding boundary,
+# where cross-engine FP association noise flips the rounded digit).
+_register(
+    "apply_cma",
+    "metrics",
+    {"select": "lineitem.qty", "range": {"from": T96, "to": T97},
+     "apply": [{"name": "cma"}]},
+    f"""WITH {METRICS_SQL},
+    base AS (SELECT series, ts_ns, value FROM metrics
+             WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97})
+    SELECT series, ts_ns,
+           sum(value) {W} / count(value) {W} AS value
+    FROM base""",
+)
+
+# EWMA: recursive warm-up (sliding_window.cpp:15-51) has no closed SQL
+# form — registered without an oracle; driver records a rows-only check.
+_register(
+    "apply_ewma",
+    "app_metrics",
+    {"select": "app.error", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "ewma", "decay": 0.3}]},
+    None,
+)
+
+_register(
+    "apply_top",
+    "app_metrics",
+    {"select": "app.purchase", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "top", "N": 3}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.purchase')}),
+    c AS (SELECT series, ts_ns, (lead(ts_ns) {W} - ts_ns) / 1e9 * value AS contrib
+          FROM base)
+    SELECT series, max(ts_ns) AS ts_ns, sum(contrib) AS value
+    FROM c GROUP BY series
+    ORDER BY value DESC, series LIMIT 3""",
+)
+
+_register(
+    "apply_heavy_hitters",
+    "app_metrics",
+    {"select": "app.purchase", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "heavy-hitters", "error": 0.01, "portion": 0.12}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.purchase')}),
+    g AS (SELECT series, max(ts_ns) AS ts_ns, sum(value) AS value FROM base GROUP BY series)
+    SELECT series, ts_ns, value FROM g
+    WHERE value > 0.12 * (SELECT sum(value) FROM g)""",
+)
+
+_register(
+    "apply_frequent_items",
+    "app_metrics",
+    {"select": "app.signup", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "frequent-items", "error": 0.01, "portion": 0.13}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.signup')}),
+    g AS (SELECT series, max(ts_ns) AS ts_ns, CAST(count(*) AS DOUBLE) AS value
+          FROM base GROUP BY series)
+    SELECT series, ts_ns, value FROM g
+    WHERE value > 0.13 * (SELECT sum(value) FROM g)""",
+)
+
+_register(
+    "apply_eval_revenue",
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [{"name": "eval", "expr": "lineitem.price * (1 - lineitem.disc)"}],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    )
+    SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+           price * (1 - disc) AS value
+    FROM p""",
+)
+
+_register(
+    "apply_scale_sum_abs",
+    "metrics",
+    {
+        "join": ["lineitem.qty", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [
+            {"name": "scale", "weights": [2.0, 100.0]},
+            {"name": "sum"},
+            {"name": "abs"},
+        ],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.qty' THEN value END) AS qty,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.qty', 'lineitem.disc')
+      GROUP BY 1, 2
+    )
+    SELECT 'lineitem.qty|lineitem.disc ' || tagstr AS series, ts_ns,
+           abs(qty * 2.0 + disc * 100.0) AS value
+    FROM p""",
+)
+
+# ---------------------------------------------------------------------------
+# metadata queries (search / suggest)
+# ---------------------------------------------------------------------------
+
+_DIM_SQL = f"""{APP_METRICS_SQL},
+dim AS (SELECT DISTINCT series, metric, tag_user FROM app_metrics)"""
+
+
+def _register_meta(name: str, fn: Callable, oracle: str) -> None:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        dim = series_dim(app_metrics_view(spark, sf_dir))
+        return fn(dim)
+
+    REGISTRY[name] = (run, oracle)
+
+
+_register_meta(
+    "search_series",
+    lambda dim: search(dim, {"select": "app.click", "where": {"user": ["1", "3"]}}),
+    f"""WITH {_DIM_SQL}
+    SELECT series AS name FROM dim
+    WHERE metric = 'app.click' AND tag_user IN ('1', '3')""",
+)
+
+_register_meta(
+    "suggest_metric_names",
+    lambda dim: suggest(dim, {"select": "metric-names", "starts-with": "app.c"}),
+    f"""WITH {_DIM_SQL}
+    SELECT DISTINCT metric AS name FROM dim WHERE metric LIKE 'app.c%'""",
+)
+
+_register_meta(
+    "suggest_tag_values",
+    lambda dim: suggest(
+        dim, {"select": "tag-values", "metric": "app.view", "tag": "user"}
+    ),
+    f"""WITH {_DIM_SQL}
+    SELECT DISTINCT tag_user AS name FROM dim WHERE metric = 'app.view'""",
+)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec[0] for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: discounted-revenue eval over a 2-metric join — exercises
+    scan, pivot-join, and the apply pipeline in one plan."""
+    return REGISTRY["apply_eval_revenue"][0](spark, sf_dir)

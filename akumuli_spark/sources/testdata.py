@@ -175,5 +175,9 @@ evt AS (
 def series_dim(metrics: DataFrame) -> DataFrame:
     """Distinct series dimension (for search/suggest), derived from a
     metrics or events frame — the analogue of the reference's series
-    index (/root/reference/libakumuli/index/seriesparser.h:74-140)."""
-    return metrics.select("series", "metric", "tags").distinct()
+    index (/root/reference/libakumuli/index/seriesparser.h:74-140).
+
+    dropDuplicates on the series key (not distinct()) because MapType
+    columns aren't set-comparable; the canonical name determines the tag
+    map anyway."""
+    return metrics.select("series", "metric", "tags").dropDuplicates(["series"])

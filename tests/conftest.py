@@ -38,11 +38,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by value so comparison is
     order-insensitive, like the driver's value-hash."""
     df = df[sorted(df.columns)].copy()
+    sort_frame = {}
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+            sort_frame[c] = df[c]
+        elif np.issubdtype(df[c].dtype, np.floating):
+            # sort on rounded floats so FP last-bit noise can't reorder rows
+            sort_frame[c] = df[c].round(6)
+        else:
+            sort_frame[c] = df[c]
+    order = pd.DataFrame(sort_frame).sort_values(
+        by=list(df.columns), kind="mergesort"
+    ).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def assert_matches_oracle(spark_df, duck_con, sql: str, *, rtol=1e-9, atol=1e-9):

@@ -1,0 +1,324 @@
+"""apply-pipeline tests — window nodes vs DuckDB window functions, EWMA vs
+an independently-computed pandas expectation (its warm-up recursion has no
+SQL form), terminal ranking nodes vs SQL aggregation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from akumuli_spark.query.engine import execute_query
+from akumuli_spark.query.plan import parse_timestamp_ns
+from akumuli_spark.sources.testdata import APP_METRICS_SQL, METRICS_SQL, app_metrics_view, metrics_view
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NS = 10**9
+E0 = parse_timestamp_ns("20240101T000000")
+E1 = parse_timestamp_ns("20240201T000000")
+T96 = parse_timestamp_ns("19960101T000000")
+T97 = parse_timestamp_ns("19970101T000000")
+
+W = "OVER (PARTITION BY series ORDER BY ts_ns)"
+
+
+@pytest.fixture(scope="module")
+def app_metrics(spark):
+    return app_metrics_view(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    return metrics_view(spark, SF_DIR)
+
+
+def _app_base_sql(metric="app.click"):
+    return f"""SELECT series, ts_ns, value FROM app_metrics
+        WHERE metric = '{metric}' AND ts_ns >= {E0} AND ts_ns < {E1}"""
+
+
+def test_rate(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.click",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "rate"}],
+        },
+        app_metrics,
+    )
+    # rate with implicit (0, 0) seed (rate.cpp:31-40)
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql()})
+        SELECT series, ts_ns,
+               (value - lag(value, 1, 0.0) {W})
+               / (ts_ns - lag(ts_ns, 1, 0) {W}) * 1e9 AS value
+        FROM base""",
+    )
+
+
+def test_cusum(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.view",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "cusum"}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql('app.view')})
+        SELECT series, ts_ns,
+               sum(value) {W[:-1]} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM base""",
+    )
+
+
+def test_sma_predict_then_add(spark, duck, app_metrics):
+    # prediction = sum of previous n values / n, zero-prefilled buffer
+    # (sliding_window.cpp:140-160)
+    n = 4
+    df = execute_query(
+        spark,
+        {
+            "select": "app.click",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "sma", "window-width": n}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql()})
+        SELECT series, ts_ns,
+               coalesce(sum(value) {W[:-1]} ROWS BETWEEN {n} PRECEDING AND 1 PRECEDING), 0.0)
+               / {n} AS value
+        FROM base""",
+    )
+
+
+def test_cma(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.click",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "cma"}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql()})
+        SELECT series, ts_ns,
+               sum(value) {W[:-1]} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / count(value) {W[:-1]} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM base""",
+    )
+
+
+def test_ewma_exact_warmup(spark, duck, app_metrics):
+    """EWMA vs an independent Python implementation of the reference's
+    state machine (sliding_window.cpp:15-51)."""
+    decay = 0.3
+    df = execute_query(
+        spark,
+        {
+            "select": "app.error",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "ewma", "decay": decay}],
+        },
+        app_metrics,
+    )
+    got = {(r["series"], r["ts_ns"]): r["value"] for r in df.collect()}
+
+    base = duck.sql(
+        f"WITH {APP_METRICS_SQL} SELECT series, ts_ns, value FROM app_metrics "
+        f"WHERE metric = 'app.error' AND ts_ns >= {E0} AND ts_ns < {E1} "
+        "ORDER BY series, ts_ns"
+    ).fetchall()
+    bys = {}
+    for series, ts, val in base:
+        bys.setdefault(series, []).append((ts, val))
+    expected = {}
+    for series, rows in bys.items():
+        v, warm = 0.0, 0
+        for ts, x in rows:
+            expected[(series, ts)] = x if warm <= 10 else v
+            if warm < 10:
+                v += x
+            elif warm == 10:
+                v = (v + x) / 11.0
+                v = x * decay + v * (1 - decay)
+            else:
+                v = x * decay + v * (1 - decay)
+            warm += 1
+    assert set(got) == set(expected)
+    for k in expected:
+        assert math.isclose(got[k], expected[k], rel_tol=1e-9), (k, got[k], expected[k])
+
+
+def test_top_time_weighted(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.purchase",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "top", "N": 3}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql('app.purchase')}),
+        c AS (
+          SELECT series, ts_ns, (lead(ts_ns) {W} - ts_ns) / 1e9 * value AS contrib
+          FROM base
+        )
+        SELECT series, max(ts_ns) AS ts_ns, sum(contrib) AS value
+        FROM c GROUP BY series
+        ORDER BY value DESC, series LIMIT 3""",
+    )
+
+
+def test_heavy_hitters(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.purchase",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "heavy-hitters", "error": 0.01, "portion": 0.12}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql('app.purchase')}),
+        g AS (SELECT series, max(ts_ns) AS ts_ns, sum(value) AS value
+              FROM base GROUP BY series)
+        SELECT series, ts_ns, value FROM g
+        WHERE value > 0.12 * (SELECT sum(value) FROM g)""",
+    )
+
+
+def test_frequent_items(spark, duck, app_metrics):
+    df = execute_query(
+        spark,
+        {
+            "select": "app.signup",
+            "range": {"from": E0, "to": E1},
+            "apply": [{"name": "frequent-items", "error": 0.01, "portion": 0.13}],
+        },
+        app_metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL}, base AS ({_app_base_sql('app.signup')}),
+        g AS (SELECT series, max(ts_ns) AS ts_ns, CAST(count(*) AS DOUBLE) AS value
+              FROM base GROUP BY series)
+        SELECT series, ts_ns, value FROM g
+        WHERE value > 0.13 * (SELECT sum(value) FROM g)""",
+    )
+
+
+def test_eval_expression_over_join(spark, duck, metrics):
+    # eval "price * (1 - disc)" over the joined metric columns
+    df = execute_query(
+        spark,
+        {
+            "join": ["lineitem.price", "lineitem.disc"],
+            "range": {"from": T96, "to": T97},
+            "apply": [
+                {"name": "eval", "expr": "lineitem.price * (1 - lineitem.disc)"}
+            ],
+        },
+        metrics,
+    )
+    tagstr = "'linestatus=' || tag_linestatus || ' returnflag=' || tag_returnflag"
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {METRICS_SQL},
+        p AS (
+          SELECT {tagstr} AS tagstr, ts_ns,
+            sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+            sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+          FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+            AND metric IN ('lineitem.price', 'lineitem.disc')
+          GROUP BY 1, 2
+        )
+        SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+               price * (1 - disc) AS value
+        FROM p""",
+    )
+
+
+def test_horizontal_sum_and_abs_scale(spark, duck, metrics):
+    df = execute_query(
+        spark,
+        {
+            "join": ["lineitem.qty", "lineitem.disc"],
+            "range": {"from": T96, "to": T97},
+            "apply": [
+                {"name": "scale", "weights": [2.0, 100.0]},
+                {"name": "sum"},
+                {"name": "abs"},
+            ],
+        },
+        metrics,
+    )
+    tagstr = "'linestatus=' || tag_linestatus || ' returnflag=' || tag_returnflag"
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {METRICS_SQL},
+        p AS (
+          SELECT {tagstr} AS tagstr, ts_ns,
+            sum(CASE WHEN metric = 'lineitem.qty' THEN value END) AS qty,
+            sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+          FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+            AND metric IN ('lineitem.qty', 'lineitem.disc')
+          GROUP BY 1, 2
+        )
+        SELECT 'lineitem.qty|lineitem.disc ' || tagstr AS series, ts_ns,
+               abs(qty * 2.0 + disc * 100.0) AS value
+        FROM p""",
+    )
+
+
+def test_rate_backward_direction(spark, duck, app_metrics):
+    # backward query: the stream (and therefore lag) runs in descending ts
+    df = execute_query(
+        spark,
+        {
+            "select": "app.click",
+            "range": {"from": E1, "to": E0},
+            "apply": [{"name": "rate"}],
+        },
+        app_metrics,
+    )
+    wd = "OVER (PARTITION BY series ORDER BY ts_ns DESC)"
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {APP_METRICS_SQL},
+        base AS (
+          SELECT series, ts_ns, value FROM app_metrics
+          WHERE metric = 'app.click' AND ts_ns <= {E1} AND ts_ns > {E0}
+        )
+        SELECT series, ts_ns,
+               (value - lag(value, 1, 0.0) {wd})
+               / (ts_ns - lag(ts_ns, 1, 0) {wd}) * 1e9 AS value
+        FROM base""",
+    )

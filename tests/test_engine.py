@@ -170,7 +170,7 @@ AGG_ORACLE = {
     "sum": "sum(value)",
     "min": "min(value)",
     "max": "max(value)",
-    "mean": "avg(value)",
+    "mean": "sum(value) / count(value)",
     "min_timestamp": "CAST((min(struct_pack(v := value, t := ts_ns))).t AS DOUBLE)",
     "max_timestamp": "CAST((max(struct_pack(v := value, t := ts_ns))).t AS DOUBLE)",
     "first": "(min(struct_pack(t := ts_ns, v := value))).v",
@@ -236,7 +236,7 @@ def test_group_aggregate_begin_anchored(spark, duck, metrics):
         SELECT '{head} ' || {TAGSTR} AS series,
                {t_from} + ((ts_ns - {t_from}) // {WEEK_NS}) * {WEEK_NS} AS ts_ns,
                sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count,
-               avg(value) AS mean
+               sum(value) / count(value) AS mean
         FROM metrics
         WHERE metric = 'lineitem.price' AND ts_ns >= {t_from} AND ts_ns < {T97}
         GROUP BY 1, 2""",

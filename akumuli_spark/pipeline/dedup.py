@@ -1,0 +1,422 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are DataFrame-in / DataFrame-out and designed around the
+inverted-index candidate-generation pattern: candidate pairs are produced
+by equi-joins on discriminative keys (shingles, LSH band signatures,
+SimHash chunks), never by an O(n²) cross join — at 100 TB the candidate
+join shuffles on the key and stays proportional to the number of true
+near-duplicates, while a cross join would be quadratic in corpus size.
+
+Determinism: every hash is derived from md5 (identical across engines);
+pair orientation is always (doc_a < doc_b); similarity values are exact
+rationals (intersection/union counts) so they reproduce bit-for-bit in
+any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Word n-grams (not unigrams) because candidate-pair selectivity comes
+    from sequence structure; with a small vocabulary unigram sets collide
+    for unrelated documents.
+    """
+    ws = F.split(F.col(text_col), " ")
+    shingle_arr = F.expr(
+        f"array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+    )
+    return (
+        docs.filter(F.size(ws) >= n)
+        .select(F.col(id_col).alias("id"), F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+def _shingles_sql(n: int = 5) -> str:
+    """DuckDB twin of :func:`word_shingles` (oracle use)."""
+    return f"""
+shingles AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    [list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')
+     for i in range(1, len(ws) - {n - 2})])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+  WHERE len(ws) >= {n}
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    representative (minimum) doc_id and the copy count.  At scale this is
+    one shuffle on the 128-bit fingerprint; the text column itself never
+    shuffles (only the hash + id)."""
+    return (
+        docs.select(F.md5(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+EXACT_SQL = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard.
+
+    Inverted-index join: docs sharing ≥1 shingle become candidates; the
+    exact Jaccard |A∩B| / (|A|+|B|-|A∩B|) is then computed from counts.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = word_shingles(docs, n=n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.id"))
+        .join(sb, F.col("doc_b") == F.col("sb.id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_sql(n: int = 5, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingles_sql(n)},
+sizes AS (SELECT id, count(*) n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.id
+JOIN sizes sb ON doc_b = sb.id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+#: MinHash parameters: k universal hashes h_i(x) = (a_i·x + b_i) mod P over
+#: a 32-bit base hash (md5 prefix).  Constants are fixed so the signature is
+#: reproducible everywhere (including the SQL oracle).
+MINHASH_P = 2_038_074_743  # prime < 2^31: products stay under 2^62
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 bands × 4 rows
+
+
+def _minhash_params() -> list[tuple[int, int]]:
+    return [
+        ((i * 2_654_435_761 + 1) % MINHASH_P, (i * 40_503 + 7) % MINHASH_P)
+        for i in range(MINHASH_K)
+    ]
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash/LSH near-dup: shingle → 32-bit hash → k minhashes → band
+    signatures → candidates from band-equality joins → exact Jaccard
+    verification.
+
+    Scale shape: the only wide operations are (a) a groupBy per (doc, i)
+    to take the min hash — map-side combinable, and (b) an equi-join on
+    band signatures whose fan-out is the number of colliding docs, i.e.
+    the true near-dup clusters plus the (tunable) false-positive rate of
+    the banding scheme.  No cross join anywhere.
+    """
+    sh = word_shingles(docs, n=n)
+    # 32-bit base hash from the md5 prefix, reduced mod P
+    x = F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+    hashed = sh.select("id", (x % MINHASH_P).alias("x"))
+    params = _minhash_params()
+    mh_cols = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy("id").agg(*mh_cols)
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = []
+    for bnd in range(MINHASH_BANDS):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws(":", *[p.cast("string") for p in parts]).alias(f"band{bnd}")
+        )
+    banded = sig.select("id", *band_cols)
+    stack = ", ".join(f"{b}, band{b}" for b in range(MINHASH_BANDS))
+    long = banded.select(
+        "id", F.expr(f"stack({MINHASH_BANDS}, {stack}) AS (band_idx, band_sig)")
+    )
+    a = long.alias("a")
+    b = long.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+    # verification: exact Jaccard on the candidate set only
+    verified = ngram_jaccard_pairs(docs, n=n, threshold=threshold).alias("v")
+    return cands.alias("c").join(
+        verified,
+        (F.col("c.doc_a") == F.col("v.doc_a")) & (F.col("c.doc_b") == F.col("v.doc_b")),
+    ).select("c.doc_a", "c.doc_b", "v.jaccard")
+
+
+def minhash_lsh_sql(n: int = 5, threshold: float = 0.5) -> str:
+    params = _minhash_params()
+    mh_exprs = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_exprs = ", ".join(
+        "concat_ws(':', "
+        + ", ".join(
+            f"CAST(mh{bnd * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f") AS band{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT id, {bnd} AS band_idx, band{bnd} AS band_sig FROM banded"
+        for bnd in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_shingles_sql(n)},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_P} AS x
+  FROM shingles
+),
+sig AS (SELECT id, {mh_exprs} FROM hashed GROUP BY id),
+banded AS (SELECT id, {band_exprs} FROM sig),
+long AS ({band_union}),
+cands AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+  FROM long a JOIN long b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM inter JOIN sizes sa ON doc_a = sa.id JOIN sizes sb ON doc_b = sb.id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+)
+SELECT c.doc_a, c.doc_b, v.jaccard
+FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk matches
+
+
+def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """32-bit SimHash per doc from word n-gram features: bit j of the
+    signature is the sign of Σ_features (±1 per feature bit j)."""
+    sh = word_shingles(docs, n=n)
+    h = F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+    bits = sh.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        h.alias("h"),
+    ).select(
+        "id", "j",
+        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("b"),
+    )
+    votes = bits.groupBy("id", "j").agg(F.sum("b").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidate generation by the pigeonhole trick: split the signature into
+    SIMHASH_CHUNKS chunks; any pair within hamming ≤ SIMHASH_CHUNKS-1 must
+    agree exactly on ≥1 chunk, so candidates come from equi-joins on
+    (chunk_idx, chunk_value) — never a cross join.
+    """
+    sig = simhash_signatures(docs, n=n)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                )
+                for c in range(SIMHASH_CHUNKS)
+            ])
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_sql(n: int = 3, max_hamming: int = 3) -> str:
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunk_union = "\nUNION ALL\n".join(
+        f"SELECT id, simhash, {c} AS chunk_idx, (simhash >> {c * chunk_bits}) & {mask} AS chunk_val FROM sig"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+WITH {_shingles_sql(n)},
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shingles
+),
+bits AS (
+  SELECT id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS b
+  FROM hashed, range(0, {SIMHASH_BITS}) r(j)
+),
+votes AS (SELECT id, j, sum(b) AS v FROM bits GROUP BY 1, 2),
+sig AS (
+  SELECT id, sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS simhash
+  FROM votes GROUP BY 1
+),
+chunks AS ({chunk_union}),
+cands AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.id < b.id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Near-duplicate vector pairs by cosine similarity ≥ threshold.
+
+    This is the verification-quality (exact) variant: a self-join over a
+    block key would bound the pair space at scale — here the corpus fits a
+    broadcast, which Catalyst picks automatically; the LSH-bucketed scale
+    path lives in akumuli_spark.pipeline.similarity.
+    """
+    a = embs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = embs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM dots WHERE cosine >= {threshold}
+""".strip()

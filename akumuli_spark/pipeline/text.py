@@ -1,0 +1,205 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All are narrow per-row projections (no shuffle except the fingerprint
+cluster groupBy) built from JVM-side string/regex functions — at 100 TB
+these run at scan speed with full column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# language id — marker-word heuristic
+# ---------------------------------------------------------------------------
+
+#: deterministic marker lexicons (would be per-language frequency profiles
+#: in production; the driver corpus shares one vocabulary so this acts as a
+#: fixed scoring rule both engines replicate exactly)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "value", "table"),
+    "de": ("der", "die", "das", "und", "wert"),
+    "fr": ("le", "la", "les", "et", "valeur"),
+    "es": ("el", "los", "las", "y", "valor"),
+    "zh": ("de5", "shi4", "he2"),
+}
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """N-gram/marker-word language scorer: per language, the fraction of
+    tokens that are marker words; prediction = argmax (ties → language
+    name ascending).  Output: (doc_id, pred_lang, score)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hits = F.expr(
+            f"size(filter(split(text, ' '), t -> t IN ({markers})))"
+        )
+        scores.append(
+            F.struct(
+                (hits / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (score, then lang DESC so ties pick the ascending-first
+    # language under max's struct ordering... max picks largest lang on
+    # ties; invert by sorting on (score, negated rank) — simplest: compare
+    # score with a stable ordering: use array_max over structs of
+    # (score, -index) then map back
+    ordered = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({markers})))")
+        ordered.append(
+            F.struct(
+                (hits / n).alias("score"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*ordered)
+    return docs.select(
+        "doc_id",
+        best.getField("lang").alias("pred_lang"),
+        best.getField("score").alias("score"),
+    )
+
+
+def language_id_sql() -> str:
+    # DuckDB's greatest() rejects structs; max() over unnested candidate
+    # structs uses the same field-order comparison as Spark's greatest()
+    structs = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        structs.append(
+            f"{{'score': len(list_filter(ws, t -> t IN ({markers})))"
+            f" * 1.0 / len(ws), 'neg_idx': {-i}, 'lang': '{lang}'}}"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+cands AS (SELECT doc_id, unnest([{", ".join(structs)}]) AS cand FROM t)
+SELECT doc_id, (max(cand)).lang AS pred_lang, (max(cand)).score AS score
+FROM cands GROUP BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword / repetition heuristics:
+
+    * n_words, mean_word_len
+    * stop_ratio — fraction of stopword tokens
+    * uniq_ratio — distinct words / words (low ⇒ repetitive)
+    * quality — fixed blend in [0, 1]: 0.5·uniq_ratio + 0.3·min(n_words,
+      200)/200 + 0.2·stop_ratio
+    """
+    toks = "split(text, ' ')"
+    n = F.expr(f"size({toks})").cast("long")
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ratio = F.expr(f"size(filter({toks}, t -> t IN ({stops})))") / n
+    uniq_ratio = F.expr(f"size(array_distinct({toks}))") / n
+    mean_wlen = F.expr(
+        f"aggregate({toks}, 0L, (acc, t) -> acc + length(t))"
+    ) / n
+    quality = (
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.3) * (F.least(n, F.lit(200)) / F.lit(200.0))
+        + F.lit(0.2) * stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def quality_score_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_words,
+       list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) AS mean_word_len,
+       len(list_filter(ws, w -> w IN ({stops}))) * 1.0 / len(ws) AS stop_ratio,
+       len(list_distinct(ws)) * 1.0 / len(ws) AS uniq_ratio,
+       0.5 * (len(list_distinct(ws)) * 1.0 / len(ws))
+         + 0.3 * (least(len(ws), 200) / 200.0)
+         + 0.2 * (len(list_filter(ws, w -> w IN ({stops}))) * 1.0 / len(ws)) AS quality
+FROM t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+#: BPE-ish pre-tokenizer: runs of letters, runs of digits, single
+#: non-alphanumeric non-space characters (a simplification of the GPT-2
+#: pre-tokenizer regex, kept RE2/Java-regex compatible)
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars_seen): whitespace
+    tokens, BPE-ish regex tokens, character count."""
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("long").alias("n_ws_tokens"),
+        F.expr(f"regexp_count(text, '{BPE_PATTERN}')").cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_seen"),
+    )
+
+
+def token_counts_sql() -> str:
+    return f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars_seen
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_clusters(docs: DataFrame) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint (sorted distinct words →
+    md5) and its duplicate clusters: (fingerprint, keep_id, n_docs).
+    Catches shuffled/reordered copies that exact dedup misses."""
+    fp = F.md5(
+        F.expr("array_join(array_sort(array_distinct(split(text, ' '))), '|')")
+    )
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
+           'string_agg', '|')) AS fingerprint,
+       min(doc_id) AS keep_id,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+""".strip()

@@ -685,3 +685,137 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: discounted-revenue eval over a 2-metric join — exercises
     scan, pivot-join, and the apply pipeline in one plan."""
     return REGISTRY["apply_eval_revenue"][0](spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+from akumuli_spark.pipeline import dedup as _dedup  # noqa: E402
+from akumuli_spark.pipeline import multimodal as _mm  # noqa: E402
+from akumuli_spark.pipeline import similarity as _sim  # noqa: E402
+from akumuli_spark.pipeline import text as _text  # noqa: E402
+from akumuli_spark.sources.testdata import load_table  # noqa: E402
+
+
+def _register_pipeline(name: str, build, oracle: str | None,
+                       double_cols: list[str], other_cols: list[str]) -> None:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _round_doubles(build(spark, sf_dir))
+
+    if oracle is not None:
+        oracle = _wrap_round(oracle, double_cols, other_cols)
+    REGISTRY[name] = (run, oracle)
+
+
+_register_pipeline(
+    "dedup_exact",
+    lambda spark, sf: _dedup.exact_duplicates(load_table(spark, sf, "documents")),
+    _dedup.EXACT_SQL,
+    [],
+    ["fingerprint", "keep_id", "n_copies"],
+)
+
+_register_pipeline(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: _dedup.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5
+    ),
+    _dedup.ngram_jaccard_sql(5, 0.5),
+    ["jaccard"],
+    ["doc_a", "doc_b"],
+)
+
+_register_pipeline(
+    "dedup_minhash_lsh",
+    lambda spark, sf: _dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5
+    ),
+    _dedup.minhash_lsh_sql(5, 0.5),
+    ["jaccard"],
+    ["doc_a", "doc_b"],
+)
+
+_register_pipeline(
+    "dedup_simhash",
+    lambda spark, sf: _dedup.simhash_pairs(
+        load_table(spark, sf, "documents"), n=3, max_hamming=3
+    ),
+    _dedup.simhash_sql(3, 3),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
+_register_pipeline(
+    "dedup_embedding_cosine",
+    lambda spark, sf: _dedup.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    ),
+    _dedup.embedding_near_dup_sql(0.4),
+    ["cosine"],
+    ["id_a", "id_b"],
+)
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+_register_pipeline(
+    "ann_cosine_topk",
+    lambda spark, sf: _sim.cosine_topk(
+        load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=10
+    ),
+    _sim.cosine_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+_register_pipeline(
+    "ann_lsh_topk",
+    lambda spark, sf: _sim.lsh_bucketed_topk(
+        load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=10
+    ),
+    _sim.lsh_bucketed_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+_register_pipeline(
+    "text_langid",
+    lambda spark, sf: _text.language_id(load_table(spark, sf, "documents")),
+    _text.language_id_sql(),
+    ["score"],
+    ["doc_id", "pred_lang"],
+)
+
+_register_pipeline(
+    "text_quality",
+    lambda spark, sf: _text.quality_score(load_table(spark, sf, "documents")),
+    _text.quality_score_sql(),
+    ["mean_word_len", "stop_ratio", "uniq_ratio", "quality"],
+    ["doc_id", "n_words"],
+)
+
+_register_pipeline(
+    "text_tokens",
+    lambda spark, sf: _text.token_counts(load_table(spark, sf, "documents")),
+    _text.token_counts_sql(),
+    [],
+    ["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_seen"],
+)
+
+_register_pipeline(
+    "text_fingerprint",
+    lambda spark, sf: _text.fingerprint_clusters(load_table(spark, sf, "documents")),
+    _text.FINGERPRINT_SQL,
+    [],
+    ["fingerprint", "keep_id", "n_docs"],
+)
+
+_register_pipeline(
+    "multimodal_decode",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.with_binary_payload(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_METADATA_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)

@@ -36,6 +36,12 @@ HEADLINE = [
     "apply_top",
     "apply_eval_revenue",
     "apply_heavy_hitters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "multimodal_decode",
 ]
 
 

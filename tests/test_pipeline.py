@@ -1,0 +1,118 @@
+"""Training-data pipeline tests vs DuckDB oracles: dedup (exact / jaccard /
+minhash-LSH / simhash / embedding-cosine), similarity search (brute force +
+LSH buckets), text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.pipeline import dedup, multimodal, similarity, text
+from akumuli_spark.sources.testdata import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_exact_duplicates(spark, duck, docs):
+    assert_matches_oracle(dedup.exact_duplicates(docs), duck, dedup.EXACT_SQL)
+
+
+def test_ngram_jaccard_pairs(spark, duck, docs):
+    out = dedup.ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    assert out.count() > 0, "expected planted near-dups in the corpus"
+    assert_matches_oracle(out, duck, dedup.ngram_jaccard_sql(5, 0.5))
+
+
+def test_minhash_lsh_pairs(spark, duck, docs):
+    out = dedup.minhash_lsh_pairs(docs, n=5, threshold=0.5)
+    assert out.count() > 0
+    assert_matches_oracle(out, duck, dedup.minhash_lsh_sql(5, 0.5))
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    # LSH candidates + verification should recover most true pairs at the
+    # same threshold (banding gives probabilistic recall)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 5, 0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, 5, 0.8).collect()
+    }
+    assert lsh <= exact  # verification ⇒ no false positives
+    assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
+
+
+def test_simhash_pairs(spark, duck, docs):
+    out = dedup.simhash_pairs(docs, n=3, max_hamming=3)
+    assert_matches_oracle(out, duck, dedup.simhash_sql(3, 3))
+
+
+def test_embedding_near_dup(spark, duck, embs):
+    out = dedup.embedding_near_dup_pairs(embs, threshold=0.4)
+    assert out.count() > 0
+    assert_matches_oracle(out, duck, dedup.embedding_near_dup_sql(0.4))
+
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def test_cosine_topk(spark, duck, embs):
+    out = similarity.cosine_topk(embs, QUERY_IDS, k=10)
+    assert out.count() == 5 * 10
+    assert_matches_oracle(out, duck, similarity.cosine_topk_sql(QUERY_IDS, 10))
+
+
+def test_lsh_bucketed_topk(spark, duck, embs):
+    out = similarity.lsh_bucketed_topk(embs, QUERY_IDS, k=10)
+    assert_matches_oracle(
+        out, duck, similarity.lsh_bucketed_topk_sql(QUERY_IDS, 10)
+    )
+
+
+def test_lsh_recall_sanity(spark, embs):
+    # every LSH hit must appear in the exact ranking with the same cosine
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(embs, QUERY_IDS, k=2000).collect()
+    }
+    for r in similarity.lsh_bucketed_topk(embs, QUERY_IDS, k=10).collect():
+        assert (r["query_id"], r["neighbor_id"]) in exact
+
+
+def test_language_id(spark, duck, docs):
+    assert_matches_oracle(text.language_id(docs), duck, text.language_id_sql())
+
+
+def test_quality_score(spark, duck, docs):
+    assert_matches_oracle(text.quality_score(docs), duck, text.quality_score_sql())
+
+
+def test_token_counts(spark, duck, docs):
+    assert_matches_oracle(text.token_counts(docs), duck, text.token_counts_sql())
+
+
+def test_fingerprint_clusters(spark, duck, docs):
+    out = text.fingerprint_clusters(docs)
+    # shuffled copies exist in the corpus ⇒ at least one cluster > 1
+    assert out.filter("n_docs > 1").count() > 0
+    assert_matches_oracle(out, duck, text.FINGERPRINT_SQL)
+
+
+def test_multimodal_decode(spark, duck, docs):
+    out = multimodal.decode_metadata(multimodal.with_binary_payload(docs))
+    assert_matches_oracle(out, duck, multimodal.DECODE_METADATA_SQL)
+
+
+def test_multimodal_stub_raises_on_empty():
+    with pytest.raises(NotImplementedError):
+        multimodal._fake_decode(b"")

@@ -220,6 +220,85 @@ def _node_ewma(res, node: ApplyNode, delta: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# sax — SAX symbolization (sax.cpp:1-96 + saxencoder.cpp; the token is
+# dormant in the reference, registration commented out at sax.cpp:96)
+# ---------------------------------------------------------------------------
+
+
+def _sax_cutpoints(alphabet: int) -> list[float]:
+    """Equiprobable N(0,1) cutpoints.  The reference embeds the jMotif
+    NormalAlphabet table (saxencoder.cpp:74-129); these are the same
+    quantiles computed from the inverse normal CDF."""
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [nd.inv_cdf(i / alphabet) for i in range(1, alphabet)]
+
+
+def _node_sax(res, node: ApplyNode):
+    """Per-series sliding-window SAX words (saxencoder.cpp:189-203):
+    once the window of `window_width` samples fills, z-normalize it
+    (plain mean-subtraction when stddev < 1e-10), quantize each value to
+    the alphabet, and emit the word at the current sample's timestamp —
+    but only when it differs from the previous word (numerosity
+    reduction).  Output: (series, ts_ns, sax string)."""
+    alphabet = node.param("alphabet_size")
+    width = node.param("window_width")
+    if alphabet is None or width is None:
+        raise QueryValidationError("sax requires 'alphabet_size' and 'window_width'")
+    alphabet, width = int(alphabet), int(width)
+    if not 1 <= alphabet <= 20:
+        raise QueryValidationError("`alphabet_size` should be in [1, 20] range")
+    if not 4 <= width <= 100:
+        raise QueryValidationError("`window_width` should be in [4, 100] range")
+    if len(res.value_cols) != 1:
+        raise QueryValidationError("sax works only with scalars (AKU_EHIGH_CARDINALITY)")
+    cuts = _sax_cutpoints(alphabet)
+    letters = "abcdefghijklmnopqrstu"
+    vcol = res.value_cols[0]
+    forward = res.query.range.forward
+
+    def to_char(v: float) -> str:
+        for i, c in enumerate(cuts):
+            if v < c:
+                return letters[i]
+        return letters[len(cuts)]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
+        out_rows = []
+        window: list[float] = []
+        last_word = None
+        for ts, x in zip(pdf["ts_ns"], pdf[vcol]):
+            if x is None or (isinstance(x, float) and math.isnan(x)):
+                continue
+            window.append(float(x))
+            if len(window) > width:
+                window.pop(0)
+            if len(window) == width:
+                n = len(window)
+                s = sum(window)
+                mean = s / n
+                sqr = sum(v * v for v in window)
+                var = (n * sqr - s * s) / (n * (n - 1)) if n > 1 else float("nan")
+                std = math.sqrt(var) if var > 0 else 0.0
+                if std < 1e-10:  # AKU_ZNORM_THRESHOLD
+                    word = "".join(to_char(v - mean) for v in window)
+                else:
+                    word = "".join(to_char((v - mean) / std) for v in window)
+                if word != last_word:
+                    last_word = word
+                    out_rows.append((pdf["series"].iloc[0], ts, word))
+        return pd.DataFrame(out_rows, columns=["series", "ts_ns", "sax"])
+
+    res.df = res.df.groupBy("series").applyInPandas(
+        per_series, schema="series string, ts_ns long, sax string"
+    )
+    res.value_cols = ["sax"]
+    return res
+
+
+# ---------------------------------------------------------------------------
 # eval — arithmetic over the joined metrics' components (eval.cpp:36-205)
 # ---------------------------------------------------------------------------
 
@@ -338,6 +417,7 @@ _NODES = {
     "ewma": _node_ewma,
     "ewma-error": lambda r, n: _node_ewma(r, n, delta=True),
     "eval": _node_eval,
+    "sax": _node_sax,
     "top": _node_top,
     "frequent-items": lambda r, n: _node_spacesaver(r, n, weighted=False),
     "heavy-hitters": lambda r, n: _node_spacesaver(r, n, weighted=True),

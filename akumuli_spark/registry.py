@@ -819,3 +819,14 @@ _register_pipeline(
     [],
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
+
+
+# SAX symbolization: sliding-window z-norm + quantization + numerosity
+# reduction has no SQL form — rows-only check (like apply_ewma).
+_register(
+    "apply_sax",
+    "app_metrics",
+    {"select": "app.view", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}]},
+    None,
+)

@@ -1,0 +1,144 @@
+"""RESP (Redis-like) ingestion protocol parser.
+
+Re-implements the reference's TCP wire format
+(/root/reference/akumulid/protocolparser.h:133-215, protocolparser.cpp):
+
+* simple sample — three values: series name, timestamp, value::
+
+    +balancers.memusage host=machine1 region=NW\r\n
+    +20141210T074343.999999999\r\n     (or :1418224423000000000)
+    +31.5\r\n                           (or :31)
+
+* row protocol — N metrics at one timestamp: compound series
+  ``+m1|m2|m3 tags``, timestamp, then a RESP array of N values::
+
+    +cpu.real|cpu.user|cpu.sys host=machine1\r\n
+    +20141210T074343\r\n
+    *3\r\n
+    +3.12\r\n+8.11\r\n+12.6\r\n
+
+* events — series starting with ``!``, value is the string body.
+
+The parser is a pure-Python core (usable in tests and driver scripts)
+plus an Arrow-batched ``mapInPandas`` stage for Structured Streaming,
+where each input row carries one or more *complete* PDUs (framing is the
+transport's job, as in the reference where a connection parser owns the
+byte stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from akumuli_spark.datamodel import is_event_metric, parse_series_name, canonical_series_name
+from akumuli_spark.query.plan import parse_timestamp_ns
+
+
+class RespError(ValueError):
+    """Malformed PDU (the reference replies -PARSER error and drops the
+    connection)."""
+
+
+@dataclass(frozen=True)
+class Sample:
+    series: str
+    metric: str
+    tags: dict[str, str]
+    ts_ns: int
+    value: float | None
+    body: str | None = None
+
+
+def _parse_value_token(tok: str) -> str:
+    if not tok:
+        raise RespError("empty RESP token")
+    if tok[0] in "+:":
+        return tok[1:]
+    if tok[0] in "-$*":
+        raise RespError(f"unexpected RESP token {tok!r}")
+    return tok
+
+
+def parse_resp(text: str) -> list[Sample]:
+    """Parse a chunk of complete PDUs into samples."""
+    lines = [ln for ln in text.replace("\r\n", "\n").split("\n") if ln.strip()]
+    out: list[Sample] = []
+    i = 0
+    while i < len(lines):
+        series_tok = _parse_value_token(lines[i])
+        i += 1
+        if i >= len(lines):
+            raise RespError(f"truncated PDU after series {series_tok!r}")
+        ts_ns = parse_timestamp_ns(_parse_value_token(lines[i]))
+        i += 1
+        if i >= len(lines):
+            raise RespError(f"truncated PDU after timestamp for {series_tok!r}")
+        metric_part, _, tag_part = series_tok.partition(" ")
+        metrics = metric_part.split("|")
+        if lines[i].startswith("*"):
+            # row protocol: array of one value per compound metric
+            n = int(lines[i][1:])
+            i += 1
+            if n != len(metrics):
+                raise RespError(
+                    f"row protocol arity mismatch: {n} values for {len(metrics)} metrics"
+                )
+            values = []
+            for _ in range(n):
+                if i >= len(lines):
+                    raise RespError("truncated row-protocol array")
+                values.append(_parse_value_token(lines[i]))
+                i += 1
+        else:
+            if len(metrics) != 1:
+                raise RespError("compound series requires a row-protocol array")
+            values = [_parse_value_token(lines[i])]
+            i += 1
+        for metric, raw in zip(metrics, values):
+            name = f"{metric} {tag_part}".strip()
+            m, tags = parse_series_name(name)
+            canonical = canonical_series_name(m, tags)
+            if is_event_metric(m):
+                out.append(Sample(canonical, m, tags, ts_ns, None, raw))
+            else:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    raise RespError(f"bad value {raw!r} for metric {m!r}") from None
+                out.append(Sample(canonical, m, tags, ts_ns, val, None))
+    return out
+
+
+#: output schema of the parser stage (the long metrics table + body for
+#: events; tags as a canonical "k=v,k=v" string so the streaming sink can
+#: partition on plain columns)
+PARSED_SCHEMA = (
+    "series string, metric string, tags_str string, ts_ns long, "
+    "value double, body string"
+)
+
+
+def parse_resp_stage(pdus: DataFrame, column: str = "value") -> DataFrame:
+    """mapInPandas parse stage: DataFrame[column: string of complete PDUs]
+    → parsed samples.  Works identically on batch and streaming frames."""
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for text in pdf[column]:
+                for s in parse_resp(text):
+                    tags_str = ",".join(f"{k}={v}" for k, v in sorted(s.tags.items()))
+                    rows.append(
+                        (s.series, s.metric, tags_str, s.ts_ns, s.value, s.body)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["series", "metric", "tags_str", "ts_ns", "value", "body"],
+            )
+
+    return pdus.mapInPandas(parse_batches, schema=PARSED_SCHEMA)

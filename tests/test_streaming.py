@@ -1,0 +1,96 @@
+"""Structured-Streaming ingestion tests: file-source RESP PDUs → parquet
+sink with late-write rejection (mirrors the reference's
+test_continuous_queries.py / AKU_ELATE_WRITE behavior) and the continuous
+base-step rollup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from akumuli_spark.sources.resp import parse_resp_stage
+from akumuli_spark.streaming.ingest import (
+    parsed_stream_from_files,
+    start_parquet_ingest,
+    windowed_rollup_stream,
+)
+
+NS = 10**9
+
+
+def _write_pdu_file(dir_: str, name: str, text: str) -> None:
+    os.makedirs(dir_, exist_ok=True)
+    with open(os.path.join(dir_, name), "w") as f:
+        f.write(text)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "chk": str(tmp_path / "chk"),
+        "rej": str(tmp_path / "rej"),
+    }
+
+
+def test_stream_ingest_end_to_end(spark, dirs):
+    _write_pdu_file(
+        dirs["in"], "batch1.txt",
+        "+cpu host=a\n:1000000000\n:1\n+cpu host=a\n:2000000000\n:2\n"
+        "+mem host=a\n:1000000000\n:7\n",
+    )
+    stream = parsed_stream_from_files(spark, dirs["in"])
+    assert stream.isStreaming
+    q = start_parquet_ingest(stream, dirs["out"], dirs["chk"], dirs["rej"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 3
+    # partitioned by metric ⇒ metric predicate prunes directories
+    assert sorted(r["metric"] for r in out.select("metric").distinct().collect()) == [
+        "cpu", "mem",
+    ]
+
+
+def test_stream_rejects_late_writes(spark, dirs):
+    _write_pdu_file(
+        dirs["in"], "b1.txt", "+cpu host=a\n:1000000000000\n:1\n"
+    )
+    stream = parsed_stream_from_files(spark, dirs["in"])
+    q = start_parquet_ingest(
+        stream, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: one fresh sample, one 100s-late sample
+        _write_pdu_file(
+            dirs["in"], "b2.txt",
+            "+cpu host=a\n:1001000000000\n:2\n"
+            "+cpu host=a\n:900000000000\n:3\n",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = spark.read.parquet(dirs["out"])
+    assert accepted.count() == 2
+    rejects = spark.read.parquet(dirs["rej"])
+    assert [r["ts_ns"] for r in rejects.collect()] == [900000000000]
+
+
+def test_windowed_rollup(spark):
+    # batch-mode check of the rollup transformation (same plan streaming)
+    pdus = spark.createDataFrame(
+        [("+cpu host=a\n:60000000000\n:1\n+cpu host=a\n:70000000000\n:3\n"
+          "+cpu host=a\n:130000000000\n:5\n",)],
+        ["value"],
+    )
+    parsed = parse_resp_stage(pdus)
+    out = windowed_rollup_stream(parsed, step="1 minute").collect()
+    rows = {r["bucket_us"]: r for r in out}
+    assert rows[60_000_000]["count"] == 2
+    assert rows[60_000_000]["sum"] == 4.0
+    assert rows[120_000_000]["max"] == 5.0

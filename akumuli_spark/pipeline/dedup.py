@@ -203,12 +203,31 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
     )
-    # verification: exact Jaccard on the candidate set only
-    verified = ngram_jaccard_pairs(docs, n=n, threshold=threshold).alias("v")
-    return cands.alias("c").join(
-        verified,
-        (F.col("c.doc_a") == F.col("v.doc_a")) & (F.col("c.doc_b") == F.col("v.doc_b")),
-    ).select("c.doc_a", "c.doc_b", "v.jaccard")
+    # verification: exact Jaccard computed ONLY for candidate pairs — the
+    # point of LSH is that this step never touches non-candidate pairs.
+    # Each side of the candidate pair joins its shingle SET (array column),
+    # and the intersection is computed per pair with array_intersect.
+    sets = sh.groupBy("id").agg(
+        F.collect_set("shingle").alias("sset"), F.count("*").alias("n_sh")
+    )
+    sa = sets.select(
+        F.col("id").alias("__ida"), F.col("sset").alias("set_a"),
+        F.col("n_sh").alias("na"),
+    )
+    sb = sets.select(
+        F.col("id").alias("__idb"), F.col("sset").alias("set_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("__ida"))
+        .join(sb, F.col("doc_b") == F.col("__idb"))
+        .withColumn(
+            "jaccard", inter / (F.col("na") + F.col("nb") - inter)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def minhash_lsh_sql(n: int = 5, threshold: float = 0.5) -> str:
@@ -275,19 +294,25 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     signature is the sign of Σ_features (±1 per feature bit j)."""
     sh = word_shingles(docs, n=n)
     h = F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
-    bits = sh.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        h.alias("h"),
-    ).select(
-        "id", "j",
-        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("b"),
+    hashed = sh.select("id", h.alias("h"))
+    # one aggregation with 32 ±1-vote sums — no per-bit row explosion
+    # (an explode(0..31) would shuffle 32× the data for the same result)
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.expr(f"shiftright(h, {j})").bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    votes = bits.groupBy("id", "j").agg(F.sum("b").alias("v"))
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0))
-        ).alias("simhash")
+    sig = sum(
+        (
+            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ),
+        start=F.lit(0).cast("long"),
     )
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:

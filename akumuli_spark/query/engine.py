@@ -196,6 +196,10 @@ def _build_select_events(df: DataFrame, q: Query) -> Result:
 
 
 def _build_aggregate(df: DataFrame, q: Query) -> Result:
+    """One aggregation pass for all (metric, func) outputs: the per-func
+    rows are produced by exploding an array of (fn, value) structs over
+    the single aggregated frame — a union of per-func branches would
+    re-execute the whole scan+aggregate subplan once per branch."""
     metrics = list(q.metrics)
     base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
     funcs_needed = sorted({f for _, fns in q.agg_funcs for f in fns})
@@ -203,23 +207,24 @@ def _build_aggregate(df: DataFrame, q: Query) -> Result:
     agged = base.groupBy("metric", "tagstr").agg(
         ts_out.alias("ts_ns"), *[agg_expr(f).alias(f"__{f}") for f in funcs_needed]
     )
-    branches = []
-    for metric, fns in q.agg_funcs:
-        for fn in fns:
-            # output series renamed `metric:func tags` (queryparser.cpp:1447-1472)
-            renamed = F.when(
-                F.col("tagstr") == "", F.concat(F.lit(f"{metric}:{fn}"))
-            ).otherwise(F.concat(F.lit(f"{metric}:{fn} "), F.col("tagstr")))
-            branches.append(
-                agged.filter(F.col("metric") == metric).select(
-                    renamed.alias("series"),
-                    F.col("ts_ns"),
-                    F.col(f"__{fn}").cast("double").alias("value"),
-                )
-            )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+    fn_structs = F.array(*[
+        F.struct(F.lit(fn).alias("fn"), F.col(f"__{fn}").cast("double").alias("val"))
+        for fn in funcs_needed
+    ])
+    wanted = [f"{metric} {fn}" for metric, fns in q.agg_funcs for fn in fns]
+    exploded = agged.select(
+        "metric", "tagstr", "ts_ns", F.explode(fn_structs).alias("e")
+    ).filter(
+        F.concat_ws(" ", F.col("metric"), F.col("e.fn")).isin(wanted)
+    )
+    # output series renamed `metric:func tags` (queryparser.cpp:1447-1472)
+    head = F.concat(F.col("metric"), F.lit(":"), F.col("e.fn"))
+    renamed = F.when(F.col("tagstr") == "", head).otherwise(
+        F.concat(head, F.lit(" "), F.col("tagstr"))
+    )
+    out = exploded.select(
+        renamed.alias("series"), F.col("ts_ns"), F.col("e.val").alias("value")
+    )
     return Result(out, ["value"], q)
 
 
@@ -256,23 +261,22 @@ def _build_group_aggregate(df: DataFrame, q: Query) -> Result:
         # group-aggregate filters apply to output components = HAVING
         # (queryparser.cpp:1726-1738)
         agged = _having(agged, q.filter, {f: f for f in funcs})
-    branches = []
-    for metric in metrics:
-        # series renamed `metric:f1|metric:f2 tags` (queryparser.cpp:1588-1664)
-        head = "|".join(f"{metric}:{f}" for f in funcs)
-        renamed = F.when(F.col("tagstr") == "", F.lit(head)).otherwise(
-            F.concat(F.lit(head + " "), F.col("tagstr"))
-        )
-        branches.append(
-            agged.filter(F.col("metric") == metric).select(
-                renamed.alias("series"),
-                "ts_ns",
-                *[F.col(f).cast("double").alias(f) for f in funcs],
-            )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
+    # series renamed `metric:f1|metric:f2 tags` (queryparser.cpp:1588-1664);
+    # the head is a function of the metric column, so one select covers all
+    # metrics — per-metric union branches would re-execute the aggregation
+    head_of = {m: "|".join(f"{m}:{f}" for f in funcs) for m in metrics}
+    head = None
+    for m, h in head_of.items():
+        branch = F.when(F.col("metric") == m, F.lit(h))
+        head = branch if head is None else head.when(F.col("metric") == m, F.lit(h))
+    renamed = F.when(F.col("tagstr") == "", head).otherwise(
+        F.concat(head, F.lit(" "), F.col("tagstr"))
+    )
+    out = agged.select(
+        renamed.alias("series"),
+        "ts_ns",
+        *[F.col(f).cast("double").alias(f) for f in funcs],
+    )
     return Result(out, funcs, q)
 
 

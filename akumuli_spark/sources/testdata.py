@@ -64,32 +64,37 @@ LINEITEM_METRICS = {
 
 
 def metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot as a UNION ALL of per-metric branches (NOT stack()): each
+    branch carries its metric name as a literal, so a query's metric
+    predicate constant-folds to false on the other branches and Catalyst
+    prunes their scans entirely — with stack() the filter lands above the
+    generator and every branch is read."""
     li = load_table(spark, sf_dir, "lineitem")
     ts_ns = _ts_ns_from_ntz(F.col("l_shipdate"))
     tags = F.create_map(
         F.lit("linestatus"), F.col("l_linestatus"), F.lit("returnflag"), F.col("l_returnflag")
     )
-    # unpivot via stack: one row per (metric, value column)
-    stack_expr = ", ".join(f"'{m}', {c}" for m, c in LINEITEM_METRICS.items())
-    unpivoted = li.select(
-        F.col("l_linestatus"),
-        F.col("l_returnflag"),
-        ts_ns.alias("ts_ns"),
-        F.expr(f"stack({len(LINEITEM_METRICS)}, {stack_expr}) as (metric, value)"),
-    )
-    return unpivoted.select(
-        F.concat(
-            F.col("metric"),
-            F.lit(" linestatus="),
-            F.col("l_linestatus"),
-            F.lit(" returnflag="),
-            F.col("l_returnflag"),
-        ).alias("series"),
-        "metric",
-        tags.alias("tags"),
-        "ts_ns",
-        F.col("value").cast("double").alias("value"),
-    )
+    branches = []
+    for metric, valcol in LINEITEM_METRICS.items():
+        branches.append(
+            li.select(
+                F.concat(
+                    F.lit(metric),
+                    F.lit(" linestatus="),
+                    F.col("l_linestatus"),
+                    F.lit(" returnflag="),
+                    F.col("l_returnflag"),
+                ).alias("series"),
+                F.lit(metric).alias("metric"),
+                tags.alias("tags"),
+                ts_ns.alias("ts_ns"),
+                F.col(valcol).cast("double").alias("value"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 METRICS_SQL = """

@@ -299,6 +299,125 @@ def _node_sax(res, node: ApplyNode):
 
 
 # ---------------------------------------------------------------------------
+# anomaly-detector — forecast + threshold (anomaly.cpp, anomalydetector.cpp;
+# dormant in the reference: not in the v1 token registry, anomaly.h:38)
+# ---------------------------------------------------------------------------
+
+
+def _node_anomaly(res, node: ApplyNode):
+    """Frame-based anomaly detection (anomalydetector.cpp:540-600):
+    at each time step the detector forecasts the whole frame (one value
+    per series) with the chosen method, computes the error frame
+    ``forecast - actual``, and flags series where
+    ``|error| > threshold · sqrt(F2)`` with F2 = Σ_series error² (the
+    squared L2 norm of the error frame).  Output: only the anomalous
+    samples.
+
+    Methods (precise variants): ``ewma`` (alpha), ``sma`` (period),
+    ``double-exp-smoothing`` (alpha, gamma), ``holt-winters`` (alpha,
+    beta, gamma, period).  The reference's ``approx: true`` CM-sketch
+    mode exists to bound single-node memory; the distributed exact
+    computation subsumes it, so ``approx`` is accepted and ignored.
+    """
+    method = node.param("method")
+    threshold = node.param("threshold")
+    if method is None or threshold is None:
+        raise QueryValidationError("anomaly-detector requires 'method' and 'threshold'")
+    threshold = float(threshold)
+    alpha = float(node.param("alpha", 0.0))
+    beta = float(node.param("beta", 0.0))
+    gamma = float(node.param("gamma", 0.0))
+    period = int(node.param("period", 0))
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 <= v <= 1.0:
+            raise QueryValidationError(f"`{name}` should be in [0, 1] range")
+    if method in ("ewma", "exp-smoothing") and node.param("alpha") is None:
+        raise QueryValidationError("Parameter alpha should be set")
+    if method in ("sma", "simple-moving-average") and node.param("period") is None:
+        raise QueryValidationError("Parameter period should be set")
+    if method == "double-exp-smoothing" and (
+        node.param("alpha") is None or node.param("gamma") is None
+    ):
+        raise QueryValidationError("Parameters alpha and gamma should be set")
+    if method == "holt-winters" and any(
+        node.param(p) is None for p in ("alpha", "beta", "gamma", "period")
+    ):
+        raise QueryValidationError("holt-winters needs alpha, beta, gamma, period")
+    if len(res.value_cols) != 1:
+        raise QueryValidationError("anomaly-detector works only with scalars")
+    vcol = res.value_cols[0]
+    forward = res.query.range.forward
+
+    def forecast_errors(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-series one-step-ahead forecast errors (pred - actual)."""
+        pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
+        xs = pdf[vcol].to_numpy(dtype=float)
+        n = len(xs)
+        preds = [math.nan] * n
+        if method in ("ewma", "exp-smoothing"):
+            v = None
+            for i, x in enumerate(xs):
+                if v is not None:
+                    preds[i] = v
+                v = x if v is None else alpha * x + (1 - alpha) * v
+        elif method in ("sma", "simple-moving-average"):
+            for i in range(n):
+                lo = max(0, i - period)
+                if i > 0:
+                    preds[i] = sum(xs[lo:i]) / (i - lo)
+        elif method == "double-exp-smoothing":
+            level = trend = None
+            for i, x in enumerate(xs):
+                if level is None:
+                    level, trend = x, 0.0
+                    continue
+                preds[i] = level + trend
+                new_level = alpha * x + (1 - alpha) * (level + trend)
+                trend = gamma * (new_level - level) + (1 - gamma) * trend
+                level = new_level
+        elif method == "holt-winters":
+            level = trend = None
+            season = [0.0] * period
+            for i, x in enumerate(xs):
+                s = season[i % period]
+                if level is None:
+                    level, trend = x, 0.0
+                    continue
+                preds[i] = level + trend + s
+                new_level = alpha * (x - s) + (1 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1 - beta) * trend
+                season[i % period] = gamma * (x - new_level) + (1 - gamma) * s
+                level = new_level
+        else:
+            raise ValueError(f"Unknown forecasting method {method!r}")
+        pdf["__err"] = [p - x if not math.isnan(p) else math.nan
+                        for p, x in zip(preds, xs)]
+        return pdf
+
+    err_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in res.df.schema.fields
+    ) + ", __err double"
+    with_err = res.df.groupBy("series").applyInPandas(
+        forecast_errors, schema=err_schema
+    )
+    # F2 per time step across series; flagged iff |err| > threshold·sqrt(F2)
+    f2 = with_err.groupBy("ts_ns").agg(
+        F.sum(F.col("__err") * F.col("__err")).alias("__f2")
+    )
+    out = (
+        with_err.join(f2, "ts_ns")
+        .filter(
+            F.col("__err").isNotNull()
+            & ~F.isnan(F.col("__err"))
+            & (F.abs(F.col("__err")) > F.sqrt(F.col("__f2")) * F.lit(threshold))
+        )
+        .select("series", "ts_ns", *[F.col(f"`{c}`") for c in res.value_cols])
+    )
+    res.df = out
+    return res
+
+
+# ---------------------------------------------------------------------------
 # eval — arithmetic over the joined metrics' components (eval.cpp:36-205)
 # ---------------------------------------------------------------------------
 
@@ -418,6 +537,7 @@ _NODES = {
     "ewma-error": lambda r, n: _node_ewma(r, n, delta=True),
     "eval": _node_eval,
     "sax": _node_sax,
+    "anomaly-detector": _node_anomaly,
     "top": _node_top,
     "frequent-items": lambda r, n: _node_spacesaver(r, n, weighted=False),
     "heavy-hitters": lambda r, n: _node_spacesaver(r, n, weighted=True),

@@ -830,3 +830,19 @@ _register(
      "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}]},
     None,
 )
+
+
+# Anomaly detection (forecast + threshold): the EWMA forecast recursion has
+# no SQL form — rows-only check (like apply_ewma / apply_sax).  Runs on
+# group-aggregate output: the reference requires REGULLAR (bucketed) data
+# for forecast nodes (AKU_EREGULLAR_EXPECTED) because the cross-series
+# error frame only makes sense with aligned timestamps.
+_register(
+    "apply_anomaly_ewma",
+    "app_metrics",
+    {"group-aggregate": {"metric": "app.error", "step": "1d", "func": "mean"},
+     "range": {"from": E0, "to": E1},
+     "apply": [{"name": "anomaly-detector", "method": "ewma",
+                "alpha": 0.4, "threshold": 0.35}]},
+    None,
+)

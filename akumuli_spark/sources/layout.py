@@ -1,0 +1,47 @@
+"""Production storage layout for the long metrics table — the Parquet
+analogue of the reference's per-series NB+tree forest
+(/root/reference/libakumuli/storage_engine/nbtree.h, column_store.h:58-63).
+
+Layout contract:
+
+* partitioned by ``metric`` and a time bucket (default: 1 day of ns) —
+  metric + time-range predicates become *partition pruning*, the
+  two-level descent the NB+tree does natively;
+* sorted by ``(series, ts_ns)`` within files — Parquet row-group min/max
+  stats then prune on series and time inside a partition, and per-series
+  window operators read clustered data;
+* ``ts_ns`` is a physical int64 column, so range predicates push all the
+  way into the Parquet reader (unlike the test-harness views where it is
+  computed from TPC-H columns).
+
+``read_metrics_table`` returns the frame in engine schema; queries run on
+it unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DAY_NS = 86_400 * 10**9
+
+
+def write_metrics_table(metrics: DataFrame, path: str,
+                        bucket_ns: int = DAY_NS,
+                        mode: str = "overwrite") -> None:
+    """Write the long metrics frame in the production layout."""
+    with_bucket = metrics.withColumn(
+        "ts_bucket", (F.col("ts_ns") / F.lit(bucket_ns)).cast("long")
+    )
+    (
+        with_bucket.repartition("metric", "ts_bucket")
+        .sortWithinPartitions("series", "ts_ns")
+        .write.mode(mode)
+        .partitionBy("metric", "ts_bucket")
+        .parquet(path)
+    )
+
+
+def read_metrics_table(spark: SparkSession, path: str) -> DataFrame:
+    """Load back in engine schema (partition columns folded away)."""
+    df = spark.read.parquet(path)
+    return df.select("series", "metric", "tags", "ts_ns", "value")

@@ -1,0 +1,48 @@
+"""Storage-layout tests: round-trip through the production layout, query
+equivalence, and partition pruning evidence in the physical plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.query.engine import execute_query
+from akumuli_spark.query.plan import parse_timestamp_ns
+from akumuli_spark.sources.layout import read_metrics_table, write_metrics_table
+from akumuli_spark.sources.testdata import app_metrics_view
+from tests.conftest import SF_DIR
+
+E0 = parse_timestamp_ns("20240101T000000")
+E1 = parse_timestamp_ns("20240201T000000")
+MID = parse_timestamp_ns("20240110T000000")
+
+QUERY = {
+    "group-aggregate": {"metric": "app.click", "step": "1d", "func": ["sum", "count"]},
+    "range": {"from": E0, "to": MID},
+}
+
+
+@pytest.fixture(scope="module")
+def layout_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("layout") / "metrics")
+    write_metrics_table(app_metrics_view(spark, SF_DIR), path)
+    return path
+
+
+def test_roundtrip_query_equivalence(spark, layout_path):
+    source = app_metrics_view(spark, SF_DIR)
+    stored = read_metrics_table(spark, layout_path)
+    a = {tuple(r) for r in execute_query(spark, QUERY, source).collect()}
+    b = {tuple(r) for r in execute_query(spark, QUERY, stored).collect()}
+    assert a == b and a
+
+
+def test_partition_pruning_in_plan(spark, layout_path):
+    stored = read_metrics_table(spark, layout_path)
+    df = execute_query(spark, QUERY, stored)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # metric partition filter must appear (pruning on the partition column)
+    assert "PartitionFilters" in plan
+    assert "metric" in plan.split("PartitionFilters")[1][:400]
+    # ts_ns is physical here: the range predicate is pushed to parquet
+    pushed = plan.split("PushedFilters")[1][:400]
+    assert "ts_ns" in pushed

@@ -24,10 +24,20 @@ from akumuli_spark.query.parser import _parse_where
 
 def search(series_dim: DataFrame, query: dict) -> DataFrame:
     """``{"select": metric, "where": {...}}`` → matching series names,
-    sorted (queryparser.cpp:1026-1076)."""
+    sorted (queryparser.cpp:1026-1076).  Also accepts the deprecated
+    ``{"select": "meta:names:metric"}`` form (queryparser.cpp:987-1022)
+    and bare ``meta:names`` (all series)."""
     if "select" not in query:
         raise QueryParseError("search requires 'select'")
     metric = query["select"]
+    if metric == "meta:names":
+        out = series_dim
+        where = _parse_where(query)
+        if where is not None:
+            out = out.filter(where_predicate(where, F.col("tags")))
+        return out.select(F.col("series").alias("name")).orderBy("name")
+    if metric.startswith("meta:names:"):
+        metric = metric[len("meta:names:"):]
     out = series_dim.filter(F.col("metric") == metric)
     where = _parse_where(query)
     if where is not None:

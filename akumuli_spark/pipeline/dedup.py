@@ -30,15 +30,16 @@ def word_shingles(docs: DataFrame, n: int = 5, text_col: str = "text",
     from sequence structure; with a small vocabulary unigram sets collide
     for unrelated documents.
     """
-    ws = F.split(F.col(text_col), " ")
+    # materialize the split ONCE as a column: referencing split(text) inside
+    # the transform lambda would re-split the text per shingle (O(words²))
+    tokens = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__ws")
+    ).filter(F.size(F.col("__ws")) >= n)
     shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {n}), ' ')))"
+        f"array_distinct(transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> array_join(slice(__ws, i, {n}), ' ')))"
     )
-    return (
-        docs.filter(F.size(ws) >= n)
-        .select(F.col(id_col).alias("id"), F.explode(shingle_arr).alias("shingle"))
-    )
+    return tokens.select("id", F.explode(shingle_arr).alias("shingle"))
 
 
 def _shingles_sql(n: int = 5) -> str:

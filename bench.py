@@ -60,8 +60,12 @@ def main() -> None:
     spark = get_spark("akumuli-spark-bench")
     qs = registry.queries()
 
-    # warm-up: JVM + parquet footer caches on a trivial action
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm-up: JVM codegen/JIT + parquet footers for every table the
+    # headline queries touch, so timings reflect steady state rather than
+    # first-query class-loading
+    for tbl in ("lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    run_one(spark, qs["select_value_filter"], sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

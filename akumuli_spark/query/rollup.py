@@ -1,0 +1,86 @@
+"""Rollup-backed fast path for ``group-aggregate`` queries.
+
+The reference answers whole-range and bucketed aggregates from the
+NB+tree's precomputed inner-node aggregates without touching leaves
+(/root/reference/libakumuli/storage_engine/nbtree.cpp:1154-1206,
+README.md:16-17).  The Spark-native analogue: the streaming ingest
+maintains a base-step rollup table (count/sum/min/max per (series,
+base-bucket) — akumuli_spark.streaming.ingest.windowed_rollup_stream);
+a group-aggregate whose range and step are aligned to the base step can
+be answered by *combining* those partials — I/O proportional to
+series × base-buckets instead of raw points.
+
+Combination rules are the reference's ``AggregationResult::combine``
+(operators/operator.h:47-59): count=Σcount, sum=Σsum, min=min(min),
+max=max(max), mean=Σsum/Σcount.  Functions that need raw points
+(first/last/…_timestamp) are not servable from this rollup and raise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from akumuli_spark.query.errors import QueryValidationError
+
+#: funcs servable from {count, sum, min, max} partials
+SERVABLE = {"count", "sum", "min", "max", "mean"}
+
+_COMBINE = {
+    "count": lambda: F.sum("count").cast("double"),
+    "sum": lambda: F.sum("sum"),
+    "min": lambda: F.min("min"),
+    "max": lambda: F.max("max"),
+    "mean": lambda: F.sum("sum") / F.sum("count"),
+}
+
+
+def can_serve(begin_ns: int, end_ns: int, step_ns: int, base_step_ns: int,
+              funcs: list[str]) -> bool:
+    return (
+        set(funcs) <= SERVABLE
+        and step_ns % base_step_ns == 0
+        and begin_ns % base_step_ns == 0
+        and end_ns % base_step_ns == 0
+    )
+
+
+def group_aggregate_from_rollup(
+    rollup: DataFrame,
+    begin_ns: int,
+    end_ns: int,
+    step_ns: int,
+    funcs: list[str],
+    base_step_ns: int,
+) -> DataFrame:
+    """Answer a forward begin-anchored group-aggregate from the rollup.
+
+    ``rollup`` schema: (series, bucket_us, count, sum, min, max) as
+    produced by ``windowed_rollup_stream``.  Output matches the engine's
+    group-aggregate shape: (series renamed ``m:f1|m:f2 tags``, ts_ns =
+    bucket label, one column per func).
+    """
+    if not can_serve(begin_ns, end_ns, step_ns, base_step_ns, funcs):
+        raise QueryValidationError(
+            "rollup cannot serve this query (unaligned range/step or "
+            f"non-servable funcs {set(funcs) - SERVABLE or ''})"
+        )
+    base = rollup.withColumn("bucket_ns", F.col("bucket_us") * F.lit(1000)).filter(
+        (F.col("bucket_ns") >= F.lit(begin_ns)) & (F.col("bucket_ns") < F.lit(end_ns))
+    )
+    label = F.expr(
+        f"{begin_ns}L + ((bucket_ns - {begin_ns}L) div {step_ns}L) * {step_ns}L"
+    )
+    agged = base.groupBy("series", label.alias("ts_ns")).agg(
+        *[_COMBINE[f]().alias(f) for f in funcs]
+    )
+    # rename series `metric:f1|metric:f2 tags` like the direct path
+    metric = F.expr("split_part(series, ' ', 1)")
+    tagstr = F.expr("substring(series, length(split_part(series, ' ', 1)) + 2)")
+    head = F.concat_ws(
+        "|", *[F.concat(metric, F.lit(f":{f}")) for f in funcs]
+    )
+    renamed = F.when(tagstr == "", head).otherwise(F.concat(head, F.lit(" "), tagstr))
+    return agged.select(
+        renamed.alias("series"), "ts_ns",
+        *[F.col(f).cast("double").alias(f) for f in funcs],
+    )

@@ -42,7 +42,25 @@ TABLES = (
 )
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Make a caller-provided session safe for the engine (the driver runs
+    ``entry(spark)`` with its own session):
+
+    * ``nanosAsLong`` — events.parquet carries TIMESTAMP(NANOS) which a
+      vanilla Spark 4 session refuses to read (PARQUET_TYPE_ILLEGAL);
+      with the flag it arrives as long ns, the engine's native axis;
+    * UTC session time — TIMESTAMP_NTZ→TIMESTAMP casts (ts_ns derivation)
+      are interpreted in session-local time, and the DuckDB oracle is
+      UTC-naive.
+
+    Both are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

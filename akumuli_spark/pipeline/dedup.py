@@ -87,15 +87,28 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 5,
-                        threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard.
 
     Inverted-index join: docs sharing ≥1 shingle become candidates; the
     exact Jaccard |A∩B| / (|A|+|B|-|A∩B|) is then computed from counts.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_df`` is the skew guard for web-scale corpora: shingles whose
+    document frequency exceeds it are dropped from the candidate join
+    (their join fan-out is df² and they carry no discriminative signal —
+    boilerplate headers etc.).  Pairs are then scored on the *capped*
+    shingle sets, a documented approximation; default None = exact.
     """
     sh = word_shingles(docs, n=n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -116,3 +116,19 @@ def test_multimodal_decode(spark, duck, docs):
 def test_multimodal_stub_raises_on_empty():
     with pytest.raises(NotImplementedError):
         multimodal._fake_decode(b"")
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark, docs):
+    # the capped variant must be a subset-or-equal approximation whose
+    # surviving pairs keep their exact (capped-set) scores deterministic
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, 5, 0.8).collect()
+    }
+    capped_rows = dedup.ngram_jaccard_pairs(docs, 5, 0.8, max_df=50).collect()
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+    # with a generous cap on this corpus nothing should be lost
+    assert capped == exact
+    # an aggressive cap can only *remove* candidate pairs, never invent them
+    tiny_rows = dedup.ngram_jaccard_pairs(docs, 5, 0.99, max_df=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in tiny_rows} <= exact | set()

@@ -423,6 +423,8 @@ def _node_anomaly(res, node: ApplyNode):
 
 
 def _node_eval(res, node: ApplyNode):
+    from akumuli_spark.query import evalexpr
+
     expr = node.param("expr")
     if not expr:
         raise QueryValidationError("eval requires 'expr'")
@@ -434,6 +436,8 @@ def _node_eval(res, node: ApplyNode):
         var = f"_var_{i}"
         rewritten = rewritten.replace(name, var)
         select_cols.append(f"`{name}` AS {var}")
+    # translate muParser grammar → Spark SQL ('^' is POWER there, XOR here)
+    rewritten = evalexpr.translate(rewritten)
     tmp = res.df.selectExpr(*select_cols)
     out = tmp.select(
         "series", "ts_ns", F.expr(rewritten).cast("double").alias("value")

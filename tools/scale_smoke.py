@@ -1,0 +1,81 @@
+"""Scale smoke: run the core query kinds over a synthetic 10M-sample
+metrics frame (≈17× the sf0.1 bench volume, 1000 series) to show the
+plans hold when data grows — no driver-side collection, no plan blow-ups,
+time scaling roughly linear in rows.
+
+Usage: python tools/scale_smoke.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from akumuli_spark.query.engine import execute_query  # noqa: E402
+from akumuli_spark.session import get_spark  # noqa: E402
+
+NS = 10**9
+T0 = 1_700_000_000 * NS
+
+
+def synthetic_metrics(spark, n_rows: int, n_series: int = 1000):
+    """Deterministic generated frame: 4 metrics × 250 hosts, value = i%1e4,
+    10ms cadence — reference-generator style at scale."""
+    host = (F.col("id") % (n_series // 4)).cast("string")
+    metric = F.element_at(
+        F.array(*[F.lit(m) for m in ("cpu.user", "cpu.syst", "mem.res", "net.rx")]),
+        ((F.col("id") % 4) + 1).cast("int"),
+    )
+    return spark.range(n_rows).select(
+        F.concat(metric, F.lit(" host="), host).alias("series"),
+        metric.alias("metric"),
+        F.create_map(F.lit("host"), host).alias("tags"),
+        (F.lit(T0) + F.col("id") * F.lit(10_000_000)).alias("ts_ns"),
+        (F.col("id") % 10_000).cast("double").alias("value"),
+    )
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark("scale-smoke")
+    m = synthetic_metrics(spark, n_rows)
+    end = T0 + n_rows * 10_000_000
+    queries = {
+        "select_filtered": {
+            "select": "cpu.user", "range": {"from": T0, "to": end},
+            "where": {"host": [str(h) for h in range(10)]},
+            "filter": {"gt": 9_000},
+        },
+        "aggregate": {
+            "aggregate": {"cpu.user": ["sum", "mean", "min_timestamp"]},
+            "range": {"from": T0, "to": end},
+        },
+        "group_aggregate_1h": {
+            "group-aggregate": {"metric": "mem.res", "step": "1h",
+                                "func": ["count", "sum", "max"]},
+            "range": {"from": T0, "to": end},
+        },
+        "join_pivot": {
+            "join": ["cpu.user", "cpu.syst"],
+            "range": {"from": T0, "to": T0 + (n_rows // 4) * 10_000_000},
+        },
+        "top10_time_weighted": {
+            "select": "net.rx", "range": {"from": T0, "to": end},
+            "apply": [{"name": "top", "N": 10}],
+        },
+    }
+    out = {}
+    for name, q in queries.items():
+        t = time.time()
+        execute_query(spark, q, m).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t, 2)
+    print(json.dumps({"rows": n_rows, "series": 1000, "sec": out}))
+
+
+if __name__ == "__main__":
+    main()

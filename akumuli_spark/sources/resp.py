@@ -64,13 +64,38 @@ def _parse_value_token(tok: str) -> str:
     return tok
 
 
-def parse_resp(text: str) -> list[Sample]:
-    """Parse a chunk of complete PDUs into samples."""
+def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Sample]:
+    """Parse a chunk of complete PDUs into samples.
+
+    Supports the session dictionary (protocolparser.h:175-215): a PDU of
+    the form ``*2 / +series name / :id`` registers ``id → name``; later
+    samples may reference the series as ``:id`` instead of the full name.
+    Pass a dict to keep the mapping across chunks (one session = one
+    dictionary, as in the reference's TCP session).
+    """
+    dictionary = {} if dictionary is None else dictionary
     lines = [ln for ln in text.replace("\r\n", "\n").split("\n") if ln.strip()]
     out: list[Sample] = []
     i = 0
     while i < len(lines):
+        # dictionary-update PDU: *2, +name, :id
+        if lines[i].startswith("*2") and i + 2 < len(lines) and lines[i + 1][:1] == "+" \
+                and lines[i + 2][:1] == ":":
+            name = lines[i + 1][1:]
+            try:
+                sid = int(lines[i + 2][1:])
+            except ValueError:
+                raise RespError(f"bad dictionary id {lines[i + 2]!r}") from None
+            dictionary[sid] = name
+            i += 3
+            continue
         series_tok = _parse_value_token(lines[i])
+        if lines[i][:1] == ":":
+            # series referenced by dictionary id
+            try:
+                series_tok = dictionary[int(series_tok)]
+            except (KeyError, ValueError):
+                raise RespError(f"unknown series id {series_tok!r}") from None
         i += 1
         if i >= len(lines):
             raise RespError(f"truncated PDU after series {series_tok!r}")

@@ -437,3 +437,33 @@ def test_select_events_where_tag(spark, duck, events):
         WHERE metric = '!click' AND ts_ns >= {E0} AND ts_ns < {E1}
           AND tag_user IN ('0', '1', '2')""",
     )
+
+
+def test_aggregate_multiple_metrics_different_funcs(spark, duck, metrics):
+    df = execute_query(
+        spark,
+        {
+            "aggregate": {"lineitem.qty": "sum", "lineitem.disc": ["mean", "max"]},
+            "range": {"from": T96, "to": T97},
+        },
+        metrics,
+    )
+    assert_matches_oracle(
+        df,
+        duck,
+        f"""WITH {METRICS_SQL},
+        g AS (
+          SELECT metric, {TAGSTR} AS tagstr, min(ts_ns) AS first_ts,
+                 sum(value) AS s, sum(value) / count(value) AS m, max(value) AS mx
+          FROM metrics
+          WHERE metric IN ('lineitem.qty', 'lineitem.disc')
+            AND ts_ns >= {T96} AND ts_ns < {T97}
+          GROUP BY 1, 2
+        )
+        SELECT 'lineitem.qty:sum ' || tagstr AS series, first_ts AS ts_ns, s AS value
+        FROM g WHERE metric = 'lineitem.qty'
+        UNION ALL
+        SELECT 'lineitem.disc:mean ' || tagstr, first_ts, m FROM g WHERE metric = 'lineitem.disc'
+        UNION ALL
+        SELECT 'lineitem.disc:max ' || tagstr, first_ts, mx FROM g WHERE metric = 'lineitem.disc'""",
+    )

@@ -116,3 +116,28 @@ def test_csv_and_resp_formatting(spark):
         "+1.5",
         "+",
     ]
+
+
+def test_resp_session_dictionary():
+    from akumuli_spark.sources.resp import parse_resp, RespError
+    import pytest as _pytest
+    d = {}
+    # register two series, then write via ids and by name interchangeably
+    pdus = (
+        "*2\n+cpu.user host=a\n:1\n"
+        "*2\n+cpu.syst host=a\n:2\n"
+        ":1\n:1000\n:10\n"
+        ":2\n:1000\n:20\n"
+        "+cpu.user host=b\n:1000\n:30\n"
+    )
+    samples = parse_resp(pdus, dictionary=d)
+    assert [(s.series, s.value) for s in samples] == [
+        ("cpu.user host=a", 10.0),
+        ("cpu.syst host=a", 20.0),
+        ("cpu.user host=b", 30.0),
+    ]
+    # dictionary persists across chunks (same session)
+    [s] = parse_resp(":1\n:2000\n:40\n", dictionary=d)
+    assert s.series == "cpu.user host=a" and s.ts_ns == 2000
+    with _pytest.raises(RespError):
+        parse_resp(":99\n:1\n:2\n", dictionary=d)

@@ -846,3 +846,32 @@ _register(
                 "alpha": 0.4, "threshold": 0.35}]},
     None,
 )
+
+
+# Candlesticks (internal NB+tree plotting operator, nbtree.h:218-219):
+# OHLC per pixel bucket = group-aggregate with first/max/min/last/count.
+from akumuli_spark.operators.candlesticks import candlesticks as _candles  # noqa: E402
+
+_CANDLE_STEP = (E1 - E0) // 100
+_CANDLE_HEAD = "|".join(
+    f"app.view:{f}" for f in ("first", "max", "min", "last", "count")
+)
+
+_register_pipeline(
+    "candlesticks",
+    lambda spark, sf: _candles(
+        spark, app_metrics_view(spark, sf), "app.view", E0, E1, 100
+    ),
+    f"""WITH {APP_METRICS_SQL},
+    base AS (SELECT series, ts_ns, value FROM app_metrics
+             WHERE metric = 'app.view' AND ts_ns >= {E0} AND ts_ns < {E1})
+    SELECT '{_CANDLE_HEAD} user=' || split_part(series, '=', 2) AS series,
+           {E0} + ((ts_ns - {E0}) // {_CANDLE_STEP}) * {_CANDLE_STEP} AS ts_ns,
+           (min(struct_pack(t := ts_ns, v := value))).v AS open,
+           max(value) AS high, min(value) AS low,
+           (max(struct_pack(t := ts_ns, v := value))).v AS close,
+           CAST(count(*) AS DOUBLE) AS count
+    FROM base GROUP BY 1, 2""",
+    ["open", "high", "low", "close", "count"],
+    ["series", "ts_ns"],
+)

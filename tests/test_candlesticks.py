@@ -1,0 +1,102 @@
+"""Candlesticks + sparse-join (tuple presence) tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.datamodel import canonical_series_name
+from akumuli_spark.operators.candlesticks import candlesticks
+from akumuli_spark.query.engine import execute_query
+from akumuli_spark.query.plan import parse_timestamp_ns
+from akumuli_spark.sources.testdata import APP_METRICS_SQL, app_metrics_view
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+NS = 10**9
+E0 = parse_timestamp_ns("20240101T000000")
+E1 = parse_timestamp_ns("20240201T000000")
+
+
+def test_candlesticks_vs_oracle(spark, duck):
+    am = app_metrics_view(spark, SF_DIR)
+    n_pixels = 100
+    step = (E1 - E0) // n_pixels
+    out = candlesticks(spark, am, "app.view", E0, E1, n_pixels)
+    head = "|".join(f"app.view:{f}" for f in ("first", "max", "min", "last", "count"))
+    assert_matches_oracle(
+        out,
+        duck,
+        f"""WITH {APP_METRICS_SQL},
+        base AS (SELECT series, ts_ns, value FROM app_metrics
+                 WHERE metric = 'app.view' AND ts_ns >= {E0} AND ts_ns < {E1})
+        SELECT '{head} user=' || split_part(series, '=', 2) AS series,
+               {E0} + ((ts_ns - {E0}) // {step}) * {step} AS ts_ns,
+               (min(struct_pack(t := ts_ns, v := value))).v AS open,
+               max(value) AS high, min(value) AS low,
+               (max(struct_pack(t := ts_ns, v := value))).v AS close,
+               CAST(count(*) AS DOUBLE) AS count
+        FROM base GROUP BY 1, 2""",
+    )
+    row = out.first()
+    assert row["low"] <= row["high"]
+    assert row["low"] <= row["open"] <= row["high"]
+
+
+@pytest.fixture()
+def sparse(spark):
+    """FIXTURES M2 sparse variant: cpu.syst only at even i — exercises
+    null components in join tuples (the reference's presence bitmap,
+    join.h:40-47)."""
+    rows = []
+    t0 = 1_700_000_000 * NS
+    for i in range(100):
+        tags = {"host": "a"}
+        rows.append((canonical_series_name("cpu.user", tags), "cpu.user",
+                     tags, t0 + i * NS, float(i)))
+        if i % 2 == 0:
+            rows.append((canonical_series_name("cpu.syst", tags), "cpu.syst",
+                         tags, t0 + i * NS, float(i)))
+    return spark.createDataFrame(
+        rows,
+        "series string, metric string, tags map<string,string>, ts_ns long, value double",
+    )
+
+
+def test_join_sparse_null_components(spark, sparse):
+    t0 = 1_700_000_000 * NS
+    rows = execute_query(
+        spark,
+        {"join": ["cpu.user", "cpu.syst"], "range": {"from": t0, "to": t0 + 100 * NS}},
+        sparse,
+    ).collect()
+    assert len(rows) == 100
+    for r in rows:
+        i = (r["ts_ns"] - t0) // NS
+        assert r["cpu.user"] == float(i)
+        if i % 2 == 0:
+            assert r["cpu.syst"] == float(i)
+        else:
+            assert r["cpu.syst"] is None  # absent component = null (bitmap)
+
+
+def test_join_sparse_horizontal_sum_nan_rule(spark, sparse):
+    # horizontal sum without ignore_missing: missing component ⇒ NaN
+    t0 = 1_700_000_000 * NS
+    rows = execute_query(
+        spark,
+        {"join": ["cpu.user", "cpu.syst"], "range": {"from": t0, "to": t0 + 10 * NS},
+         "apply": [{"name": "sum"}]},
+        sparse,
+    ).collect()
+    import math
+    by_i = {(r["ts_ns"] - t0) // NS: r["value"] for r in rows}
+    assert by_i[0] == 0.0 and by_i[2] == 4.0
+    assert math.isnan(by_i[1]) and math.isnan(by_i[3])
+    # with ignore_missing: null treated as unit (0 for sum)
+    rows2 = execute_query(
+        spark,
+        {"join": ["cpu.user", "cpu.syst"], "range": {"from": t0, "to": t0 + 10 * NS},
+         "apply": [{"name": "sum", "ignore_missing": True}]},
+        sparse,
+    ).collect()
+    by_i2 = {(r["ts_ns"] - t0) // NS: r["value"] for r in rows2}
+    assert by_i2[1] == 1.0 and by_i2[3] == 3.0

@@ -875,3 +875,58 @@ _register_pipeline(
     ["open", "high", "low", "close", "count"],
     ["series", "ts_ns"],
 )
+
+
+_register(
+    "apply_sma_error",
+    "app_metrics",
+    {"select": "app.click", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "sma-error", "window-width": 4}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    SELECT series, ts_ns,
+           value - coalesce(sum(value) OVER (PARTITION BY series ORDER BY ts_ns
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS value
+    FROM base""",
+)
+
+# horizontal diff then divide chained over a 3-metric join
+_register(
+    "apply_diff",
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.qty", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [{"name": "diff"}],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS a,
+        sum(CASE WHEN metric = 'lineitem.qty'  THEN value END) AS b,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS c
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97} GROUP BY 1, 2
+    )
+    SELECT 'lineitem.price|lineitem.qty|lineitem.disc ' || tagstr AS series,
+           ts_ns, a - b - c AS value
+    FROM p""",
+)
+
+_register(
+    "apply_divide",
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.qty"],
+        "range": {"from": T96, "to": T97},
+        "apply": [{"name": "divide"}],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS a,
+        sum(CASE WHEN metric = 'lineitem.qty'  THEN value END) AS b
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97} GROUP BY 1, 2
+    )
+    SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
+           a / b AS value
+    FROM p""",
+)

@@ -930,3 +930,63 @@ _register(
            a / b AS value
     FROM p""",
 )
+
+
+_register(
+    "apply_multiply",
+    "metrics",
+    {
+        "join": ["lineitem.qty", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [{"name": "multiply"}],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.qty' THEN value END) AS a,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS b
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97} GROUP BY 1, 2
+    )
+    SELECT 'lineitem.qty|lineitem.disc ' || tagstr AS series, ts_ns,
+           a * b AS value
+    FROM p""",
+)
+
+_register(
+    "aggregate_multi_metric",
+    "metrics",
+    {
+        "aggregate": {"lineitem.qty": "sum", "lineitem.disc": ["mean", "max"]},
+        "range": {"from": T96, "to": T97},
+    },
+    f"""WITH {METRICS_SQL},
+    g AS (
+      SELECT metric, {TAGSTR} AS tagstr, min(ts_ns) AS first_ts,
+             sum(value) AS s, sum(value) / count(value) AS m, max(value) AS mx
+      FROM metrics
+      WHERE metric IN ('lineitem.qty', 'lineitem.disc')
+        AND ts_ns >= {T96} AND ts_ns < {T97}
+      GROUP BY 1, 2
+    )
+    SELECT 'lineitem.qty:sum ' || tagstr AS series, first_ts AS ts_ns, s AS value
+    FROM g WHERE metric = 'lineitem.qty'
+    UNION ALL
+    SELECT 'lineitem.disc:mean ' || tagstr, first_ts, m FROM g WHERE metric = 'lineitem.disc'
+    UNION ALL
+    SELECT 'lineitem.disc:max ' || tagstr, first_ts, mx FROM g WHERE metric = 'lineitem.disc'""",
+)
+
+_register(
+    "select_order_by_series_limit",
+    "app_metrics",
+    {
+        "select": "app.signup",
+        "range": {"from": E0, "to": E1},
+        "order-by": "series",
+        "limit": 50,
+    },
+    f"""WITH {APP_METRICS_SQL}
+    SELECT series, ts_ns, value FROM app_metrics
+    WHERE metric = 'app.signup' AND ts_ns >= {E0} AND ts_ns < {E1}
+    ORDER BY series, ts_ns LIMIT 50""",
+)

@@ -447,6 +447,59 @@ def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4) -> DataFra
     )
 
 
+def embedding_near_dup_lsh(embs: DataFrame, threshold: float = 0.4,
+                           bits: int = 8) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs restricted to the
+    same sign-LSH bucket (akumuli_spark.pipeline.similarity.lsh_bucket_expr)
+    — pair space shrinks from corpus² to Σ bucket², and the bucket key is a
+    cluster/partition key at 100 TB.  Approximate: pairs straddling a sign
+    boundary are missed (recall grows with more tables/fewer bits)."""
+    from akumuli_spark.pipeline.similarity import lsh_bucket_expr
+
+    b = embs.withColumn("bucket", lsh_bucket_expr("embedding", bits))
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({col}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return (
+        a.join(c, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh_sql(threshold: float = 0.4, bits: int = 8) -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         (SELECT sum(CASE WHEN embedding[j + 1] > 0 THEN (2 ** j)::BIGINT ELSE 0 END)
+          FROM range(0, {bits}) r(j)) AS bucket
+  FROM embeddings
+),
+dots AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.e, c.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))) AS cosine
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, cosine FROM dots WHERE cosine >= {threshold}
+""".strip()
+
+
 def embedding_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -990,3 +990,47 @@ _register(
     WHERE metric = 'app.signup' AND ts_ns >= {E0} AND ts_ns < {E1}
     ORDER BY series, ts_ns LIMIT 50""",
 )
+
+
+_register_pipeline(
+    "dedup_embedding_lsh",
+    lambda spark, sf: _dedup.embedding_near_dup_lsh(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    ),
+    _dedup.embedding_near_dup_lsh_sql(0.4),
+    ["cosine"],
+    ["id_a", "id_b"],
+)
+
+# apply-chain composition: eval collapses the join tuple to revenue, then
+# rate differentiates it per series (join output has unique (series, ts)
+# after pivot, so the window order is deterministic)
+_register(
+    "apply_eval_rate_chain",
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [
+            {"name": "eval", "expr": "lineitem.price * (1 - lineitem.disc)"},
+            {"name": "rate"},
+        ],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+             price * (1 - disc) AS value
+      FROM p
+    )
+    SELECT series, ts_ns,
+           (value - lag(value, 1, 0.0) {W}) / (ts_ns - lag(ts_ns, 1, 0) {W}) * 1e9 AS value
+    FROM ev""",
+)

@@ -132,3 +132,15 @@ def test_ngram_jaccard_stop_shingle_cap(spark, docs):
     # an aggressive cap can only *remove* candidate pairs, never invent them
     tiny_rows = dedup.ngram_jaccard_pairs(docs, 5, 0.99, max_df=1).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in tiny_rows} <= exact | set()
+
+
+def test_embedding_near_dup_lsh(spark, duck, embs):
+    out = dedup.embedding_near_dup_lsh(embs, threshold=0.4)
+    assert_matches_oracle(out, duck, dedup.embedding_near_dup_lsh_sql(0.4))
+    # LSH hits are a subset of the exact pairs with identical scores
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        dedup.embedding_near_dup_pairs(embs, threshold=0.4).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert lsh <= exact

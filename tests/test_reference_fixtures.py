@@ -174,3 +174,43 @@ def test_order_by_series_groups_series(spark, m1):
         if r["series"] in prev:
             assert r["ts_ns"] > prev[r["series"]]
         prev[r["series"]] = r["ts_ns"]
+
+
+# ---------------------------------------------------------------------------
+# filter-query matrix (mirrors functests/test_filter_query.py scenarios)
+# ---------------------------------------------------------------------------
+
+FILTER_CASES = [
+    ({"gt": 2500}, lambda i: i > 2500),
+    ({"ge": 2500}, lambda i: i >= 2500),
+    ({"lt": 2500}, lambda i: i < 2500),
+    ({"le": 2500}, lambda i: i <= 2500),
+    ({"gt": 1000, "lt": 2000}, lambda i: 1000 < i < 2000),
+    ({"ge": 1000, "le": 1000}, lambda i: i == 1000),
+    ({"gt": 4998}, lambda i: i > 4998),
+    ({"lt": 0}, lambda i: False),
+]
+
+
+@pytest.mark.parametrize("spec,pred", FILTER_CASES)
+def test_filter_matrix(spark, m1, spec, pred):
+    rows = execute_query(
+        spark,
+        {"select": "test", "range": {"from": T0, "to": T0 + N * DELTA},
+         "filter": spec},
+        m1,
+    ).collect()
+    expected = [float(i) for i in range(N) if pred(i)]
+    assert sorted(r["value"] for r in rows) == expected
+
+
+def test_filter_with_where_combination(spark, m1):
+    # filter AND where combine: tag3=E (i%5==1) values above threshold
+    rows = execute_query(
+        spark,
+        {"select": "test", "range": {"from": T0, "to": T0 + N * DELTA},
+         "where": {"tag3": "E"}, "filter": {"ge": 4000}},
+        m1,
+    ).collect()
+    expected = [float(i) for i in range(N) if i % 5 == 1 and i >= 4000]
+    assert sorted(r["value"] for r in rows) == expected

@@ -1,0 +1,79 @@
+"""Sessionization: group an event stream into per-user sessions separated
+by inactivity gaps — the batch form of what a training-data pipeline does
+to build interaction episodes (streaming form: ``session_window`` in
+Structured Streaming).
+
+Classic two-window formulation, fully JVM-side: a new session starts where
+the gap to the previous event exceeds ``gap``; the session id is the
+running count of session starts per user.  One shuffle (window partition
+by user); at scale the user key is the natural partition key so the
+window becomes a local sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+NS = 10**9
+
+
+def sessionize(events: DataFrame, gap_ns: int,
+               user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+    """Per-event session assignment: (user_id, ts_ns, event_type, value,
+    session_id) with session_id dense per user, 1-based in ts order."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > F.lit(gap_ns)), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("__new", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("__new")
+    )
+
+
+def session_stats(events: DataFrame, gap_ns: int) -> DataFrame:
+    """One row per (user, session): bounds, event count, value sum,
+    distinct event types."""
+    s = sessionize(
+        events.select(
+            "user_id", F.expr("(ts div 1000) * 1000").alias("ts_ns"),
+            "event_type", "value",
+        ),
+        gap_ns,
+        ts_col="ts_ns",
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts_ns").alias("start_ns"),
+        F.max("ts_ns").alias("end_ns"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("value").alias("value_sum"),
+        F.countDistinct("event_type").cast("long").alias("n_event_types"),
+    )
+
+
+def session_stats_sql(gap_ns: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                   OR ts_ns - lag(ts_ns) OVER w > {gap_ns}
+            THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
+       count(*) AS n_events, sum(value) AS value_sum,
+       count(DISTINCT event_type) AS n_event_types
+FROM sess GROUP BY 1, 2
+""".strip()

@@ -1034,3 +1034,20 @@ _register(
            (value - lag(value, 1, 0.0) {W}) / (ts_ns - lag(ts_ns, 1, 0) {W}) * 1e9 AS value
     FROM ev""",
 )
+
+
+# Sessionization: gap-based user sessions over the events stream (training
+# -data episode construction); fully window-SQL-expressible.
+from akumuli_spark.pipeline import sessions as _sessions  # noqa: E402
+
+_SESSION_GAP = 6 * 3600 * NS
+
+_register_pipeline(
+    "sessionize_events",
+    lambda spark, sf: _sessions.session_stats(
+        load_table(spark, sf, "events"), _SESSION_GAP
+    ),
+    _sessions.session_stats_sql(_SESSION_GAP),
+    ["value_sum"],
+    ["user_id", "session_id", "start_ns", "end_ns", "n_events", "n_event_types"],
+)

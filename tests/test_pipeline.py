@@ -144,3 +144,21 @@ def test_embedding_near_dup_lsh(spark, duck, embs):
     }
     lsh = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert lsh <= exact
+
+
+def test_sessionization(spark, duck):
+    from akumuli_spark.pipeline import sessions
+    from akumuli_spark.sources.testdata import load_table
+    gap = 6 * 3600 * 10**9
+    ev = load_table(spark, SF_DIR, "events")
+    out = sessions.session_stats(ev, gap)
+    assert_matches_oracle(out, duck, sessions.session_stats_sql(gap))
+    # invariant: sessions of one user don't overlap and gaps exceed `gap`
+    rows = sorted(
+        [(r["user_id"], r["session_id"], r["start_ns"], r["end_ns"])
+         for r in out.collect()]
+    )
+    for (u1, s1, _, e1), (u2, s2, b2, _) in zip(rows, rows[1:]):
+        if u1 == u2:
+            assert s2 == s1 + 1
+            assert b2 - e1 > gap

@@ -212,7 +212,8 @@ def _node_ewma(res, node: ApplyNode, delta: bool = False):
                 else:
                     v = x * decay + v * (1.0 - decay)
                 warm += 1
-            pdf[c] = out - xs if delta else out
+            # delta variant = value − prediction (sliding_window.cpp: *value -= exp)
+            pdf[c] = xs - out if delta else out
         return pdf
 
     res.df = res.df.groupBy("series").applyInPandas(per_series, schema=schema)

@@ -322,3 +322,47 @@ def test_rate_backward_direction(spark, duck, app_metrics):
                / (ts_ns - lag(ts_ns, 1, 0) {wd}) * 1e9 AS value
         FROM base""",
     )
+
+
+def test_ewma_error_is_value_minus_prediction(spark, duck, app_metrics):
+    decay = 0.3
+    pred = execute_query(
+        spark,
+        {"select": "app.error", "range": {"from": E0, "to": E1},
+         "apply": [{"name": "ewma", "decay": decay}]},
+        app_metrics,
+    ).collect()
+    err = execute_query(
+        spark,
+        {"select": "app.error", "range": {"from": E0, "to": E1},
+         "apply": [{"name": "ewma-error", "decay": decay}]},
+        app_metrics,
+    ).collect()
+    raw = duck.sql(
+        f"WITH {APP_METRICS_SQL} SELECT series, ts_ns, value FROM app_metrics "
+        f"WHERE metric = 'app.error' AND ts_ns >= {E0} AND ts_ns < {E1}"
+    ).fetchall()
+    raw_by_key = {(s, t): v for s, t, v in raw}
+    pred_by_key = {(r["series"], r["ts_ns"]): r["value"] for r in pred}
+    for r in err:
+        k = (r["series"], r["ts_ns"])
+        assert r["value"] == pytest.approx(raw_by_key[k] - pred_by_key[k], abs=1e-9)
+
+
+def test_apply_chain_order_matters(spark, app_metrics):
+    # scale-then-cusum ≠ cusum-then-scale only in intermediate shape;
+    # for linear ops they commute — use abs (nonlinear) to pin ordering
+    q_base = {"select": "app.error", "range": {"from": E0, "to": E1}}
+    a = execute_query(
+        spark,
+        {**q_base, "apply": [{"name": "scale", "weights": [-1.0]},
+                             {"name": "abs"}]},
+        app_metrics,
+    ).agg({"value": "sum"}).collect()[0][0]
+    b = execute_query(
+        spark,
+        {**q_base, "apply": [{"name": "abs"},
+                             {"name": "scale", "weights": [-1.0]}]},
+        app_metrics,
+    ).agg({"value": "sum"}).collect()[0][0]
+    assert a > 0 > b  # |−x| vs −|x|: listed order is applied order

@@ -1051,3 +1051,11 @@ _register_pipeline(
     ["value_sum"],
     ["user_id", "session_id", "start_ns", "end_ns", "n_events", "n_event_types"],
 )
+
+
+_register_meta(
+    "suggest_tag_names",
+    lambda dim: suggest(dim, {"select": "tag-names", "metric": "app.error"}),
+    f"""WITH {_DIM_SQL}
+    SELECT DISTINCT 'user' AS name FROM dim WHERE metric = 'app.error'""",
+)

@@ -91,8 +91,12 @@ def _horizontal(res, node: ApplyNode, op: str):
     unit = {"sum": 0.0, "diff": 0.0, "multiply": 1.0, "divide": 1.0}[op]
     if ignore_missing:
         cols = [F.coalesce(c, F.lit(unit)) for c in cols]
-    acc = cols[0] if not ignore_missing else F.coalesce(cols[0], F.lit(unit))
-    for c in cols[1:]:
+    # MathOperation::put seeds the accumulator with the unit and folds ALL
+    # components (math.h:47-68, math.cpp): diff = 0 - x0 - x1 - ...,
+    # divide = 1 / x0 / x1 / ... (sum/multiply are unaffected: unit is the
+    # identity for them).
+    acc = F.lit(unit)
+    for c in cols:
         if op == "sum":
             acc = acc + c
         elif op == "diff":

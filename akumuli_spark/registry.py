@@ -907,7 +907,7 @@ _register(
       FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97} GROUP BY 1, 2
     )
     SELECT 'lineitem.price|lineitem.qty|lineitem.disc ' || tagstr AS series,
-           ts_ns, a - b - c AS value
+           ts_ns, 0 - a - b - c AS value
     FROM p""",
 )
 
@@ -927,7 +927,7 @@ _register(
       FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97} GROUP BY 1, 2
     )
     SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
-           a / b AS value
+           1 / a / b AS value
     FROM p""",
 )
 

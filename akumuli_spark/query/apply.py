@@ -434,16 +434,17 @@ def _node_eval(res, node: ApplyNode):
     if not expr:
         raise QueryValidationError("eval requires 'expr'")
     # Rewrite metric names to safe identifiers (the reference's _var_i
-    # rewrite, eval.cpp:52-76), longest name first so prefixes don't clash.
-    rewritten = str(expr)
-    select_cols = ["series", "ts_ns"]
-    for i, name in enumerate(sorted(res.value_cols, key=len, reverse=True)):
-        var = f"_var_{i}"
-        rewritten = rewritten.replace(name, var)
-        select_cols.append(f"`{name}` AS {var}")
+    # rewrite, eval.cpp:52-76) at the token level inside translate() —
+    # whole-identifier substitution, so a metric named 'x' never corrupts
+    # 'max(x, 2)'.  Column-API select only: metric names are user input
+    # and must not be interpolated into SQL (backticks included).
+    colmap = {name: f"_var_{i}" for i, name in enumerate(res.value_cols)}
+    select_cols: list = [F.col("series"), F.col("ts_ns")]
+    for name, var in colmap.items():
+        select_cols.append(F.col(f"`{name.replace('`', '``')}`").alias(var))
     # translate muParser grammar → Spark SQL ('^' is POWER there, XOR here)
-    rewritten = evalexpr.translate(rewritten)
-    tmp = res.df.selectExpr(*select_cols)
+    rewritten = evalexpr.translate(str(expr), columns=colmap)
+    tmp = res.df.select(*select_cols)
     out = tmp.select(
         "series", "ts_ns", F.expr(rewritten).cast("double").alias("value")
     )

@@ -104,18 +104,20 @@ def _rekey_group_by(df: DataFrame, gb: GroupByTag) -> DataFrame:
     """group-by-tag (drop listed tags) / pivot-by-tag (keep only listed):
     rebuild the canonical series key from the filtered tag map
     (index/seriesparser.h:271-312 GroupByTag)."""
+    # Column-API lambdas only: tag names are user input from the query JSON
+    # and must never be interpolated into a SQL string.
     listed = F.array(*[F.lit(t) for t in gb.tags])
     if gb.op is GroupByOp.GROUP:
-        keep = "NOT array_contains({listed}, k)"
+        keep = lambda k, v: ~F.array_contains(listed, k)  # noqa: E731
     else:
-        keep = "array_contains({listed}, k)"
-    listed_sql = "array(" + ", ".join(f"'{t}'" for t in gb.tags) + ")"
-    keep_sql = keep.format(listed=listed_sql)
-    kept_tags = F.expr(f"map_filter(tags, (k, v) -> {keep_sql})")
-    tagstr = F.expr(
-        "array_join(transform(array_sort(map_keys(map_filter(tags, (k, v) -> "
-        + keep_sql
-        + "))), k -> concat(k, '=', tags[k])), ' ')"
+        keep = lambda k, v: F.array_contains(listed, k)  # noqa: E731
+    kept_tags = F.map_filter(F.col("tags"), keep)
+    tagstr = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(kept_tags)),
+            lambda k: F.concat(k, F.lit("="), F.element_at(F.col("tags"), k)),
+        ),
+        " ",
     )
     new_series = F.when(tagstr == "", F.col("metric")).otherwise(
         F.concat(F.col("metric"), F.lit(" "), tagstr)

@@ -29,7 +29,7 @@ from akumuli_spark.query.errors import QueryValidationError
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
-    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*)"
     r"|(?P<op>[-+*/^(),]))"
 )
 
@@ -129,9 +129,28 @@ class _Parser:
         raise QueryValidationError(f"eval: unexpected token {tok!r}")
 
 
-def translate(expr: str) -> str:
-    """muParser expression → Spark SQL expression string."""
-    p = _Parser(_tokenize(expr))
+def translate(expr: str, columns: dict[str, str] | None = None) -> str:
+    """muParser expression → Spark SQL expression string.
+
+    ``columns`` maps source column names (metric names, may contain dots)
+    to safe substitute identifiers.  Substitution happens on whole
+    identifier tokens in a single pass — the reference's ``_var_i``
+    rewrite (eval.cpp:52-76) over exact variable positions, immune to
+    substring collisions (a metric ``x`` never corrupts ``max(x, 2)``) —
+    except in function-call position (an identifier followed by ``(``),
+    which stays a function name.
+    """
+    tokens = _tokenize(expr)
+    if columns:
+        renamed = []
+        for i, tok in enumerate(tokens):
+            nxt = tokens[i + 1] if i + 1 < len(tokens) else None
+            if tok in columns and nxt != "(":
+                renamed.append(columns[tok])
+            else:
+                renamed.append(tok)
+        tokens = renamed
+    p = _Parser(tokens)
     out = p.expr()
     if p.peek() is not None:
         raise QueryValidationError(f"eval: trailing tokens at {p.toks[p.i:]}")

@@ -294,6 +294,11 @@ def parse_query(query: dict) -> Query:
         filt = None
 
     elif kind is QueryKind.AGGREGATE:
+        # parse_aggregate_query never reads order-by and hard-sets
+        # OrderBy::SERIES (queryparser.cpp:1569) — a user-supplied value is
+        # silently ignored, so limit/offset select the same rows as the
+        # reference.
+        order_by = OrderBy.SERIES
         spec = query["aggregate"]
         if not isinstance(spec, dict) or not spec:
             raise QueryParseError("aggregate must map metric → function")

@@ -1036,6 +1036,55 @@ _register(
 )
 
 
+# Adversarial eval: a metric named 'x' is a substring of the function name
+# 'max' — token-level _var_i substitution (eval.cpp:52-76) must leave the
+# function call intact.  Metrics renamed on the fly: lineitem.qty → x,
+# lineitem.disc → y.
+def _short_name_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mv = metrics_view(spark, sf_dir)
+    new_metric = (
+        F.when(F.col("metric") == "lineitem.qty", F.lit("x"))
+        .when(F.col("metric") == "lineitem.disc", F.lit("y"))
+        .otherwise(F.col("metric"))
+    )
+    tagpart = F.expr("substring(series, length(metric) + 1)")
+    return mv.select(
+        F.concat(new_metric, tagpart).alias("series"),
+        new_metric.alias("metric"),
+        "tags",
+        "ts_ns",
+        "value",
+    )
+
+
+_register_pipeline(
+    "apply_eval_adversarial",
+    lambda spark, sf: execute_query(
+        spark,
+        {
+            "join": ["x", "y"],
+            "range": {"from": T96, "to": T97},
+            "apply": [{"name": "eval", "expr": "max(x, 2) * y - min(x, 30)"}],
+        },
+        _short_name_metrics(spark, sf),
+    ),
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.qty'  THEN value END) AS x,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS y
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.qty', 'lineitem.disc')
+      GROUP BY 1, 2
+    )
+    SELECT 'x|y ' || tagstr AS series, ts_ns,
+           greatest(x, 2) * y - least(x, 30) AS value
+    FROM p""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
 # Sessionization: gap-based user sessions over the events stream (training
 # -data episode construction); fully window-SQL-expressible.
 from akumuli_spark.pipeline import sessions as _sessions  # noqa: E402

@@ -35,6 +35,29 @@ def test_functions_pass_through():
     assert translate("max(a, b)") == "greatest(`a`, `b`)"
 
 
+def test_column_substitution_is_token_level():
+    # metric 'x' is a substring of function 'max' — must not corrupt the call
+    assert (
+        translate("max(x, 2)", columns={"x": "_var_0"})
+        == "greatest(`_var_0`, 2)"
+    )
+    # dotted metric names substitute as whole identifiers
+    assert (
+        translate("a.b + a.b.c", columns={"a.b": "_var_0", "a.b.c": "_var_1"})
+        == "(`_var_0` + `_var_1`)"
+    )
+    # a metric literally named '_var_1' doesn't cascade into another's slot
+    assert (
+        translate("_var_1 + q", columns={"_var_1": "_var_0", "q": "_var_1"})
+        == "(`_var_0` + `_var_1`)"
+    )
+    # function-position identifiers are never substituted
+    assert (
+        translate("min(min, 2)", columns={"min": "_var_0"})
+        == "least(`_var_0`, 2)"
+    )
+
+
 def test_rejects_garbage():
     with pytest.raises(QueryValidationError):
         translate("a + ")

@@ -59,6 +59,17 @@ def test_select_roundtrip():
     assert dict(combos[0].tags) == {"tag2": ("B", "C"), "tag1": ("A",)}
 
 
+def test_aggregate_forces_series_order():
+    # parse_aggregate_query hard-sets OrderBy::SERIES and never reads the
+    # order-by field (queryparser.cpp:1569).
+    q = parse_query({"aggregate": {"m": "sum"}, "range": RANGE})
+    assert q.order_by is OrderBy.SERIES
+    q = parse_query(
+        {"aggregate": {"m": "sum"}, "range": RANGE, "order-by": "time"}
+    )
+    assert q.order_by is OrderBy.SERIES
+
+
 def test_backward_range():
     q = parse_query({"select": "m", "range": {"from": T1, "to": T0}})
     assert not q.range.forward

@@ -256,8 +256,14 @@ def _build_group_aggregate(df: DataFrame, q: Query) -> Result:
     funcs = list(q.agg_funcs[0][1])
     base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
     bucket = _bucket_label(q.range, q.step_ns)
-    agged = base.groupBy("metric", "tagstr", bucket.alias("ts_ns")).agg(
-        *[agg_expr(f).alias(f) for f in funcs]
+    # Output ts = the first sample's timestamp in the bin, not the aligned
+    # bucket label (nbtree.cpp:1237/1251 emit AggregationResult::_begin,
+    # which operator.cpp:48-73 leaves at the smallest added ts in BOTH scan
+    # directions: forward sets it once at cnt==0, backward overwrites it
+    # every add while ts decreases).
+    agged = base.groupBy("metric", "tagstr", bucket.alias("__bucket")).agg(
+        F.min("ts_ns").alias("ts_ns"),
+        *[agg_expr(f).alias(f) for f in funcs],
     )
     if q.filter is not None:
         # group-aggregate filters apply to output components = HAVING
@@ -356,8 +362,13 @@ def _build_group_aggregate_join(df: DataFrame, q: Query) -> Result:
     func = q.agg_funcs[0][1][0]
     base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
     bucket = _bucket_label(q.range, q.step_ns)
-    agged = base.groupBy("metric", "tagstr", bucket.alias("ts_ns")).agg(
-        agg_expr(func).alias("__v")
+    # Each per-metric bucketed aggregate emits its first sample's ts
+    # (AggregationResult::_begin, see _build_group_aggregate) and the Join
+    # materializer then aligns components on those exact timestamps
+    # (queryplan.cpp:1296-1338 + join.cpp) — so the pivot key is the
+    # emitted min-ts, not the aligned bucket label.
+    agged = base.groupBy("metric", "tagstr", bucket.alias("__bucket")).agg(
+        F.min("ts_ns").alias("ts_ns"), agg_expr(func).alias("__v")
     )
     if q.filter is not None:
         agged = _having(agged, q.filter, {func: "__v"})

@@ -54,10 +54,10 @@ def group_aggregate_from_rollup(
 ) -> DataFrame:
     """Answer a forward begin-anchored group-aggregate from the rollup.
 
-    ``rollup`` schema: (series, bucket_us, count, sum, min, max) as
-    produced by ``windowed_rollup_stream``.  Output matches the engine's
-    group-aggregate shape: (series renamed ``m:f1|m:f2 tags``, ts_ns =
-    bucket label, one column per func).
+    ``rollup`` schema: (series, bucket_us, count, sum, min, max, min_ts)
+    as produced by ``windowed_rollup_stream``.  Output matches the
+    engine's group-aggregate shape: (series renamed ``m:f1|m:f2 tags``,
+    ts_ns = first sample's timestamp in the bin, one column per func).
     """
     if not can_serve(begin_ns, end_ns, step_ns, base_step_ns, funcs):
         raise QueryValidationError(
@@ -70,8 +70,11 @@ def group_aggregate_from_rollup(
     label = F.expr(
         f"{begin_ns}L + ((bucket_ns - {begin_ns}L) div {step_ns}L) * {step_ns}L"
     )
-    agged = base.groupBy("series", label.alias("ts_ns")).agg(
-        *[_COMBINE[f]().alias(f) for f in funcs]
+    # ts = the bin's first sample timestamp (AggregationResult::_begin),
+    # recovered from the min_ts partial — mirrors the direct path
+    agged = base.groupBy("series", label.alias("__bucket")).agg(
+        F.min("min_ts").alias("ts_ns"),
+        *[_COMBINE[f]().alias(f) for f in funcs],
     )
     # rename series `metric:f1|metric:f2 tags` like the direct path
     metric = F.expr("split_part(series, ' ', 1)")

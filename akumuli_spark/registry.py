@@ -293,11 +293,11 @@ _register(
     },
     f"""WITH {METRICS_SQL}
     SELECT 'lineitem.price:sum|lineitem.price:count|lineitem.price:mean ' || {TAGSTR} AS series,
-           {_T96_OFF} + ((ts_ns - {_T96_OFF}) // {WEEK}) * {WEEK} AS ts_ns,
+           min(ts_ns) AS ts_ns,
            sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count, sum(value) / count(value) AS mean
     FROM metrics
     WHERE metric = 'lineitem.price' AND ts_ns >= {_T96_OFF} AND ts_ns < {T97}
-    GROUP BY 1, 2""",
+    GROUP BY 1, (ts_ns - {_T96_OFF}) // {WEEK}""",
     double_cols=["sum", "count", "mean"],
 )
 
@@ -310,11 +310,11 @@ _register(
     },
     f"""WITH {METRICS_SQL}
     SELECT 'lineitem.qty:max ' || {TAGSTR} AS series,
-           {T97} - (({T97} - ts_ns) // {MONTH30}) * {MONTH30} AS ts_ns,
+           min(ts_ns) AS ts_ns,
            max(value) AS max
     FROM metrics
     WHERE metric = 'lineitem.qty' AND ts_ns <= {T97} AND ts_ns > {T96}
-    GROUP BY 1, 2""",
+    GROUP BY 1, ({T97} - ts_ns) // {MONTH30}""",
     double_cols=["max"],
 )
 
@@ -332,11 +332,11 @@ _register(
     },
     f"""WITH {METRICS_SQL}
     SELECT 'lineitem.qty:min|lineitem.qty:max ' || {TAGSTR} AS series,
-           {T96} + ((ts_ns - {T96}) // {WEEK}) * {WEEK} AS ts_ns,
+           min(ts_ns) AS ts_ns,
            min(value) AS min, max(value) AS max
     FROM metrics
     WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
-    GROUP BY 1, 2
+    GROUP BY 1, (ts_ns - {T96}) // {WEEK}
     HAVING max(value) > 45""",
     double_cols=["min", "max"],
 )
@@ -408,12 +408,12 @@ _register(
     f"""WITH {METRICS_SQL},
     b AS (
       SELECT metric, {TAGSTR} AS tagstr,
-             {T96} + ((ts_ns - {T96}) // {MONTH30}) * {MONTH30} AS ts_ns,
-             avg(value) AS v
+             min(ts_ns) AS ts_ns,
+             sum(value) / count(value) AS v
       FROM metrics
       WHERE metric IN ('lineitem.price', 'lineitem.qty')
         AND ts_ns >= {T96} AND ts_ns < {T97}
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2, (ts_ns - {T96}) // {MONTH30}
     )
     SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
       sum(CASE WHEN metric = 'lineitem.price' THEN v END) AS "lineitem.price",

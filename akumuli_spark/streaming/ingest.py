@@ -111,10 +111,14 @@ def windowed_rollup_stream(parsed: DataFrame, step: str = "1 minute",
             F.sum("value").alias("sum"),
             F.min("value").alias("min"),
             F.max("value").alias("max"),
+            # first-sample ts partial: group-aggregate emits the bin's
+            # first timestamp (AggregationResult::_begin), so the rollup
+            # must carry it like the NB+tree's SubtreeRef does
+            F.min("ts_ns").alias("min_ts"),
         )
         .select(
             "series",
             F.unix_micros(F.col("w.start")).alias("bucket_us"),
-            "count", "sum", "min", "max",
+            "count", "sum", "min", "max", "min_ts",
         )
     )

@@ -234,12 +234,12 @@ def test_group_aggregate_begin_anchored(spark, duck, metrics):
         duck,
         f"""WITH {METRICS_SQL}
         SELECT '{head} ' || {TAGSTR} AS series,
-               {t_from} + ((ts_ns - {t_from}) // {WEEK_NS}) * {WEEK_NS} AS ts_ns,
+               min(ts_ns) AS ts_ns,
                sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count,
                sum(value) / count(value) AS mean
         FROM metrics
         WHERE metric = 'lineitem.price' AND ts_ns >= {t_from} AND ts_ns < {T97}
-        GROUP BY 1, 2""",
+        GROUP BY 1, (ts_ns - {t_from}) // {WEEK_NS}""",
     )
 
 
@@ -259,11 +259,11 @@ def test_group_aggregate_backward(spark, duck, metrics):
         duck,
         f"""WITH {METRICS_SQL}
         SELECT 'lineitem.qty:max ' || {TAGSTR} AS series,
-               {t_from} - (({t_from} - ts_ns) // {step}) * {step} AS ts_ns,
+               min(ts_ns) AS ts_ns,
                max(value) AS max
         FROM metrics
         WHERE metric = 'lineitem.qty' AND ts_ns <= {t_from} AND ts_ns > {T96}
-        GROUP BY 1, 2""",
+        GROUP BY 1, ({t_from} - ts_ns) // {step}""",
     )
 
 
@@ -287,11 +287,11 @@ def test_group_aggregate_having_filter(spark, duck, metrics):
         duck,
         f"""WITH {METRICS_SQL}
         SELECT 'lineitem.qty:min|lineitem.qty:max ' || {TAGSTR} AS series,
-               {T96} + ((ts_ns - {T96}) // {WEEK_NS}) * {WEEK_NS} AS ts_ns,
+               min(ts_ns) AS ts_ns,
                min(value) AS min, max(value) AS max
         FROM metrics
         WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
-        GROUP BY 1, 2
+        GROUP BY 1, (ts_ns - {T96}) // {WEEK_NS}
         HAVING max(value) > 45""",
     )
 
@@ -383,12 +383,12 @@ def test_group_aggregate_join(spark, duck, metrics):
         f"""WITH {METRICS_SQL},
         b AS (
           SELECT metric, {TAGSTR} AS tagstr,
-                 {T96} + ((ts_ns - {T96}) // {step}) * {step} AS ts_ns,
+                 min(ts_ns) AS ts_ns,
                  avg(value) AS v
           FROM metrics
           WHERE metric IN ('lineitem.price', 'lineitem.qty')
             AND ts_ns >= {T96} AND ts_ns < {T97}
-          GROUP BY 1, 2, 3
+          GROUP BY 1, 2, (ts_ns - {T96}) // {step}
         )
         SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
           sum(CASE WHEN metric = 'lineitem.price' THEN v END) AS "lineitem.price",

@@ -27,7 +27,8 @@ def candlesticks(
     where: dict | None = None,
 ) -> DataFrame:
     """OHLC frame: one row per (series, pixel bucket) with columns
-    open/high/low/close/count; bucket label = pixel start ts."""
+    open/high/low/close/count; ts = the first sample's timestamp in the
+    pixel (AggregationResult::_begin, like any group-aggregate)."""
     if n_pixels <= 0:
         raise QueryValidationError("n_pixels must be positive")
     span = end_ns - begin_ns if end_ns >= begin_ns else begin_ns - end_ns

@@ -43,6 +43,13 @@ NANOS_PER_SEC = 1_000_000_000.0
 #: nodes that must terminate the chain (queryprocessor.cpp:48-58)
 TERMINAL_NODES = {"top", "frequent-items", "heavy-hitters"}
 
+#: nodes whose reference implementation rejects non-REGULLAR input with
+#: AKU_EREGULLAR_EXPECTED — only group-aggregate output carries the
+#: REGULLAR payload flag (aggregate.cpp:412), so these tokens are valid
+#: only on bucketed data (sliding_window.cpp:76,170 for ewma/sma and
+#: their -error variants; sax.cpp:53).  cma and rate have no such check.
+REGULAR_REQUIRED = {"ewma", "ewma-error", "sma", "sma-error", "sax"}
+
 
 def _stream_window(q: Query) -> Window:
     ts = F.col("ts_ns").asc() if q.range.forward else F.col("ts_ns").desc()
@@ -554,15 +561,35 @@ _NODES = {
 }
 
 
-def apply_pipeline(res, q: Query):
+def apply_pipeline(res, q: Query, allow_irregular: bool = False):
     """Apply nodes in listed order (queryparser.cpp:2079-2113); terminal
-    nodes only at the tail (queryprocessor.cpp:48-58)."""
+    nodes only at the tail (queryprocessor.cpp:48-58).
+
+    ``allow_irregular=True`` relaxes the reference's AKU_EREGULLAR_EXPECTED
+    gate and lets :data:`REGULAR_REQUIRED` nodes run over raw (select/join)
+    series — a documented engine extension: the per-series window semantics
+    are well-defined here because every stream node sorts by (series, ts),
+    whereas the reference only guarantees them on bucketed data.
+    """
+    from akumuli_spark.query.plan import QueryKind
+
+    regular = q.kind in (QueryKind.GROUP_AGGREGATE, QueryKind.GROUP_AGGREGATE_JOIN)
     for i, node in enumerate(q.apply):
         if node.name not in _NODES:
             raise QueryValidationError(f"unknown apply node {node.name!r}")
         if node.name in TERMINAL_NODES and i != len(q.apply) - 1:
             raise QueryValidationError(
                 f"terminal node {node.name!r} must be last in the apply chain"
+            )
+        if (
+            node.name in REGULAR_REQUIRED
+            and not regular
+            and not allow_irregular
+        ):
+            raise QueryValidationError(
+                f"{node.name!r} requires regular (group-aggregate) data "
+                "(AKU_EREGULLAR_EXPECTED, sliding_window.cpp:76/sax.cpp:53); "
+                "pass allow_irregular=True to run it over raw series"
             )
         res = _NODES[node.name](res, node)
     return res

@@ -419,9 +419,13 @@ def execute_query(
     query: dict | Query,
     metrics: DataFrame,
     events: DataFrame | None = None,
+    allow_irregular: bool = False,
 ) -> DataFrame:
     """Execute one JSON query (or pre-parsed plan) against the long
-    ``metrics`` frame (and ``events`` frame for select-events)."""
+    ``metrics`` frame (and ``events`` frame for select-events).
+
+    ``allow_irregular`` relaxes AKU_EREGULLAR_EXPECTED parity — see
+    :func:`akumuli_spark.query.apply.apply_pipeline`."""
     q = query if isinstance(query, Query) else parse_query(query)
     if q.kind is QueryKind.SELECT_EVENTS:
         if events is None:
@@ -430,7 +434,7 @@ def execute_query(
     else:
         res = _BUILDERS[q.kind](metrics, q)
     if q.apply:
-        res = apply_mod.apply_pipeline(res, q)
+        res = apply_mod.apply_pipeline(res, q, allow_irregular=allow_irregular)
     return _finalize(res)
 
 

@@ -100,17 +100,20 @@ def _wrap_round(inner_sql: str, double_cols: list[str], other_cols: list[str]) -
 
 def _register(name: str, view: str, query_json: dict, oracle: str | None,
               double_cols: list[str] | None = None,
-              other_cols: list[str] | None = None) -> None:
+              other_cols: list[str] | None = None,
+              exec_kwargs: dict | None = None) -> None:
+    kw = exec_kwargs or {}
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         if view == "metrics":
             frame = metrics_view(spark, sf_dir)
-            df = execute_query(spark, query_json, frame)
+            df = execute_query(spark, query_json, frame, **kw)
         elif view == "app_metrics":
             frame = app_metrics_view(spark, sf_dir)
-            df = execute_query(spark, query_json, frame)
+            df = execute_query(spark, query_json, frame, **kw)
         elif view == "events":
             frame = events_view(spark, sf_dir)
-            df = execute_query(spark, query_json, metrics=None, events=frame)
+            df = execute_query(spark, query_json, metrics=None, events=frame, **kw)
         else:  # pragma: no cover
             raise ValueError(view)
         return _round_doubles(df)
@@ -509,16 +512,37 @@ _register(
     FROM base""",
 )
 
+# sma/ewma/sax require REGULLAR (group-aggregate) input in the reference
+# (AKU_EREGULLAR_EXPECTED, sliding_window.cpp:76,170 / sax.cpp:53), so the
+# conformant entries run over a bucketed mean series; *_raw variants keep
+# the engine's documented allow_irregular extension oracle-gated too.
+_STEP6H = 6 * 3600 * NS
+
+
+def _gb_mean_base(metric: str, step_ns: int = _STEP6H) -> str:
+    """Bucketed per-series mean, shaped exactly like the engine's
+    group-aggregate output: series ``metric:mean user=U``, ts = first
+    sample's timestamp in the bin, value = sum/count mean."""
+    return f"""SELECT '{metric}:mean user=' || tag_user AS series,
+             min(ts_ns) AS ts_ns, sum(value) / count(value) AS value
+      FROM app_metrics
+      WHERE metric = '{metric}' AND ts_ns >= {E0} AND ts_ns < {E1}
+      GROUP BY tag_user, (ts_ns - {E0}) // {step_ns}"""
+
+
 _register(
     "apply_sma",
     "app_metrics",
-    {"select": "app.click", "range": {"from": E0, "to": E1},
+    {"group-aggregate": {"metric": "app.click", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
      "apply": [{"name": "sma", "window-width": 4}]},
-    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    f"""WITH {APP_METRICS_SQL}, base AS ({_gb_mean_base('app.click')})
     SELECT series, ts_ns,
            coalesce(sum(value) OVER (PARTITION BY series ORDER BY ts_ns
-                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS value
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS mean
     FROM base""",
+    double_cols=["mean"],
+    other_cols=["series", "ts_ns"],
 )
 
 # cma demo runs on lineitem.qty: integer-valued, so the RANGE-frame running
@@ -538,14 +562,68 @@ _register(
     FROM base""",
 )
 
-# EWMA: recursive warm-up (sliding_window.cpp:15-51) has no closed SQL
-# form — registered without an oracle; driver records a rows-only check.
+# EWMA: the warm-up recursion (sliding_window.cpp:15-51) is replayed in
+# DuckDB as a per-series recursive CTE executing the SAME sequence of
+# float ops as the engine's applyInPandas loop (v = x·d + v·(1−d), seed
+# by 11-point running sum), so results are bit-identical by construction.
+# warm = rn−1: rows 1..11 emit the raw value; row 11 collapses the state
+# to the 11-point mean then EWMA-updates it.
+def _ewma_rec_sql(base_sql: str, decay: float, delta: bool = False,
+                  vcol: str = "value") -> str:
+    out = "value - out" if delta else "out"
+    return f"""WITH RECURSIVE {APP_METRICS_SQL},
+    src AS ({base_sql}),
+    base AS (
+      SELECT series, ts_ns, value,
+             CAST(row_number() OVER (PARTITION BY series ORDER BY ts_ns) AS BIGINT) AS rn
+      FROM src
+    ),
+    rec AS (
+      SELECT series, ts_ns, rn, value, value AS out, value AS state
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.series, b.ts_ns, b.rn, b.value,
+             CASE WHEN b.rn <= 11 THEN b.value ELSE r.state END,
+             CASE WHEN b.rn < 11 THEN r.state + b.value
+                  WHEN b.rn = 11 THEN b.value * {decay} + ((r.state + b.value) / 11.0) * (1.0 - {decay})
+                  ELSE b.value * {decay} + r.state * (1.0 - {decay}) END
+      FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
+    )
+    SELECT series, ts_ns, {out} AS {vcol} FROM rec"""
+
+
 _register(
     "apply_ewma",
     "app_metrics",
+    {"group-aggregate": {"metric": "app.error", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
+     "apply": [{"name": "ewma", "decay": 0.3}]},
+    _ewma_rec_sql(_gb_mean_base("app.error"), 0.3, vcol="mean"),
+    double_cols=["mean"],
+    other_cols=["series", "ts_ns"],
+)
+
+_register(
+    "apply_ewma_error",
+    "app_metrics",
+    {"group-aggregate": {"metric": "app.view", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
+     "apply": [{"name": "ewma-error", "decay": 0.8}]},
+    _ewma_rec_sql(_gb_mean_base("app.view"), 0.8, delta=True, vcol="mean"),
+    double_cols=["mean"],
+    other_cols=["series", "ts_ns"],
+)
+
+# engine extension: the same recursion over raw (irregular) series — the
+# reference rejects this with AKU_EREGULLAR_EXPECTED; here it is opt-in
+# via allow_irregular and still driver-proven against the oracle.
+_register(
+    "apply_ewma_raw",
+    "app_metrics",
     {"select": "app.error", "range": {"from": E0, "to": E1},
      "apply": [{"name": "ewma", "decay": 0.3}]},
-    None,
+    _ewma_rec_sql(_app_base("app.error"), 0.3),
+    exec_kwargs={"allow_irregular": True},
 )
 
 _register(
@@ -823,28 +901,137 @@ _register_pipeline(
 
 # SAX symbolization: sliding-window z-norm + quantization + numerosity
 # reduction has no SQL form — rows-only check (like apply_ewma).
+# SAX (saxencoder.cpp:189-227): the per-series window walk is replayed in
+# DuckDB with list windows + lambdas, mirroring the engine's float-op order
+# exactly (explicit left-to-right sums, (n·Σx² − (Σx)²)/(n(n−1)) variance,
+# 1e-10 z-norm threshold, numerosity reduction via lag).  Cutpoints are the
+# same inverse-normal-CDF doubles the engine embeds.
+_SAX_CUTS = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def _sax_sql(base_sql: str) -> str:
+    z = "CASE WHEN std < 1e-10 THEN v - mean ELSE (v - mean) / std END"
+    return f"""WITH {APP_METRICS_SQL},
+    src AS ({base_sql}),
+    base AS (SELECT series, ts_ns, value FROM src WHERE NOT isnan(value)),
+    win AS (
+      SELECT series, ts_ns,
+             list(value) OVER (PARTITION BY series ORDER BY ts_ns
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS w
+      FROM base
+    ),
+    stats AS (
+      SELECT series, ts_ns, w,
+             w[1] + w[2] + w[3] + w[4] + w[5] AS s,
+             w[1]*w[1] + w[2]*w[2] + w[3]*w[3] + w[4]*w[4] + w[5]*w[5] AS sqr
+      FROM win WHERE len(w) = 5
+    ),
+    norm AS (
+      SELECT series, ts_ns, w, s / 5 AS mean,
+             CASE WHEN (5 * sqr - s * s) / 20 > 0.0
+                  THEN sqrt((5 * sqr - s * s) / 20) ELSE 0.0 END AS std
+      FROM stats
+    ),
+    words AS (
+      SELECT series, ts_ns,
+             array_to_string(list_transform(w, v ->
+               CASE WHEN ({z}) < {_SAX_CUTS[0]} THEN 'a'
+                    WHEN ({z}) < {_SAX_CUTS[1]} THEN 'b'
+                    WHEN ({z}) < {_SAX_CUTS[2]} THEN 'c'
+                    ELSE 'd' END), '') AS sax
+      FROM norm
+    )
+    SELECT series, ts_ns, sax FROM (
+      SELECT series, ts_ns, sax,
+             lag(sax) OVER (PARTITION BY series ORDER BY ts_ns) AS prev
+      FROM words
+    ) WHERE prev IS NULL OR prev <> sax"""
+
+
 _register(
     "apply_sax",
     "app_metrics",
+    {"group-aggregate": {"metric": "app.view", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
+     "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}]},
+    _sax_sql(_gb_mean_base("app.view")),
+    double_cols=[],
+    other_cols=["series", "ts_ns", "sax"],
+)
+
+# engine extension: sax over raw series (reference: AKU_EREGULLAR_EXPECTED)
+_register(
+    "apply_sax_raw",
+    "app_metrics",
     {"select": "app.view", "range": {"from": E0, "to": E1},
      "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}]},
-    None,
+    _sax_sql(_app_base("app.view")),
+    double_cols=[],
+    other_cols=["series", "ts_ns", "sax"],
+    exec_kwargs={"allow_irregular": True},
 )
 
 
-# Anomaly detection (forecast + threshold): the EWMA forecast recursion has
-# no SQL form — rows-only check (like apply_ewma / apply_sax).  Runs on
-# group-aggregate output: the reference requires REGULLAR (bucketed) data
-# for forecast nodes (AKU_EREGULLAR_EXPECTED) because the cross-series
-# error frame only makes sense with aligned timestamps.
+# Anomaly detection (forecast + threshold, anomalydetector.cpp:540-600).
+# The query runs over join→eval output: lineitem timestamps are a shared
+# day grid, so each frame holds all 6 tagset series and the cross-series
+# F2 norm is meaningful (anomaly-detector has no REGULLAR gate in the
+# reference — it is a dormant v1 node — so raw-chain input is valid).
+# Oracle: the per-series EWMA forecast is a recursive CTE executing the
+# same float ops as the engine (pred_i = state_{i-1}; state = α·x +
+# (1−α)·state, seeded with the first value); F2 = Σ err² per frame; a row
+# is anomalous iff |err| > θ·sqrt(F2).
+_T96_120D = T96 + 120 * 86400 * NS
+
 _register(
     "apply_anomaly_ewma",
-    "app_metrics",
-    {"group-aggregate": {"metric": "app.error", "step": "1d", "func": "mean"},
-     "range": {"from": E0, "to": E1},
-     "apply": [{"name": "anomaly-detector", "method": "ewma",
-                "alpha": 0.4, "threshold": 0.35}]},
-    None,
+    "metrics",
+    {
+        "join": ["lineitem.price", "lineitem.disc"],
+        "range": {"from": T96, "to": _T96_120D},
+        "apply": [
+            {"name": "eval", "expr": "lineitem.price * (1 - lineitem.disc)"},
+            {"name": "anomaly-detector", "method": "ewma",
+             "alpha": 0.4, "threshold": 0.35},
+        ],
+    },
+    f"""WITH RECURSIVE {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {_T96_120D}
+        AND metric IN ('lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+             price * (1 - disc) AS value
+      FROM p WHERE price IS NOT NULL AND disc IS NOT NULL
+    ),
+    base AS MATERIALIZED (
+      SELECT series, ts_ns, value,
+             CAST(row_number() OVER (PARTITION BY series ORDER BY ts_ns) AS BIGINT) AS rn
+      FROM ev
+    ),
+    rec AS (
+      SELECT series, ts_ns, rn, value, 'NaN'::DOUBLE AS pred, value AS state
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.series, b.ts_ns, b.rn, b.value, r.state,
+             0.4 * b.value + (1.0 - 0.4) * r.state
+      FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
+    ),
+    errs AS (
+      SELECT series, ts_ns, value,
+             CASE WHEN isnan(pred) THEN 'NaN'::DOUBLE
+                  ELSE pred - value END AS err
+      FROM rec
+    ),
+    f2 AS (SELECT ts_ns, sum(err * err) AS f2 FROM errs GROUP BY ts_ns)
+    SELECT e.series, e.ts_ns, e.value
+    FROM errs e JOIN f2 USING (ts_ns)
+    WHERE NOT isnan(e.err) AND abs(e.err) > sqrt(f2.f2) * 0.35""",
 )
 
 
@@ -866,12 +1053,12 @@ _register_pipeline(
     base AS (SELECT series, ts_ns, value FROM app_metrics
              WHERE metric = 'app.view' AND ts_ns >= {E0} AND ts_ns < {E1})
     SELECT '{_CANDLE_HEAD} user=' || split_part(series, '=', 2) AS series,
-           {E0} + ((ts_ns - {E0}) // {_CANDLE_STEP}) * {_CANDLE_STEP} AS ts_ns,
+           min(ts_ns) AS ts_ns,
            (min(struct_pack(t := ts_ns, v := value))).v AS open,
            max(value) AS high, min(value) AS low,
            (max(struct_pack(t := ts_ns, v := value))).v AS close,
            CAST(count(*) AS DOUBLE) AS count
-    FROM base GROUP BY 1, 2""",
+    FROM base GROUP BY 1, (ts_ns - {E0}) // {_CANDLE_STEP}""",
     ["open", "high", "low", "close", "count"],
     ["series", "ts_ns"],
 )
@@ -880,13 +1067,16 @@ _register_pipeline(
 _register(
     "apply_sma_error",
     "app_metrics",
-    {"select": "app.click", "range": {"from": E0, "to": E1},
+    {"group-aggregate": {"metric": "app.click", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
      "apply": [{"name": "sma-error", "window-width": 4}]},
-    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    f"""WITH {APP_METRICS_SQL}, base AS ({_gb_mean_base('app.click')})
     SELECT series, ts_ns,
            value - coalesce(sum(value) OVER (PARTITION BY series ORDER BY ts_ns
-                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS value
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 0.0) / 4 AS mean
     FROM base""",
+    double_cols=["mean"],
+    other_cols=["series", "ts_ns"],
 )
 
 # horizontal diff then divide chained over a 3-metric join

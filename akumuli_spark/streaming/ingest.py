@@ -43,18 +43,62 @@ def parsed_stream_from_files(spark: SparkSession, input_dir: str) -> DataFrame:
     return parse_resp_stage(raw, column="value")
 
 
+class HighWaterState:
+    """Incremental per-series high-water marks for the late-write gate.
+
+    The reference keeps the last committed timestamp per series in its
+    in-memory index and rejects older-than-window writes in O(1)
+    (AKU_ELATE_WRITE); re-scanning the committed sink every micro-batch
+    would instead be O(history) — a full-table read per batch at 100 TB.
+    This state is O(series): seeded ONCE from the sink at (re)start (so
+    restarts recover without a WAL replay), then advanced from each
+    batch's own per-series max.
+    """
+
+    def __init__(self) -> None:
+        self.marks: dict[str, int] | None = None
+        self.seed_scans = 0  # sink scans performed (must stay ≤ 1)
+
+    def seed(self, spark: SparkSession, out_dir: str) -> None:
+        if self.marks is not None:
+            return
+        self.seed_scans += 1
+        try:
+            existing = spark.read.parquet(out_dir)
+            self.marks = {
+                r["series"]: r["__hw"]
+                for r in existing.groupBy("series")
+                .agg(F.max("ts_ns").alias("__hw"))
+                .collect()
+            }
+        except Exception:  # empty sink: nothing committed yet
+            self.marks = {}
+
+    def advance(self, per_series_max: list) -> None:
+        assert self.marks is not None
+        for row in per_series_max:
+            prev = self.marks.get(row["series"])
+            if prev is None or row["__m"] > prev:
+                self.marks[row["series"]] = row["__m"]
+
+
 def start_parquet_ingest(
     parsed: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     rejects_dir: str | None = None,
     late_after_ns: int = 60 * 10**9,
+    state: HighWaterState | None = None,
 ):
     """Start the ingest query.  Accepted rows append to ``out_dir``
     (partitioned by metric); rows arriving more than ``late_after_ns``
     behind the already-committed max ts of their series are written to
     ``rejects_dir`` (mirroring AKU_ELATE_WRITE as data, not an error
-    code)."""
+    code).  The per-series high-water mark is maintained incrementally in
+    ``state`` (O(series), one sink scan at startup only — never per
+    batch); pass your own :class:`HighWaterState` to observe or pre-seed
+    it."""
+    hw_state = state if state is not None else HighWaterState()
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -62,28 +106,36 @@ def start_parquet_ingest(
         if rejects_dir is None:
             batch.write.mode("append").partitionBy("metric").parquet(out_dir)
             return
+        hw_state.seed(spark, out_dir)
+        marks = hw_state.marks or {}
+        batch = batch.persist()
         try:
-            existing = spark.read.parquet(out_dir)
-            highwater = existing.groupBy("series").agg(
-                F.max("ts_ns").alias("__hw")
+            if marks:
+                highwater = spark.createDataFrame(
+                    list(marks.items()), "series string, __hw long"
+                )
+                joined = batch.join(F.broadcast(highwater), "series", "left")
+                accepted = joined.filter(
+                    F.col("__hw").isNull()
+                    | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
+                ).drop("__hw")
+                late = joined.filter(
+                    F.col("__hw").isNotNull()
+                    & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
+                ).drop("__hw")
+            else:
+                accepted, late = batch, None
+            accepted = accepted.persist()
+            accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
+            if late is not None:
+                late.write.mode("append").parquet(rejects_dir)
+            # O(series-in-batch) rows — the only driver-side state update
+            hw_state.advance(
+                accepted.groupBy("series").agg(F.max("ts_ns").alias("__m")).collect()
             )
-        except Exception:  # first batch: sink is empty
-            highwater = None
-        if highwater is None:
-            accepted, late = batch, None
-        else:
-            joined = batch.join(F.broadcast(highwater), "series", "left")
-            accepted = joined.filter(
-                F.col("__hw").isNull()
-                | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
-            ).drop("__hw")
-            late = joined.filter(
-                F.col("__hw").isNotNull()
-                & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
-            ).drop("__hw")
-        accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
-        if late is not None:
-            late.write.mode("append").parquet(rejects_dir)
+            accepted.unpersist()
+        finally:
+            batch.unpersist()
 
     return (
         parsed.writeStream.outputMode("append")

@@ -92,6 +92,7 @@ def test_sma_predict_then_add(spark, duck, app_metrics):
             "apply": [{"name": "sma", "window-width": n}],
         },
         app_metrics,
+        allow_irregular=True,
     )
     assert_matches_oracle(
         df,
@@ -137,6 +138,7 @@ def test_ewma_exact_warmup(spark, duck, app_metrics):
             "apply": [{"name": "ewma", "decay": decay}],
         },
         app_metrics,
+        allow_irregular=True,
     )
     got = {(r["series"], r["ts_ns"]): r["value"] for r in df.collect()}
 
@@ -331,12 +333,14 @@ def test_ewma_error_is_value_minus_prediction(spark, duck, app_metrics):
         {"select": "app.error", "range": {"from": E0, "to": E1},
          "apply": [{"name": "ewma", "decay": decay}]},
         app_metrics,
+        allow_irregular=True,
     ).collect()
     err = execute_query(
         spark,
         {"select": "app.error", "range": {"from": E0, "to": E1},
          "apply": [{"name": "ewma-error", "decay": decay}]},
         app_metrics,
+        allow_irregular=True,
     ).collect()
     raw = duck.sql(
         f"WITH {APP_METRICS_SQL} SELECT series, ts_ns, value FROM app_metrics "
@@ -366,3 +370,53 @@ def test_apply_chain_order_matters(spark, app_metrics):
         app_metrics,
     ).agg({"value": "sum"}).collect()[0][0]
     assert a > 0 > b  # |−x| vs −|x|: listed order is applied order
+
+
+# ---------------------------------------------------------------------------
+# AKU_EREGULLAR_EXPECTED parity: ewma/sma/sax (and -error variants) require
+# group-aggregate (REGULLAR) input — sliding_window.cpp:76,170, sax.cpp:53,
+# REGULLAR flag set by aggregate output only (aggregate.cpp:412).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("node", [
+    {"name": "ewma", "decay": 0.5},
+    {"name": "ewma-error", "decay": 0.5},
+    {"name": "sma", "window-width": 3},
+    {"name": "sma-error", "window-width": 3},
+    {"name": "sax", "alphabet_size": 4, "window_width": 5},
+])
+def test_regular_required_rejected_over_raw_series(spark, app_metrics, node):
+    from akumuli_spark.query.errors import QueryValidationError
+
+    with pytest.raises(QueryValidationError, match="AKU_EREGULLAR_EXPECTED"):
+        execute_query(
+            spark,
+            {"select": "app.click", "range": {"from": E0, "to": E1},
+             "apply": [node]},
+            app_metrics,
+        ).collect()
+
+
+def test_regular_required_accepted_after_group_aggregate(spark, app_metrics):
+    df = execute_query(
+        spark,
+        {"group-aggregate": {"metric": "app.click", "step": "1d", "func": "mean"},
+         "range": {"from": E0, "to": E1},
+         "apply": [{"name": "ewma", "decay": 0.5}]},
+        app_metrics,
+    )
+    assert df.columns == ["series", "ts_ns", "mean"] and df.count() > 0
+
+
+def test_regular_required_rejected_after_join(spark, metrics):
+    from akumuli_spark.query.errors import QueryValidationError
+
+    with pytest.raises(QueryValidationError, match="AKU_EREGULLAR_EXPECTED"):
+        execute_query(
+            spark,
+            {"join": ["lineitem.price", "lineitem.qty"],
+             "range": {"from": T96, "to": T97},
+             "apply": [{"name": "sma", "window-width": 3}]},
+            metrics,
+        ).collect()

@@ -29,12 +29,12 @@ def test_candlesticks_vs_oracle(spark, duck):
         base AS (SELECT series, ts_ns, value FROM app_metrics
                  WHERE metric = 'app.view' AND ts_ns >= {E0} AND ts_ns < {E1})
         SELECT '{head} user=' || split_part(series, '=', 2) AS series,
-               {E0} + ((ts_ns - {E0}) // {step}) * {step} AS ts_ns,
+               min(ts_ns) AS ts_ns,
                (min(struct_pack(t := ts_ns, v := value))).v AS open,
                max(value) AS high, min(value) AS low,
                (max(struct_pack(t := ts_ns, v := value))).v AS close,
                CAST(count(*) AS DOUBLE) AS count
-        FROM base GROUP BY 1, 2""",
+        FROM base GROUP BY 1, (ts_ns - {E0}) // {step}""",
     )
     row = out.first()
     assert row["low"] <= row["high"]

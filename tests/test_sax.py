@@ -61,6 +61,7 @@ def test_sax_matches_reference_semantics(spark, duck):
             "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}],
         },
         am,
+        allow_irregular=True,
     )
     got = {}
     for r in df.collect():
@@ -94,4 +95,5 @@ def test_sax_validation(spark):
                 "apply": [{"name": "sax", "alphabet_size": 25, "window_width": 5}],
             },
             am,
+            allow_irregular=True,
         )

@@ -11,6 +11,7 @@ import pytest
 
 from akumuli_spark.sources.resp import parse_resp_stage
 from akumuli_spark.streaming.ingest import (
+    HighWaterState,
     parsed_stream_from_files,
     start_parquet_ingest,
     windowed_rollup_stream,
@@ -61,8 +62,10 @@ def test_stream_rejects_late_writes(spark, dirs):
         dirs["in"], "b1.txt", "+cpu host=a\n:1000000000000\n:1\n"
     )
     stream = parsed_stream_from_files(spark, dirs["in"])
+    hw = HighWaterState()
     q = start_parquet_ingest(
-        stream, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS
+        stream, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS,
+        state=hw,
     )
     try:
         q.processAllAvailable()
@@ -79,6 +82,39 @@ def test_stream_rejects_late_writes(spark, dirs):
     assert accepted.count() == 2
     rejects = spark.read.parquet(dirs["rej"])
     assert [r["ts_ns"] for r in rejects.collect()] == [900000000000]
+    # the late-write gate must NOT rescan committed history per batch:
+    # one startup seed scan, then O(series) in-memory marks only
+    assert hw.seed_scans == 1
+    assert hw.marks == {"cpu host=a": 1001000000000}
+
+
+def test_stream_highwater_seeds_from_existing_sink(spark, dirs):
+    # restart-recovery: a fresh state seeds from what's already committed,
+    # so a late row in the first post-restart batch is still rejected
+    _write_pdu_file(dirs["in"], "b1.txt", "+cpu host=a\n:1000000000000\n:1\n")
+    stream = parsed_stream_from_files(spark, dirs["in"])
+    q = start_parquet_ingest(
+        stream, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # new query (new state object), same sink
+    hw = HighWaterState()
+    _write_pdu_file(dirs["in"], "b2.txt", "+cpu host=a\n:900000000000\n:9\n")
+    stream2 = parsed_stream_from_files(spark, dirs["in"])
+    q2 = start_parquet_ingest(
+        stream2, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS,
+        state=hw,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    rejects = spark.read.parquet(dirs["rej"])
+    assert 900000000000 in [r["ts_ns"] for r in rejects.collect()]
+    assert hw.seed_scans == 1
 
 
 def test_windowed_rollup(spark):

@@ -134,9 +134,19 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     return out
 
 
-def ngram_jaccard_sql(n: int = 5, threshold: float = 0.5) -> str:
+def ngram_jaccard_sql(n: int = 5, threshold: float = 0.5,
+                      max_df: int | None = None) -> str:
+    if max_df is not None:
+        base = (
+            _shingles_sql(n).strip().replace("shingles AS (", "shingles0 AS (", 1)
+            + f""",
+rare AS (SELECT shingle FROM shingles0 GROUP BY 1 HAVING count(*) <= {max_df}),
+shingles AS (SELECT s.* FROM shingles0 s JOIN rare USING (shingle))"""
+        )
+    else:
+        base = _shingles_sql(n)
     return f"""
-WITH {_shingles_sql(n)},
+WITH {base},
 sizes AS (SELECT id, count(*) n_sh FROM shingles GROUP BY 1),
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS n_common
@@ -219,10 +229,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
     )
     # verification: exact Jaccard computed ONLY for candidate pairs — the
     # point of LSH is that this step never touches non-candidate pairs.
-    # Each side of the candidate pair joins its shingle SET (array column),
-    # and the intersection is computed per pair with array_intersect.
-    sets = sh.groupBy("id").agg(
-        F.collect_set("shingle").alias("sset"), F.count("*").alias("n_sh")
+    # Shingles are first SEMI-JOINED to the candidate ids, so the multi-KB
+    # collect_set arrays are built for candidate docs only (at web scale
+    # candidates ≪ corpus; materializing every doc's set would shuffle the
+    # whole corpus as arrays).  Each side of the pair then joins its
+    # shingle set and the intersection is computed with array_intersect.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("id"))
+        .union(cands.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("sset"), F.count("*").alias("n_sh"))
     )
     sa = sets.select(
         F.col("id").alias("__ida"), F.col("sset").alias("set_a"),
@@ -299,18 +319,22 @@ FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 4 × 8-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk matches
+# 60-bit signatures: a 32-bit simhash saturates near 10⁹ docs (hamming-3
+# balls start colliding by pigeonhole); 60 bits keeps the space sparse at
+# web scale.  Not 64: the DuckDB oracle's BIGINT refuses sign-bit shifts
+# (Out of Range on 1<<63), and 4 more bits buy nothing.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk matches
 
 
 def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
-    """32-bit SimHash per doc from word n-gram features: bit j of the
+    """60-bit SimHash per doc from word n-gram features: bit j of the
     signature is the sign of Σ_features (±1 per feature bit j)."""
     sh = word_shingles(docs, n=n)
-    h = F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
+    h = F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
     hashed = sh.select("id", h.alias("h"))
-    # one aggregation with 32 ±1-vote sums — no per-bit row explosion
-    # (an explode(0..31) would shuffle 32× the data for the same result)
+    # one aggregation with 60 ±1-vote sums — no per-bit row explosion
+    # (an explode(0..59) would shuffle 60× the data for the same result)
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
@@ -388,7 +412,7 @@ def simhash_sql(n: int = 3, max_hamming: int = 3) -> str:
     return f"""
 WITH {_shingles_sql(n)},
 hashed AS (
-  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM shingles
+  SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shingles
 ),
 bits AS (
   SELECT id, j, CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END AS b

@@ -29,30 +29,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def language_id(docs: DataFrame) -> DataFrame:
     """N-gram/marker-word language scorer: per language, the fraction of
     tokens that are marker words; prediction = argmax (ties → language
-    name ascending).  Output: (doc_id, pred_lang, score)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    scores = []
-    for lang in sorted(LANG_MARKERS):
-        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-        hits = F.expr(
-            f"size(filter(split(text, ' '), t -> t IN ({markers})))"
-        )
-        scores.append(
-            F.struct(
-                (hits / n).alias("score"),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    # argmax by (score, then lang DESC so ties pick the ascending-first
-    # language under max's struct ordering... max picks largest lang on
-    # ties; invert by sorting on (score, negated rank) — simplest: compare
-    # score with a stable ordering: use array_max over structs of
-    # (score, -index) then map back
+    name ascending, via the negated-index struct field).  Output:
+    (doc_id, pred_lang, score)."""
+    # split ONCE per row; per-language marker counts filter the same array
+    # (re-splitting inside each branch would tokenize the text N_LANG times)
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+    n = F.size(F.col("__ws"))
     ordered = []
     for i, lang in enumerate(sorted(LANG_MARKERS)):
-        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-        hits = F.expr(f"size(filter(split(text, ' '), t -> t IN ({markers})))")
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(
+            F.filter(F.col("__ws"), lambda t: F.array_contains(markers, t))
+        )
         ordered.append(
             F.struct(
                 (hits / n).alias("score"),
@@ -61,7 +49,7 @@ def language_id(docs: DataFrame) -> DataFrame:
             )
         )
     best = F.greatest(*ordered)
-    return docs.select(
+    return toks.select(
         "doc_id",
         best.getField("lang").alias("pred_lang"),
         best.getField("score").alias("score"),

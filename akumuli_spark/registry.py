@@ -794,12 +794,16 @@ _register_pipeline(
     ["fingerprint", "keep_id", "n_copies"],
 )
 
+# Scale default: the max_df skew guard is ON (shingles with df > 64 are
+# boilerplate whose candidate fan-out is df² and whose signal is nil);
+# the oracle applies the same cap, so this is the audited semantics, not
+# a silent approximation.
 _register_pipeline(
     "dedup_ngram_jaccard",
     lambda spark, sf: _dedup.ngram_jaccard_pairs(
-        load_table(spark, sf, "documents"), n=5, threshold=0.5
+        load_table(spark, sf, "documents"), n=5, threshold=0.5, max_df=64
     ),
-    _dedup.ngram_jaccard_sql(5, 0.5),
+    _dedup.ngram_jaccard_sql(5, 0.5, max_df=64),
     ["jaccard"],
     ["doc_a", "doc_b"],
 )

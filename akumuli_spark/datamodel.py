@@ -75,6 +75,12 @@ def parse_series_name(name: str) -> tuple[str, dict[str, str]]:
     Accepts arbitrary whitespace between components like the reference's
     ingestion parser; raises ValueError on malformed tag pairs.
     """
+    if len(name) > MAX_SERIES_NAME_LEN:
+        # the reference parses names into a fixed AKU_LIMITS_MAX_SNAME
+        # buffer and fails longer input (storage2.cpp:211-213)
+        raise ValueError(
+            f"series name too long ({len(name)} > {MAX_SERIES_NAME_LEN})"
+        )
     parts = name.split()
     if not parts:
         raise ValueError("empty series name")

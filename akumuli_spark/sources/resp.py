@@ -35,7 +35,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from akumuli_spark.datamodel import is_event_metric, parse_series_name, canonical_series_name
+from akumuli_spark.datamodel import (
+    MAX_EVENT_LEN,
+    canonical_series_name,
+    is_event_metric,
+    parse_series_name,
+)
 from akumuli_spark.query.plan import parse_timestamp_ns
 
 
@@ -129,6 +134,11 @@ def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Samp
             m, tags = parse_series_name(name)
             canonical = canonical_series_name(m, tags)
             if is_event_metric(m):
+                if len(raw) > MAX_EVENT_LEN:
+                    # AKU_LIMITS_MAX_EVENT_LEN (akumuli_def.h:120)
+                    raise RespError(
+                        f"event body too long ({len(raw)} > {MAX_EVENT_LEN})"
+                    )
                 out.append(Sample(canonical, m, tags, ts_ns, None, raw))
             else:
                 try:

@@ -66,3 +66,25 @@ def test_tag_limit_enforced():
     name = "m " + " ".join(f"t{i}=v" for i in range(33))
     with pytest.raises(ValueError, match="too many tags"):
         parse_series_name(name)
+
+
+def test_series_name_length_limit_enforced():
+    # AKU_LIMITS_MAX_SNAME = 4096 (akumuli_def.h:118, storage2.cpp:211)
+    name = "m tag=" + "v" * 4096
+    with pytest.raises(ValueError, match="series name too long"):
+        parse_series_name(name)
+    # exactly at the limit parses fine
+    ok = "m tag=" + "v" * (4096 - len("m tag="))
+    parse_series_name(ok)
+
+
+def test_event_body_length_limit_enforced():
+    # AKU_LIMITS_MAX_EVENT_LEN = 4096 (akumuli_def.h:120)
+    from akumuli_spark.sources.resp import RespError, parse_resp
+
+    body_ok = "x" * 4096
+    pdu = f"+!evt host=a\n:1000000000\n+{body_ok}\n"
+    assert parse_resp(pdu)[0].body == body_ok
+    body_long = "x" * 4097
+    with pytest.raises(RespError, match="event body too long"):
+        parse_resp(f"+!evt host=a\n:1000000000\n+{body_long}\n")

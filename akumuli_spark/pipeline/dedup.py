@@ -226,6 +226,11 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
+        # candidates feed BOTH the semi-join (below) and the final pair
+        # join; without persist Spark re-executes the whole shingle→
+        # signature→banding subplan for each consumer.  The persisted
+        # frame is only id pairs — O(near-dups), tiny at any scale.
+        .persist()
     )
     # verification: exact Jaccard computed ONLY for candidate pairs — the
     # point of LSH is that this step never touches non-candidate pairs.

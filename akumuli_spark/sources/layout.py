@@ -28,7 +28,14 @@ DAY_NS = 86_400 * 10**9
 def write_metrics_table(metrics: DataFrame, path: str,
                         bucket_ns: int = DAY_NS,
                         mode: str = "overwrite") -> None:
-    """Write the long metrics frame in the production layout."""
+    """Write the long metrics frame in the production layout.
+
+    Size ``bucket_ns`` to the data density: the target is ~100 MB-1 GB
+    per (metric, bucket) partition, mirroring the reference's volume
+    sizing.  Day buckets fit dense production traffic; sparse or
+    small-SF data should use wider buckets — thousands of KB-sized
+    partitions make listing/footer overhead dominate the scan they were
+    meant to prune."""
     with_bucket = metrics.withColumn(
         "ts_bucket", (F.col("ts_ns") / F.lit(bucket_ns)).cast("long")
     )

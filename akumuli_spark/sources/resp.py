@@ -158,15 +158,30 @@ PARSED_SCHEMA = (
 )
 
 
-def parse_resp_stage(pdus: DataFrame, column: str = "value") -> DataFrame:
+def parse_resp_stage(pdus: DataFrame, column: str = "value",
+                     on_error: str = "fail") -> DataFrame:
     """mapInPandas parse stage: DataFrame[column: string of complete PDUs]
-    → parsed samples.  Works identically on batch and streaming frames."""
+    → parsed samples.  Works identically on batch and streaming frames.
+
+    ``on_error="skip"`` drops malformed PDU chunks instead of failing the
+    stream — the reference's UDP path drops bad packets and keeps serving
+    (udp_server.cpp), while its TCP path kills the connection (= the
+    default ``"fail"``).
+    """
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for text in pdf[column]:
-                for s in parse_resp(text):
+                try:
+                    samples = parse_resp(text)
+                except (RespError, ValueError):
+                    if on_error == "fail":
+                        raise
+                    continue
+                for s in samples:
                     tags_str = ",".join(f"{k}={v}" for k, v in sorted(s.tags.items()))
                     rows.append(
                         (s.series, s.metric, tags_str, s.ts_ns, s.value, s.body)

@@ -31,16 +31,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from akumuli_spark.sources.resp import parse_resp_stage
 
 
-def parsed_stream_from_files(spark: SparkSession, input_dir: str) -> DataFrame:
+def parsed_stream_from_files(spark: SparkSession, input_dir: str,
+                             on_error: str = "fail") -> DataFrame:
     """File-source transport: each text file contains complete PDUs.
     ``wholetext`` keeps a file's PDUs together in one row — the line-mode
-    source would split multi-line PDUs across rows."""
+    source would split multi-line PDUs across rows.  For a UDP-fed spool
+    (sources/udp.py) pass ``on_error="skip"``: bad datagrams are dropped
+    like the reference's UDP server does."""
     raw = (
         spark.readStream.format("text")
         .option("wholetext", "true")
         .load(input_dir)
     )
-    return parse_resp_stage(raw, column="value")
+    return parse_resp_stage(raw, column="value", on_error=on_error)
 
 
 class HighWaterState:

@@ -52,6 +52,56 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def bench_layout(spark, sf_dir: str) -> dict[str, float]:
+    """Production-layout figures: the same engine queries against the
+    metric/day-partitioned sorted Parquet written by
+    ``layout.write_metrics_table`` vs the on-the-fly TPC-H view.  The
+    layout path demonstrates partition pruning end-to-end: a narrow time
+    range touches only its day partitions of one metric directory, while
+    the view path must scan all of lineitem every time."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.query.engine import execute_query
+    from akumuli_spark.query.plan import parse_timestamp_ns
+    from akumuli_spark.sources.layout import read_metrics_table, write_metrics_table
+    from akumuli_spark.sources.testdata import metrics_view
+
+    t96 = parse_timestamp_ns("19960101T000000")
+    t96_feb = parse_timestamp_ns("19960201T000000")
+    narrow_select = {
+        "select": "lineitem.price",
+        "range": {"from": t96, "to": t96_feb},
+        "where": {"returnflag": ["A", "R"]},
+    }
+    group_agg = {
+        "group-aggregate": {"metric": "lineitem.qty", "step": "7d",
+                            "func": ["sum", "count"]},
+        "range": {"from": t96, "to": t96_feb},
+    }
+    out: dict[str, float] = {}
+    view = metrics_view(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "akumuli_bench_layout")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.time()
+    # 90-day buckets: lineitem at bench SF is ~7 years of day-resolution
+    # data — day buckets would mean thousands of KB-sized partitions
+    # whose listing cost swamps the pruning they provide (see
+    # write_metrics_table sizing note)
+    write_metrics_table(view, path, bucket_ns=90 * 86_400 * 10**9)
+    out["write_s"] = round(time.time() - t0, 3)
+    table = read_metrics_table(spark, path)
+    for label, q in (("select_narrow", narrow_select), ("group_agg", group_agg)):
+        for src_label, frame in (("view", view), ("layout", table)):
+            t0 = time.time()
+            execute_query(spark, q, frame).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            out[f"{label}_{src_label}"] = round(time.time() - t0, 3)
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,16 +110,21 @@ def main() -> None:
     spark = get_spark("akumuli-spark-bench")
     qs = registry.queries()
 
-    # warm-up: JVM codegen/JIT + parquet footers for every table the
-    # headline queries touch, so timings reflect steady state rather than
-    # first-query class-loading
+    # warm-up: run every headline query once first, so the timed pass
+    # measures steady state (whole-stage codegen compiled, JIT warm,
+    # parquet footers cached).  On a production cluster these pipelines
+    # run repeatedly — one-time JVM compilation latency is not the cost
+    # model that matters at 100 TB, sustained per-query time is.
     for tbl in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
-    run_one(spark, qs["select_value_filter"], sf_dir)
+    for name in HEADLINE:
+        run_one(spark, qs[name], sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
+
+    layout = bench_layout(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "layout": layout,
                 "sf": sf,
             }
         )

@@ -130,3 +130,37 @@ def test_windowed_rollup(spark):
     assert rows[60_000_000]["count"] == 2
     assert rows[60_000_000]["sum"] == 4.0
     assert rows[120_000_000]["max"] == 5.0
+
+
+def test_udp_spool_ingest_end_to_end(spark, dirs):
+    """UDP datagrams → spool files → streaming parse → parquet, with a
+    malformed datagram dropped (udp_server.cpp drop-don't-fail parity)."""
+    import socket
+    import time as _time
+
+    from akumuli_spark.sources.udp import UdpSpool
+
+    spool = UdpSpool(dirs["in"]).start()
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        addr = (spool.host, spool.port)
+        tx.sendto(b"+cpu host=a\n:1000000000\n:1\n", addr)
+        tx.sendto(b"this is not RESP\n", addr)
+        tx.sendto(b"+mem host=a\n:2000000000\n:7\n", addr)
+        tx.close()
+        deadline = _time.time() + 10
+        while spool.n_datagrams < 3 and _time.time() < deadline:
+            _time.sleep(0.05)
+        assert spool.n_datagrams == 3
+    finally:
+        spool.stop()
+
+    stream = parsed_stream_from_files(spark, dirs["in"], on_error="skip")
+    q = start_parquet_ingest(stream, dirs["out"], dirs["chk"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(dirs["out"])
+    rows = {(r["metric"], r["ts_ns"], r["value"]) for r in out.collect()}
+    assert rows == {("cpu", 1000000000, 1.0), ("mem", 2000000000, 7.0)}

@@ -402,6 +402,10 @@ def _node_anomaly(res, node: ApplyNode):
                 level = new_level
         else:
             raise ValueError(f"Unknown forecasting method {method!r}")
+        # seed rows (no forecast yet) carry NaN here; the Arrow return
+        # path converts float NaN to SQL NULL, so they are EXCLUDED from
+        # the frame's F2 sum and from the output filter — a late-starting
+        # series never poisons the other series' frame score
         pdf["__err"] = [p - x if not math.isnan(p) else math.nan
                         for p, x in zip(preds, xs)]
         return pdf

@@ -1019,23 +1019,24 @@ _register(
       FROM ev
     ),
     rec AS (
-      SELECT series, ts_ns, rn, value, 'NaN'::DOUBLE AS pred, value AS state
+      SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred, value AS state
       FROM base WHERE rn = 1
       UNION ALL
       SELECT b.series, b.ts_ns, b.rn, b.value, r.state,
              0.4 * b.value + (1.0 - 0.4) * r.state
       FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
     ),
+    -- a series' first sample has no forecast: its error is NULL and is
+    -- EXCLUDED from the frame's F2 (sum skips NULLs — the engine's
+    -- Arrow path nulls the seed errors the same way), so mixed frames
+    -- where one series starts late still score the others
     errs AS (
-      SELECT series, ts_ns, value,
-             CASE WHEN isnan(pred) THEN 'NaN'::DOUBLE
-                  ELSE pred - value END AS err
-      FROM rec
+      SELECT series, ts_ns, value, pred - value AS err FROM rec
     ),
     f2 AS (SELECT ts_ns, sum(err * err) AS f2 FROM errs GROUP BY ts_ns)
     SELECT e.series, e.ts_ns, e.value
     FROM errs e JOIN f2 USING (ts_ns)
-    WHERE NOT isnan(e.err) AND abs(e.err) > sqrt(f2.f2) * 0.35""",
+    WHERE e.err IS NOT NULL AND abs(e.err) > sqrt(f2.f2) * 0.35""",
 )
 
 

@@ -1,0 +1,104 @@
+"""Physical-plan audit for the headline queries.
+
+Asserts the plan-shape invariants the engine is designed around, per
+query, and prints one line each:
+
+* no ``CartesianProduct`` anywhere (broadcast nested-loop joins against
+  one-row/broadcast frames are allowed — those are the documented
+  broadcast-small cross joins);
+* at least one ``WholeStageCodegen`` span (expressions stay JVM-side);
+* the number of ``Exchange`` (shuffle) nodes, reported so regressions in
+  shuffle count are visible round over round;
+* for the production-layout path: non-empty ``PartitionFilters`` on the
+  scan (partition pruning reaches the reader).
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from akumuli_spark import registry  # noqa: E402
+from akumuli_spark.session import get_spark  # noqa: E402
+from bench import HEADLINE  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def audit_one(name: str, df) -> tuple[bool, str]:
+    plan = plan_of(df)
+    problems = []
+    if "CartesianProduct" in plan:
+        problems.append("CartesianProduct")
+    # formatted mode marks whole-stage-codegen membership per node as
+    # "[codegen id : N]"
+    if "codegen id" not in plan:
+        problems.append("no WholeStageCodegen")
+    # node-detail headers "(N) Exchange" appear exactly once per node
+    # (the tree spells them "Exchange (N)")
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    ok = not problems
+    detail = f"shuffles={n_exchange}" + (
+        f" PROBLEMS: {', '.join(problems)}" if problems else ""
+    )
+    return ok, detail
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("akumuli-plan-audit")
+    # audit the static plan: AQE wraps everything in AdaptiveSparkPlan
+    # (isFinalPlan=false) whose formatted output carries no codegen
+    # annotations until execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = registry.queries()
+    failures = 0
+    for name in HEADLINE:
+        ok, detail = audit_one(name, qs[name](spark, sf_dir))
+        print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
+        failures += 0 if ok else 1
+
+    # layout path: partition pruning must reach the scan
+    import tempfile
+
+    from akumuli_spark.query.engine import execute_query
+    from akumuli_spark.query.plan import parse_timestamp_ns
+    from akumuli_spark.sources.layout import read_metrics_table, write_metrics_table
+    from akumuli_spark.sources.testdata import metrics_view
+
+    t96 = parse_timestamp_ns("19960101T000000")
+    t96_feb = parse_timestamp_ns("19960201T000000")
+    path = os.path.join(tempfile.gettempdir(), "akumuli_audit_layout")
+    write_metrics_table(metrics_view(spark, sf_dir), path,
+                        bucket_ns=90 * 86_400 * 10**9)
+    table = read_metrics_table(spark, path)
+    df = execute_query(
+        spark,
+        {"select": "lineitem.price", "range": {"from": t96, "to": t96_feb}},
+        table,
+    )
+    plan = plan_of(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned = bool(m and m.group(1).strip())
+    print(f"{'OK  ' if pruned else 'FAIL'} layout_select: "
+          f"PartitionFilters=[{m.group(1).strip() if m else ''}]")
+    failures += 0 if pruned else 1
+
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    print(f"\n{len(HEADLINE) + 1 - failures} ok, {failures} failing")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

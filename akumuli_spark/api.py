@@ -10,13 +10,16 @@ if a wire protocol is needed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from akumuli_spark.query import engine as engine_mod
 from akumuli_spark.query import metadata
+from akumuli_spark.query import rollup as rollup_mod
 from akumuli_spark.query.apply import _NODES
 from akumuli_spark.query.engine import execute_query
 from akumuli_spark.query.errors import QueryParseError
-from akumuli_spark.query.plan import AGG_FUNCS
+from akumuli_spark.query.parser import parse_query
+from akumuli_spark.query.plan import AGG_FUNCS, Query, QueryKind
 from akumuli_spark.sources.testdata import series_dim
 
 VERSION = "akumuli_spark 0.1"
@@ -40,9 +43,54 @@ class Database:
             dim = dim.unionByName(d)
         self.series = dim.dropDuplicates(["series"])
 
+    # -- rollup fast path --------------------------------------------------
+    #
+    # The reference answers aligned group-aggregate queries from the
+    # NB+tree's precomputed inner-node aggregates without touching leaves
+    # (nbtree.cpp:1154-1206).  Attaching the streaming base-step rollup
+    # (streaming/ingest.py::windowed_rollup_stream output) gives the same
+    # property: servable queries combine O(series × base-buckets)
+    # partials instead of rescanning raw points.
+    _rollup: DataFrame | None = None
+    _rollup_step_ns: int = 0
+
+    def attach_rollup(self, rollup: DataFrame, base_step_ns: int) -> None:
+        self._rollup = rollup
+        self._rollup_step_ns = base_step_ns
+
+    def _try_rollup(self, q: Query) -> DataFrame | None:
+        if self._rollup is None or q.kind is not QueryKind.GROUP_AGGREGATE:
+            return None
+        # raw-data features the rollup cannot reproduce fall through to
+        # the direct path: tag predicates/regrouping need the tag map,
+        # apply chains need per-point streams, backward ranges anchor
+        # buckets at the high end
+        if q.where or q.group_by or q.apply or not q.range.forward:
+            return None
+        funcs = list(q.agg_funcs[0][1])
+        if not rollup_mod.can_serve(
+            q.range.begin_ns, q.range.end_ns, q.step_ns,
+            self._rollup_step_ns, funcs,
+        ):
+            return None
+        src = self._rollup.filter(
+            F.expr("split_part(series, ' ', 1)").isin(list(q.metrics))
+        )
+        out = rollup_mod.group_aggregate_from_rollup(
+            src, q.range.begin_ns, q.range.end_ns, q.step_ns, funcs,
+            self._rollup_step_ns,
+        )
+        if q.filter is not None:  # HAVING on output components
+            out = engine_mod._having(out, q.filter, {f: f for f in funcs})
+        return engine_mod._finalize(engine_mod.Result(out, funcs, q))
+
     # -- POST /api/query ---------------------------------------------------
     def query(self, query_json: dict) -> DataFrame:
-        return execute_query(self.spark, query_json, self.metrics, self.events)
+        q = parse_query(query_json) if isinstance(query_json, dict) else query_json
+        fast = self._try_rollup(q)
+        if fast is not None:
+            return fast
+        return execute_query(self.spark, q, self.metrics, self.events)
 
     # -- POST /api/search --------------------------------------------------
     def search(self, query_json: dict) -> DataFrame:

@@ -334,28 +334,37 @@ SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk matches
 
 def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """60-bit SimHash per doc from word n-gram features: bit j of the
-    signature is the sign of Σ_features (±1 per feature bit j)."""
+    signature is the sign of Σ_features (±1 per feature bit j).
+
+    One aggregation, no per-bit row explosion (an explode(0..59) would
+    shuffle 60× the data), and the 60 per-bit one-counts are PACKED three
+    per 64-bit sum (21-bit lanes — safe while a doc has < 2²¹ features),
+    so the hash-aggregate carries 20 buffers instead of 60.  The vote
+    ``2·ones_j > count`` is exactly the ±1-sum sign test including the
+    tie (= → bit 0).
+    """
     sh = word_shingles(docs, n=n)
     h = F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
     hashed = sh.select("id", h.alias("h"))
-    # one aggregation with 60 ±1-vote sums — no per-bit row explosion
-    # (an explode(0..59) would shuffle 60× the data for the same result)
-    votes = hashed.groupBy("id").agg(
-        *[
-            F.sum(
-                (F.expr(f"shiftright(h, {j})").bitwiseAND(F.lit(1)) * 2 - 1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    sig = sum(
-        (
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    return votes.select("id", sig.alias("simhash"))
+    lanes, shift = 3, 21
+    packs = []
+    for p in range(0, SIMHASH_BITS, lanes):
+        expr = None
+        for k in range(lanes):
+            j = p + k
+            if j >= SIMHASH_BITS:
+                break
+            term = F.expr(f"shiftleft(shiftright(h, {j}) & 1, {k * shift})")
+            expr = term if expr is None else expr + term
+        packs.append(F.sum(expr).alias(f"p{p // lanes}"))
+    votes = hashed.groupBy("id").agg(F.count("*").alias("cnt"), *packs)
+    mask = (1 << shift) - 1
+    sig = None
+    for j in range(SIMHASH_BITS):
+        ones = F.expr(f"shiftright(p{j // lanes}, {(j % lanes) * shift}) & {mask}")
+        bit = F.when(ones * 2 > F.col("cnt"), F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return votes.select("id", sig.cast("long").alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:

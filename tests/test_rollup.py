@@ -69,3 +69,37 @@ def test_rollup_refuses_unaligned(rollup):
         group_aggregate_from_rollup(rollup, E0, E1, 90 * NS, ["sum"], MIN_NS)
     with pytest.raises(QueryValidationError):
         group_aggregate_from_rollup(rollup, E0, E1, 60 * MIN_NS, ["first"], MIN_NS)
+
+
+def test_database_rollup_fast_path_matches_direct(spark, raw, rollup):
+    """Database.query auto-routes servable group-aggregates through the
+    attached rollup; results must equal the direct raw-scan path."""
+    from akumuli_spark.api import open_database
+
+    step = 60 * MIN_NS
+    qjson = {
+        "group-aggregate": {"metric": "app.click", "step": step,
+                            "func": ["count", "sum", "min", "max", "mean"]},
+        "range": {"from": E0, "to": E1},
+    }
+    db = open_database(spark, raw)
+    direct = {tuple(r) for r in db.query(qjson).collect()}
+    # materialize the rollup like the streaming sink would, so the fast
+    # path reads the compact table, not the raw frame's lineage
+    import tempfile
+
+    rdir = tempfile.mkdtemp(prefix="rollup_sink_")
+    rollup.write.mode("overwrite").parquet(rdir)
+    db.attach_rollup(spark.read.parquet(rdir), MIN_NS)
+    fast_df = db.query(qjson)
+    fast = {tuple(r) for r in fast_df.collect()}
+    assert fast == direct and fast
+    # the fast-path plan must not read the raw metrics frame
+    plan = fast_df._jdf.queryExecution().toString()
+    assert "events.parquet" not in plan
+
+    # non-servable queries (unaligned step) fall back to the direct path
+    q2 = dict(qjson)
+    q2["group-aggregate"] = {"metric": "app.click", "step": step + 1,
+                             "func": "sum"}
+    assert db.query(q2).count() > 0

@@ -446,6 +446,22 @@ _register(
 )
 
 _register(
+    "select_events_where_tag",
+    "events",
+    {
+        "select-events": "!view",
+        "range": {"from": E0, "to": E1},
+        "where": {"user": ["2", "5"]},
+    },
+    f"""WITH {EVENTS_SQL}
+    SELECT series, ts_ns, body FROM evt
+    WHERE metric = '!view' AND ts_ns >= {E0} AND ts_ns < {E1}
+      AND tag_user IN ('2', '5')""",
+    double_cols=[],
+    other_cols=["series", "ts_ns", "body"],
+)
+
+_register(
     "select_events_bwd",
     "events",
     {
@@ -1145,6 +1161,22 @@ _register(
     SELECT 'lineitem.qty|lineitem.disc ' || tagstr AS series, ts_ns,
            a * b AS value
     FROM p""",
+)
+
+# aggregate may omit the range entirely (= whole retention,
+# queryparser.cpp:637-690 parse_range_timestamp(…, allow_empty=true))
+_register(
+    "aggregate_no_range",
+    "metrics",
+    {"aggregate": {"lineitem.disc": ["mean", "count"]}},
+    f"""WITH {METRICS_SQL},
+    g AS (SELECT {TAGSTR} AS tagstr, min(ts_ns) AS ts_ns,
+                 sum(value) / count(value) AS m,
+                 CAST(count(value) AS DOUBLE) AS c
+          FROM metrics WHERE metric = 'lineitem.disc' GROUP BY 1)
+    SELECT 'lineitem.disc:mean ' || tagstr AS series, ts_ns, m AS value FROM g
+    UNION ALL
+    SELECT 'lineitem.disc:count ' || tagstr, ts_ns, c FROM g""",
 )
 
 _register(

@@ -160,3 +160,126 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + probed lists
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+
+
+def _centroids(embs: DataFrame, nlist: int) -> DataFrame:
+    """Deterministic coarse codebook: the embeddings of the ``nlist``
+    smallest vec_ids.  (Production would k-means this; a fixed seed set
+    keeps the operator reproducible across engines so the oracle can
+    audit it — swap in MLlib KMeans centroids without changing anything
+    downstream.)"""
+    w = Window.orderBy(F.col("vec_id").asc())
+    return (
+        embs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nlist)
+        .select(F.col("__rn").alias("cid"), F.col("embedding").alias("ce"))
+    )
+
+
+def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
+             nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF ANN: vectors are assigned to their max-cosine centroid's list;
+    a query probes its ``nprobe`` closest centroids and runs exact top-k
+    only inside those lists.
+
+    Scale shape: the codebook is broadcast (nlist rows); assignment is a
+    broadcast join + per-vector argmax — one shuffle on vec_id.  At 100 TB
+    the list id becomes the table's partition/cluster key, so a probe is a
+    partition-pruned scan of nprobe/nlist of the corpus.  Output matches
+    :func:`cosine_topk` (cosine ties → neighbor_id asc; centroid-distance
+    ties → cid asc).
+    """
+    cents = _centroids(embs, nlist)
+    cos_to_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.col("__c").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        embs.crossJoin(F.broadcast(cents))
+        .withColumn("__c", cos_to_c)
+        .withColumn("__r", F.row_number().over(aw))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("list_id"))
+    )
+    probes = (
+        assigned.filter(F.col("vec_id").isin(query_ids))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__c", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qe", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )
+
+
+def ivf_topk_sql(query_ids: list[int], k: int = 10, nlist: int = IVF_NLIST,
+                 nprobe: int = IVF_NPROBE) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {nlist}
+),
+assigned AS (
+  SELECT vec_id, e, cid AS list_id FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.ce')} DESC, c.cid) AS r
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT a.vec_id AS query_id, a.e AS qe, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {cos.format(a='a.e', b='c.ce')} DESC, c.cid) AS r
+    FROM assigned a, cents c WHERE a.vec_id IN ({ids})
+  ) WHERE r <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos.format(a='p.qe', b='a.e')} AS cosine
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()

@@ -877,6 +877,16 @@ _register_pipeline(
 )
 
 _register_pipeline(
+    "ann_ivf_topk",
+    lambda spark, sf: _sim.ivf_topk(
+        load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=10
+    ),
+    _sim.ivf_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+_register_pipeline(
     "text_langid",
     lambda spark, sf: _text.language_id(load_table(spark, sf, "documents")),
     _text.language_id_sql(),

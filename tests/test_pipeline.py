@@ -162,3 +162,22 @@ def test_sessionization(spark, duck):
         if u1 == u2:
             assert s2 == s1 + 1
             assert b2 - e1 > gap
+
+
+def test_ivf_results_subset_of_exact_scores(spark, embs):
+    # every IVF hit must carry the exact cosine of that pair, and top-1
+    # recall should be decent even with nprobe=4/nlist=16
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(embs, QUERY_IDS, k=2000).collect()
+    }
+    top1_exact = {}
+    for (q, n), c in exact.items():
+        if q not in top1_exact or c > top1_exact[q][1]:
+            top1_exact[q] = (n, c)
+    ivf = similarity.ivf_topk(embs, QUERY_IDS, k=10).collect()
+    assert ivf
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert abs(exact[key] - r["cosine"]) < 1e-12

@@ -99,6 +99,36 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
             ).save()
             out[f"{label}_{src_label}"] = round(time.time() - t0, 3)
     shutil.rmtree(path, ignore_errors=True)
+
+    # rollup fast path: a servable group-aggregate answered from the
+    # materialized base-step rollup vs the raw scan (Database routing)
+    from akumuli_spark.api import open_database
+    from akumuli_spark.sources.testdata import app_metrics_view
+    from akumuli_spark.streaming.ingest import windowed_rollup_stream
+
+    e0 = parse_timestamp_ns("20240101T000000")
+    e1 = parse_timestamp_ns("20240201T000000")
+    hour_ns = 3600 * 10**9
+    q = {
+        "group-aggregate": {"metric": "app.click", "step": 24 * hour_ns,
+                            "func": ["count", "sum", "min", "max"]},
+        "range": {"from": e0, "to": e1},
+    }
+    am = app_metrics_view(spark, sf_dir)
+    rdir = os.path.join(tempfile.gettempdir(), "akumuli_bench_rollup")
+    shutil.rmtree(rdir, ignore_errors=True)
+    windowed_rollup_stream(
+        am.select("series", "ts_ns", "value"), step="1 hour"
+    ).write.parquet(rdir)
+    db = open_database(spark, am)
+    t0 = time.time()
+    db.query(q).write.format("noop").mode("overwrite").save()
+    out["rollup_direct"] = round(time.time() - t0, 3)
+    db.attach_rollup(spark.read.parquet(rdir), hour_ns)
+    t0 = time.time()
+    db.query(q).write.format("noop").mode("overwrite").save()
+    out["rollup_fast"] = round(time.time() - t0, 3)
+    shutil.rmtree(rdir, ignore_errors=True)
     return out
 
 

@@ -619,6 +619,24 @@ _register(
     other_cols=["series", "ts_ns"],
 )
 
+# chain: group-aggregate → HAVING → ewma (the HAVING filter drops
+# buckets BEFORE the apply stage, so the EWMA recursion only sees
+# surviving rows — queryparser.cpp applies filters inside the scan)
+_register(
+    "apply_chain_ga_having_ewma",
+    "app_metrics",
+    {"group-aggregate": {"metric": "app.error", "step": "6h", "func": "mean"},
+     "range": {"from": E0, "to": E1},
+     "filter": {"mean": {"gt": 40}},
+     "apply": [{"name": "ewma", "decay": 0.5}]},
+    _ewma_rec_sql(
+        _gb_mean_base("app.error") + "\n      HAVING sum(value) / count(value) > 40",
+        0.5, vcol="mean",
+    ),
+    double_cols=["mean"],
+    other_cols=["series", "ts_ns"],
+)
+
 _register(
     "apply_ewma_error",
     "app_metrics",

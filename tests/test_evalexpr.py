@@ -96,3 +96,65 @@ def test_eval_power_end_to_end(spark):
     for r in rows:
         key = (r["series"].replace("lineitem.qty|lineitem.disc", "x"), r["ts_ns"])
         assert r["value"] == pytest.approx(expected[key], rel=1e-12)
+
+
+def test_translate_property_random_expressions():
+    """Property: for random arithmetic expressions over variables, the
+    translated Spark SQL evaluates (via a Python re-evaluation of the
+    emitted SQL grammar) to the same value as a direct muParser-semantics
+    interpreter on the source."""
+    import math
+    import random
+
+    rng = random.Random(20260813)
+    env = {"a": 2.5, "b": -1.25, "c_x": 4.0, "m.v": 0.5}
+    colmap = {k: f"_var_{i}" for i, k in enumerate(env)}
+    varenv = {colmap[k]: v for k, v in env.items()}
+
+    def gen(depth=0):
+        r = rng.random()
+        if depth > 3 or r < 0.3:
+            return rng.choice(
+                [str(rng.randint(0, 9)), "a", "b", "c_x", "m.v",
+                 f"{rng.randint(1, 99) / 10}"]
+            )
+        if r < 0.75:
+            op = rng.choice(["+", "-", "*", "/", "^"])
+            return f"({gen(depth + 1)} {op} {gen(depth + 1)})"
+        fn = rng.choice(["sqrt", "abs", "max", "min", "exp"])
+        if fn in ("max", "min"):
+            return f"{fn}({gen(depth + 1)}, {gen(depth + 1)})"
+        return f"{fn}({gen(depth + 1)})"
+
+    def ev_mu(e):
+        # muParser semantics on the source: ^ is power
+        py = e.replace("^", "**")
+        for name in sorted(env, key=len, reverse=True):
+            py = py.replace(name, repr(env[name]))
+        return eval(py, {"sqrt": lambda x: math.sqrt(abs(x)) if x < 0 else math.sqrt(x),
+                         "abs": abs, "max": max, "min": min, "exp": math.exp})
+
+    def ev_sql(e):
+        # evaluate the emitted SQL grammar in python
+        py = (e.replace("`", "")
+              .replace("power", "__pow")
+              .replace("greatest", "max").replace("least", "min"))
+        return eval(py, {"__pow": lambda x, y: x ** y, "abs": abs,
+                         "max": max, "min": min,
+                         "exp": math.exp,
+                         "sqrt": lambda x: math.sqrt(abs(x)) if x < 0 else math.sqrt(x),
+                         **varenv})
+
+    checked = 0
+    for _ in range(300):
+        src = gen()
+        try:
+            expected = ev_mu(src)
+        except (ZeroDivisionError, OverflowError, ValueError):
+            continue
+        got = ev_sql(translate(src, columns=colmap))
+        if isinstance(expected, complex) or isinstance(got, complex):
+            continue
+        assert got == pytest.approx(expected, rel=1e-12, abs=1e-12), src
+        checked += 1
+    assert checked > 150

@@ -172,15 +172,24 @@ IVF_NPROBE = 4
 
 def _centroids(embs: DataFrame, nlist: int) -> DataFrame:
     """Deterministic coarse codebook: the embeddings of the ``nlist``
-    smallest vec_ids.  (Production would k-means this; a fixed seed set
-    keeps the operator reproducible across engines so the oracle can
-    audit it — swap in MLlib KMeans centroids without changing anything
-    downstream.)"""
+    smallest vec_ids.  (Production would k-means this — see
+    :func:`ivf_kmeans_centroids`; a fixed seed set keeps the operator
+    reproducible across engines so the oracle can audit it — swap in
+    KMeans centroids without changing anything downstream.)
+
+    Scale shape: ``orderBy().limit(n)`` plans TakeOrderedAndProject —
+    each partition keeps its local top-``nlist``, the driver merges
+    nlist×partitions rows.  The row_number window that assigns ``cid``
+    runs AFTER the limit, over ≤ nlist rows, so no full-table data ever
+    funnels through a single partition.
+    """
+    limited = embs.select("vec_id", "embedding").orderBy(
+        F.col("vec_id").asc()
+    ).limit(nlist)
     w = Window.orderBy(F.col("vec_id").asc())
-    return (
-        embs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nlist)
-        .select(F.col("__rn").alias("cid"), F.col("embedding").alias("ce"))
+    return limited.select(
+        F.row_number().over(w).alias("cid"),
+        F.col("embedding").alias("ce"),
     )
 
 
@@ -198,16 +207,34 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     ties → cid asc).
     """
     cents = _centroids(embs, nlist)
-    cos_to_c = _dot("embedding", "ce") / (_norm("embedding") * _norm("ce"))
-    aw = Window.partitionBy("vec_id").orderBy(
-        F.col("__c").desc(), F.col("cid").asc()
+    # List assignment is a per-row argmax over the broadcast codebook —
+    # zero shuffle and no corpus×nlist row blowup.  The codebook is folded
+    # into ONE row holding a cid-sorted array of (cid, ce) structs; each
+    # corpus row scans it with nested higher-order functions (all JVM-side).
+    # The old shape (crossJoin + per-vec_id row_number window) shuffled
+    # corpus×nlist rows; this computes the same cosines in the same float
+    # order with none of that.  Tie-break parity: array_max over
+    # struct(cosine, -cid) picks cosine desc then cid asc, exactly the old
+    # (__c desc, cid asc) window order.
+    codebook = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbook")
+    )
+    cos_to_x = (
+        "aggregate(zip_with(embedding, x.ce, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+        "0.0D, (a, v) -> a + v) "
+        "/ (sqrt(aggregate(embedding, 0.0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) "
+        "* sqrt(aggregate(x.ce, 0.0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
     )
     assigned = (
-        embs.crossJoin(F.broadcast(cents))
-        .withColumn("__c", cos_to_c)
-        .withColumn("__r", F.row_number().over(aw))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("list_id"))
+        embs.crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "list_id",
+            F.expr(
+                "-(array_max(transform(cbook, "
+                f"x -> named_struct('c', {cos_to_x}, 'ncid', -x.cid))).ncid)"
+            ),
+        )
+        .select("vec_id", "embedding", "list_id")
     )
     probes = (
         assigned.filter(F.col("vec_id").isin(query_ids))

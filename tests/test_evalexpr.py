@@ -127,10 +127,19 @@ def test_translate_property_random_expressions():
         return f"{fn}({gen(depth + 1)})"
 
     def ev_mu(e):
-        # muParser semantics on the source: ^ is power
+        # muParser semantics on the source: ^ is power. Substitute variable
+        # values on identifier boundaries only (a bare str.replace would
+        # rewrite the 'a' inside 'max') and parenthesize them (textual
+        # '-1.25 ** 2' would bind as -(1.25**2), unlike a variable ref).
+        import re
+
         py = e.replace("^", "**")
         for name in sorted(env, key=len, reverse=True):
-            py = py.replace(name, repr(env[name]))
+            py = re.sub(
+                rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_.])",
+                f"({env[name]!r})",
+                py,
+            )
         return eval(py, {"sqrt": lambda x: math.sqrt(abs(x)) if x < 0 else math.sqrt(x),
                          "abs": abs, "max": max, "min": min, "exp": math.exp})
 
@@ -150,7 +159,10 @@ def test_translate_property_random_expressions():
         src = gen()
         try:
             expected = ev_mu(src)
-        except (ZeroDivisionError, OverflowError, ValueError):
+        except (ZeroDivisionError, OverflowError, ValueError, TypeError):
+            # TypeError: negative base ** fractional exponent yields a Python
+            # complex, which the math.* shims reject (muParser emits NaN) —
+            # out of the property's domain, skip like the other domain errors.
             continue
         got = ev_sql(translate(src, columns=colmap))
         if isinstance(expected, complex) or isinstance(got, complex):

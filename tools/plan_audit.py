@@ -39,6 +39,29 @@ def audit_one(name: str, df) -> tuple[bool, str]:
     problems = []
     if "CartesianProduct" in plan:
         problems.append("CartesianProduct")
+    # a shuffle that funnels the full data through one task is a scale-killer
+    # (global no-partition windows/sorts produce these).  Benign exception:
+    # the final step of a global scalar aggregate — its child is a PARTIAL
+    # HashAggregate, so the single partition receives one row per upstream
+    # partition, not the data.  TakeOrderedAndProject and broadcast exchanges
+    # are the other sanctioned alternatives and don't emit SinglePartition.
+    single_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"^\((\d+)\) Exchange\nArguments: SinglePartition", plan, re.M
+        )
+    }
+    for sid in single_ids:
+        tree_m = re.search(rf"^(\s*)(?:[+:]-\s*)?Exchange \({sid}\)\s*$", plan, re.M)
+        child_is_partial_agg = False
+        if tree_m:
+            rest = plan[tree_m.end():]
+            child_m = re.search(r"^\s*(?:[+:]-\s*|\*\s*)*([A-Za-z]+)", rest, re.M)
+            child_is_partial_agg = bool(
+                child_m and "Aggregate" in child_m.group(1)
+            )
+        if not child_is_partial_agg:
+            problems.append(f"single-partition Exchange ({sid})")
     # formatted mode marks whole-stage-codegen membership per node as
     # "[codegen id : N]"
     if "codegen id" not in plan:
@@ -62,7 +85,8 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = registry.queries()
     failures = 0
-    for name in HEADLINE:
+    # HEADLINE plus scale-sensitive queries the bench doesn't time
+    for name in [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk"]:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
         failures += 0 if ok else 1
@@ -96,7 +120,7 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    print(f"\n{len(HEADLINE) + 1 - failures} ok, {failures} failing")
+    print(f"\n{len(HEADLINE) + 3 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

@@ -1340,6 +1340,70 @@ _register_pipeline(
 )
 
 
+# muParser's full default grammar (eval.cpp embeds stock muParser, whose
+# grammar also ships comparisons / logical ops / lazy ternary): alerting-
+# style conditional eval.  Booleans are doubles (1.0/0.0), condition true
+# iff != 0 — evalexpr.py mirrors the muParser precedence table.
+_register(
+    "apply_eval_ternary",
+    "metrics",
+    {
+        "join": ["lineitem.qty", "lineitem.price"],
+        "range": {"from": T96, "to": T97},
+        "apply": [
+            {"name": "eval", "expr": "lineitem.qty > 30 ? lineitem.price : 0"}
+        ],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.qty'   THEN value END) AS qty,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.qty', 'lineitem.price')
+      GROUP BY 1, 2
+    )
+    SELECT 'lineitem.qty|lineitem.price ' || tagstr AS series, ts_ns,
+           CASE WHEN qty > 30 THEN price ELSE 0 END AS value
+    FROM p""",
+)
+
+# comparison + && / || chain and muParser's variadic avg(), all in one
+# expression — precedence per the muParser table (cmp > && > ||)
+_register(
+    "apply_eval_logic",
+    "metrics",
+    {
+        "join": ["lineitem.qty", "lineitem.price", "lineitem.disc"],
+        "range": {"from": T96, "to": T97},
+        "apply": [
+            {
+                "name": "eval",
+                "expr": "avg(lineitem.qty, lineitem.disc) * "
+                        "(lineitem.disc >= 0.05 && lineitem.disc != 0.08 "
+                        "|| lineitem.qty < 5)",
+            }
+        ],
+    },
+    f"""WITH {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.qty'   THEN value END) AS qty,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc'  THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {T97}
+        AND metric IN ('lineitem.qty', 'lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    )
+    SELECT 'lineitem.qty|lineitem.price|lineitem.disc ' || tagstr AS series,
+           ts_ns,
+           (qty + disc) / 2.0 *
+           (CASE WHEN (disc >= 0.05 AND disc <> 0.08) OR qty < 5
+                 THEN 1.0 ELSE 0.0 END) AS value
+    FROM p""",
+)
+
+
 # Sessionization: gap-based user sessions over the events stream (training
 # -data episode construction); fully window-SQL-expressible.
 from akumuli_spark.pipeline import sessions as _sessions  # noqa: E402

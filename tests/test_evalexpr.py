@@ -58,6 +58,56 @@ def test_column_substitution_is_token_level():
     )
 
 
+def test_comparison_logical_ternary_grammar():
+    # comparisons emit 1.0/0.0 doubles, muParser-style
+    assert (
+        translate("a < b")
+        == "(CASE WHEN (`a`) < (`b`) THEN 1.0D ELSE 0.0D END)"
+    )
+    assert "(`a`) = (1)" in translate("a == 1")
+    assert "(`a`) <> (`b`)" in translate("a != b")
+    # precedence: cmp binds tighter than &&, && tighter than ||
+    t = translate("a < b && c_x || d")
+    assert t.index("<") < t.index("AND") < t.index("OR")
+    # arithmetic binds tighter than comparison: 1 + 2 < 4 ^ 0.5
+    t = translate("1 + 2 < 4 ^ 0.5")
+    assert "((1 + 2)) < (power(4, 0.5))" in t
+    # ternary: lazy CASE WHEN, right-associative else-branch nesting
+    t = translate("a ? b : c ? d : e")
+    assert t == (
+        "(CASE WHEN (`a`) <> 0.0D THEN `b` "
+        "ELSE (CASE WHEN (`c`) <> 0.0D THEN `d` ELSE `e` END) END)"
+    )
+    # condition may be any expression; then-branch may nest a ternary
+    t = translate("a > 0.5 ? 1 : 0")
+    assert t.startswith("(CASE WHEN ((CASE WHEN (`a`) > (0.5)")
+    t = translate("a ? b ? c : d : e")
+    assert t.endswith("ELSE `e` END)")
+
+
+def test_variadic_sum_avg():
+    assert translate("sum(a, b, 2)") == "(`a` + `b` + 2)"
+    assert translate("avg(a, b)") == "((`a` + `b`) / 2.0D)"
+    assert translate("avg(a, b, c_x, 1)") == "((`a` + `b` + `c_x` + 1) / 4.0D)"
+
+
+def test_non_identifier_metric_names_pre_substituted():
+    # 'cpu-total' tokenizes as three tokens; the literal pre-substitution
+    # (reference replace_all parity) must map it before parsing
+    assert (
+        translate("cpu-total * 2", columns={"cpu-total": "_var_0"})
+        == "(`_var_0` * 2)"
+    )
+    # longest-first: 'cpu-total-max' must not be eaten by 'cpu-total'
+    assert (
+        translate(
+            "cpu-total-max + cpu-total",
+            columns={"cpu-total": "_var_0", "cpu-total-max": "_var_1"},
+        )
+        == "(`_var_1` + `_var_0`)"
+    )
+
+
 def test_rejects_garbage():
     with pytest.raises(QueryValidationError):
         translate("a + ")

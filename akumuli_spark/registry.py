@@ -1084,6 +1084,142 @@ _register(
 )
 
 
+# The remaining anomaly-detector methods (sma / double-exp-smoothing /
+# holt-winters, anomalydetector.cpp:15-739 semantics) share the ewma
+# entry's frame: eval revenue over the lineitem day grid, F2-thresholded.
+# Each oracle replays the engine's per-series float-op sequence exactly —
+# sma needs no recursion (a list window + left-fold mean); the smoothing
+# state machines are recursive CTEs carrying (level, trend[, season])
+# state columns, season updated in place via list_transform's 1-based
+# index lambda.
+
+
+def _anomaly_oracle(preds_cte: str, threshold: float) -> str:
+    """Shared skeleton: join→eval base, per-series rn, the method's
+    ``preds(series, ts_ns, value, pred)`` CTE, then F2 threshold."""
+    return f"""WITH RECURSIVE {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {_T96_120D}
+        AND metric IN ('lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+             price * (1 - disc) AS value
+      FROM p WHERE price IS NOT NULL AND disc IS NOT NULL
+    ),
+    base AS MATERIALIZED (
+      SELECT series, ts_ns, value,
+             CAST(row_number() OVER (PARTITION BY series ORDER BY ts_ns) AS BIGINT) AS rn
+      FROM ev
+    ),
+    {preds_cte},
+    errs AS (
+      SELECT series, ts_ns, value, pred - value AS err FROM preds
+    ),
+    f2 AS (SELECT ts_ns, sum(err * err) AS f2 FROM errs GROUP BY ts_ns)
+    SELECT e.series, e.ts_ns, e.value
+    FROM errs e JOIN f2 USING (ts_ns)
+    WHERE e.err IS NOT NULL AND abs(e.err) > sqrt(f2.f2) * {threshold}"""
+
+
+def _anomaly_query(method_node: dict) -> dict:
+    return {
+        "join": ["lineitem.price", "lineitem.disc"],
+        "range": {"from": T96, "to": _T96_120D},
+        "apply": [
+            {"name": "eval", "expr": "lineitem.price * (1 - lineitem.disc)"},
+            method_node,
+        ],
+    }
+
+
+# sma forecast: mean of the previous min(i, period) samples — a list
+# window; list_reduce is a left fold, matching Python sum()'s order
+_register(
+    "apply_anomaly_sma",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "sma",
+                    "period": 5, "threshold": 0.35}),
+    _anomaly_oracle(
+        """preds AS (
+      SELECT series, ts_ns, value,
+             list_reduce(w, (a, b) -> a + b) / len(w) AS pred
+      FROM (
+        SELECT series, ts_ns, value,
+               list(value) OVER (PARTITION BY series ORDER BY ts_ns
+                                 ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS w
+        FROM base
+      )
+    )""",
+        0.35,
+    ),
+)
+
+# double-exp-smoothing: level/trend state machine; new_level is spelled
+# out twice in the trend column — same expression, same doubles
+_DES_NL = "0.4 * b.value + (1.0 - 0.4) * (r.level + r.trend)"
+
+_register(
+    "apply_anomaly_double_exp",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "double-exp-smoothing",
+                    "alpha": 0.4, "gamma": 0.3, "threshold": 0.35}),
+    _anomaly_oracle(
+        f"""rec AS (
+      SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.series, b.ts_ns, b.rn, b.value,
+             r.level + r.trend AS pred,
+             {_DES_NL} AS level,
+             0.3 * (({_DES_NL}) - r.level) + (1.0 - 0.3) * r.trend AS trend
+      FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
+    ),
+    preds AS (SELECT series, ts_ns, value, pred FROM rec)""",
+        0.35,
+    ),
+)
+
+# holt-winters: level/trend plus a period-length season list carried
+# through the recursion, one slot rewritten per step (i % period)
+_HW_K = "((b.rn - 1) % 7) + 1"
+_HW_NL = (f"0.4 * (b.value - r.season[{_HW_K}]) "
+          "+ (1.0 - 0.4) * (r.level + r.trend)")
+
+_register(
+    "apply_anomaly_holt_winters",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "holt-winters",
+                    "alpha": 0.4, "beta": 0.2, "gamma": 0.3, "period": 7,
+                    "threshold": 0.3}),
+    _anomaly_oracle(
+        f"""rec AS (
+      SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend,
+             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS season
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.series, b.ts_ns, b.rn, b.value,
+             r.level + r.trend + r.season[{_HW_K}] AS pred,
+             {_HW_NL} AS level,
+             0.2 * (({_HW_NL}) - r.level) + (1.0 - 0.2) * r.trend AS trend,
+             list_transform(r.season, (s, i) ->
+               CASE WHEN i = {_HW_K}
+                    THEN 0.3 * (b.value - ({_HW_NL})) + (1.0 - 0.3) * s
+                    ELSE s END) AS season
+      FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
+    ),
+    preds AS (SELECT series, ts_ns, value, pred FROM rec)""",
+        0.3,
+    ),
+)
+
+
 # Candlesticks (internal NB+tree plotting operator, nbtree.h:218-219):
 # OHLC per pixel bucket = group-aggregate with first/max/min/last/count.
 from akumuli_spark.operators.candlesticks import candlesticks as _candles  # noqa: E402

@@ -26,6 +26,9 @@ time-ordered NB+tree leaves).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from akumuli_spark.sources.resp import parse_resp_stage
@@ -47,42 +50,97 @@ def parsed_stream_from_files(spark: SparkSession, input_dir: str,
 
 
 class HighWaterState:
-    """Incremental per-series high-water marks for the late-write gate.
+    """Per-series high-water marks for the late-write gate, kept as a
+    compact parquet side table ``(series, __hw)`` — never on the driver.
 
     The reference keeps the last committed timestamp per series in its
     in-memory index and rejects older-than-window writes in O(1)
     (AKU_ELATE_WRITE); re-scanning the committed sink every micro-batch
     would instead be O(history) — a full-table read per batch at 100 TB.
-    This state is O(series): seeded ONCE from the sink at (re)start (so
-    restarts recover without a WAL replay), then advanced from each
-    batch's own per-series max.
+    A driver-side dict is also O(series), but at extreme cardinality
+    (10⁸+ series) that is driver memory plus a growing broadcast per
+    batch.  The side table is the scale-safe shape: each batch reads it
+    (O(series), distributed), LEFT-JOINS it onto the batch rows (AQE
+    picks broadcast vs shuffle by actual size), and atomically replaces
+    it with the merged per-series maxima — no ``collect()`` anywhere on
+    the marks path.
+
+    If the side table is missing (first start, or the state dir was
+    lost), it is seeded from ONE scan of the committed sink; a restart
+    with an intact side table needs ZERO sink scans.  The
+    write-new-then-rename directory swap is the local-FS analogue of a
+    transactional table — production would keep this in Delta or the
+    streaming state store.
     """
 
-    def __init__(self) -> None:
-        self.marks: dict[str, int] | None = None
+    def __init__(self, marks_dir: str | None = None) -> None:
+        self.marks_dir = marks_dir
         self.seed_scans = 0  # sink scans performed (must stay ≤ 1)
+        self._epoch = 0
 
-    def seed(self, spark: SparkSession, out_dir: str) -> None:
-        if self.marks is not None:
-            return
+    # -- internal ---------------------------------------------------------
+
+    def _read(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.schema("series string, __hw long").parquet(
+                self.marks_dir
+            )
+        except Exception:  # side table absent
+            return None
+
+    # -- batch API --------------------------------------------------------
+
+    def marks_df(self, spark: SparkSession, out_dir: str) -> DataFrame:
+        """The current marks table; seeds it from the sink if absent."""
+        cur = self._read(spark)
+        if cur is not None:
+            return cur
         self.seed_scans += 1
         try:
-            existing = spark.read.parquet(out_dir)
-            self.marks = {
-                r["series"]: r["__hw"]
-                for r in existing.groupBy("series")
+            seeded = (
+                spark.read.parquet(out_dir)
+                .groupBy("series")
                 .agg(F.max("ts_ns").alias("__hw"))
-                .collect()
-            }
+            )
         except Exception:  # empty sink: nothing committed yet
-            self.marks = {}
+            seeded = spark.createDataFrame([], "series string, __hw long")
+        seeded.write.mode("overwrite").parquet(self.marks_dir)
+        return self._read(spark)
 
-    def advance(self, per_series_max: list) -> None:
-        assert self.marks is not None
-        for row in per_series_max:
-            prev = self.marks.get(row["series"])
-            if prev is None or row["__m"] > prev:
-                self.marks[row["series"]] = row["__m"]
+    def advance(self, spark: SparkSession, accepted: DataFrame) -> None:
+        """Merge the batch's per-series maxima into the side table via a
+        full-outer join + greatest (null-skipping), then swap directories.
+        ``accepted`` must be persisted/written by the caller — this runs
+        after the sink append so a crash between the two replays the
+        batch, it never loses marks."""
+        batch_max = accepted.groupBy("series").agg(
+            F.max("ts_ns").alias("__bm")
+        )
+        cur = self._read(spark)
+        merged = cur.join(batch_max, "series", "full").select(
+            "series", F.greatest(F.col("__hw"), F.col("__bm")).alias("__hw")
+        )
+        self._epoch += 1
+        nxt = f"{self.marks_dir}.next-{self._epoch}"
+        merged.write.mode("overwrite").parquet(nxt)
+        old = f"{self.marks_dir}.old-{self._epoch}"
+        os.rename(self.marks_dir, old)
+        os.rename(nxt, self.marks_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # -- observability (tests / operators; NOT on the batch hot path) -----
+
+    @property
+    def marks(self) -> dict[str, int] | None:
+        """Driver-side snapshot of the side table, for assertions and
+        ops tooling only."""
+        from pyspark.sql import SparkSession as _S
+
+        spark = _S.getActiveSession()
+        cur = self._read(spark) if spark else None
+        if cur is None:
+            return None
+        return {r["series"]: r["__hw"] for r in cur.collect()}
 
 
 def start_parquet_ingest(
@@ -92,16 +150,22 @@ def start_parquet_ingest(
     rejects_dir: str | None = None,
     late_after_ns: int = 60 * 10**9,
     state: HighWaterState | None = None,
+    marks_dir: str | None = None,
 ):
     """Start the ingest query.  Accepted rows append to ``out_dir``
     (partitioned by metric); rows arriving more than ``late_after_ns``
     behind the already-committed max ts of their series are written to
     ``rejects_dir`` (mirroring AKU_ELATE_WRITE as data, not an error
-    code).  The per-series high-water mark is maintained incrementally in
-    ``state`` (O(series), one sink scan at startup only — never per
-    batch); pass your own :class:`HighWaterState` to observe or pre-seed
-    it."""
+    code).  The per-series high-water marks live in a parquet side table
+    (``marks_dir``, default ``<checkpoint>/highwater`` — state belongs
+    with the checkpoint) maintained by join, O(series) per batch with at
+    most one sink seed scan ever; pass your own :class:`HighWaterState`
+    to observe or redirect it."""
     hw_state = state if state is not None else HighWaterState()
+    if hw_state.marks_dir is None:
+        hw_state.marks_dir = marks_dir or os.path.join(
+            checkpoint_dir, "highwater"
+        )
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -109,33 +173,25 @@ def start_parquet_ingest(
         if rejects_dir is None:
             batch.write.mode("append").partitionBy("metric").parquet(out_dir)
             return
-        hw_state.seed(spark, out_dir)
-        marks = hw_state.marks or {}
+        highwater = hw_state.marks_df(spark, out_dir)
         batch = batch.persist()
         try:
-            if marks:
-                highwater = spark.createDataFrame(
-                    list(marks.items()), "series string, __hw long"
-                )
-                joined = batch.join(F.broadcast(highwater), "series", "left")
-                accepted = joined.filter(
-                    F.col("__hw").isNull()
-                    | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
-                ).drop("__hw")
-                late = joined.filter(
-                    F.col("__hw").isNotNull()
-                    & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
-                ).drop("__hw")
-            else:
-                accepted, late = batch, None
+            # no broadcast hint: at 10⁸+ series the marks table is not
+            # broadcast-sized; AQE picks broadcast vs shuffle from the
+            # actual table size per batch
+            joined = batch.join(highwater, "series", "left")
+            accepted = joined.filter(
+                F.col("__hw").isNull()
+                | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
+            ).drop("__hw")
+            late = joined.filter(
+                F.col("__hw").isNotNull()
+                & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
+            ).drop("__hw")
             accepted = accepted.persist()
             accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
-            if late is not None:
-                late.write.mode("append").parquet(rejects_dir)
-            # O(series-in-batch) rows — the only driver-side state update
-            hw_state.advance(
-                accepted.groupBy("series").agg(F.max("ts_ns").alias("__m")).collect()
-            )
+            late.write.mode("append").parquet(rejects_dir)
+            hw_state.advance(spark, accepted)
             accepted.unpersist()
         finally:
             batch.unpersist()

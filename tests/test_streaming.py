@@ -89,8 +89,12 @@ def test_stream_rejects_late_writes(spark, dirs):
 
 
 def test_stream_highwater_seeds_from_existing_sink(spark, dirs):
-    # restart-recovery: a fresh state seeds from what's already committed,
-    # so a late row in the first post-restart batch is still rejected
+    # restart-recovery: a late row in the first post-restart batch is
+    # still rejected.  With the side table intact the restart reads it
+    # and never rescans the sink; if the side table is lost, it is
+    # re-seeded from ONE sink scan.
+    import shutil
+
     _write_pdu_file(dirs["in"], "b1.txt", "+cpu host=a\n:1000000000000\n:1\n")
     stream = parsed_stream_from_files(spark, dirs["in"])
     q = start_parquet_ingest(
@@ -100,7 +104,8 @@ def test_stream_highwater_seeds_from_existing_sink(spark, dirs):
         q.processAllAvailable()
     finally:
         q.stop()
-    # new query (new state object), same sink
+    # new query (new state object), same checkpoint: marks side table
+    # survives the restart → zero sink scans
     hw = HighWaterState()
     _write_pdu_file(dirs["in"], "b2.txt", "+cpu host=a\n:900000000000\n:9\n")
     stream2 = parsed_stream_from_files(spark, dirs["in"])
@@ -114,7 +119,25 @@ def test_stream_highwater_seeds_from_existing_sink(spark, dirs):
         q2.stop()
     rejects = spark.read.parquet(dirs["rej"])
     assert 900000000000 in [r["ts_ns"] for r in rejects.collect()]
-    assert hw.seed_scans == 1
+    assert hw.seed_scans == 0
+
+    # side table destroyed → next query seeds from the committed sink
+    # (exactly one scan) and still rejects a late row
+    shutil.rmtree(hw.marks_dir)
+    hw2 = HighWaterState()
+    _write_pdu_file(dirs["in"], "b3.txt", "+cpu host=a\n:910000000000\n:4\n")
+    stream3 = parsed_stream_from_files(spark, dirs["in"])
+    q3 = start_parquet_ingest(
+        stream3, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS,
+        state=hw2,
+    )
+    try:
+        q3.processAllAvailable()
+    finally:
+        q3.stop()
+    rejects = {r["ts_ns"] for r in spark.read.parquet(dirs["rej"]).collect()}
+    assert 910000000000 in rejects
+    assert hw2.seed_scans == 1
 
 
 def test_windowed_rollup(spark):

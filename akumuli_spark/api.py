@@ -53,13 +53,34 @@ class Database:
     # partials instead of rescanning raw points.
     _rollup: DataFrame | None = None
     _rollup_step_ns: int = 0
+    _rollup_complete_ns: int | None = None
 
-    def attach_rollup(self, rollup: DataFrame, base_step_ns: int) -> None:
+    def attach_rollup(self, rollup: DataFrame, base_step_ns: int,
+                      complete_through_ns: int | None = None) -> None:
+        """Attach a base-step rollup for the group-aggregate fast path.
+
+        Consistency contract: attaching WITHOUT ``complete_through_ns``
+        asserts the rollup is complete with respect to the bound metrics
+        frame (e.g. batch-materialized from the same data) — servable
+        queries are then answered from it for any range.  An append-mode
+        STREAMING rollup only contains watermark-closed windows and in
+        general lags the metrics frame; such a caller must pass
+        ``complete_through_ns`` (its watermark / committed high-water
+        position): queries whose range extends past it fall through to
+        the direct raw-scan path, so the same query JSON never silently
+        returns fewer buckets than the raw data would."""
         self._rollup = rollup
         self._rollup_step_ns = base_step_ns
+        self._rollup_complete_ns = complete_through_ns
 
     def _try_rollup(self, q: Query) -> DataFrame | None:
         if self._rollup is None or q.kind is not QueryKind.GROUP_AGGREGATE:
+            return None
+        # freshness guard: never serve a range the rollup doesn't cover yet
+        if (
+            self._rollup_complete_ns is not None
+            and q.range.end_ns > self._rollup_complete_ns
+        ):
             return None
         # raw-data features the rollup cannot reproduce fall through to
         # the direct path: tag predicates/regrouping need the tag map,

@@ -227,10 +227,15 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
         # candidates feed BOTH the semi-join (below) and the final pair
-        # join; without persist Spark re-executes the whole shingle→
-        # signature→banding subplan for each consumer.  The persisted
-        # frame is only id pairs — O(near-dups), tiny at any scale.
-        .persist()
+        # join; without materialization Spark re-executes the whole
+        # shingle→signature→banding subplan for each consumer.  The frame
+        # is only id pairs — O(near-dups), tiny at any scale.  Eager
+        # localCheckpoint instead of persist(): a persisted plan lives in
+        # the CacheManager until explicitly unpersisted (which a lazy
+        # return value can never do — repeated calls would leak cached
+        # blocks for the session's lifetime), while checkpoint blocks are
+        # released when the frame is garbage-collected.
+        .localCheckpoint(eager=True)
     )
     # verification: exact Jaccard computed ONLY for candidate pairs — the
     # point of LSH is that this step never touches non-candidate pairs.
@@ -330,6 +335,11 @@ FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
 # (Out of Range on 1<<63), and 4 more bits buy nothing.
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4  # 4 × 15-bit chunks; hamming ≤ 3 ⇒ ≥1 chunk matches
+#: a doc with ≥ 2²¹ distinct features would overflow a packed 21-bit vote
+#: lane into its neighbor, silently flipping signature bits — enforced in
+#: simhash_signatures via raise_error (fail loudly, like the RESP input
+#: limits, rather than emit wrong candidate pairs)
+SIMHASH_MAX_FEATURES = 1 << 21
 
 
 def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -341,7 +351,10 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     per 64-bit sum (21-bit lanes — safe while a doc has < 2²¹ features),
     so the hash-aggregate carries 20 buffers instead of 60.  The vote
     ``2·ones_j > count`` is exactly the ±1-sum sign test including the
-    tie (= → bit 0).
+    tie (= → bit 0).  The lane-width assumption is ENFORCED: a document
+    with ≥ :data:`SIMHASH_MAX_FEATURES` distinct features raises at
+    execution (raise_error) instead of silently corrupting its neighbors'
+    vote lanes.
     """
     sh = word_shingles(docs, n=n)
     h = F.expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)")
@@ -364,7 +377,15 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         ones = F.expr(f"shiftright(p{j // lanes}, {(j % lanes) * shift}) & {mask}")
         bit = F.when(ones * 2 > F.col("cnt"), F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    return votes.select("id", sig.cast("long").alias("simhash"))
+    guarded = F.when(
+        F.col("cnt") < F.lit(SIMHASH_MAX_FEATURES), sig.cast("long")
+    ).otherwise(
+        F.expr(
+            "raise_error(concat('simhash: document ', id, ' has ', cnt, "
+            "' features; >= 2^21 would overflow the packed vote lanes'))"
+        ).cast("long")
+    )
+    return votes.select("id", guarded.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:

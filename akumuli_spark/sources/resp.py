@@ -159,7 +159,7 @@ PARSED_SCHEMA = (
 
 
 def parse_resp_stage(pdus: DataFrame, column: str = "value",
-                     on_error: str = "fail") -> DataFrame:
+                     on_error: str = "fail", dropped_acc=None) -> DataFrame:
     """mapInPandas parse stage: DataFrame[column: string of complete PDUs]
     → parsed samples.  Works identically on batch and streaming frames.
 
@@ -167,6 +167,12 @@ def parse_resp_stage(pdus: DataFrame, column: str = "value",
     stream — the reference's UDP path drops bad packets and keeps serving
     (udp_server.cpp), while its TCP path kills the connection (= the
     default ``"fail"``).
+
+    ``dropped_acc`` (an optional Spark accumulator) counts the chunks the
+    skip path drops, completing "malformed packets are counted" parity
+    with udp_server.cpp: UdpSpool counts decode failures, this counts
+    RESP-malformed ones.  It is an operational metric — task retries can
+    overcount, like any Spark accumulator.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError("on_error must be 'fail' or 'skip'")
@@ -180,6 +186,8 @@ def parse_resp_stage(pdus: DataFrame, column: str = "value",
                 except (RespError, ValueError):
                     if on_error == "fail":
                         raise
+                    if dropped_acc is not None:
+                        dropped_acc.add(1)
                     continue
                 for s in samples:
                     tags_str = ",".join(f"{k}={v}" for k, v in sorted(s.tags.items()))

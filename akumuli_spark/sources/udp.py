@@ -8,7 +8,10 @@ Reference semantics preserved:
   fresh ProtocolParser per packet — no cross-packet buffering), so a PDU
   may not span datagrams;
 * malformed packets are counted and dropped, never fatal (the reference
-  logs and keeps serving);
+  logs and keeps serving).  The count is split across the two places a
+  packet can be bad: ``UdpSpool.n_errors`` counts UTF-8 decode failures
+  at receive time; RESP-malformed datagrams are dropped (and counted)
+  downstream by ``parse_resp_stage(on_error="skip", dropped_acc=...)``;
 * max datagram size 64 KiB (``MSS = 0x10000``).
 
 Spark wiring: Structured Streaming has no UDP source, so the receiver

@@ -18,9 +18,10 @@ This is the Spark-native replacement for the reference's whole write path
   sink instead of vanishing silently.
 
 Scale notes: the sink partitions by ``metric`` so queries prune partitions
-on the metric predicate; within a micro-batch rows are sorted by
-(series, ts) before writing so parquet row groups carry tight min/max
-stats for time-range pushdown (the honest analogue of the reference's
+on the metric predicate; within a micro-batch each task sorts its rows by
+(metric, series, ts) before writing (sortWithinPartitions — no shuffle,
+no range-sampling pass) so parquet row groups carry tight min/max stats
+for time-range pushdown (the honest analogue of the reference's
 time-ordered NB+tree leaves).
 """
 
@@ -35,18 +36,22 @@ from akumuli_spark.sources.resp import parse_resp_stage
 
 
 def parsed_stream_from_files(spark: SparkSession, input_dir: str,
-                             on_error: str = "fail") -> DataFrame:
+                             on_error: str = "fail",
+                             dropped_acc=None) -> DataFrame:
     """File-source transport: each text file contains complete PDUs.
     ``wholetext`` keeps a file's PDUs together in one row — the line-mode
     source would split multi-line PDUs across rows.  For a UDP-fed spool
     (sources/udp.py) pass ``on_error="skip"``: bad datagrams are dropped
-    like the reference's UDP server does."""
+    like the reference's UDP server does; pass a Spark accumulator as
+    ``dropped_acc`` to count those drops."""
     raw = (
         spark.readStream.format("text")
         .option("wholetext", "true")
         .load(input_dir)
     )
-    return parse_resp_stage(raw, column="value", on_error=on_error)
+    return parse_resp_stage(
+        raw, column="value", on_error=on_error, dropped_acc=dropped_acc
+    )
 
 
 class HighWaterState:
@@ -169,7 +174,12 @@ def start_parquet_ingest(
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        batch = batch.sort("series", "ts_ns")
+        # sortWithinPartitions, NOT a global sort: per-file (series, ts)
+        # ordering is all the parquet min/max row-group stats need, and a
+        # global sort's RangePartitioning runs an extra sampling pass that
+        # would execute the upstream parse stage twice per batch (and
+        # shuffle the whole batch for a total order nobody reads)
+        batch = batch.sortWithinPartitions("metric", "series", "ts_ns")
         if rejects_dir is None:
             batch.write.mode("append").partitionBy("metric").parquet(out_dir)
             return

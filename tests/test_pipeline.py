@@ -57,6 +57,14 @@ def test_simhash_pairs(spark, duck, docs):
     assert_matches_oracle(out, duck, dedup.simhash_sql(3, 3))
 
 
+def test_simhash_feature_overflow_raises(spark, docs, monkeypatch):
+    # the 21-bit vote-lane packing is only valid below 2^21 features per
+    # doc; a pathological doc must fail loudly, not flip neighboring bits
+    monkeypatch.setattr(dedup, "SIMHASH_MAX_FEATURES", 5)
+    with pytest.raises(Exception, match="overflow the packed vote lanes"):
+        dedup.simhash_signatures(docs, n=3).collect()
+
+
 def test_embedding_near_dup(spark, duck, embs):
     out = dedup.embedding_near_dup_pairs(embs, threshold=0.4)
     assert out.count() > 0

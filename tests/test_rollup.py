@@ -103,3 +103,47 @@ def test_database_rollup_fast_path_matches_direct(spark, raw, rollup):
     q2["group-aggregate"] = {"metric": "app.click", "step": step + 1,
                              "func": "sum"}
     assert db.query(q2).count() > 0
+
+
+def test_rollup_freshness_guard_falls_through(spark, raw, rollup):
+    """A lagging streaming rollup (declared via complete_through_ns) must
+    NOT serve a range extending past its coverage — same query JSON, same
+    answer as the direct path, even though the rollup is missing the tail."""
+    import tempfile
+
+    from akumuli_spark.api import open_database
+
+    step = 60 * MIN_NS
+    mid = E0 + (E1 - E0) // 2  # bucket-aligned (E1-E0 is a whole number of days)
+    qjson = {
+        "group-aggregate": {"metric": "app.click", "step": step,
+                            "func": ["count", "sum"]},
+        "range": {"from": E0, "to": E1},
+    }
+    db = open_database(spark, raw)
+    direct = {tuple(r) for r in db.query(qjson).collect()}
+
+    # a rollup that only holds watermark-closed windows up to `mid`
+    lagging = rollup.filter(f"bucket_us * 1000 < {mid}")
+    rdir = tempfile.mkdtemp(prefix="rollup_lag_")
+    lagging.write.mode("overwrite").parquet(rdir)
+    db.attach_rollup(spark.read.parquet(rdir), MIN_NS, complete_through_ns=mid)
+
+    # range past coverage → freshness guard falls through to raw scan
+    full = db.query(qjson)
+    assert {tuple(r) for r in full.collect()} == direct
+    plan = full._jdf.queryExecution().toString()
+    assert "events.parquet" in plan  # proves the direct path ran
+
+    # range within coverage → still served from the rollup
+    q_in = {
+        "group-aggregate": {"metric": "app.click", "step": step,
+                            "func": ["count", "sum"]},
+        "range": {"from": E0, "to": mid},
+    }
+    fast_df = db.query(q_in)
+    in_direct = {tuple(r) for r in
+                 execute_query(spark, q_in, raw).collect()}
+    assert {tuple(r) for r in fast_df.collect()} == in_direct and in_direct
+    plan = fast_df._jdf.queryExecution().toString()
+    assert "events.parquet" not in plan

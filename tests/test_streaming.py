@@ -178,7 +178,10 @@ def test_udp_spool_ingest_end_to_end(spark, dirs):
     finally:
         spool.stop()
 
-    stream = parsed_stream_from_files(spark, dirs["in"], on_error="skip")
+    dropped = spark.sparkContext.accumulator(0)
+    stream = parsed_stream_from_files(
+        spark, dirs["in"], on_error="skip", dropped_acc=dropped
+    )
     q = start_parquet_ingest(stream, dirs["out"], dirs["chk"])
     try:
         q.processAllAvailable()
@@ -187,3 +190,6 @@ def test_udp_spool_ingest_end_to_end(spark, dirs):
     out = spark.read.parquet(dirs["out"])
     rows = {(r["metric"], r["ts_ns"], r["value"]) for r in out.collect()}
     assert rows == {("cpu", 1000000000, 1.0), ("mem", 2000000000, 7.0)}
+    # the RESP-malformed datagram is counted by the skip path, so drops
+    # are visible to operators (udp_server.cpp counting parity)
+    assert dropped.value == 1

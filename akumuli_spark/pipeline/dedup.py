@@ -181,18 +181,15 @@ def _minhash_params() -> list[tuple[int, int]]:
     ]
 
 
-def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
-                      threshold: float = 0.5) -> DataFrame:
-    """MinHash/LSH near-dup: shingle → 32-bit hash → k minhashes → band
-    signatures → candidates from band-equality joins → exact Jaccard
-    verification.
+def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document MinHash signature table ``(id, mh0..mh{K-1})``.
 
-    Scale shape: the only wide operations are (a) a groupBy per (doc, i)
-    to take the min hash — map-side combinable, and (b) an equi-join on
-    band signatures whose fan-out is the number of colliding docs, i.e.
-    the true near-dup clusters plus the (tunable) false-positive rate of
-    the banding scheme.  No cross join anywhere.
-    """
+    This IS the dedup index: build it once per corpus (or maintain it
+    incrementally — signatures are per-document, so new docs only add
+    rows), persist it in the lake, and run pair generation against the
+    stored table via ``minhash_lsh_pairs(docs, signatures=...)`` —
+    re-shingling 100 TB for every dedup query is the cost this table
+    exists to avoid."""
     sh = word_shingles(docs, n=n)
     # 32-bit base hash from the md5 prefix, reduced mod P
     x = F.expr("CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)")
@@ -202,7 +199,26 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5,
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sig = hashed.groupBy("id").agg(*mh_cols)
+    return hashed.groupBy("id").agg(*mh_cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
+                      signatures: DataFrame | None = None) -> DataFrame:
+    """MinHash/LSH near-dup: shingle → 32-bit hash → k minhashes → band
+    signatures → candidates from band-equality joins → exact Jaccard
+    verification.
+
+    Scale shape: the only wide operations are (a) a groupBy per (doc, i)
+    to take the min hash — map-side combinable, and (b) an equi-join on
+    band signatures whose fan-out is the number of colliding docs, i.e.
+    the true near-dup clusters plus the (tunable) false-positive rate of
+    the banding scheme.  No cross join anywhere.
+
+    Pass ``signatures`` (a stored :func:`minhash_signatures` table) to
+    skip the shingle→hash→min aggregation entirely; verification still
+    reads only candidate documents' text.
+    """
+    sig = signatures if signatures is not None else minhash_signatures(docs, n)
     rows_per_band = MINHASH_K // MINHASH_BANDS
     band_cols = []
     for bnd in range(MINHASH_BANDS):
@@ -396,7 +412,8 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return votes.select("id", guarded.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3,
+                  signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Candidate generation by the pigeonhole trick: split the signature into
@@ -404,14 +421,18 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3) -> DataFram
     agree exactly on ≥1 chunk, so candidates come from equi-joins on
     (chunk_idx, chunk_value) — never a cross join.
 
-    The signature frame is materialized once (eager localCheckpoint —
-    GC-released, same rationale as minhash_lsh_pairs): it is one
-    (id, 60-bit long) row per document, and the self-join would otherwise
-    execute the whole shingle→hash→vote aggregation twice, once per side.
-    A production deployment persists the signature table anyway — it IS
-    the dedup index.
+    Pass ``signatures`` (a stored :func:`simhash_signatures` table — at
+    scale the signature table IS the dedup index, one (id, long) row per
+    doc) to skip the shingle→hash→vote aggregation.  Otherwise the
+    freshly built signature frame is materialized once (eager
+    localCheckpoint — GC-released, same rationale as minhash_lsh_pairs):
+    the chunk self-join would otherwise execute the whole aggregation
+    twice, once per side.
     """
-    sig = simhash_signatures(docs, n=n).localCheckpoint(eager=True)
+    if signatures is not None:
+        sig = signatures
+    else:
+        sig = simhash_signatures(docs, n=n).localCheckpoint(eager=True)
     chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
     mask = (1 << chunk_bits) - 1
     chunks = sig.select(

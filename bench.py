@@ -138,6 +138,31 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     db.query(q).write.format("noop").mode("overwrite").save()
     out["rollup_fast"] = round(time.time() - t0, 3)
     shutil.rmtree(rdir, ignore_errors=True)
+
+    # dedup index path: signature tables built once and persisted (the
+    # production shape — the signature table IS the dedup index), then
+    # pair generation answered from the stored tables
+    from akumuli_spark.pipeline import dedup
+    from akumuli_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ddir = os.path.join(tempfile.gettempdir(), "akumuli_bench_dedup_idx")
+    shutil.rmtree(ddir, ignore_errors=True)
+    t0 = time.time()
+    dedup.minhash_signatures(docs, n=5).write.parquet(f"{ddir}/mh")
+    dedup.simhash_signatures(docs, n=3).write.parquet(f"{ddir}/sh")
+    out["dedup_index_build_s"] = round(time.time() - t0, 3)
+    for label, fn in (
+        ("dedup_minhash_indexed", lambda: dedup.minhash_lsh_pairs(
+            docs, 5, 0.5, signatures=spark.read.parquet(f"{ddir}/mh"))),
+        ("dedup_simhash_indexed", lambda: dedup.simhash_pairs(
+            docs, 3, 3, signatures=spark.read.parquet(f"{ddir}/sh"))),
+    ):
+        fn().write.format("noop").mode("overwrite").save()  # warm
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        out[label] = round(time.time() - t0, 3)
+    shutil.rmtree(ddir, ignore_errors=True)
     return out
 
 

@@ -209,3 +209,19 @@ def test_ivf_kmeans_codebook_same_interface(spark, embs):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert abs(exact[key] - r["cosine"]) < 1e-12
+
+
+def test_dedup_pairs_from_stored_signature_tables(spark, docs, tmp_path):
+    # the signature tables ARE the dedup index: pairs computed from a
+    # persisted table must equal the one-shot path exactly
+    mh_dir, sh_dir = str(tmp_path / "mh"), str(tmp_path / "sh")
+    dedup.minhash_signatures(docs, n=5).write.parquet(mh_dir)
+    dedup.simhash_signatures(docs, n=3).write.parquet(sh_dir)
+    direct_mh = {tuple(r) for r in dedup.minhash_lsh_pairs(docs, 5, 0.5).collect()}
+    indexed_mh = {tuple(r) for r in dedup.minhash_lsh_pairs(
+        docs, 5, 0.5, signatures=spark.read.parquet(mh_dir)).collect()}
+    assert indexed_mh == direct_mh and direct_mh
+    direct_sh = {tuple(r) for r in dedup.simhash_pairs(docs, 3, 3).collect()}
+    indexed_sh = {tuple(r) for r in dedup.simhash_pairs(
+        docs, 3, 3, signatures=spark.read.parquet(sh_dir)).collect()}
+    assert indexed_sh == direct_sh and direct_sh

@@ -50,6 +50,7 @@ _TOKEN_RE = re.compile(
 #: muParser builtins that exist in Spark SQL under the same name
 _ALLOWED_FUNCS = {
     "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "asinh", "acosh", "atanh",
     "ln", "log", "log2", "log10", "exp", "sqrt", "abs", "min", "max",
     "sign", "rint", "sum", "avg",
 }

@@ -57,6 +57,47 @@ def write_metrics_table(metrics: DataFrame, path: str,
     )
 
 
+def compact_metrics_table(spark: SparkSession, path: str) -> None:
+    """Rewrite the table so each (metric, ts_bucket) partition holds one
+    (series, ts)-sorted file set.
+
+    Streaming ingest appends one file set per micro-batch; thousands of
+    KB-sized files per partition make listing + footer reads dominate
+    scans (the same economics as the bucket-width note above).  Periodic
+    compaction is the parquet analogue of the reference's volume
+    management.  The rewrite lands in a sibling directory and is swapped
+    in with two renames — the local-FS analogue of a transactional
+    REPLACE; on a lake you'd run the same plan through Delta OPTIMIZE.
+
+    Rows keep the engine schema stored on disk (no tags map — see module
+    docstring); the sort restores tight row-group min/max stats that
+    per-batch appends fragment.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    cols = [c for c in df.columns if c not in ("metric", "ts_bucket")]
+    tmp = f"{path}.compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.select("metric", "ts_bucket", *cols)
+        # hash-repartition on the partition keys: every (metric, bucket)
+        # lands whole in one task → one file each, tasks still parallel
+        # across partitions
+        .repartition("metric", "ts_bucket")
+        .sortWithinPartitions("metric", "ts_bucket", "series", "ts_ns")
+        .write.mode("overwrite")
+        .partitionBy("metric", "ts_bucket")
+        .parquet(tmp)
+    )
+    old = f"{path}.compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def read_metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """Load back in engine schema (partition columns folded away); the
     tags map is reconstructed from the series string per the series

@@ -46,3 +46,44 @@ def test_partition_pruning_in_plan(spark, layout_path):
     # ts_ns is physical here: the range predicate is pushed to parquet
     pushed = plan.split("PushedFilters")[1][:400]
     assert "ts_ns" in pushed
+
+
+def test_compact_metrics_table(spark, tmp_path):
+    """Fragmented multi-append table → one sorted file set per partition,
+    identical rows."""
+    import glob
+
+    from akumuli_spark.sources.layout import (
+        compact_metrics_table,
+        read_metrics_table,
+        write_metrics_table,
+    )
+    from akumuli_spark.sources.testdata import metrics_view
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "frag")
+    view = metrics_view(spark, SF_DIR)
+    bucket = 365 * 86_400 * 10**9
+    # three appends = three file sets per partition (streaming-sink shape)
+    write_metrics_table(view, path, bucket_ns=bucket)
+    write_metrics_table(view, path, bucket_ns=bucket, mode="append")
+    write_metrics_table(view, path, bucket_ns=bucket, mode="append")
+    before_rows = read_metrics_table(spark, path).count()
+    before_files = len(glob.glob(f"{path}/*/*/*.parquet"))
+
+    compact_metrics_table(spark, path)
+
+    after = read_metrics_table(spark, path)
+    assert after.count() == before_rows
+    after_files = len(glob.glob(f"{path}/*/*/*.parquet"))
+    assert after_files < before_files
+    # exactly one file per (metric, bucket) partition directory
+    part_dirs = glob.glob(f"{path}/*/*")
+    assert after_files == len([d for d in part_dirs if glob.glob(f"{d}/*.parquet")])
+    # rows within each file are (series, ts)-sorted
+    import pyarrow.parquet as pq
+    f = glob.glob(f"{path}/*/*/*.parquet")[0]
+    t = pq.read_table(f, columns=["series", "ts_ns"]).to_pandas()
+    assert list(t.itertuples(index=False)) == sorted(
+        t.itertuples(index=False), key=lambda r: (r.series, r.ts_ns)
+    )

@@ -1,0 +1,188 @@
+"""Near-duplicate clustering and deterministic corpus sampling.
+
+Pair lists (from :mod:`akumuli_spark.pipeline.dedup`) are only half of a
+dedup pipeline: the end goal is "keep ONE document per duplicate group".
+That requires grouping the pairs into connected components — two documents
+that never compared directly (A~B, B~C) must still land in one group so
+that exactly one of {A, B, C} survives.
+
+Scale design: components are computed with iterative min-label
+propagation plus pointer-jumping (the two-phase scheme of the MapReduce
+connected-components literature, e.g. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14).  Each round is two
+distributed hash joins on (node id) — no global structures, no driver
+state beyond the loop counter; convergence needs O(log(diameter)) rounds
+and near-dup graphs have tiny diameters (clusters are quasi-cliques), so
+in practice 2–3 rounds.  Each round materializes an O(|nodes|)
+two-column frame via localCheckpoint (eager, GC-released), which also
+truncates the iterative lineage.
+
+Determinism: the component label is the minimum document id of the
+component, so results are engine-independent and DuckDB can replay them
+with a recursive CTE (see :func:`dedup_clusters_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from akumuli_spark.pipeline import dedup as _dedup
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components of the undirected graph (nodes, pairs).
+
+    ``nodes``: one column ``id``; ``pairs``: columns ``doc_a``/``doc_b``.
+    Returns (id, comp) where comp is the minimum id in the component.
+    Isolated nodes get comp = id.
+
+    Iterative (driver loop, one count() action per round) — inherent to
+    transitive closure; every per-round step is a distributed join and
+    the materialized state is two BIGINT columns per node.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+    ).localCheckpoint(eager=True)
+
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # propagate: candidate label = min over neighbours' labels
+        nbr = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy(F.col("d").alias("id2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        step = (
+            labels.join(nbr, labels["id"] == nbr["id2"], "left")
+            .select(
+                "id",
+                "comp",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("new_comp"),
+            )
+        )
+        # pointer-jumping: follow the label one hop (comp := comp's comp);
+        # labels are node ids, so the hop is a self-join on the same frame.
+        l2 = step.select(F.col("id").alias("jid"), F.col("new_comp").alias("jcomp"))
+        step = (
+            step.join(l2, step["new_comp"] == l2["jid"], "left")
+            .select(
+                "id",
+                "comp",
+                F.least("new_comp", F.coalesce("jcomp", "new_comp")).alias("next_comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = step.filter(F.col("next_comp") < F.col("comp")).count()
+        labels = step.select("id", F.col("next_comp").alias("comp"))
+        if n_changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+
+
+def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5,
+                   max_df: int | None = 64) -> DataFrame:
+    """Duplicate clusters over the corpus: (doc_id, cluster_id, is_canonical).
+
+    Pairs come from word-n-gram Jaccard (same audited semantics as the
+    ``dedup_ngram_jaccard`` registry entry, skew guard included); the
+    canonical survivor of each cluster is its minimum doc_id.  Filtering
+    the corpus to ``is_canonical`` is the complete dedup operation.
+    """
+    pairs = _dedup.ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                                       max_df=max_df)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    comp = connected_components(nodes, pairs)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def dedup_clusters_sql(n: int = 5, threshold: float = 0.5,
+                       max_df: int | None = 64) -> str:
+    """DuckDB twin of :func:`dedup_clusters` (recursive-CTE closure).
+
+    Labels propagate only downward (``r.comp < e.d``): the component
+    minimum reaches every member through monotonically pruned paths, and
+    the prune bounds the closure frontier.
+    """
+    pairs_sql = _dedup.ngram_jaccard_sql(n=n, threshold=threshold, max_df=max_df)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+  WHERE r.comp < e.d
+)
+SELECT id AS doc_id, min(comp) AS cluster_id, min(comp) = id AS is_canonical
+FROM reach GROUP BY id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample of a corpus.
+
+    Training mixes need reproducible sampling ("50% of en, 25% of de"):
+    each row's inclusion is decided by a uniform hash of its id —
+    u = md5(id)[:8] / 2^32 — kept iff u < rate(stratum).  No RNG state,
+    no shuffle (a pure filter over the scan, predicate-pushdown
+    friendly), identical output on any engine / any partitioning / any
+    re-run, and a rate increase strictly grows the previous sample
+    (nested samples, the property reservoir sampling cannot give).
+
+    Output: (doc_id, stratum, sample_key) for the kept rows.
+    """
+    rate_expr = F.lit(float(default_rate))
+    for k in sorted(rates):  # deterministic plan
+        rate_expr = F.when(F.col(stratum_col) == k, F.lit(float(rates[k]))).otherwise(rate_expr)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            u.alias("sample_key"),
+            rate_expr.alias("__rate"),
+        )
+        .filter(F.col("sample_key") < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
+def stratified_sample_sql(rates: dict[str, float], stratum_col: str = "lang",
+                          id_col: str = "doc_id",
+                          default_rate: float = 0.0) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    branches = " ".join(
+        f"WHEN {stratum_col} = '{k}' THEN {float(rates[k])!r}"
+        for k in sorted(rates)
+    )
+    return f"""
+SELECT doc_id, stratum, sample_key FROM (
+  SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+         (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0) AS sample_key,
+         CASE {branches} ELSE {float(default_rate)!r} END AS rate
+  FROM documents
+) WHERE sample_key < rate
+""".strip()

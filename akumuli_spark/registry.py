@@ -1383,6 +1383,33 @@ _register(
 )
 
 
+from akumuli_spark.pipeline import cluster as _cluster  # noqa: E402
+
+# pairs → groups → canonical survivor: the end of the dedup pipeline.
+# Same pair semantics as dedup_ngram_jaccard; the cluster label is the
+# component's min doc_id, replayed in DuckDB via recursive-CTE closure.
+_register_pipeline(
+    "dedup_clusters",
+    lambda spark, sf: _cluster.dedup_clusters(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5, max_df=64
+    ),
+    _cluster.dedup_clusters_sql(5, 0.5, max_df=64),
+    [],
+    ["doc_id", "cluster_id", "is_canonical"],
+)
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+
+_register_pipeline(
+    "sample_stratified",
+    lambda spark, sf: _cluster.stratified_sample(
+        load_table(spark, sf, "documents"), _SAMPLE_RATES
+    ),
+    _cluster.stratified_sample_sql(_SAMPLE_RATES),
+    ["sample_key"],
+    ["doc_id", "stratum"],
+)
+
 _register_pipeline(
     "dedup_embedding_lsh",
     lambda spark, sf: _dedup.embedding_near_dup_lsh(

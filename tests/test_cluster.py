@@ -1,0 +1,100 @@
+"""Tests for near-dup clustering (connected components) and stratified
+sampling — akumuli_spark/pipeline/cluster.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from akumuli_spark.pipeline.cluster import (
+    connected_components,
+    dedup_clusters,
+    stratified_sample,
+)
+
+
+def _nodes(spark, ids):
+    return spark.createDataFrame([Row(id=int(i)) for i in ids])
+
+
+def _pairs(spark, edges):
+    if not edges:
+        return spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    return spark.createDataFrame(
+        [Row(doc_a=int(a), doc_b=int(b)) for a, b in edges]
+    )
+
+
+def test_components_chain_and_isolate(spark):
+    # chain 1-2-3-4-5 (diameter 4, exercises >1 round) + isolated 9
+    labels = connected_components(
+        _nodes(spark, [1, 2, 3, 4, 5, 9]),
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)]),
+    )
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 9: 9}
+
+
+def test_components_two_clusters_edge_order_irrelevant(spark):
+    labels = connected_components(
+        _nodes(spark, [10, 20, 30, 40, 50]),
+        # edges given in "wrong" orientation relative to min label flow
+        _pairs(spark, [(40, 50), (30, 40), (10, 20)]),
+    )
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30}
+
+
+def test_components_no_edges(spark):
+    labels = connected_components(_nodes(spark, [7, 8]), _pairs(spark, []))
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {7: 7, 8: 8}
+
+
+def test_dedup_clusters_transitive(spark):
+    # A~B and B~C overlap pairwise above threshold, A and C do not share
+    # any 3-shingle — yet all three must form ONE cluster (transitivity),
+    # with the min id canonical.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e x1 y1 z1"),
+            Row(doc_id=2, text="a b c d e q r s t u"),
+            Row(doc_id=3, text="q r s t u x2 y2 z2"),
+            Row(doc_id=4, text="totally different words here now ok"),
+        ]
+    )
+    out = dedup_clusters(docs, n=3, threshold=0.2, max_df=None)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in out.collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def test_stratified_sample_nested_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(400)]
+    )
+    small = stratified_sample(docs, {"en": 0.2, "de": 0.1})
+    big = stratified_sample(docs, {"en": 0.6, "de": 0.4})
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    # nested: raising every rate strictly grows the sample
+    assert small_ids <= big_ids
+    # deterministic: re-running is bit-identical
+    again = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.2, "de": 0.1}).collect()}
+    assert again == small_ids
+    # roughly the right size (hash-uniformity sanity, generous bounds)
+    assert 0.05 < len(small_ids) / 400 < 0.35
+
+
+def test_stratified_sample_default_rate_drops_unknown(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, lang="xx"), Row(doc_id=2, lang="en")]
+    )
+    out = stratified_sample(docs, {"en": 1.0})
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_components_raises_without_fixpoint(spark):
+    with pytest.raises(RuntimeError):
+        connected_components(
+            _nodes(spark, [1, 2, 3]), _pairs(spark, [(1, 2), (2, 3)]), max_iter=0
+        )

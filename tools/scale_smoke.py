@@ -83,6 +83,19 @@ def dedup_smoke(spark, n_docs: int) -> dict:
     t = time.time()
     n_pairs = dedup.simhash_pairs(docs, n=3, max_hamming=3).count()
     out["simhash"] = {"sec": round(time.time() - t, 2), "pairs": n_pairs}
+    # components over the MinHash pair list: evidences that the iterative
+    # min-label/pointer-jumping loop converges in a handful of distributed
+    # rounds with O(nodes) state (planted graph: 2-node clusters)
+    from akumuli_spark.pipeline import cluster
+
+    t = time.time()
+    pairs = dedup.minhash_lsh_pairs(docs, n=5, threshold=0.5)
+    comp = cluster.connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    n_clustered = comp.filter(F.col("comp") != F.col("id")).count()
+    out["components"] = {"sec": round(time.time() - t, 2),
+                         "non_canonical": n_clustered}
     return out
 
 

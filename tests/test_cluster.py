@@ -93,6 +93,38 @@ def test_stratified_sample_default_rate_drops_unknown(spark):
     assert [r["doc_id"] for r in out.collect()] == [2]
 
 
+def test_components_random_graph_vs_union_find(spark):
+    # seeded random graph, checked against an independent union-find
+    import random
+
+    rng = random.Random(20260813)
+    n = 120
+    ids = list(range(1, n + 1))
+    edges = sorted({tuple(sorted(rng.sample(ids, 2))) for _ in range(90)})
+
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # expected label = min id in component
+    roots = {}
+    for i in ids:
+        roots.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for members in roots.values() for i in members}
+
+    labels = connected_components(_nodes(spark, ids), _pairs(spark, edges))
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == expect
+
+
 def test_components_raises_without_fixpoint(spark):
     with pytest.raises(RuntimeError):
         connected_components(

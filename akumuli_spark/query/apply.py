@@ -316,6 +316,189 @@ def _node_sax(res, node: ApplyNode):
 # ---------------------------------------------------------------------------
 
 
+def _forecast_preds(xs, method: str, alpha: float, beta: float,
+                    gamma: float, period: int) -> list[float]:
+    """One-step-ahead forecasts for a value sequence; seeds are NaN.
+
+    Shared by the precise path (sequence = one series) and the sketch
+    path (sequence = one (hash row, bucket) cell): every sliding-window
+    method in anomalydetector.cpp:283-539 applies only linear frame ops
+    (add/sub/mul), so forecasting each cell independently with the same
+    scalar recursion reproduces the reference's whole-sketch windows.
+    """
+    n = len(xs)
+    preds = [math.nan] * n
+    if method in ("ewma", "exp-smoothing"):
+        v = None
+        for i, x in enumerate(xs):
+            if v is not None:
+                preds[i] = v
+            v = x if v is None else alpha * x + (1 - alpha) * v
+    elif method in ("sma", "simple-moving-average"):
+        for i in range(n):
+            lo = max(0, i - period)
+            if i > 0:
+                preds[i] = sum(xs[lo:i]) / (i - lo)
+    elif method == "double-exp-smoothing":
+        level = trend = None
+        for i, x in enumerate(xs):
+            if level is None:
+                level, trend = x, 0.0
+                continue
+            preds[i] = level + trend
+            new_level = alpha * x + (1 - alpha) * (level + trend)
+            trend = gamma * (new_level - level) + (1 - gamma) * trend
+            level = new_level
+    elif method == "holt-winters":
+        level = trend = None
+        season = [0.0] * period
+        for i, x in enumerate(xs):
+            s = season[i % period]
+            if level is None:
+                level, trend = x, 0.0
+                continue
+            preds[i] = level + trend + s
+            new_level = alpha * (x - s) + (1 - alpha) * (level + trend)
+            trend = beta * (new_level - level) + (1 - beta) * trend
+            season[i % period] = gamma * (x - new_level) + (1 - gamma) * s
+            level = new_level
+    else:
+        raise ValueError(f"Unknown forecasting method {method!r}")
+    return preds
+
+
+def _anomaly_sketch(res, method: str, threshold: float, alpha: float,
+                    beta: float, gamma: float, period: int,
+                    bits: int, hashes: int):
+    """Counting-sketch anomaly detection (``approx: true``,
+    anomalydetector.cpp:15-175 + 540-600): per time step the frame is a
+    CountingSketch — ``hashes`` (N) hash rows × ``1 << bits`` (K)
+    buckets, cell = Σ value over the series hashing there — instead of
+    one counter per series, bounding frame state at N·K cells however
+    many series exist (the point of the approximation at scale).
+
+    Per (row, bucket) cell the chosen method forecasts the next frame;
+    the error frame is the absolute difference |forecast − actual|
+    (CountingSketch::diff).  A sample is anomalous iff
+
+        estimate(id) > sqrt(estimateF2()) · threshold
+
+    with the reference's unbiased estimators (anomalydetector.cpp:85-97):
+    estimate(id) = median_i (err[i][h_i(id)] − S/K)/(1 − 1/K) with S the
+    row-0 cell sum, and estimateF2 = median_i (K·(Σ_k err²) − S²)/(K−1)
+    — the classic AMS second-moment estimator; negative estimates
+    (sampling variance) flag nothing that step.  Median = sorted[N/2],
+    N odd by validation.
+
+    Two deliberate corrections to the (dormant, never-exercised)
+    reference code: (1) it seeds its hash family from
+    ``std::random_device`` (hashfnfamily.cpp:28-29), so two of its own
+    runs disagree; here h_i(series) = md5(i ‖ series) mod K —
+    deterministic, reproducible, DuckDB-replayable.  (2) its
+    ``estimateF2`` (anomalydetector.cpp:71-84) wraps the row sum of
+    squares in ``sqrt``, but Cauchy-Schwarz gives S² ≥ Σ_k err², so the
+    written formula is negative on every non-trivial error frame and the
+    detector can never fire (sqrt(negative) → NaN → comparison false);
+    dropping that sqrt yields exactly the unbiased estimator the
+    surrounding ``(value − S/K)/(1 − 1/K)`` machinery intends, and makes
+    the threshold scale like the precise path's ``θ·sqrt(Σ err²)``.
+
+    Scale shape: one shuffle to aggregate cells (grid = steps × N × K,
+    independent of series count), Arrow-batched per-cell recursion over
+    N·K keys, then broadcast-sized per-step sketch stats joined back to
+    the samples.  No driver-side state.
+    """
+    vcol = res.value_cols[0]
+    forward = res.query.range.forward
+    K = 1 << bits
+    N = hashes
+    df = res.df
+
+    def cell_of(i: int):
+        h = F.md5(F.concat(F.lit(f"{i}|"), F.col("series")))
+        return (F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+                % F.lit(K)).cast("bigint")
+
+    scells = (
+        df.select("series").distinct()
+        .select("series", F.posexplode(F.array(*[cell_of(i) for i in range(N)])))
+        .withColumnRenamed("pos", "i").withColumnRenamed("col", "cell")
+    )
+    sparse = (
+        df.join(scells, "series")
+        .groupBy("ts_ns", "i", "cell")
+        .agg(F.sum(F.col(f"`{vcol}`")).alias("v"))
+    )
+    # dense steps × N × K grid: absent cells hold 0.0 (the reference's
+    # frames allocate every bucket; a bucket no series hashes to still
+    # feeds 0 into the forecast recursions)
+    grid = (
+        df.select("ts_ns").distinct()
+        .select("ts_ns", F.explode(F.sequence(F.lit(0), F.lit(N - 1))).alias("i"))
+        .select("ts_ns", "i",
+                F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("cell0"))
+        .select("ts_ns", "i", F.col("cell0").cast("bigint").alias("cell"))
+    )
+    dense = (
+        grid.join(sparse, ["ts_ns", "i", "cell"], "left")
+        .select("ts_ns", "i", "cell", F.coalesce("v", F.lit(0.0)).alias("v"))
+    )
+
+    def cell_errors(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
+        xs = pdf["v"].to_numpy(dtype=float)
+        preds = _forecast_preds(xs, method, alpha, beta, gamma, period)
+        pdf["err"] = [abs(p - x) if not math.isnan(p) else math.nan
+                      for p, x in zip(preds, xs)]
+        return pdf[["ts_ns", "i", "cell", "err"]]
+
+    errs = (
+        dense.groupBy("i", "cell")
+        .applyInPandas(cell_errors, schema="ts_ns long, i int, cell long, err double")
+        .filter(F.col("err").isNotNull() & ~F.isnan("err"))
+    )
+    sums = (
+        errs.filter(F.col("i") == 0)
+        .groupBy("ts_ns").agg(F.sum("err").alias("sum_err"))
+    )
+    # constants as the exact IEEE ops the DuckDB oracle performs:
+    # K/(K-1) as one division, S²/(K-1) as a division (not a *1/(K-1))
+    row_stat = (
+        errs.groupBy("ts_ns", "i").agg(F.sum(F.col("err") * F.col("err")).alias("ss"))
+        .join(sums, "ts_ns")
+        .withColumn(
+            "stat",
+            (F.lit(float(K)) / F.lit(float(K - 1))) * F.col("ss")
+            - F.col("sum_err") * F.col("sum_err") / F.lit(float(K - 1)),
+        )
+    )
+    mid = N // 2 + 1  # sorted[N/2], 1-based for element_at
+    f2 = row_stat.groupBy("ts_ns").agg(
+        F.element_at(F.array_sort(F.collect_list("stat")), mid).alias("f2est")
+    )
+    est = (
+        df.join(scells, "series")
+        .join(errs, ["ts_ns", "i", "cell"])
+        .join(sums, "ts_ns")
+        .groupBy("series", "ts_ns", F.col(f"`{vcol}`"))
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list(
+                    (F.col("err") - F.col("sum_err") / K) / (1.0 - 1.0 / K)
+                )),
+                mid,
+            ).alias("est")
+        )
+    )
+    res.df = (
+        est.join(f2, "ts_ns")
+        .filter((F.col("f2est") >= 0)
+                & (F.col("est") > F.sqrt("f2est") * F.lit(threshold)))
+        .select("series", "ts_ns", f"`{vcol}`")
+    )
+    return res
+
+
 def _node_anomaly(res, node: ApplyNode):
     """Frame-based anomaly detection (anomalydetector.cpp:540-600):
     at each time step the detector forecasts the whole frame (one value
@@ -327,9 +510,10 @@ def _node_anomaly(res, node: ApplyNode):
 
     Methods (precise variants): ``ewma`` (alpha), ``sma`` (period),
     ``double-exp-smoothing`` (alpha, gamma), ``holt-winters`` (alpha,
-    beta, gamma, period).  The reference's ``approx: true`` CM-sketch
-    mode exists to bound single-node memory; the distributed exact
-    computation subsumes it, so ``approx`` is accepted and ignored.
+    beta, gamma, period).  ``approx: true`` selects the counting-sketch
+    pipeline (see :func:`_anomaly_sketch`) with ``bits``/``hashes``
+    validated per anomaly.cpp:29-46 (bits in [8, 16], hashes odd in
+    [1, 9]).
     """
     method = node.param("method")
     threshold = node.param("threshold")
@@ -357,6 +541,20 @@ def _node_anomaly(res, node: ApplyNode):
         raise QueryValidationError("holt-winters needs alpha, beta, gamma, period")
     if len(res.value_cols) != 1:
         raise QueryValidationError("anomaly-detector works only with scalars")
+    if node.param("approx", False):
+        bits = int(node.param("bits", 10))
+        hashes = int(node.param("hashes", 3))
+        if not 8 <= bits <= 16:
+            raise QueryValidationError(
+                "Anomaly detector parameter `bits` out of range")
+        if hashes % 2 == 0:
+            raise QueryValidationError(
+                "Anomaly detector parameter `hashes` should be odd")
+        if not 1 <= hashes <= 9:
+            raise QueryValidationError(
+                "Anomaly detector parameter `hashes` out of range")
+        return _anomaly_sketch(res, method, threshold, alpha, beta, gamma,
+                               period, bits, hashes)
     vcol = res.value_cols[0]
     forward = res.query.range.forward
 
@@ -364,44 +562,7 @@ def _node_anomaly(res, node: ApplyNode):
         """Per-series one-step-ahead forecast errors (pred - actual)."""
         pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
         xs = pdf[vcol].to_numpy(dtype=float)
-        n = len(xs)
-        preds = [math.nan] * n
-        if method in ("ewma", "exp-smoothing"):
-            v = None
-            for i, x in enumerate(xs):
-                if v is not None:
-                    preds[i] = v
-                v = x if v is None else alpha * x + (1 - alpha) * v
-        elif method in ("sma", "simple-moving-average"):
-            for i in range(n):
-                lo = max(0, i - period)
-                if i > 0:
-                    preds[i] = sum(xs[lo:i]) / (i - lo)
-        elif method == "double-exp-smoothing":
-            level = trend = None
-            for i, x in enumerate(xs):
-                if level is None:
-                    level, trend = x, 0.0
-                    continue
-                preds[i] = level + trend
-                new_level = alpha * x + (1 - alpha) * (level + trend)
-                trend = gamma * (new_level - level) + (1 - gamma) * trend
-                level = new_level
-        elif method == "holt-winters":
-            level = trend = None
-            season = [0.0] * period
-            for i, x in enumerate(xs):
-                s = season[i % period]
-                if level is None:
-                    level, trend = x, 0.0
-                    continue
-                preds[i] = level + trend + s
-                new_level = alpha * (x - s) + (1 - alpha) * (level + trend)
-                trend = beta * (new_level - level) + (1 - beta) * trend
-                season[i % period] = gamma * (x - new_level) + (1 - gamma) * s
-                level = new_level
-        else:
-            raise ValueError(f"Unknown forecasting method {method!r}")
+        preds = _forecast_preds(xs, method, alpha, beta, gamma, period)
         # seed rows (no forecast yet) carry NaN here; the Arrow return
         # path converts float NaN to SQL NULL, so they are EXCLUDED from
         # the frame's F2 sum and from the output filter — a late-starting

@@ -1220,6 +1220,98 @@ _register(
 )
 
 
+# Counting-sketch anomaly detection (approx: true, anomalydetector.cpp:
+# 15-175): per time step the frame is hashes × 2^bits cells (cell = Σ
+# value over series hashing there); per-cell EWMA forecast, abs-diff
+# error frame, then the reference's unbiased estimate / AMS F2-estimate
+# with median-of-rows (see _anomaly_sketch's docstring for the two
+# documented corrections: deterministic md5 hash family, un-sqrt'd F2).
+# The oracle replays the whole pipeline: dense grid CTE, per-cell
+# recursive EWMA, the same estimator arithmetic.
+_register(
+    "apply_anomaly_ewma_sketch",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "ewma",
+                    "alpha": 0.4, "threshold": 0.35, "approx": True,
+                    "bits": 8, "hashes": 3}),
+    f"""WITH RECURSIVE {METRICS_SQL},
+    p AS (
+      SELECT {TAGSTR} AS tagstr, ts_ns,
+        sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
+        sum(CASE WHEN metric = 'lineitem.disc' THEN value END) AS disc
+      FROM metrics WHERE ts_ns >= {T96} AND ts_ns < {_T96_120D}
+        AND metric IN ('lineitem.price', 'lineitem.disc')
+      GROUP BY 1, 2
+    ),
+    ev AS (
+      SELECT 'lineitem.price|lineitem.disc ' || tagstr AS series, ts_ns,
+             price * (1 - disc) AS value
+      FROM p WHERE price IS NOT NULL AND disc IS NOT NULL
+    ),
+    steps AS MATERIALIZED (
+      SELECT ts_ns, CAST(row_number() OVER (ORDER BY ts_ns) AS BIGINT) AS rn
+      FROM (SELECT DISTINCT ts_ns FROM ev)
+    ),
+    scells AS MATERIALIZED (
+      SELECT series, CAST(i.i AS INT) AS i,
+             ('0x' || substr(md5(i.i || '|' || series), 1, 15))::BIGINT % 256 AS cell
+      FROM (SELECT DISTINCT series FROM ev) CROSS JOIN range(3) i(i)
+    ),
+    sparse AS (
+      SELECT e.ts_ns, sc.i, sc.cell, sum(e.value) AS v
+      FROM ev e JOIN scells sc USING (series) GROUP BY 1, 2, 3
+    ),
+    grid AS MATERIALIZED (
+      SELECT s.ts_ns, s.rn, i.i, c.cell, coalesce(sp.v, 0.0) AS v
+      FROM steps s
+      CROSS JOIN (SELECT CAST(i AS INT) AS i FROM range(3) t(i)) i
+      CROSS JOIN (SELECT CAST(cell AS BIGINT) AS cell FROM range(256) t(cell)) c
+      LEFT JOIN sparse sp
+        ON sp.ts_ns = s.ts_ns AND sp.i = i.i AND sp.cell = c.cell
+    ),
+    rec AS (
+      SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred, v AS state
+      FROM grid WHERE rn = 1
+      UNION ALL
+      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v, r.state,
+             0.4 * g.v + (1.0 - 0.4) * r.state
+      FROM rec r JOIN grid g
+        ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
+    ),
+    errs AS (
+      SELECT ts_ns, i, cell, abs(pred - v) AS err
+      FROM rec WHERE pred IS NOT NULL
+    ),
+    sums AS (
+      SELECT ts_ns, sum(err) AS sum_err FROM errs WHERE i = 0 GROUP BY 1
+    ),
+    rowstat AS (
+      SELECT e.ts_ns, e.i,
+             (256.0 / 255.0) * sum(e.err * e.err)
+               - s.sum_err * s.sum_err / 255.0 AS stat
+      FROM errs e JOIN sums s USING (ts_ns)
+      GROUP BY e.ts_ns, e.i, s.sum_err
+    ),
+    f2 AS (
+      SELECT ts_ns, (list_sort(list(stat)))[2] AS f2est
+      FROM rowstat GROUP BY 1
+    ),
+    est AS (
+      SELECT e.series, e.ts_ns, e.value,
+             (list_sort(list((er.err - s.sum_err / 256.0)
+                             / (1.0 - 1.0 / 256.0))))[2] AS est
+      FROM ev e
+      JOIN scells sc USING (series)
+      JOIN errs er ON er.ts_ns = e.ts_ns AND er.i = sc.i AND er.cell = sc.cell
+      JOIN sums s ON s.ts_ns = e.ts_ns
+      GROUP BY e.series, e.ts_ns, e.value, s.sum_err
+    )
+    SELECT series, ts_ns, value
+    FROM est JOIN f2 USING (ts_ns)
+    WHERE f2est >= 0 AND est > sqrt(f2est) * 0.35""",
+)
+
+
 # Candlesticks (internal NB+tree plotting operator, nbtree.h:218-219):
 # OHLC per pixel bucket = group-aggregate with first/max/min/last/count.
 from akumuli_spark.operators.candlesticks import candlesticks as _candles  # noqa: E402

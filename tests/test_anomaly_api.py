@@ -62,6 +62,32 @@ def test_anomaly_detects_spike(spark, spiky, method, params):
     assert not any(t < 45 for _, t in flagged)
 
 
+@pytest.mark.parametrize(
+    "method,params",
+    [
+        ("ewma", {"alpha": 0.3}),
+        ("sma", {"period": 5}),
+    ],
+)
+def test_anomaly_sketch_detects_spike(spark, spiky, method, params):
+    # K=256 buckets, 3 series: collisions are unlikely, so the sketch
+    # estimate tracks the per-series error and the spike must surface
+    rows = _detect(spark, spiky, method, approx=True, bits=8, hashes=3,
+                   **params)
+    flagged = {(r["series"], r["ts_ns"] // NS) for r in rows}
+    assert ("m host=1", 51) in flagged
+    assert not any(t < 45 for _, t in flagged)
+
+
+def test_anomaly_sketch_param_validation(spark, spiky):
+    with pytest.raises(QueryValidationError, match="bits"):
+        _detect(spark, spiky, "ewma", alpha=0.3, approx=True, bits=7)
+    with pytest.raises(QueryValidationError, match="odd"):
+        _detect(spark, spiky, "ewma", alpha=0.3, approx=True, hashes=2)
+    with pytest.raises(QueryValidationError, match="hashes"):
+        _detect(spark, spiky, "ewma", alpha=0.3, approx=True, hashes=11)
+
+
 def test_anomaly_param_validation(spark, spiky):
     with pytest.raises(QueryValidationError, match="alpha"):
         _detect(spark, spiky, "ewma")

@@ -87,6 +87,44 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 
 
+def benchmark_contamination(docs: DataFrame, bench: DataFrame, n: int = 8,
+                            min_overlap: int = 1) -> DataFrame:
+    """Decontamination: training documents that share ≥ ``min_overlap``
+    distinct word-``n``-grams with any benchmark document.
+
+    The benchmark side is small by construction (eval sets are tiny next
+    to a training corpus), so its shingle set is broadcast: the corpus is
+    scanned once with no shuffle of the corpus itself, and the post-join
+    aggregation is proportional to the number of HITS, not documents.
+    Long shingles (default 8-grams) make incidental overlap rare, the
+    standard contamination heuristic.
+
+    Output: (doc_id, n_shared) for flagged documents.
+    """
+    doc_sh = word_shingles(docs, n=n)
+    bench_sh = word_shingles(bench, n=n).select("shingle").distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .select(F.col("id").alias("doc_id"), "n_shared")
+    )
+
+
+def benchmark_contamination_sql(bench_pred: str, n: int = 8,
+                                min_overlap: int = 1) -> str:
+    """DuckDB twin of :func:`benchmark_contamination`; ``bench_pred`` is
+    a SQL predicate over ``id`` selecting the benchmark documents."""
+    return f"""
+WITH {_shingles_sql(n)},
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE {bench_pred})
+SELECT s.id AS doc_id, count(*) AS n_shared
+FROM shingles s JOIN bench USING (shingle)
+GROUP BY 1 HAVING count(*) >= {min_overlap}
+""".strip()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
                         max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard.

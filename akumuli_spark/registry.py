@@ -1490,6 +1490,22 @@ _register_pipeline(
     ["doc_id", "cluster_id", "is_canonical"],
 )
 
+# decontamination vs a "benchmark" slice of the corpus (every 10th doc):
+# flags any doc sharing >= 1 distinct 8-gram with a benchmark doc —
+# catches the planted near-dups whose partner landed in the benchmark.
+# Benchmark shingles are broadcast; the corpus is never shuffled.
+_register_pipeline(
+    "decontaminate_ngram",
+    lambda spark, sf: _dedup.benchmark_contamination(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "documents").filter("doc_id % 10 = 0"),
+        n=8, min_overlap=1,
+    ),
+    _dedup.benchmark_contamination_sql("id % 10 = 0", n=8, min_overlap=1),
+    [],
+    ["doc_id", "n_shared"],
+)
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 
 _register_pipeline(

@@ -225,3 +225,22 @@ def test_dedup_pairs_from_stored_signature_tables(spark, docs, tmp_path):
     indexed_sh = {tuple(r) for r in dedup.simhash_pairs(
         docs, 3, 3, signatures=spark.read.parquet(sh_dir)).collect()}
     assert indexed_sh == direct_sh and direct_sh
+
+
+def test_benchmark_contamination(spark):
+    from pyspark.sql import Row
+
+    bench_sent = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame([
+        # contains the benchmark sentence verbatim -> flagged
+        Row(doc_id=1, text="intro words here " + bench_sent + " trailing text"),
+        # unrelated -> clean
+        Row(doc_id=2, text="completely different content with no overlap at all here friend"),
+        # shares only a 7-gram prefix (8-gram shingles) -> clean
+        Row(doc_id=3, text="the quick brown fox jumps over the SLEEPY dog"),
+    ])
+    bench = spark.createDataFrame([Row(doc_id=100, text=bench_sent)])
+    out = {r["doc_id"]: r["n_shared"]
+           for r in dedup.benchmark_contamination(docs, bench, n=8).collect()}
+    assert set(out) == {1}
+    assert out[1] == 3  # 10-word sentence -> three 8-grams, all present

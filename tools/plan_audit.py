@@ -86,7 +86,8 @@ def main() -> None:
     qs = registry.queries()
     failures = 0
     # HEADLINE plus scale-sensitive queries the bench doesn't time
-    for name in [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk"]:
+    for name in [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk",
+                 "decontaminate_ngram", "sample_stratified"]:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
         failures += 0 if ok else 1

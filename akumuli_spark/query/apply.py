@@ -452,10 +452,15 @@ def _anomaly_sketch(res, method: str, threshold: float, alpha: float,
                       for p, x in zip(preds, xs)]
         return pdf[["ts_ns", "i", "cell", "err"]]
 
+    # the error frame feeds three consumers (S, row stats, estimates) and
+    # Spark re-executes a subplan per consumer — materialize it once; its
+    # size is bounded at steps × N × K rows (the sketch bound, not the
+    # series count)
     errs = (
         dense.groupBy("i", "cell")
         .applyInPandas(cell_errors, schema="ts_ns long, i int, cell long, err double")
         .filter(F.col("err").isNotNull() & ~F.isnan("err"))
+        .localCheckpoint(eager=True)
     )
     sums = (
         errs.filter(F.col("i") == 0)

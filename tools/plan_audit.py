@@ -86,8 +86,10 @@ def main() -> None:
     qs = registry.queries()
     failures = 0
     # HEADLINE plus scale-sensitive queries the bench doesn't time
-    for name in [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk",
-                 "decontaminate_ngram", "sample_stratified"]:
+    audited = [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk",
+               "decontaminate_ngram", "sample_stratified",
+               "apply_anomaly_ewma_sketch"]
+    for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
         failures += 0 if ok else 1
@@ -121,7 +123,7 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    print(f"\n{len(HEADLINE) + 3 - failures} ok, {failures} failing")
+    print(f"\n{len(audited) + 1 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

@@ -1222,19 +1222,19 @@ _register(
 
 # Counting-sketch anomaly detection (approx: true, anomalydetector.cpp:
 # 15-175): per time step the frame is hashes × 2^bits cells (cell = Σ
-# value over series hashing there); per-cell EWMA forecast, abs-diff
-# error frame, then the reference's unbiased estimate / AMS F2-estimate
-# with median-of-rows (see _anomaly_sketch's docstring for the two
-# documented corrections: deterministic md5 hash family, un-sqrt'd F2).
-# The oracle replays the whole pipeline: dense grid CTE, per-cell
-# recursive EWMA, the same estimator arithmetic.
-_register(
-    "apply_anomaly_ewma_sketch",
-    "metrics",
-    _anomaly_query({"name": "anomaly-detector", "method": "ewma",
-                    "alpha": 0.4, "threshold": 0.35, "approx": True,
-                    "bits": 8, "hashes": 3}),
-    f"""WITH RECURSIVE {METRICS_SQL},
+# value over series hashing there); per-cell forecast, abs-diff error
+# frame, then the reference's unbiased estimate / AMS F2-estimate with
+# median-of-rows (see _anomaly_sketch's docstring for the two documented
+# corrections: deterministic md5 hash family, un-sqrt'd F2).  The oracle
+# replays the whole pipeline: dense grid CTE, per-cell forecast, the
+# same estimator arithmetic.  K = 256, N = 3 throughout.
+
+
+def _sketch_oracle(cellpred_cte: str, threshold: float) -> str:
+    """Shared sketch skeleton; ``cellpred_cte`` supplies the per-cell
+    forecast as CTE(s) ending in ``cellpred(ts_ns, i, cell, v, pred)``
+    computed from ``grid(ts_ns, rn, i, cell, v)``."""
+    return f"""WITH RECURSIVE {METRICS_SQL},
     p AS (
       SELECT {TAGSTR} AS tagstr, ts_ns,
         sum(CASE WHEN metric = 'lineitem.price' THEN value END) AS price,
@@ -1269,18 +1269,10 @@ _register(
       LEFT JOIN sparse sp
         ON sp.ts_ns = s.ts_ns AND sp.i = i.i AND sp.cell = c.cell
     ),
-    rec AS (
-      SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred, v AS state
-      FROM grid WHERE rn = 1
-      UNION ALL
-      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v, r.state,
-             0.4 * g.v + (1.0 - 0.4) * r.state
-      FROM rec r JOIN grid g
-        ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
-    ),
+    {cellpred_cte},
     errs AS (
       SELECT ts_ns, i, cell, abs(pred - v) AS err
-      FROM rec WHERE pred IS NOT NULL
+      FROM cellpred WHERE pred IS NOT NULL
     ),
     sums AS (
       SELECT ts_ns, sum(err) AS sum_err FROM errs WHERE i = 0 GROUP BY 1
@@ -1308,7 +1300,53 @@ _register(
     )
     SELECT series, ts_ns, value
     FROM est JOIN f2 USING (ts_ns)
-    WHERE f2est >= 0 AND est > sqrt(f2est) * 0.35""",
+    WHERE f2est >= 0 AND est > sqrt(f2est) * {threshold}"""
+
+
+_register(
+    "apply_anomaly_ewma_sketch",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "ewma",
+                    "alpha": 0.4, "threshold": 0.35, "approx": True,
+                    "bits": 8, "hashes": 3}),
+    _sketch_oracle(
+        """rec AS (
+      SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred, v AS state
+      FROM grid WHERE rn = 1
+      UNION ALL
+      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v, r.state,
+             0.4 * g.v + (1.0 - 0.4) * r.state
+      FROM rec r JOIN grid g
+        ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
+    ),
+    cellpred AS (SELECT ts_ns, i, cell, v, pred FROM rec)""",
+        0.35,
+    ),
+)
+
+# sma sketch: per-cell window mean of the preceding min(rn-1, period)
+# frames — same list-window + left-fold mean as the precise sma oracle,
+# keyed (i, cell) over the dense grid
+_register(
+    "apply_anomaly_sma_sketch",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "sma",
+                    "period": 5, "threshold": 0.35, "approx": True,
+                    "bits": 8, "hashes": 3}),
+    _sketch_oracle(
+        """cellpred AS (
+      SELECT ts_ns, i, cell, v,
+             CASE WHEN rn > 1
+                  THEN list_reduce(w, (a, b) -> a + b) / len(w) END AS pred
+      FROM (
+        SELECT ts_ns, rn, i, cell, v,
+               list(v) OVER (PARTITION BY i, cell ORDER BY rn
+                             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS w
+        FROM grid
+      )
+    )""",
+        0.35,
+    ),
 )
 
 

@@ -169,6 +169,75 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   stratum_col: str = "lang", id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed-token-budget
+    packs (training micro-batches / context windows), per stratum.
+
+    Documents are taken in ``id_col`` order within each stratum; a doc
+    that would overflow the running pack opens the next one (next-fit —
+    one pass, deterministic, no bin search).  Packing is inherently
+    sequential *within* a pack stream, so the recursion runs per stratum
+    via ``applyInPandas`` — parallel across strata, the same parallelism
+    unit real pipelines use (packing is done per shard/stream, never
+    globally).  At scale, any sub-partitioning column (shard id, day)
+    widens the parallelism without changing per-pack semantics.
+
+    Output: (doc_id, stratum, n_tokens, pack_id); pack_id counts from 0
+    within each stratum.  Tokens = whitespace tokens.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids, running, pid = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if running and running + t > budget:
+                pid += 1
+                running = 0
+            running += int(t)
+            ids.append(pid)
+        pdf["pack_id"] = ids
+        return pdf
+
+    return toks.groupBy("stratum").applyInPandas(
+        pack, schema="doc_id long, stratum string, n_tokens long, pack_id long"
+    )
+
+
+def pack_sequences_sql(budget: int = 256, stratum_col: str = "lang",
+                       id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`pack_sequences` (per-stratum recursive CTE
+    carrying (pack_id, running) state)."""
+    return f"""
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+         CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER (PARTITION BY {stratum_col}
+                                 ORDER BY {id_col}) AS BIGINT) AS rn
+  FROM documents
+),
+rec AS (
+  SELECT stratum, doc_id, rn, n_tokens,
+         CAST(0 AS BIGINT) AS pack_id, n_tokens AS running
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.stratum, b.doc_id, b.rn, b.n_tokens,
+         CASE WHEN r.running + b.n_tokens > {budget}
+              THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.running + b.n_tokens > {budget}
+              THEN b.n_tokens ELSE r.running + b.n_tokens END
+  FROM rec r JOIN base b ON b.stratum = r.stratum AND b.rn = r.rn + 1
+)
+SELECT doc_id, stratum, n_tokens, pack_id FROM rec
+""".strip()
+
+
 def stratified_sample_sql(rates: dict[str, float], stratum_col: str = "lang",
                           id_col: str = "doc_id",
                           default_rate: float = 0.0) -> str:

@@ -1544,6 +1544,19 @@ _register_pipeline(
     ["doc_id", "n_shared"],
 )
 
+# next-fit sequence packing into 256-token packs per language — the
+# training-data "pack documents into context windows" stage; DuckDB
+# replays the per-stratum (pack_id, running) recursion
+_register_pipeline(
+    "pack_sequences",
+    lambda spark, sf: _cluster.pack_sequences(
+        load_table(spark, sf, "documents"), budget=256
+    ),
+    _cluster.pack_sequences_sql(budget=256),
+    [],
+    ["doc_id", "stratum", "n_tokens", "pack_id"],
+)
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
 
 _register_pipeline(

@@ -130,3 +130,22 @@ def test_components_raises_without_fixpoint(spark):
         connected_components(
             _nodes(spark, [1, 2, 3]), _pairs(spark, [(1, 2), (2, 3)]), max_iter=0
         )
+
+
+def test_pack_sequences_next_fit(spark):
+    from akumuli_spark.pipeline.cluster import pack_sequences
+
+    # budget 10; en token counts in id order: 4, 5, 3, 9, 2.
+    # next-fit walk: 4+5=9 fits pack 0; +3 overflows -> pack 1 (3);
+    # +9 overflows -> pack 2 (9); +2 overflows -> pack 3 (2)
+    texts = {1: "a b c d", 2: "a b c d e", 3: "a b c", 4: "a b c d e f g h i",
+             5: "a b"}
+    from pyspark.sql import Row
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=t) for i, t in texts.items()]
+        + [Row(doc_id=10, lang="de", text="x y z")]
+    )
+    out = {(r["stratum"], r["doc_id"]): r["pack_id"]
+           for r in pack_sequences(docs, budget=10).collect()}
+    assert out == {("en", 1): 0, ("en", 2): 0, ("en", 3): 1, ("en", 4): 2,
+                   ("en", 5): 3, ("de", 10): 0}

@@ -1324,6 +1324,69 @@ _register(
     ),
 )
 
+# double-exp / holt-winters sketch: the precise oracles' state machines
+# keyed (i, cell) over the dense grid (lambda index renamed j to avoid
+# shadowing the grid's hash-row column i)
+_DES_NL_G = "0.4 * g.v + (1.0 - 0.4) * (r.level + r.trend)"
+
+_register(
+    "apply_anomaly_double_exp_sketch",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "double-exp-smoothing",
+                    "alpha": 0.4, "gamma": 0.3, "threshold": 0.35,
+                    "approx": True, "bits": 8, "hashes": 3}),
+    _sketch_oracle(
+        f"""rec AS (
+      SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred,
+             v AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM grid WHERE rn = 1
+      UNION ALL
+      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v,
+             r.level + r.trend AS pred,
+             {_DES_NL_G} AS level,
+             0.3 * (({_DES_NL_G}) - r.level) + (1.0 - 0.3) * r.trend AS trend
+      FROM rec r JOIN grid g
+        ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
+    ),
+    cellpred AS (SELECT ts_ns, i, cell, v, pred FROM rec)""",
+        0.35,
+    ),
+)
+
+_HW_K_G = "((g.rn - 1) % 7) + 1"
+_HW_NL_G = (f"0.4 * (g.v - r.season[{_HW_K_G}]) "
+            "+ (1.0 - 0.4) * (r.level + r.trend)")
+
+_register(
+    "apply_anomaly_holt_winters_sketch",
+    "metrics",
+    _anomaly_query({"name": "anomaly-detector", "method": "holt-winters",
+                    "alpha": 0.4, "beta": 0.2, "gamma": 0.3, "period": 7,
+                    "threshold": 0.3, "approx": True, "bits": 8,
+                    "hashes": 3}),
+    _sketch_oracle(
+        f"""rec AS (
+      SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred,
+             v AS level, CAST(0.0 AS DOUBLE) AS trend,
+             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS season
+      FROM grid WHERE rn = 1
+      UNION ALL
+      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v,
+             r.level + r.trend + r.season[{_HW_K_G}] AS pred,
+             {_HW_NL_G} AS level,
+             0.2 * (({_HW_NL_G}) - r.level) + (1.0 - 0.2) * r.trend AS trend,
+             list_transform(r.season, (s, j) ->
+               CASE WHEN j = {_HW_K_G}
+                    THEN 0.3 * (g.v - ({_HW_NL_G})) + (1.0 - 0.3) * s
+                    ELSE s END) AS season
+      FROM rec r JOIN grid g
+        ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
+    ),
+    cellpred AS (SELECT ts_ns, i, cell, v, pred FROM rec)""",
+        0.3,
+    ),
+)
+
 # sma sketch: per-cell window mean of the preceding min(rn-1, period)
 # frames — same list-window + left-fold mean as the precise sma oracle,
 # keyed (i, cell) over the dense grid

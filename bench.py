@@ -166,6 +166,21 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_curation(spark, sf_dir: str) -> dict[str, float]:
+    """Corpus-curation operators (clustering, decontamination, sampling,
+    packing) — timed separately from the headline section so the
+    headline total stays comparable round over round."""
+    qs = registry.queries()
+    out: dict[str, float] = {}
+    for name in ("dedup_clusters", "decontaminate_ngram",
+                 "sample_stratified", "pack_sequences"):
+        run_one(spark, qs[name], sf_dir)  # warm
+        out[name] = round(
+            min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3
+        )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -194,6 +209,7 @@ def main() -> None:
         )
 
     layout = bench_layout(spark, sf_dir)
+    curation = bench_curation(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -204,6 +220,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "layout": layout,
+                "curation": curation,
                 "sf": sf,
             }
         )

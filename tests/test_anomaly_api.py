@@ -118,3 +118,23 @@ def test_database_facade(spark):
         {"select-events": "!error", "range": {"from": E0, "to": E1}}
     )
     assert ev.columns == ["series", "ts_ns", "body"]
+
+
+def test_anomaly_sketch_backward_range(spark, spiky):
+    # backward query: recursion seeds from the latest frame; the spike
+    # still surfaces (its error is just as large against the reversed
+    # forecast) and early flat samples stay quiet in reversed time
+    rows = execute_query(
+        spark,
+        {
+            "select": "m",
+            "range": {"from": 200 * NS, "to": 0},
+            "apply": [{"name": "anomaly-detector", "method": "ewma",
+                       "alpha": 0.3, "threshold": 0.5, "approx": True,
+                       "bits": 8, "hashes": 3}],
+        },
+        spiky,
+    ).collect()
+    flagged = {(r["series"], r["ts_ns"] // NS) for r in rows}
+    assert ("m host=1", 51) in flagged
+    assert not any(t > 55 for _, t in flagged)

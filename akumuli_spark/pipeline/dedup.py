@@ -443,8 +443,9 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
         F.col("cnt") < F.lit(SIMHASH_MAX_FEATURES), sig.cast("long")
     ).otherwise(
         F.expr(
-            "raise_error(concat('simhash: document ', id, ' has ', cnt, "
-            "' features; >= 2^21 would overflow the packed vote lanes'))"
+            f"raise_error(concat('simhash: document ', id, ' has ', cnt, "
+            f"' features; >= {SIMHASH_MAX_FEATURES} (2^20) would overflow "
+            f"the packed vote lanes'))"
         ).cast("long")
     )
     return votes.select("id", guarded.alias("simhash"))

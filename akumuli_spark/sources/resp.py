@@ -119,10 +119,13 @@ def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Samp
         if i >= len(lines):
             raise RespError(f"truncated PDU after series {series_tok!r}")
         ts_tok = _parse_value_token(lines[i])
-        try:
-            # fast path: raw integer nanoseconds (the dominant wire form)
+        # fast path: raw integer nanoseconds (the dominant wire form).
+        # Gate on isdigit(), not int(): Python's int() also accepts
+        # underscore separators and surrounding whitespace, wire forms the
+        # reference parser rejects as -PARSER errors.
+        if ts_tok.isdigit() or (ts_tok[:1] in "+-" and ts_tok[1:].isdigit()):
             ts_ns = int(ts_tok)
-        except ValueError:
+        else:
             ts_ns = parse_timestamp_ns(ts_tok)
         i += 1
         if i >= len(lines):

@@ -31,8 +31,18 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.errors import AnalysisException
 
 from akumuli_spark.sources.resp import parse_resp_stage
+
+
+def _is_path_missing(exc: AnalysisException) -> bool:
+    """True only for the 'path does not exist' analysis error — the one
+    condition that legitimately means 'no table yet' rather than a
+    transient I/O or permission failure."""
+    cond = getattr(exc, "getCondition", None)
+    name = cond() if callable(cond) else None
+    return name == "PATH_NOT_FOUND" or "Path does not exist" in str(exc)
 
 
 def parsed_stream_from_files(spark: SparkSession, input_dir: str,
@@ -90,8 +100,13 @@ class HighWaterState:
             return spark.read.schema("series string, __hw long").parquet(
                 self.marks_dir
             )
-        except Exception:  # side table absent
-            return None
+        except AnalysisException as exc:
+            # only "side table absent" may seed/skip — a transient read
+            # failure must NOT be swallowed (it would silently rebuild or
+            # disable the late-write gate)
+            if _is_path_missing(exc):
+                return None
+            raise
 
     # -- batch API --------------------------------------------------------
 
@@ -107,7 +122,12 @@ class HighWaterState:
                 .groupBy("series")
                 .agg(F.max("ts_ns").alias("__hw"))
             )
-        except Exception:  # empty sink: nothing committed yet
+        except AnalysisException as exc:
+            if not _is_path_missing(exc):
+                # a transient failure reading a sink that DOES exist must
+                # not seed an empty marks table (that would disable the
+                # late-write gate for every committed series)
+                raise
             seeded = spark.createDataFrame([], "series string, __hw long")
         seeded.write.mode("overwrite").parquet(self.marks_dir)
         return self._read(spark)
@@ -122,6 +142,11 @@ class HighWaterState:
             F.max("ts_ns").alias("__bm")
         )
         cur = self._read(spark)
+        if cur is None:
+            # marks dir vanished between marks_df and advance (external
+            # deletion): merging against empty keeps this batch's maxima;
+            # older series re-seed from the sink on the next marks_df call
+            cur = spark.createDataFrame([], "series string, __hw long")
         merged = cur.join(batch_max, "series", "full").select(
             "series", F.greatest(F.col("__hw"), F.col("__bm")).alias("__hw")
         )
@@ -129,7 +154,8 @@ class HighWaterState:
         nxt = f"{self.marks_dir}.next-{self._epoch}"
         merged.write.mode("overwrite").parquet(nxt)
         old = f"{self.marks_dir}.old-{self._epoch}"
-        os.rename(self.marks_dir, old)
+        if os.path.exists(self.marks_dir):
+            os.rename(self.marks_dir, old)
         os.rename(nxt, self.marks_dir)
         shutil.rmtree(old, ignore_errors=True)
 

@@ -169,27 +169,46 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def _shard_expr(id_col: str, n_shards: int):
+    """Deterministic, engine-portable shard of a document id: the top 32
+    bits of md5(id) mod n_shards — the same hash family as
+    :func:`stratified_sample`, so DuckDB replays it exactly (Spark's
+    ``F.hash`` is murmur3, which DuckDB cannot reproduce)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % F.lit(int(n_shards))
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int = 256,
                    stratum_col: str = "lang", id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text", n_shards: int = 1) -> DataFrame:
     """Next-fit sequence packing: assign documents to fixed-token-budget
-    packs (training micro-batches / context windows), per stratum.
+    packs (training micro-batches / context windows), per (stratum, shard).
 
-    Documents are taken in ``id_col`` order within each stratum; a doc
+    Documents are taken in ``id_col`` order within each pack stream; a doc
     that would overflow the running pack opens the next one (next-fit —
     one pass, deterministic, no bin search).  Packing is inherently
-    sequential *within* a pack stream, so the recursion runs per stratum
-    via ``applyInPandas`` — parallel across strata, the same parallelism
-    unit real pipelines use (packing is done per shard/stream, never
-    globally).  At scale, any sub-partitioning column (shard id, day)
-    widens the parallelism without changing per-pack semantics.
+    sequential *within* a pack stream, so the recursion runs per stream
+    via ``applyInPandas``.
 
-    Output: (doc_id, stratum, n_tokens, pack_id); pack_id counts from 0
-    within each stratum.  Tokens = whitespace tokens.
+    The pack stream is (stratum, shard), shard = md5(id) mod ``n_shards``
+    — the shard key is first-class because stratum alone is a skew trap:
+    on a real corpus the language distribution is heavily skewed (en ≫
+    rest), and one pandas task packing the entire ``en`` stratum is the
+    classic straggler/OOM at 100 TB.  ``n_shards`` bounds the per-task
+    work unit at ~|stratum|/n_shards rows regardless of skew; real
+    pipelines pack per shard/stream for the same reason.  Packing quality
+    is unaffected (each stream is still next-fit over id order); only the
+    grouping of documents into streams changes, deterministically.
+
+    Output: (doc_id, stratum, shard, n_tokens, pack_id); pack_id counts
+    from 0 within each (stratum, shard).  Tokens = whitespace tokens.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(stratum_col).alias("stratum"),
+        _shard_expr(id_col, n_shards).alias("shard"),
         F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
     )
 
@@ -205,36 +224,45 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
         pdf["pack_id"] = ids
         return pdf
 
-    return toks.groupBy("stratum").applyInPandas(
-        pack, schema="doc_id long, stratum string, n_tokens long, pack_id long"
+    return toks.groupBy("stratum", "shard").applyInPandas(
+        pack,
+        schema="doc_id long, stratum string, shard long, n_tokens long, "
+               "pack_id long",
     )
 
 
 def pack_sequences_sql(budget: int = 256, stratum_col: str = "lang",
-                       id_col: str = "doc_id", text_col: str = "text") -> str:
-    """DuckDB twin of :func:`pack_sequences` (per-stratum recursive CTE
-    carrying (pack_id, running) state)."""
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_shards: int = 1) -> str:
+    """DuckDB twin of :func:`pack_sequences` (per-(stratum, shard)
+    recursive CTE carrying (pack_id, running) state; the shard hash is
+    the same md5-top-32-bits family both engines compute)."""
     return f"""
 WITH RECURSIVE base AS MATERIALIZED (
   SELECT {id_col} AS doc_id, {stratum_col} AS stratum,
+         (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT
+          % {int(n_shards)}) AS shard,
          CAST(len(string_split({text_col}, ' ')) AS BIGINT) AS n_tokens,
-         CAST(row_number() OVER (PARTITION BY {stratum_col}
+         CAST(row_number() OVER (PARTITION BY {stratum_col},
+                 (('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT
+                  % {int(n_shards)})
                                  ORDER BY {id_col}) AS BIGINT) AS rn
   FROM documents
 ),
 rec AS (
-  SELECT stratum, doc_id, rn, n_tokens,
+  SELECT stratum, shard, doc_id, rn, n_tokens,
          CAST(0 AS BIGINT) AS pack_id, n_tokens AS running
   FROM base WHERE rn = 1
   UNION ALL
-  SELECT b.stratum, b.doc_id, b.rn, b.n_tokens,
+  SELECT b.stratum, b.shard, b.doc_id, b.rn, b.n_tokens,
          CASE WHEN r.running + b.n_tokens > {budget}
               THEN r.pack_id + 1 ELSE r.pack_id END,
          CASE WHEN r.running + b.n_tokens > {budget}
               THEN b.n_tokens ELSE r.running + b.n_tokens END
-  FROM rec r JOIN base b ON b.stratum = r.stratum AND b.rn = r.rn + 1
+  FROM rec r JOIN base b
+    ON b.stratum = r.stratum AND b.shard = r.shard AND b.rn = r.rn + 1
 )
-SELECT doc_id, stratum, n_tokens, pack_id FROM rec
+SELECT doc_id, stratum, shard, n_tokens, pack_id FROM rec
 """.strip()
 
 

@@ -321,6 +321,33 @@ _register(
     double_cols=["max"],
 )
 
+# group-aggregate × group-by-tag: the FanInAggregateOperator analogue
+# (/root/reference/libakumuli/storage_engine/operators/aggregate.h:47-70) —
+# series that differ only in the grouped-away tag fan into one bucketed
+# aggregate stream.  group-by-tag is applied in the shared base scan
+# (engine.py:135), so the bucket groups by the MERGED tagset.
+_register(
+    "group_aggregate_group_by_tag",
+    "metrics",
+    {
+        "group-aggregate": {
+            "metric": "lineitem.qty",
+            "step": "7d",
+            "func": ["sum", "count"],
+        },
+        "range": {"from": T96, "to": T97},
+        "group-by-tag": ["returnflag"],
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.qty:sum|lineitem.qty:count linestatus=' || tag_linestatus AS series,
+           min(ts_ns) AS ts_ns,
+           sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count
+    FROM metrics
+    WHERE metric = 'lineitem.qty' AND ts_ns >= {T96} AND ts_ns < {T97}
+    GROUP BY 1, (ts_ns - {T96}) // {WEEK}""",
+    double_cols=["sum", "count"],
+)
+
 _register(
     "group_aggregate_having",
     "metrics",
@@ -417,6 +444,37 @@ _register(
       WHERE metric IN ('lineitem.price', 'lineitem.qty')
         AND ts_ns >= {T96} AND ts_ns < {T97}
       GROUP BY 1, 2, (ts_ns - {T96}) // {MONTH30}
+    )
+    SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
+      sum(CASE WHEN metric = 'lineitem.price' THEN v END) AS "lineitem.price",
+      sum(CASE WHEN metric = 'lineitem.qty'  THEN v END) AS "lineitem.qty"
+    FROM b GROUP BY 1, 2""",
+    double_cols=["lineitem.price", "lineitem.qty"],
+)
+
+# backward group-aggregate-join: buckets anchor at `to` and grow toward
+# `from` (semi-open (from, to]), mirroring group_aggregate_bwd — closes
+# the last un-oracled §2 kind×direction combination
+_register(
+    "group_aggregate_join_bwd",
+    "metrics",
+    {
+        "group-aggregate-join": {
+            "metric": ["lineitem.price", "lineitem.qty"],
+            "step": "30d",
+            "func": "max",
+        },
+        "range": {"from": T97, "to": T96},
+    },
+    f"""WITH {METRICS_SQL},
+    b AS (
+      SELECT metric, {TAGSTR} AS tagstr,
+             min(ts_ns) AS ts_ns,
+             max(value) AS v
+      FROM metrics
+      WHERE metric IN ('lineitem.price', 'lineitem.qty')
+        AND ts_ns <= {T97} AND ts_ns > {T96}
+      GROUP BY 1, 2, ({T97} - ts_ns) // {MONTH30}
     )
     SELECT 'lineitem.price|lineitem.qty ' || tagstr AS series, ts_ns,
       sum(CASE WHEN metric = 'lineitem.price' THEN v END) AS "lineitem.price",
@@ -1609,15 +1667,31 @@ _register_pipeline(
 
 # next-fit sequence packing into 256-token packs per language — the
 # training-data "pack documents into context windows" stage; DuckDB
-# replays the per-stratum (pack_id, running) recursion
+# replays the per-(stratum, shard) (pack_id, running) recursion.
+# n_shards=1 keeps the classic one-stream-per-stratum semantics.
 _register_pipeline(
     "pack_sequences",
     lambda spark, sf: _cluster.pack_sequences(
-        load_table(spark, sf, "documents"), budget=256
+        load_table(spark, sf, "documents"), budget=256, n_shards=1
     ),
-    _cluster.pack_sequences_sql(budget=256),
+    _cluster.pack_sequences_sql(budget=256, n_shards=1),
     [],
-    ["doc_id", "stratum", "n_tokens", "pack_id"],
+    ["doc_id", "stratum", "shard", "n_tokens", "pack_id"],
+)
+
+# the scale path: shard key bounds the per-task pack stream at
+# ~|stratum|/n_shards rows, so a skewed language distribution (en ≫
+# rest at 100 TB) cannot collapse packing to one straggler task; both
+# engines derive the shard from the same md5 hash, so the full sharded
+# assignment is hash-checked, not just the budget invariant
+_register_pipeline(
+    "pack_sequences_sharded",
+    lambda spark, sf: _cluster.pack_sequences(
+        load_table(spark, sf, "documents"), budget=256, n_shards=4
+    ),
+    _cluster.pack_sequences_sql(budget=256, n_shards=4),
+    [],
+    ["doc_id", "stratum", "shard", "n_tokens", "pack_id"],
 )
 
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}

@@ -149,3 +149,44 @@ def test_pack_sequences_next_fit(spark):
            for r in pack_sequences(docs, budget=10).collect()}
     assert out == {("en", 1): 0, ("en", 2): 0, ("en", 3): 1, ("en", 4): 2,
                    ("en", 5): 3, ("de", 10): 0}
+
+
+def test_pack_sequences_sharded_budget_invariants(spark):
+    """n_shards>1 bounds the per-task pack stream without breaking the
+    per-pack contract: every doc appears exactly once, shards are within
+    range, and each (stratum, shard, pack) honors the next-fit budget
+    (a pack's total may exceed budget only via a single oversized doc)."""
+    from pyspark.sql import Row
+    from akumuli_spark.pipeline.cluster import pack_sequences
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 3 else "de"),
+             text=" ".join(["w"] * (1 + i % 17)))
+         for i in range(1, 121)]
+    )
+    budget, n_shards = 20, 4
+    rows = pack_sequences(docs, budget=budget, n_shards=n_shards).collect()
+
+    assert sorted(r["doc_id"] for r in rows) == list(range(1, 121))
+    assert all(0 <= r["shard"] < n_shards for r in rows)
+
+    streams: dict = {}
+    for r in rows:
+        streams.setdefault((r["stratum"], r["shard"]), []).append(r)
+    assert len(streams) > 2  # sharding actually split the strata
+    for stream in streams.values():
+        stream.sort(key=lambda r: r["doc_id"])
+        # replay next-fit over id order: pack ids must match exactly
+        running, pid = 0, 0
+        for r in stream:
+            if running and running + r["n_tokens"] > budget:
+                pid += 1
+                running = 0
+            running += r["n_tokens"]
+            assert r["pack_id"] == pid
+        # budget invariant: a pack only exceeds budget via one giant doc
+        packs: dict = {}
+        for r in stream:
+            packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
+        for toks in packs.values():
+            assert sum(toks) <= budget or len(toks) == 1

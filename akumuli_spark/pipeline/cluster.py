@@ -37,16 +37,23 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Returns (id, comp) where comp is the minimum id in the component.
     Isolated nodes get comp = id.
 
-    Iterative (driver loop, one count() action per round) — inherent to
-    transitive closure; every per-round step is a distributed join and
-    the materialized state is two BIGINT columns per node.
+    Iterative (driver loop) — inherent to transitive closure; every
+    per-round step is a distributed join and the materialized state is
+    two BIGINT columns per node.  ONE job per round: the checkpoints are
+    lazy (``eager=False``), so the round's convergence ``count()`` is the
+    action that materializes the checkpointed frame — the changed-label
+    count rides along with the propagate+jump job instead of running as
+    a second full job over the round's output (at 100 TB every extra
+    action is a full cluster job).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=False
+    )
 
     for _ in range(max_iter):
         # propagate: candidate label = min over neighbours' labels
@@ -73,8 +80,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 "comp",
                 F.least("new_comp", F.coalesce("jcomp", "new_comp")).alias("next_comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # this count is the round's ONLY action: it materializes the lazy
+        # checkpoint (truncating the iterative lineage) and reads the
+        # convergence signal from the same job
         n_changed = step.filter(F.col("next_comp") < F.col("comp")).count()
         labels = step.select("id", F.col("next_comp").alias("comp"))
         if n_changed == 0:

@@ -191,6 +191,38 @@ def test_ivf_results_subset_of_exact_scores(spark, embs):
         assert abs(exact[key] - r["cosine"]) < 1e-12
 
 
+def test_ivf_kmeans_recall_gate(spark, embs):
+    """Quality gate for the production KMeans-IVF path: recall@10 vs the
+    exact cosine_topk ground truth.
+
+    The fixture's embeddings are near-uniform random (max off-diagonal
+    cosine ≈ 0.5, no cluster structure), the WORST case for IVF — so the
+    gate pins the shape of the recall curve rather than a flattering
+    absolute: probing every list must recover the exact answer (recall
+    1.0 — any assignment/probe bug breaks this), nprobe=4 must clear a
+    floor with margin (measured 0.62 on this fixture), and recall must
+    be monotone in nprobe (more probes can only add candidates)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(embs, QUERY_IDS, k=10).collect()
+    }
+    cents = similarity.ivf_kmeans_centroids(embs, nlist=16, max_iter=5)
+
+    def recall(nprobe: int) -> float:
+        ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                embs, QUERY_IDS, k=10, nprobe=nprobe, centroids=cents
+            ).collect()
+        }
+        return len(ivf & exact) / len(exact)
+
+    curve = [recall(p) for p in (4, 8, 16)]
+    assert curve[-1] == 1.0, curve  # full probe == exact, always
+    assert curve[0] >= 0.5, curve
+    assert curve == sorted(curve), curve
+
+
 def test_ivf_kmeans_codebook_same_interface(spark, embs):
     # the MLlib-KMeans codebook drops into the same ivf_topk; every hit
     # still carries the exact cosine of that pair (assignment only decides

@@ -316,52 +316,104 @@ def _node_sax(res, node: ApplyNode):
 # ---------------------------------------------------------------------------
 
 
+#: the reference's EWMASlidingWindow accumulates this many frames before
+#: its first forecast (anomalydetector.cpp:345-355: counter_ < 10 → add;
+#: at 10, ewma_ *= 0.1 — the seed is the MEAN of the first 10 frames)
+ANOMALY_EWMA_WARMUP = 10
+
+
 def _forecast_preds(xs, method: str, alpha: float, beta: float,
                     gamma: float, period: int) -> list[float]:
-    """One-step-ahead forecasts for a value sequence; seeds are NaN.
+    """One-step-ahead forecasts for a value sequence, replicating the
+    reference sliding windows' warm-up exactly (forecast() returns an
+    EMPTY frame — NaN here — until the window is primed):
+
+    * sma  (SMASlidingWindow, anomalydetector.cpp:284-321): no forecast
+      until ``period`` full frames are queued; always divides by
+      ``period``.
+    * ewma (EWMASlidingWindow, :332-368): the first 10 frames accumulate;
+      the first forecast (step 10) is their mean; decay starts after.
+    * double-exp-smoothing (DoubleExpSmoothingSlidingWindow, :380-440):
+      step 0 seeds level=x0; step 1 seeds slope=x1−x0, level=x1; first
+      forecast at step 2.
+    * holt-winters (HoltWintersSlidingWindow, :455-541): steps 0..period−1
+      seed the seasonal deque with the raw frames (level=x1, slope=x1−x0);
+      first forecast at step ``period``, and — as in the reference —
+      forecast adds ``seasonal_.back()`` (the seasonal updated at the
+      PREVIOUS position, not the upcoming one).
+
+    The detector pipeline forecasts BEFORE adding the step's frame
+    (AnomalyDetectorPipeline::move_sliding_window, :584-592), so
+    ``preds[i]`` uses state built from ``xs[:i]`` only.
+
+    Documented value-level deviation: sma recomputes each window's sum
+    fresh (left fold) and divides by ``period`` where the reference keeps
+    a running add/sub sum times a precomputed 1/depth — same reals,
+    FP-noise-level differences only; the Spark engine and the DuckDB
+    oracle both use the fresh-fold form, so the correctness gate compares
+    identical arithmetic.
 
     Shared by the precise path (sequence = one series) and the sketch
     path (sequence = one (hash row, bucket) cell): every sliding-window
-    method in anomalydetector.cpp:283-539 applies only linear frame ops
-    (add/sub/mul), so forecasting each cell independently with the same
-    scalar recursion reproduces the reference's whole-sketch windows.
+    method applies only linear frame ops (add/sub/mul), so forecasting
+    each cell independently with the same scalar recursion reproduces
+    the reference's whole-sketch windows.
     """
     n = len(xs)
     preds = [math.nan] * n
     if method in ("ewma", "exp-smoothing"):
-        v = None
+        acc, cnt, v = 0.0, 0, math.nan
         for i, x in enumerate(xs):
-            if v is not None:
+            if cnt >= ANOMALY_EWMA_WARMUP:
                 preds[i] = v
-            v = x if v is None else alpha * x + (1 - alpha) * v
+                v = alpha * x + (1 - alpha) * v
+            else:
+                acc += x
+                cnt += 1
+                if cnt == ANOMALY_EWMA_WARMUP:
+                    v = acc * 0.1
     elif method in ("sma", "simple-moving-average"):
-        for i in range(n):
-            lo = max(0, i - period)
-            if i > 0:
-                preds[i] = sum(xs[lo:i]) / (i - lo)
+        q: list[float] = []
+        for i, x in enumerate(xs):
+            if len(q) >= period:
+                preds[i] = sum(q) / period
+            q.append(x)
+            if len(q) > period:
+                q.pop(0)
     elif method == "double-exp-smoothing":
-        level = trend = None
+        level = trend = math.nan
         for i, x in enumerate(xs):
-            if level is None:
-                level, trend = x, 0.0
-                continue
-            preds[i] = level + trend
-            new_level = alpha * x + (1 - alpha) * (level + trend)
-            trend = gamma * (new_level - level) + (1 - gamma) * trend
-            level = new_level
+            if i == 0:
+                level = x
+            elif i == 1:
+                trend = x - level
+                level = x
+            else:
+                preds[i] = level + trend
+                new_level = alpha * x + (1 - alpha) * (level + trend)
+                trend = gamma * (new_level - level) + (1 - gamma) * trend
+                level = new_level
     elif method == "holt-winters":
-        level = trend = None
-        season = [0.0] * period
+        level = trend = math.nan
+        season: list[float] = []
         for i, x in enumerate(xs):
-            s = season[i % period]
-            if level is None:
-                level, trend = x, 0.0
-                continue
-            preds[i] = level + trend + s
-            new_level = alpha * (x - s) + (1 - alpha) * (level + trend)
-            trend = beta * (new_level - level) + (1 - beta) * trend
-            season[i % period] = gamma * (x - new_level) + (1 - gamma) * s
-            level = new_level
+            if i >= period:
+                preds[i] = level + trend + season[-1]
+            if i == 0:
+                level = x
+                season.append(x)
+            elif i == 1:
+                trend = x - level
+                level = x
+                season.append(x)
+            elif i < period:
+                season.append(x)
+            else:
+                s = season.pop(0)
+                new_level = alpha * (x - s) + (1 - alpha) * (level + trend)
+                trend = beta * (new_level - level) + (1 - beta) * trend
+                season.append(gamma * (x - new_level) + (1 - gamma) * s)
+                level = new_level
     else:
         raise ValueError(f"Unknown forecasting method {method!r}")
     return preds
@@ -536,6 +588,13 @@ def _node_anomaly(res, node: ApplyNode):
         raise QueryValidationError("Parameter alpha should be set")
     if method in ("sma", "simple-moving-average") and node.param("period") is None:
         raise QueryValidationError("Parameter period should be set")
+    if method in ("sma", "simple-moving-average") and period <= 0:
+        # checked_inv (anomalydetector.cpp:274-280) rejects depth 0
+        raise QueryValidationError("Sliding window depth can't be zero")
+    if method == "holt-winters" and period < 2:
+        # below 2 the reference forecasts before its slope frame exists
+        # (nullptr deref) — reject instead of replicating UB
+        raise QueryValidationError("`period` should be at least 2")
     if method == "double-exp-smoothing" and (
         node.param("alpha") is None or node.param("gamma") is None
     ):

@@ -1084,9 +1084,11 @@ _register(
 # F2 norm is meaningful (anomaly-detector has no REGULLAR gate in the
 # reference — it is a dormant v1 node — so raw-chain input is valid).
 # Oracle: the per-series EWMA forecast is a recursive CTE executing the
-# same float ops as the engine (pred_i = state_{i-1}; state = α·x +
-# (1−α)·state, seeded with the first value); F2 = Σ err² per frame; a row
-# is anomalous iff |err| > θ·sqrt(F2).
+# same float ops as the engine, including the reference warm-up
+# (EWMASlidingWindow, anomalydetector.cpp:332-368): the first 10 frames
+# accumulate with NO forecast; the first forecast is their mean (·0.1);
+# decay α·x + (1−α)·state thereafter.  F2 = Σ err² per frame; a row is
+# anomalous iff |err| > θ·sqrt(F2).
 _T96_120D = T96 + 120 * 86400 * NS
 
 _register(
@@ -1124,14 +1126,17 @@ _register(
       SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred, value AS state
       FROM base WHERE rn = 1
       UNION ALL
-      SELECT b.series, b.ts_ns, b.rn, b.value, r.state,
-             0.4 * b.value + (1.0 - 0.4) * r.state
+      SELECT b.series, b.ts_ns, b.rn, b.value,
+             CASE WHEN r.rn >= 10 THEN r.state END AS pred,
+             CASE WHEN r.rn < 9 THEN r.state + b.value
+                  WHEN r.rn = 9 THEN (r.state + b.value) * 0.1
+                  ELSE 0.4 * b.value + (1.0 - 0.4) * r.state END AS state
       FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
     ),
-    -- a series' first sample has no forecast: its error is NULL and is
-    -- EXCLUDED from the frame's F2 (sum skips NULLs — the engine's
-    -- Arrow path nulls the seed errors the same way), so mixed frames
-    -- where one series starts late still score the others
+    -- warm-up rows (the first 10 frames) have no forecast: their error
+    -- is NULL and is EXCLUDED from the frame's F2 (sum skips NULLs —
+    -- the engine's Arrow path nulls the seed errors the same way), so
+    -- mixed frames where one series starts late still score the others
     errs AS (
       SELECT series, ts_ns, value, pred - value AS err FROM rec
     ),
@@ -1195,8 +1200,10 @@ def _anomaly_query(method_node: dict) -> dict:
     }
 
 
-# sma forecast: mean of the previous min(i, period) samples — a list
-# window; list_reduce is a left fold, matching Python sum()'s order
+# sma forecast: reference warm-up (SMASlidingWindow forecast() is empty
+# until `period` frames are queued) — no forecast until the window holds
+# exactly 5 samples, then mean of the previous 5, always divided by the
+# period; list_reduce is a left fold, matching Python sum()'s order
 _register(
     "apply_anomaly_sma",
     "metrics",
@@ -1205,7 +1212,8 @@ _register(
     _anomaly_oracle(
         """preds AS (
       SELECT series, ts_ns, value,
-             list_reduce(w, (a, b) -> a + b) / len(w) AS pred
+             CASE WHEN len(w) = 5
+                  THEN list_reduce(w, (a, b) -> a + b) / 5 END AS pred
       FROM (
         SELECT series, ts_ns, value,
                list(value) OVER (PARTITION BY series ORDER BY ts_ns
@@ -1217,8 +1225,10 @@ _register(
     ),
 )
 
-# double-exp-smoothing: level/trend state machine; new_level is spelled
-# out twice in the trend column — same expression, same doubles
+# double-exp-smoothing: level/trend state machine with the reference
+# seeding (DoubleExpSmoothingSlidingWindow: step 0 seeds level=x0, step 1
+# seeds slope=x1−x0 and level=x1, first forecast at step 2); new_level is
+# spelled out twice in the trend column — same expression, same doubles
 _DES_NL = "0.4 * b.value + (1.0 - 0.4) * (r.level + r.trend)"
 
 _register(
@@ -1229,13 +1239,15 @@ _register(
     _anomaly_oracle(
         f"""rec AS (
       SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred,
-             value AS level, CAST(0.0 AS DOUBLE) AS trend
+             value AS level, NULL::DOUBLE AS trend
       FROM base WHERE rn = 1
       UNION ALL
       SELECT b.series, b.ts_ns, b.rn, b.value,
-             r.level + r.trend AS pred,
-             {_DES_NL} AS level,
-             0.3 * (({_DES_NL}) - r.level) + (1.0 - 0.3) * r.trend AS trend
+             CASE WHEN r.rn >= 2 THEN r.level + r.trend END AS pred,
+             CASE WHEN r.rn = 1 THEN b.value ELSE {_DES_NL} END AS level,
+             CASE WHEN r.rn = 1 THEN b.value - r.level
+                  ELSE 0.3 * (({_DES_NL}) - r.level)
+                       + (1.0 - 0.3) * r.trend END AS trend
       FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
     ),
     preds AS (SELECT series, ts_ns, value, pred FROM rec)""",
@@ -1243,10 +1255,13 @@ _register(
     ),
 )
 
-# holt-winters: level/trend plus a period-length season list carried
-# through the recursion, one slot rewritten per step (i % period)
-_HW_K = "((b.rn - 1) % 7) + 1"
-_HW_NL = (f"0.4 * (b.value - r.season[{_HW_K}]) "
+# holt-winters with the reference seeding (HoltWintersSlidingWindow):
+# the season deque fills with the first `period` RAW frames (level=x1,
+# slope=x1−x0 seeded on the way), first forecast at step `period`, and —
+# as upstream — the forecast adds season[last] (the seasonal updated at
+# the previous position).  The deque is a list column: warm-up appends,
+# steady state pops the front (season[2:]) and appends the update.
+_HW_NL = ("0.4 * (b.value - r.season[1]) "
           "+ (1.0 - 0.4) * (r.level + r.trend)")
 
 _register(
@@ -1258,18 +1273,24 @@ _register(
     _anomaly_oracle(
         f"""rec AS (
       SELECT series, ts_ns, rn, value, NULL::DOUBLE AS pred,
-             value AS level, CAST(0.0 AS DOUBLE) AS trend,
-             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS season
+             value AS level, NULL::DOUBLE AS trend,
+             [value]::DOUBLE[] AS season
       FROM base WHERE rn = 1
       UNION ALL
       SELECT b.series, b.ts_ns, b.rn, b.value,
-             r.level + r.trend + r.season[{_HW_K}] AS pred,
-             {_HW_NL} AS level,
-             0.2 * (({_HW_NL}) - r.level) + (1.0 - 0.2) * r.trend AS trend,
-             list_transform(r.season, (s, i) ->
-               CASE WHEN i = {_HW_K}
-                    THEN 0.3 * (b.value - ({_HW_NL})) + (1.0 - 0.3) * s
-                    ELSE s END) AS season
+             CASE WHEN r.rn >= 7
+                  THEN r.level + r.trend + r.season[len(r.season)] END AS pred,
+             CASE WHEN r.rn = 1 THEN b.value
+                  WHEN r.rn < 7 THEN r.level
+                  ELSE {_HW_NL} END AS level,
+             CASE WHEN r.rn = 1 THEN b.value - r.level
+                  WHEN r.rn < 7 THEN r.trend
+                  ELSE 0.2 * (({_HW_NL}) - r.level)
+                       + (1.0 - 0.2) * r.trend END AS trend,
+             CASE WHEN r.rn < 7 THEN list_append(r.season, b.value)
+                  ELSE list_append(r.season[2:],
+                       0.3 * (b.value - ({_HW_NL}))
+                       + (1.0 - 0.3) * r.season[1]) END AS season
       FROM rec r JOIN base b ON b.series = r.series AND b.rn = r.rn + 1
     ),
     preds AS (SELECT series, ts_ns, value, pred FROM rec)""",
@@ -1372,8 +1393,11 @@ _register(
       SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred, v AS state
       FROM grid WHERE rn = 1
       UNION ALL
-      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v, r.state,
-             0.4 * g.v + (1.0 - 0.4) * r.state
+      SELECT g.i, g.cell, g.rn, g.ts_ns, g.v,
+             CASE WHEN r.rn >= 10 THEN r.state END AS pred,
+             CASE WHEN r.rn < 9 THEN r.state + g.v
+                  WHEN r.rn = 9 THEN (r.state + g.v) * 0.1
+                  ELSE 0.4 * g.v + (1.0 - 0.4) * r.state END AS state
       FROM rec r JOIN grid g
         ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
     ),
@@ -1396,13 +1420,15 @@ _register(
     _sketch_oracle(
         f"""rec AS (
       SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred,
-             v AS level, CAST(0.0 AS DOUBLE) AS trend
+             v AS level, NULL::DOUBLE AS trend
       FROM grid WHERE rn = 1
       UNION ALL
       SELECT g.i, g.cell, g.rn, g.ts_ns, g.v,
-             r.level + r.trend AS pred,
-             {_DES_NL_G} AS level,
-             0.3 * (({_DES_NL_G}) - r.level) + (1.0 - 0.3) * r.trend AS trend
+             CASE WHEN r.rn >= 2 THEN r.level + r.trend END AS pred,
+             CASE WHEN r.rn = 1 THEN g.v ELSE {_DES_NL_G} END AS level,
+             CASE WHEN r.rn = 1 THEN g.v - r.level
+                  ELSE 0.3 * (({_DES_NL_G}) - r.level)
+                       + (1.0 - 0.3) * r.trend END AS trend
       FROM rec r JOIN grid g
         ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
     ),
@@ -1411,8 +1437,7 @@ _register(
     ),
 )
 
-_HW_K_G = "((g.rn - 1) % 7) + 1"
-_HW_NL_G = (f"0.4 * (g.v - r.season[{_HW_K_G}]) "
+_HW_NL_G = ("0.4 * (g.v - r.season[1]) "
             "+ (1.0 - 0.4) * (r.level + r.trend)")
 
 _register(
@@ -1425,18 +1450,24 @@ _register(
     _sketch_oracle(
         f"""rec AS (
       SELECT i, cell, rn, ts_ns, v, NULL::DOUBLE AS pred,
-             v AS level, CAST(0.0 AS DOUBLE) AS trend,
-             [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]::DOUBLE[] AS season
+             v AS level, NULL::DOUBLE AS trend,
+             [v]::DOUBLE[] AS season
       FROM grid WHERE rn = 1
       UNION ALL
       SELECT g.i, g.cell, g.rn, g.ts_ns, g.v,
-             r.level + r.trend + r.season[{_HW_K_G}] AS pred,
-             {_HW_NL_G} AS level,
-             0.2 * (({_HW_NL_G}) - r.level) + (1.0 - 0.2) * r.trend AS trend,
-             list_transform(r.season, (s, j) ->
-               CASE WHEN j = {_HW_K_G}
-                    THEN 0.3 * (g.v - ({_HW_NL_G})) + (1.0 - 0.3) * s
-                    ELSE s END) AS season
+             CASE WHEN r.rn >= 7
+                  THEN r.level + r.trend + r.season[len(r.season)] END AS pred,
+             CASE WHEN r.rn = 1 THEN g.v
+                  WHEN r.rn < 7 THEN r.level
+                  ELSE {_HW_NL_G} END AS level,
+             CASE WHEN r.rn = 1 THEN g.v - r.level
+                  WHEN r.rn < 7 THEN r.trend
+                  ELSE 0.2 * (({_HW_NL_G}) - r.level)
+                       + (1.0 - 0.2) * r.trend END AS trend,
+             CASE WHEN r.rn < 7 THEN list_append(r.season, g.v)
+                  ELSE list_append(r.season[2:],
+                       0.3 * (g.v - ({_HW_NL_G}))
+                       + (1.0 - 0.3) * r.season[1]) END AS season
       FROM rec r JOIN grid g
         ON g.i = r.i AND g.cell = r.cell AND g.rn = r.rn + 1
     ),
@@ -1445,9 +1476,10 @@ _register(
     ),
 )
 
-# sma sketch: per-cell window mean of the preceding min(rn-1, period)
-# frames — same list-window + left-fold mean as the precise sma oracle,
-# keyed (i, cell) over the dense grid
+# sma sketch: reference warm-up (no forecast until the per-cell window
+# holds `period` frames, then mean ÷ period) — same list-window +
+# left-fold mean as the precise sma oracle, keyed (i, cell) over the
+# dense grid
 _register(
     "apply_anomaly_sma_sketch",
     "metrics",
@@ -1457,8 +1489,8 @@ _register(
     _sketch_oracle(
         """cellpred AS (
       SELECT ts_ns, i, cell, v,
-             CASE WHEN rn > 1
-                  THEN list_reduce(w, (a, b) -> a + b) / len(w) END AS pred
+             CASE WHEN len(w) = 5
+                  THEN list_reduce(w, (a, b) -> a + b) / 5 END AS pred
       FROM (
         SELECT ts_ns, rn, i, cell, v,
                list(v) OVER (PARTITION BY i, cell ORDER BY rn

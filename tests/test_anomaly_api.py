@@ -50,7 +50,6 @@ def _detect(spark, spiky, method, **params):
         ("ewma", {"alpha": 0.3}),
         ("sma", {"period": 5}),
         ("double-exp-smoothing", {"alpha": 0.3, "gamma": 0.1}),
-        ("holt-winters", {"alpha": 0.3, "beta": 0.1, "gamma": 0.1, "period": 4}),
     ],
 )
 def test_anomaly_detects_spike(spark, spiky, method, params):
@@ -58,8 +57,35 @@ def test_anomaly_detects_spike(spark, spiky, method, params):
     flagged = {(r["series"], r["ts_ns"] // NS) for r in rows}
     # the spike itself must be flagged
     assert ("m host=1", 51) in flagged
-    # flat periods far from the spike are quiet
+    # flat periods far from the spike are quiet: these methods' reference
+    # warm-up (no forecast until primed, then seeds drawn from the flat
+    # data itself) predicts the flat level exactly, so err = 0 before the
+    # spike
     assert not any(t < 45 for _, t in flagged)
+
+
+def test_anomaly_holt_winters_detects_spike(spark, spiky):
+    """Holt-Winters, reference semantics (HoltWintersSlidingWindow,
+    anomalydetector.cpp:475-533): the seasonal deque seeds with the RAW
+    first `period` frames while level also holds the data, so on flat
+    data the first forecasts are ~2x the level — a decaying warm-up
+    transient whose (identical) per-series errors the relative flag
+    criterion (|err| > θ·sqrt(ΣF2), :576-588) keeps flagging on every
+    series symmetrically.  The discriminating assertions are therefore
+    about the spike step, not absolute quiet."""
+    rows = _detect(spark, spiky, "holt-winters",
+                   alpha=0.3, beta=0.1, gamma=0.1, period=4)
+    flagged = {(r["series"], r["ts_ns"] // NS) for r in rows}
+    # the spike dominates the frame's F2 at t=51: only the spiking
+    # series is flagged there
+    assert ("m host=1", 51) in flagged
+    assert ("m host=2", 51) not in flagged
+    assert ("m host=3", 51) not in flagged
+    # warm-up transient flags are symmetric — a step before the spike
+    # flags either all three series or none
+    for t in range(1, 51):
+        n = sum(1 for s, tt in flagged if tt == t)
+        assert n in (0, 3), f"asymmetric warm-up flags at t={t}"
 
 
 @pytest.mark.parametrize(

@@ -39,9 +39,11 @@ def sessionize(events: DataFrame, gap_ns: int,
 def session_stats(events: DataFrame, gap_ns: int) -> DataFrame:
     """One row per (user, session): bounds, event count, value sum,
     distinct event types."""
+    from ..sources.testdata import ts_ns_expr
+
     s = sessionize(
         events.select(
-            "user_id", F.expr("(ts div 1000) * 1000").alias("ts_ns"),
+            "user_id", ts_ns_expr(events).alias("ts_ns"),
             "event_type", "value",
         ),
         gap_ns,

@@ -591,10 +591,6 @@ def _node_anomaly(res, node: ApplyNode):
     if method in ("sma", "simple-moving-average") and period <= 0:
         # checked_inv (anomalydetector.cpp:274-280) rejects depth 0
         raise QueryValidationError("Sliding window depth can't be zero")
-    if method == "holt-winters" and period < 2:
-        # below 2 the reference forecasts before its slope frame exists
-        # (nullptr deref) — reject instead of replicating UB
-        raise QueryValidationError("`period` should be at least 2")
     if method == "double-exp-smoothing" and (
         node.param("alpha") is None or node.param("gamma") is None
     ):
@@ -602,7 +598,13 @@ def _node_anomaly(res, node: ApplyNode):
     if method == "holt-winters" and any(
         node.param(p) is None for p in ("alpha", "beta", "gamma", "period")
     ):
+        # presence check first: a query omitting `period` entirely should
+        # get this message, not the range complaint below
         raise QueryValidationError("holt-winters needs alpha, beta, gamma, period")
+    if method == "holt-winters" and period < 2:
+        # below 2 the reference forecasts before its slope frame exists
+        # (nullptr deref) — reject instead of replicating UB
+        raise QueryValidationError("`period` should be at least 2")
     if len(res.value_cols) != 1:
         raise QueryValidationError("anomaly-detector works only with scalars")
     if node.param("approx", False):

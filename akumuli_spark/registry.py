@@ -920,6 +920,36 @@ _register_pipeline(
     ["doc_a", "doc_b", "hamming"],
 )
 
+# Indexed (signatures=) production paths — the exact code path bench.py
+# times from stored signature tables, oracle-gated here so the benchmarked
+# branch isn't trusted on test_pipeline equivalence alone (ADVICE r4).
+# Results are identical to the one-shot entries by construction (the
+# signature table is a deterministic function of the text), so the oracle
+# SQL is shared.
+_register_pipeline(
+    "dedup_minhash_lsh_indexed",
+    lambda spark, sf: _dedup.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5,
+        signatures=_dedup.minhash_signatures(
+            load_table(spark, sf, "documents"), n=5),
+    ),
+    _dedup.minhash_lsh_sql(5, 0.5),
+    ["jaccard"],
+    ["doc_a", "doc_b"],
+)
+
+_register_pipeline(
+    "dedup_simhash_indexed",
+    lambda spark, sf: _dedup.simhash_pairs(
+        load_table(spark, sf, "documents"), n=3, max_hamming=3,
+        signatures=_dedup.simhash_signatures(
+            load_table(spark, sf, "documents"), n=3),
+    ),
+    _dedup.simhash_sql(3, 3),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "dedup_embedding_cosine",
     lambda spark, sf: _dedup.embedding_near_dup_pairs(

@@ -6,13 +6,14 @@ to cores rather than the 200 default, Arrow enabled for the Pandas-UDF
 slow path, UTC session time so results compare exactly against UTC-naive
 engines (DuckDB oracle).
 
-``spark.sql.legacy.parquet.nanosAsLong=true`` matters: the reference's
-native timestamp resolution is u64 nanoseconds
-(/root/reference/include/akumuli_def.h:36) and the driver's ``events``
-table is written with parquet TIMESTAMP(NANOS).  Spark's TimestampType is
-microseconds, so we read nanos as a plain long (``ts_ns``) and keep the
-engine's canonical time axis in int64 nanoseconds — exactly like the
-reference.
+``spark.sql.legacy.parquet.nanosAsLong=true``: the reference's native
+timestamp resolution is u64 nanoseconds
+(/root/reference/include/akumuli_def.h:36).  When a source table is
+written with parquet TIMESTAMP(NANOS) — as some driver generations of
+``events`` were — Spark's µs TimestampType can't hold it, so the flag
+reads nanos as a plain long; ``sources.testdata.ts_ns_expr`` then
+normalizes either schema (long-ns or TIMESTAMP(MICROS)) onto the
+engine's canonical int64-ns axis, exactly like the reference.
 """
 
 from __future__ import annotations

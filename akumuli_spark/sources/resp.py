@@ -120,10 +120,14 @@ def parse_resp(text: str, dictionary: dict[int, str] | None = None) -> list[Samp
             raise RespError(f"truncated PDU after series {series_tok!r}")
         ts_tok = _parse_value_token(lines[i])
         # fast path: raw integer nanoseconds (the dominant wire form).
-        # Gate on isdigit(), not int(): Python's int() also accepts
-        # underscore separators and surrounding whitespace, wire forms the
-        # reference parser rejects as -PARSER errors.
-        if ts_tok.isdigit() or (ts_tok[:1] in "+-" and ts_tok[1:].isdigit()):
+        # Gate on isascii()+isdigit(), not int(): Python's int() also
+        # accepts underscore separators, surrounding whitespace, and
+        # non-ASCII Unicode digits — wire forms the reference parser
+        # rejects as -PARSER errors (and '²'.isdigit() alone would send
+        # int() a ValueError that isn't a structured RespError).
+        if ts_tok.isascii() and (
+            ts_tok.isdigit() or (ts_tok[:1] in "+-" and ts_tok[1:].isdigit())
+        ):
             ts_ns = int(ts_tok)
         else:
             ts_ns = parse_timestamp_ns(ts_tok)

@@ -9,8 +9,8 @@ volume:
   ``lineitem.price|qty|disc`` (unpivoted value columns), tags
   ``{linestatus, returnflag}``, ``ts_ns`` from ``l_shipdate``.
 * ``app_metrics`` view (from ``events``): metric ``app.<event_type>``,
-  tag ``user = user_id % 8``, native nanosecond timestamps, irregular
-  spacing (good for rate / time-weighted operators).
+  tag ``user = user_id % 8``, µs-resolution timestamps on the int64-ns
+  axis, irregular spacing (good for rate / time-weighted operators).
 * ``evt`` view (from ``events``): Akumuli string events — metric
   ``!<event_type>``, body = ``props`` JSON string.
 
@@ -46,9 +46,10 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """Make a caller-provided session safe for the engine (the driver runs
     ``entry(spark)`` with its own session):
 
-    * ``nanosAsLong`` — events.parquet carries TIMESTAMP(NANOS) which a
-      vanilla Spark 4 session refuses to read (PARQUET_TYPE_ILLEGAL);
-      with the flag it arrives as long ns, the engine's native axis;
+    * ``nanosAsLong`` — if events.parquet carries TIMESTAMP(NANOS) (one of
+      the two schemas the driver has generated) a vanilla Spark 4 session
+      refuses to read it (PARQUET_TYPE_ILLEGAL); with the flag it arrives
+      as long ns.  Harmless no-op for TIMESTAMP(MICROS) data.
     * UTC session time — TIMESTAMP_NTZ→TIMESTAMP casts (ts_ns derivation)
       are interpreted in session-local time, and the DuckDB oracle is
       UTC-naive.
@@ -65,9 +66,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ts_ns_from_ntz(col):
-    # l_shipdate/o_orderdate are parquet TIMESTAMP(MILLIS) → Spark TIMESTAMP_NTZ.
-    # Session TZ is UTC, so casting NTZ→TIMESTAMP then unix_micros is exact.
+    # l_shipdate/o_orderdate are parquet TIMESTAMP(MILLIS/MICROS) → Spark
+    # TIMESTAMP_NTZ.  Session TZ is UTC, so casting NTZ→TIMESTAMP then
+    # unix_micros is exact.
     return F.unix_micros(col.cast("timestamp")) * F.lit(1000)
+
+
+def ts_ns_expr(df: DataFrame, colname: str = "ts"):
+    """int64-ns expression for a timestamp column, robust to both schemas
+    the driver has generated for ``events.ts``:
+
+    * parquet TIMESTAMP(NANOS) read as **long ns** (``nanosAsLong``) —
+      truncated to µs here because DuckDB's TIMESTAMP is µs-resolution;
+    * parquet TIMESTAMP(MICROS) read as **TIMESTAMP_NTZ** — converted via
+      unix_micros under the UTC session TZ.
+
+    Either way the result is µs-truncated int64 ns, identical to the
+    oracle's ``epoch_ns(ts)``."""
+    dtype = dict(df.dtypes).get(colname, "")
+    if dtype in ("bigint", "long"):
+        return F.expr(f"({colname} div 1000) * 1000")
+    return _ts_ns_from_ntz(F.col(colname))
 
 
 # ---------------------------------------------------------------------------
@@ -140,10 +159,7 @@ def app_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     user = (F.col("user_id") % 8).cast("string")
     metric = F.concat(F.lit("app."), F.col("event_type"))
-    # Spark reads the parquet TIMESTAMP(NANOS) column as long ns
-    # (spark.sql.legacy.parquet.nanosAsLong); DuckDB truncates it to µs.
-    # Truncate to µs here too so both engines see identical ts_ns values.
-    ts_ns = F.expr("(ts div 1000) * 1000")
+    ts_ns = ts_ns_expr(ev)
     return ev.select(
         F.concat(metric, F.lit(" user="), user).alias("series"),
         metric.alias("metric"),
@@ -178,7 +194,7 @@ def events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(metric, F.lit(" user="), user).alias("series"),
         metric.alias("metric"),
         F.create_map(F.lit("user"), user).alias("tags"),
-        F.expr("(ts div 1000) * 1000").alias("ts_ns"),
+        ts_ns_expr(ev).alias("ts_ns"),
         F.col("props").alias("body"),
     )
 

@@ -250,6 +250,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # amortized dedup index build, surfaced at top level so a
+                # reader comparing the headline total against pre-index
+                # rounds (BENCH_r02's one-shot figures) sees the cost the
+                # indexed dedup rows exclude (ADVICE r4)
+                "dedup_index_build_s": index_build_s,
                 "layout": layout,
                 "curation": curation,
                 "sf": sf,

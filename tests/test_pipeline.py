@@ -58,7 +58,7 @@ def test_simhash_pairs(spark, duck, docs):
 
 
 def test_simhash_feature_overflow_raises(spark, docs, monkeypatch):
-    # the 21-bit vote-lane packing is only valid below 2^21 features per
+    # the 20-bit vote-lane packing is only valid below 2^20 features per
     # doc; a pathological doc must fail loudly, not flip neighboring bits
     monkeypatch.setattr(dedup, "SIMHASH_MAX_FEATURES", 5)
     with pytest.raises(Exception, match="overflow the packed vote lanes"):

@@ -81,8 +81,8 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     }
     out: dict[str, float] = {}
     view = metrics_view(spark, sf_dir)
-    path = os.path.join(tempfile.gettempdir(), "akumuli_bench_layout")
-    shutil.rmtree(path, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="akumuli_bench_layout_")
+    path = os.path.join(base, "table")
     t0 = time.time()
     # 90-day buckets: lineitem at bench SF is ~7 years of day-resolution
     # data — day buckets would mean thousands of KB-sized partitions
@@ -105,7 +105,7 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
                 "overwrite"
             ).save()
             out[f"{label}_{src_label}"] = round(time.time() - t0, 3)
-    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
 
     # rollup fast path: a servable group-aggregate answered from the
     # materialized base-step rollup vs the raw scan (Database routing)
@@ -122,8 +122,8 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
         "range": {"from": e0, "to": e1},
     }
     am = app_metrics_view(spark, sf_dir)
-    rdir = os.path.join(tempfile.gettempdir(), "akumuli_bench_rollup")
-    shutil.rmtree(rdir, ignore_errors=True)
+    rbase = tempfile.mkdtemp(prefix="akumuli_bench_rollup_")
+    rdir = os.path.join(rbase, "rollup")
     windowed_rollup_stream(
         am.select("series", "ts_ns", "value"), step="1 hour"
     ).write.parquet(rdir)
@@ -137,7 +137,7 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     db.query(q).write.format("noop").mode("overwrite").save()
     out["rollup_fast"] = round(time.time() - t0, 3)
-    shutil.rmtree(rdir, ignore_errors=True)
+    shutil.rmtree(rbase, ignore_errors=True)
 
     # dedup one-shot path: signatures recomputed from text in the same
     # run (the cold-start cost a user pays without the stored index; the
@@ -200,10 +200,25 @@ def main() -> None:
     for tbl in ("lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
-    ddir = os.path.join(tempfile.gettempdir(), "akumuli_bench_dedup_idx")
-    shutil.rmtree(ddir, ignore_errors=True)
-    t0 = time.time()
+    # per-run unique dir (mkdtemp): a fixed name under /tmp let two
+    # concurrent bench runs rmtree each other's index mid-run (ADVICE r5)
+    ddir = tempfile.mkdtemp(prefix="akumuli_bench_dedup_idx_")
     _docs0 = load_table(spark, sf_dir, "documents")
+
+    # The build itself needs the steady-state treatment too: profiling
+    # showed one cold build costs 13.4 s vs ~2.7 s warm (signature-pipeline
+    # codegen + JIT dominate), and a single cold measurement drifted
+    # 4.4→8.5 s across rounds with zero source change.  Warm once into a
+    # throwaway dir, then time the real build; the cold figure stays
+    # visible as dedup_index_build_cold_s so the amortized-cost story is
+    # still honest.
+    warm_dir = tempfile.mkdtemp(prefix="akumuli_bench_dedup_warm_")
+    t0 = time.time()
+    dedup.minhash_signatures(_docs0, n=5).write.parquet(f"{warm_dir}/mh")
+    dedup.simhash_signatures(_docs0, n=3).write.parquet(f"{warm_dir}/sh")
+    index_build_cold_s = round(time.time() - t0, 3)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    t0 = time.time()
     dedup.minhash_signatures(_docs0, n=5).write.parquet(f"{ddir}/mh")
     dedup.simhash_signatures(_docs0, n=3).write.parquet(f"{ddir}/sh")
     index_build_s = round(time.time() - t0, 3)
@@ -228,13 +243,14 @@ def main() -> None:
     for name in HEADLINE:
         run_one(spark, impl(name), sf_dir)
 
-    # two timed passes, keep the per-query minimum: single runs swing
-    # ±15% with scheduler/GC noise on a busy machine, and the minimum is
-    # the standard estimator for sustained steady-state cost
+    # three timed passes, keep the per-query minimum: single runs swing
+    # ±15% with scheduler/GC noise on a busy machine (r5's +5.8% headline
+    # drift had no plan change behind it), and the minimum is the standard
+    # estimator for sustained steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(
-            min(run_one(spark, impl(name), sf_dir) for _ in range(2)), 3
+            min(run_one(spark, impl(name), sf_dir) for _ in range(3)), 3
         )
 
     layout = bench_layout(spark, sf_dir)
@@ -255,6 +271,7 @@ def main() -> None:
                 # rounds (BENCH_r02's one-shot figures) sees the cost the
                 # indexed dedup rows exclude (ADVICE r4)
                 "dedup_index_build_s": index_build_s,
+                "dedup_index_build_cold_s": index_build_cold_s,
                 "layout": layout,
                 "curation": curation,
                 "sf": sf,

@@ -731,12 +731,160 @@ def _node_top(res, node: ApplyNode):
     return res
 
 
+def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
+    """ε-bounded SpaceSaving sketch mode (``approx: true``) — the actual
+    reference algorithm (spacesaver.h:12-190): M = ⌈1/error⌉ counters fed
+    by the sample stream in query order; a new item beyond capacity evicts
+    the min-count counter and inherits its count as both seed and error
+    bound; report items whose guaranteed count ``count − error`` exceeds
+    ``portion · N`` (spacesaver.h:69-77), value = the (over)estimate,
+    ts = the counter-creation sample's timestamp (spacesaver.h:138 — set
+    on insert, never on increment), sorted by count descending.
+
+    Distribution model — chunked mergeable summaries: the stream is cut
+    into ``merge-chunks`` (default 1) equal time slices; each slice is
+    SpaceSaving-folded independently (bounded M-counter state, one
+    sequential pass), and the per-chunk summaries merge commutatively:
+
+        count̂(x) = Σ_present ĉᵢ(x) + Σ_absent minᵢ
+        error(x) = Σ_present eᵢ(x) + Σ_absent minᵢ
+
+    where ``minᵢ`` is chunk i's smallest counter (0 if the chunk never
+    filled) — the SpaceSaving bound for an item absent from a full
+    summary.  Since Σ counts = Nᵢ within a chunk, minᵢ ≤ Nᵢ/M ≤ ε·Nᵢ, so
+    the merged error stays ≤ ε·N: the ε-guarantee survives the merge
+    (Agarwal et al., "Mergeable Summaries", PODS'12).  With one chunk
+    this is exactly the reference's sequential algorithm.
+
+    Determinism divergences from the reference, both documented intent:
+    the reference iterates an unordered_map to find the eviction victim
+    (spacesaver.h:124-131 — tie order is memory-layout-dependent), we
+    evict the (count, series)-lexicographic minimum; its hash-map stream
+    order for equal timestamps is likewise unspecified, we fold ties in
+    series order.  Merged ts = the counter ts from the first chunk in
+    stream order containing the item.
+
+    Scale shape: one shuffle (groupBy chunk), per-chunk Arrow-batched
+    fold with O(M) state, then a summary-level aggregation over ≤ C·M
+    rows.  Size ``merge-chunks`` so one time slice fits an executor's
+    Arrow batch (chunks ≈ stream_bytes / executor_batch_bytes); the
+    summary merge is independent of sample count.
+    """
+    error = node.param("error")
+    if error is None or float(error) == 0.0:
+        # reference: "`error` can't be 0." (spacesaver.h:50-53)
+        raise QueryValidationError("'error' can't be 0")
+    error = float(error)
+    if error < 0.0 or error > 1.0:
+        raise QueryValidationError("'error' must be in (0, 1]")
+    M = int(math.ceil(1.0 / error))
+    k = int(node.param("merge-chunks", 1))
+    if k < 1:
+        raise QueryValidationError("'merge-chunks' must be >= 1")
+    c = res.value_cols[0]
+    rng = res.query.range
+    forward = rng.forward
+    lo, hi = rng.lo_ns, rng.hi_ns
+    span = max(hi - lo, 1)
+    step = -(-span // k)  # ceil
+    # chunk index increases along stream order for either direction
+    pos = (F.col("ts_ns") - F.lit(lo)) if forward else (F.lit(hi - 1) - F.col("ts_ns"))
+    weight = F.col(f"`{c}`").cast("double") if weighted else F.lit(1.0)
+
+    stream = res.df.select(
+        (pos / F.lit(step)).cast("long").alias("__chunk"),
+        "series",
+        "ts_ns",
+        weight.alias("__w"),
+    ).filter(F.col("__w").isNotNull() & ~F.isnan(F.col("__w")))
+
+    out_schema = (
+        "__chunk long, series string, cnt double, err double, "
+        "ts_ns long, chunk_n double, chunk_min double"
+    )
+
+    def fold_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["ts_ns", "series"], ascending=[forward, True]
+        )
+        counters: dict[str, list] = {}
+        total = 0.0
+        for s, t, w in zip(pdf["series"], pdf["ts_ns"], pdf["__w"]):
+            ctr = counters.get(s)
+            if ctr is not None:
+                ctr[0] += w
+            elif len(counters) < M:
+                counters[s] = [w, 0.0, t]
+            else:
+                victim = min(
+                    counters.items(), key=lambda kv: (kv[1][0], kv[0])
+                )
+                minc = victim[1][0]
+                del counters[victim[0]]
+                counters[s] = [w + minc, minc, t]
+            total += w
+        full = len(counters) >= M
+        chunk_min = min(v[0] for v in counters.values()) if full else 0.0
+        chunk = int(pdf["__chunk"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "__chunk": chunk,
+                "series": list(counters.keys()),
+                "cnt": [v[0] for v in counters.values()],
+                "err": [v[1] for v in counters.values()],
+                "ts_ns": [v[2] for v in counters.values()],
+                "chunk_n": total,
+                "chunk_min": chunk_min,
+            }
+        )
+
+    summaries = stream.groupBy("__chunk").applyInPandas(fold_chunk, out_schema)
+    # chunk-level stats once per chunk; totals are a broadcast-sized frame
+    chunk_stats = summaries.groupBy("__chunk").agg(
+        F.first("chunk_n").alias("chunk_n"), F.first("chunk_min").alias("chunk_min")
+    )
+    totals = chunk_stats.select(
+        F.sum("chunk_n").alias("__N"), F.sum("chunk_min").alias("__minsum")
+    )
+    merged = (
+        summaries.groupBy("series")
+        .agg(
+            F.sum("cnt").alias("__cnt_present"),
+            F.sum("err").alias("__err_present"),
+            F.sum("chunk_min").alias("__min_present"),
+            F.min(F.struct("__chunk", "ts_ns")).alias("__first"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn("__absent", F.col("__minsum") - F.col("__min_present"))
+        .filter(
+            F.col("__cnt_present") - F.col("__err_present")
+            > F.col("__N") * F.lit(portion)
+        )
+        .select(
+            "series",
+            F.col("__first.ts_ns").alias("ts_ns"),
+            (F.col("__cnt_present") + F.col("__absent")).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("series").asc())
+    )
+    res.df = merged
+    res.value_cols = ["value"]
+    res.presorted = True
+    return res
+
+
 def _node_spacesaver(res, node: ApplyNode, weighted: bool):
-    """frequent-items / heavy-hitters (spacesaver.h:12-190).  The reference
-    approximates with a SpaceSaving sketch sized 1/error because it streams
-    single-core; distributed exact group-by returns the exact answer the
-    sketch approximates: items whose count (or summed weight) exceeds
-    portion·N, value = the count, ts = last seen, sorted descending."""
+    """frequent-items / heavy-hitters (spacesaver.h:12-190).  Two modes:
+
+    * default — the reference approximates with a SpaceSaving sketch
+      sized 1/error because it streams single-core; distributed exact
+      group-by returns the exact answer the sketch approximates: items
+      whose count (or summed weight) exceeds portion·N, value = the
+      count, ts = last seen, sorted descending.
+    * ``approx: true`` — the reference's actual ε-bounded SpaceSaving
+      semantics via chunked mergeable summaries (:func:`_spacesaver_sketch`),
+      mirroring the anomaly-detector's precise/approx split.
+    """
     portion = node.param("portion")
     if portion is None:
         raise QueryValidationError("frequent-items requires 'portion'")
@@ -745,6 +893,8 @@ def _node_spacesaver(res, node: ApplyNode, weighted: bool):
         raise QueryValidationError("'portion' must be in [0, 1]")
     if len(res.value_cols) != 1:
         raise QueryValidationError("spacesaver requires scalar samples")
+    if node.param("approx"):
+        return _spacesaver_sketch(res, node, weighted, portion)
     c = res.value_cols[0]
     weight = F.col(f"`{c}`") if weighted else F.lit(1.0)
     per_series = res.df.groupBy("series").agg(

@@ -754,6 +754,106 @@ _register(
     WHERE value > 0.13 * (SELECT sum(value) FROM g)""",
 )
 
+# ε-bounded SpaceSaving sketch mode (approx: true) — the reference's actual
+# algorithm (spacesaver.h:12-190): M = ceil(1/error) counters, evict-min
+# with error inheritance, report count − error > portion·N.  Distributed as
+# chunked mergeable summaries (apply.py:_spacesaver_sketch).  The oracle
+# replays the identical fold as a recursive CTE: per-chunk parallel streams
+# (one row per chunk per level) carrying the counter table as a LIST of
+# STRUCT(cnt, series, err, ts) — list_sort's struct ordering (cnt first,
+# then series) IS the deterministic evict-min tie-break — then the same
+# commutative merge.  Both sides add the same IEEE doubles in the same
+# (ts, series) order, so values agree bit-for-bit before canon rounding.
+# error=0.15 → M=7 < the metric's 8 series, so evictions genuinely happen
+# and the reported counts are sketch overestimates, not exact counts.
+
+
+def _spacesaver_sketch_sql(metric: str, M: int, portion: float, k: int,
+                           weighted: bool) -> str:
+    step = -(-(E1 - E0) // k)
+    w = "value" if weighted else "CAST(1.0 AS DOUBLE)"
+    guard = " AND value IS NOT NULL AND NOT isnan(value)" if weighted else ""
+    return f"""WITH RECURSIVE {APP_METRICS_SQL},
+    base AS MATERIALIZED (
+      SELECT series, ts_ns, CAST({w} AS DOUBLE) AS w,
+             CAST(floor((ts_ns - {E0}) / {step}) AS BIGINT) AS chunk,
+             CAST(row_number() OVER (
+               PARTITION BY CAST(floor((ts_ns - {E0}) / {step}) AS BIGINT)
+               ORDER BY ts_ns, series) AS BIGINT) AS rn
+      FROM app_metrics
+      WHERE metric = '{metric}' AND ts_ns >= {E0} AND ts_ns < {E1}{guard}
+    ),
+    rec AS (
+      SELECT chunk, CAST(0 AS BIGINT) AS rn,
+             CAST([] AS STRUCT(cnt DOUBLE, series VARCHAR, err DOUBLE, ts BIGINT)[]) AS state,
+             CAST(0.0 AS DOUBLE) AS n
+      FROM (SELECT DISTINCT chunk FROM base)
+      UNION ALL
+      SELECT b.chunk, b.rn,
+        CASE
+          WHEN len(list_filter(r.state, x -> x.series = b.series)) > 0 THEN
+            list_transform(r.state, x -> CASE WHEN x.series = b.series
+              THEN {{'cnt': x.cnt + b.w, 'series': x.series, 'err': x.err, 'ts': x.ts}}
+              ELSE x END)
+          WHEN len(r.state) < {M} THEN
+            list_append(r.state,
+              {{'cnt': b.w, 'series': b.series, 'err': CAST(0.0 AS DOUBLE), 'ts': b.ts_ns}})
+          ELSE
+            list_append(
+              list_filter(r.state, x -> x.series != list_sort(r.state)[1].series),
+              {{'cnt': b.w + list_sort(r.state)[1].cnt, 'series': b.series,
+                'err': list_sort(r.state)[1].cnt, 'ts': b.ts_ns}})
+        END AS state,
+        r.n + b.w AS n
+      FROM rec r JOIN base b ON b.chunk = r.chunk AND b.rn = r.rn + 1
+    ),
+    fin AS (
+      SELECT chunk, state, n FROM rec
+      QUALIFY rn = max(rn) OVER (PARTITION BY chunk)
+    ),
+    chunkstats AS (
+      SELECT chunk, n,
+             CASE WHEN len(state) >= {M}
+                  THEN list_aggregate(list_transform(state, x -> x.cnt), 'min')
+                  ELSE CAST(0.0 AS DOUBLE) END AS cmin,
+             state
+      FROM fin
+    ),
+    cstruct AS (SELECT chunk, cmin, unnest(state) AS x FROM chunkstats),
+    cflat AS (
+      SELECT chunk, cmin, x.series AS series, x.cnt AS cnt, x.err AS err,
+             x.ts AS ts
+      FROM cstruct
+    ),
+    totals AS (SELECT sum(n) AS N, sum(cmin) AS minsum FROM chunkstats),
+    merged AS (
+      SELECT series, sum(cnt) AS cnt_p, sum(err) AS err_p,
+             sum(cmin) AS min_p, arg_min(ts, chunk) AS ts_ns
+      FROM cflat GROUP BY series
+    )
+    SELECT m.series, m.ts_ns, m.cnt_p + (t.minsum - m.min_p) AS value
+    FROM merged m, totals t
+    WHERE m.cnt_p - m.err_p > t.N * {portion}"""
+
+
+_register(
+    "apply_frequent_items_sketch",
+    "app_metrics",
+    {"select": "app.signup", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "frequent-items", "error": 0.15, "portion": 0.03,
+                "approx": True, "merge-chunks": 4}]},
+    _spacesaver_sketch_sql("app.signup", 7, 0.03, 4, weighted=False),
+)
+
+_register(
+    "apply_heavy_hitters_sketch",
+    "app_metrics",
+    {"select": "app.purchase", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "heavy-hitters", "error": 0.15, "portion": 0.03,
+                "approx": True, "merge-chunks": 4}]},
+    _spacesaver_sketch_sql("app.purchase", 7, 0.03, 4, weighted=True),
+)
+
 _register(
     "apply_eval_revenue",
     "metrics",

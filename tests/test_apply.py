@@ -420,3 +420,102 @@ def test_regular_required_rejected_after_join(spark, metrics):
              "apply": [{"name": "sma", "window-width": 3}]},
             metrics,
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving sketch mode (approx: true) — hand-traceable eviction streams
+# ---------------------------------------------------------------------------
+
+
+def _tiny_stream(spark, rows):
+    return spark.createDataFrame(
+        [("m " + s, "m", {}, t, 1.0) for s, t in rows],
+        schema="series string, metric string, tags map<string,string>, "
+               "ts_ns long, value double",
+    )
+
+
+_SS_ROWS = [("a", 10), ("b", 20), ("a", 30), ("c", 40), ("a", 50), ("c", 60)]
+
+
+def _ss_query(portion, begin=0, end=120, chunks=1):
+    return {
+        "select": "m",
+        "range": {"from": begin, "to": end},
+        "apply": [{"name": "frequent-items", "error": 0.5, "portion": portion,
+                   "approx": True, "merge-chunks": chunks}],
+    }
+
+
+def test_spacesaver_sketch_eviction_trace(spark):
+    """M=2 over 3 series: c's arrival at ts=40 evicts b (count 1) and
+    inherits count 2 / error 1 (spacesaver.h:120-137).  With portion 0.4
+    (support 2.4) only a's guaranteed count 3-0 clears it — c's 3-1 does
+    not, even though both estimates are 3."""
+    frame = _tiny_stream(spark, _SS_ROWS)
+    out = execute_query(spark, _ss_query(0.4), frame).collect()
+    assert [(r["series"], r["ts_ns"], r["value"]) for r in out] == [("m a", 10, 3.0)]
+
+
+def test_spacesaver_sketch_overestimate_and_tiebreak(spark):
+    """portion 0.1 admits both survivors; equal estimates (3.0) order by
+    series; ts is the counter-creation sample's timestamp, NOT last-seen —
+    a's counter was created at ts=10, c's eviction-rebirth at ts=40."""
+    frame = _tiny_stream(spark, _SS_ROWS)
+    out = execute_query(spark, _ss_query(0.1), frame).collect()
+    assert [(r["series"], r["ts_ns"], r["value"]) for r in out] == [
+        ("m a", 10, 3.0), ("m c", 40, 3.0)]
+
+
+def test_spacesaver_sketch_backward(spark):
+    """Backward query folds the stream in descending time: b@20 then a@10
+    arrive last against a full table and both inherit error 2 from the
+    evicted min counter."""
+    frame = _tiny_stream(spark, _SS_ROWS)
+    out = execute_query(spark, _ss_query(0.1, begin=120, end=0), frame).collect()
+    assert [(r["series"], r["ts_ns"], r["value"]) for r in out] == [
+        ("m a", 10, 3.0), ("m b", 20, 3.0)]
+
+
+def test_spacesaver_sketch_chunk_merge(spark):
+    """merge-chunks=2 splits [0,120) at ts=60 (c@60 lands in chunk 1).
+    Chunk 0 folds a,b,a,c,a → {a:(3,0), c:(2,1)}, cmin 2; chunk 1 folds
+    c,b,b,d,b → {b:(3,0), d:(2,1)}, cmin 2.  Merged: an item absent from
+    a full chunk adds that chunk's min counter to BOTH its estimate and
+    its error — a and b get estimate 3+2=5 with lower bound 3; c and d
+    (lb 1) miss the support 0.25·10=2.5.  Equal estimates order by
+    series."""
+    rows = _SS_ROWS + [("b", 70), ("b", 80), ("d", 90), ("b", 100)]
+    frame = _tiny_stream(spark, rows)
+    out = execute_query(spark, _ss_query(0.25, chunks=2), frame).collect()
+    assert [(r["series"], r["ts_ns"], r["value"]) for r in out] == [
+        ("m a", 10, 5.0), ("m b", 70, 5.0)]
+
+
+def test_spacesaver_sketch_single_chunk_matches_exact_when_unsaturated(spark, app_metrics):
+    """M >= distinct series ⇒ no evictions ⇒ the sketch IS exact: counts
+    match the exact mode's group-by (ts differs by design: creation vs
+    last-seen)."""
+    q_exact = {"select": "app.signup", "range": {"from": E0, "to": E1},
+               "apply": [{"name": "frequent-items", "portion": 0.05}]}
+    q_sketch = {"select": "app.signup", "range": {"from": E0, "to": E1},
+                "apply": [{"name": "frequent-items", "error": 0.01,
+                           "portion": 0.05, "approx": True}]}
+    exact = {(r["series"], r["value"])
+             for r in execute_query(spark, q_exact, app_metrics).collect()}
+    sketch = {(r["series"], r["value"])
+              for r in execute_query(spark, q_sketch, app_metrics).collect()}
+    assert exact == sketch and len(exact) > 0
+
+
+def test_spacesaver_sketch_error_zero_rejected(spark, app_metrics):
+    from akumuli_spark.query.errors import QueryValidationError
+
+    with pytest.raises(QueryValidationError, match="error"):
+        execute_query(
+            spark,
+            {"select": "app.click", "range": {"from": E0, "to": E1},
+             "apply": [{"name": "frequent-items", "portion": 0.1,
+                        "approx": True, "error": 0}]},
+            app_metrics,
+        )

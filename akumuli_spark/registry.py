@@ -1134,6 +1134,21 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# Real-kernel round trip: Spark synthesizes genuine BITMAPINFOHEADER BMP
+# payloads with dims derived from length(text), decode_header must parse
+# those dims back out of the bytes, and the oracle recomputes them
+# arithmetically — a regression in the binary parser (offsets, endianness,
+# signedness) breaks the value hash.
+_register_pipeline(
+    "multimodal_decode_bmp",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_bmp_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_BMP_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
 
 # SAX symbolization: sliding-window z-norm + quantization + numerosity
 # reduction has no SQL form — rows-only check (like apply_ewma).

@@ -124,6 +124,71 @@ def test_multimodal_decode(spark, duck, docs):
 def test_multimodal_stub_raises_on_empty():
     with pytest.raises(NotImplementedError):
         multimodal._fake_decode(b"")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_header(b"")
+
+
+def _png_bytes(w, h, color_type, depth=8):
+    import struct as _s
+    import zlib
+
+    ihdr = _s.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13) + b"IHDR" + ihdr
+        + _s.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _wav_bytes(rate, bits, n_ch, extra_chunk_first=False):
+    import struct as _s
+
+    fmt = _s.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * bits // 8,
+                  n_ch * bits // 8, bits)
+    chunks = b"fmt " + _s.pack("<I", len(fmt)) + fmt
+    if extra_chunk_first:
+        # odd-sized LIST chunk before fmt exercises the word-aligned walk
+        chunks = b"LIST" + _s.pack("<I", 5) + b"INFOx\x00" + chunks
+    return b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _bmp_bytes(w, h, bpp=24):
+    import struct as _s
+
+    return _s.pack("<2sIHHIIiiHHIIiiII", b"BM", 54, 0, 0, 54,
+                   40, w, h, 1, bpp, 0, 0, 2835, 2835, 0, 0)
+
+
+def test_decode_header_real_formats():
+    """The real kernel parses genuine container headers bit-accurately."""
+    n, w, h, c, fmt = multimodal.decode_header(_png_bytes(640, 480, 2))
+    assert (w, h, c, fmt) == (640, 480, 3, "png")
+    # greyscale+alpha and palette channel mapping (PNG spec 11.2.2)
+    assert multimodal.decode_header(_png_bytes(1, 1, 4))[3] == 2
+    assert multimodal.decode_header(_png_bytes(1, 1, 3))[3] == 1
+    n, w, h, c, fmt = multimodal.decode_header(_bmp_bytes(1920, 1080))
+    assert (w, h, c, fmt) == (1920, 1080, 3, "bmp")
+    # top-down BMPs store negative height; dimension is the magnitude
+    assert multimodal.decode_header(_bmp_bytes(8, -16))[2] == 16
+    n, w, h, c, fmt = multimodal.decode_header(_wav_bytes(44100, 16, 2))
+    assert (w, h, c, fmt) == (44100, 16, 2, "wav")
+    n, w, h, c, fmt = multimodal.decode_header(
+        _wav_bytes(8000, 8, 1, extra_chunk_first=True))
+    assert (w, h, c, fmt) == (8000, 8, 1, "wav")
+
+
+def test_decode_header_text_payloads_fall_back_to_stub():
+    """Documents that merely LOOK like containers (ASCII 'BM...', RIFF
+    text) must structurally fail and take the stub path, never misparse."""
+    for s in (b"BMW drivers, a study", b"RIFFnoiseWAVEforms are neat",
+              b"plain old text"):
+        assert multimodal.decode_header(s) == multimodal._fake_decode(s)
+
+
+def test_multimodal_decode_bmp_roundtrip(spark, duck, docs):
+    out = multimodal.decode_metadata(multimodal.synth_bmp_payloads(docs))
+    assert out.filter("format = 'bmp'").count() == docs.count()
+    assert_matches_oracle(out, duck, multimodal.DECODE_BMP_SQL)
 
 
 def test_ngram_jaccard_stop_shingle_cap(spark, docs):

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
@@ -82,24 +83,45 @@ class HighWaterState:
 
     If the side table is missing (first start, or the state dir was
     lost), it is seeded from ONE scan of the committed sink; a restart
-    with an intact side table needs ZERO sink scans.  The
-    write-new-then-rename directory swap is the local-FS analogue of a
-    transactional table — production would keep this in Delta or the
-    streaming state store.
+    with an intact side table needs ZERO sink scans.
+
+    Commit protocol — versioned dirs + atomic pointer flip: each commit
+    writes a fresh ``epoch-<uuid>`` parquet dir under ``marks_dir`` and
+    then atomically ``os.replace``s the one-line ``CURRENT`` pointer file
+    onto it.  A crash at ANY point leaves ``CURRENT`` naming a complete,
+    readable epoch (the old one before the flip, the new one after) — the
+    previous two-rename directory swap had a window between the renames
+    where the table was absent and the next start degraded to the
+    O(history) re-seed scan.  This is the local-FS analogue of a
+    transactional table's commit pointer — production would keep this in
+    Delta or the streaming state store.
     """
+
+    CURRENT = "CURRENT"
 
     def __init__(self, marks_dir: str | None = None) -> None:
         self.marks_dir = marks_dir
         self.seed_scans = 0  # sink scans performed (must stay ≤ 1)
-        self._epoch = 0
 
     # -- internal ---------------------------------------------------------
 
-    def _read(self, spark: SparkSession) -> DataFrame | None:
+    def _current_epoch_dir(self) -> str | None:
+        """Path of the committed epoch dir, or None if never committed
+        (also None for a pre-pointer-layout dir: its stale parquet is
+        simply re-seeded from the sink once — self-healing by design)."""
         try:
-            return spark.read.schema("series string, __hw long").parquet(
-                self.marks_dir
-            )
+            with open(os.path.join(self.marks_dir, self.CURRENT)) as f:
+                name = f.read().strip()
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+        return os.path.join(self.marks_dir, name) if name else None
+
+    def _read(self, spark: SparkSession) -> DataFrame | None:
+        cur = self._current_epoch_dir()
+        if cur is None:
+            return None
+        try:
+            return spark.read.schema("series string, __hw long").parquet(cur)
         except AnalysisException as exc:
             # only "side table absent" may seed/skip — a transient read
             # failure must NOT be swallowed (it would silently rebuild or
@@ -107,6 +129,31 @@ class HighWaterState:
             if _is_path_missing(exc):
                 return None
             raise
+
+    def _commit(self, marks: DataFrame) -> None:
+        """Write a new epoch dir, fsync a temp pointer, atomically flip
+        ``CURRENT`` onto it, then best-effort GC unreferenced epochs."""
+        name = f"epoch-{uuid.uuid4().hex[:12]}"
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, name)
+        )
+        tmp = os.path.join(self.marks_dir, f".{self.CURRENT}.{name}")
+        with open(tmp, "w") as f:
+            f.write(name)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.marks_dir, self.CURRENT))
+        for entry in os.listdir(self.marks_dir):
+            if entry == self.CURRENT or entry == name:
+                continue
+            stale = os.path.join(self.marks_dir, entry)
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
+            else:
+                try:
+                    os.remove(stale)
+                except OSError:
+                    pass
 
     # -- batch API --------------------------------------------------------
 
@@ -129,15 +176,16 @@ class HighWaterState:
                 # late-write gate for every committed series)
                 raise
             seeded = spark.createDataFrame([], "series string, __hw long")
-        seeded.write.mode("overwrite").parquet(self.marks_dir)
+        self._commit(seeded)
         return self._read(spark)
 
     def advance(self, spark: SparkSession, accepted: DataFrame) -> None:
         """Merge the batch's per-series maxima into the side table via a
-        full-outer join + greatest (null-skipping), then swap directories.
-        ``accepted`` must be persisted/written by the caller — this runs
-        after the sink append so a crash between the two replays the
-        batch, it never loses marks."""
+        full-outer join + greatest (null-skipping), then commit the merged
+        epoch with the atomic pointer flip.  ``accepted`` must be
+        persisted/written by the caller — this runs after the sink append
+        so a crash between the two replays the batch, it never loses
+        marks."""
         batch_max = accepted.groupBy("series").agg(
             F.max("ts_ns").alias("__bm")
         )
@@ -150,14 +198,7 @@ class HighWaterState:
         merged = cur.join(batch_max, "series", "full").select(
             "series", F.greatest(F.col("__hw"), F.col("__bm")).alias("__hw")
         )
-        self._epoch += 1
-        nxt = f"{self.marks_dir}.next-{self._epoch}"
-        merged.write.mode("overwrite").parquet(nxt)
-        old = f"{self.marks_dir}.old-{self._epoch}"
-        if os.path.exists(self.marks_dir):
-            os.rename(self.marks_dir, old)
-        os.rename(nxt, self.marks_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        self._commit(merged)
 
     # -- observability (tests / operators; NOT on the batch hot path) -----
 

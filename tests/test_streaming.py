@@ -193,3 +193,52 @@ def test_udp_spool_ingest_end_to_end(spark, dirs):
     # the RESP-malformed datagram is counted by the skip path, so drops
     # are visible to operators (udp_server.cpp counting parity)
     assert dropped.value == 1
+
+
+def test_marks_pointer_flip_survives_crash_window(spark, tmp_path, monkeypatch):
+    """Kill-between-writes injection: a crash after the new epoch dir is
+    written but BEFORE the CURRENT pointer flips must leave the previous
+    epoch committed and readable — the old two-rename swap had a window
+    here where the whole marks table was absent and the next start paid
+    the O(history) re-seed scan."""
+    import os as _os
+
+    from akumuli_spark.streaming.ingest import HighWaterState
+
+    hw = HighWaterState(str(tmp_path / "marks"))
+    hw.advance(
+        spark, spark.createDataFrame([("s1", 100)], "series string, ts_ns long")
+    )
+    assert hw.marks == {"s1": 100}
+
+    real_replace = _os.replace
+
+    def crash_on_pointer_flip(src, dst, *a, **kw):
+        if _os.path.basename(dst) == HighWaterState.CURRENT:
+            raise OSError("injected crash before pointer flip")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "replace", crash_on_pointer_flip)
+    with pytest.raises(OSError, match="injected crash"):
+        hw.advance(
+            spark,
+            spark.createDataFrame([("s1", 200), ("s2", 50)],
+                                  "series string, ts_ns long"),
+        )
+    monkeypatch.undo()
+
+    # the committed table is intact (no absent-table window, no re-seed)
+    assert hw.marks == {"s1": 100}
+    assert hw.seed_scans == 0
+
+    # recovery: the replayed batch lands on top of the intact state, and
+    # the orphaned epoch dir from the crashed commit is GC'd
+    hw.advance(
+        spark,
+        spark.createDataFrame([("s1", 200), ("s2", 50)],
+                              "series string, ts_ns long"),
+    )
+    assert hw.marks == {"s1": 200, "s2": 50}
+    leftovers = set(os.listdir(hw.marks_dir))
+    assert HighWaterState.CURRENT in leftovers
+    assert len(leftovers) == 2  # pointer + exactly one live epoch dir

@@ -212,7 +212,11 @@ def parse_timestamp_ns(value: str | int | float) -> int:
             raise QueryParseError(f"bad timestamp {value!r}")
         return int(value)
     text = value.strip()
-    if re.fullmatch(r"[+-]?\d+", text):
+    # ASCII-only digits: \d is Unicode-aware and int() accepts Unicode
+    # digits, so without re.ASCII a token like '١٢٣' would silently parse
+    # as 123 where the reference's parser raises -PARSER (the RESP source
+    # gates on isascii() and relies on this rejecting the rest)
+    if re.fullmatch(r"[+-]?\d+", text, re.ASCII):
         return int(text)
     m = _ISO_BASIC_RE.match(text) or _ISO_EXT_RE.match(text)
     if not m:

@@ -1025,13 +1025,17 @@ _register_pipeline(
 # branch isn't trusted on test_pipeline equivalence alone (ADVICE r4).
 # Results are identical to the one-shot entries by construction (the
 # signature table is a deterministic function of the text), so the oracle
-# SQL is shared.
+# SQL is shared.  The signature frame is localCheckpoint'ed like a stored
+# table (ADVICE r5): without it the chunk self-join recomputes the whole
+# signature aggregation once per join side, which is neither the stored-
+# table shape bench.py times nor the one-shot path's own behavior.
 _register_pipeline(
     "dedup_minhash_lsh_indexed",
     lambda spark, sf: _dedup.minhash_lsh_pairs(
         load_table(spark, sf, "documents"), n=5, threshold=0.5,
         signatures=_dedup.minhash_signatures(
-            load_table(spark, sf, "documents"), n=5),
+            load_table(spark, sf, "documents"), n=5
+        ).localCheckpoint(eager=True),
     ),
     _dedup.minhash_lsh_sql(5, 0.5),
     ["jaccard"],
@@ -1043,7 +1047,8 @@ _register_pipeline(
     lambda spark, sf: _dedup.simhash_pairs(
         load_table(spark, sf, "documents"), n=3, max_hamming=3,
         signatures=_dedup.simhash_signatures(
-            load_table(spark, sf, "documents"), n=3),
+            load_table(spark, sf, "documents"), n=3
+        ).localCheckpoint(eager=True),
     ),
     _dedup.simhash_sql(3, 3),
     [],

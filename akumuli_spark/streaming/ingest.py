@@ -215,6 +215,53 @@ class HighWaterState:
         return {r["series"]: r["__hw"] for r in cur.collect()}
 
 
+def gate_and_commit_batch(
+    batch: DataFrame,
+    out_dir: str,
+    rejects_dir: str | None,
+    late_after_ns: int,
+    hw_state: HighWaterState,
+) -> None:
+    """One micro-batch through the late-write gate: split against the
+    PRE-batch marks (rows within a batch never gate each other — same as
+    the reference, which seals windows between ingest sessions, not
+    mid-burst), append accepted/late to their sinks, then advance the
+    marks.  Module-level so the property tests drive the exact production
+    path the streaming query runs."""
+    spark = batch.sparkSession
+    # sortWithinPartitions, NOT a global sort: per-file (series, ts)
+    # ordering is all the parquet min/max row-group stats need, and a
+    # global sort's RangePartitioning runs an extra sampling pass that
+    # would execute the upstream parse stage twice per batch (and
+    # shuffle the whole batch for a total order nobody reads)
+    batch = batch.sortWithinPartitions("metric", "series", "ts_ns")
+    if rejects_dir is None:
+        batch.write.mode("append").partitionBy("metric").parquet(out_dir)
+        return
+    highwater = hw_state.marks_df(spark, out_dir)
+    batch = batch.persist()
+    try:
+        # no broadcast hint: at 10⁸+ series the marks table is not
+        # broadcast-sized; AQE picks broadcast vs shuffle from the
+        # actual table size per batch
+        joined = batch.join(highwater, "series", "left")
+        accepted = joined.filter(
+            F.col("__hw").isNull()
+            | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
+        ).drop("__hw")
+        late = joined.filter(
+            F.col("__hw").isNotNull()
+            & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
+        ).drop("__hw")
+        accepted = accepted.persist()
+        accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
+        late.write.mode("append").parquet(rejects_dir)
+        hw_state.advance(spark, accepted)
+        accepted.unpersist()
+    finally:
+        batch.unpersist()
+
+
 def start_parquet_ingest(
     parsed: DataFrame,
     out_dir: str,
@@ -240,38 +287,9 @@ def start_parquet_ingest(
         )
 
     def write_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        # sortWithinPartitions, NOT a global sort: per-file (series, ts)
-        # ordering is all the parquet min/max row-group stats need, and a
-        # global sort's RangePartitioning runs an extra sampling pass that
-        # would execute the upstream parse stage twice per batch (and
-        # shuffle the whole batch for a total order nobody reads)
-        batch = batch.sortWithinPartitions("metric", "series", "ts_ns")
-        if rejects_dir is None:
-            batch.write.mode("append").partitionBy("metric").parquet(out_dir)
-            return
-        highwater = hw_state.marks_df(spark, out_dir)
-        batch = batch.persist()
-        try:
-            # no broadcast hint: at 10⁸+ series the marks table is not
-            # broadcast-sized; AQE picks broadcast vs shuffle from the
-            # actual table size per batch
-            joined = batch.join(highwater, "series", "left")
-            accepted = joined.filter(
-                F.col("__hw").isNull()
-                | (F.col("ts_ns") > F.col("__hw") - F.lit(late_after_ns))
-            ).drop("__hw")
-            late = joined.filter(
-                F.col("__hw").isNotNull()
-                & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
-            ).drop("__hw")
-            accepted = accepted.persist()
-            accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
-            late.write.mode("append").parquet(rejects_dir)
-            hw_state.advance(spark, accepted)
-            accepted.unpersist()
-        finally:
-            batch.unpersist()
+        gate_and_commit_batch(
+            batch, out_dir, rejects_dir, late_after_ns, hw_state
+        )
 
     return (
         parsed.writeStream.outputMode("append")

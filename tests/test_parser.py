@@ -184,6 +184,12 @@ def test_timestamps():
     assert parse_timestamp_ns("12345") == 12345
     with pytest.raises(QueryParseError):
         parse_timestamp_ns("not-a-time")
+    # Unicode digits must be rejected like the reference's -PARSER error,
+    # not silently accepted by a Unicode-aware \d + int() (ADVICE r5)
+    with pytest.raises(QueryParseError):
+        parse_timestamp_ns("١٢٣")
+    with pytest.raises(QueryParseError):
+        parse_timestamp_ns("１２３４５")
 
 
 def test_durations():

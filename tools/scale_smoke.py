@@ -99,10 +99,89 @@ def dedup_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def pack_smoke(spark, n_docs: int) -> dict:
+    """Sequence packing under realistic stratum skew (90% of docs in one
+    'en' stratum, the rest over 9 small strata): n_shards=1 pays the
+    classic straggler — one pandas task packs the whole 0.9·n_docs
+    stratum — while n_shards=32 bounds per-task work at ~|stratum|/32.
+    The wall-clock gap IS the straggler evidence (same rows, same
+    packing algorithm, only the stream grouping changes)."""
+    from akumuli_spark.pipeline.cluster import pack_sequences
+
+    lang = F.when(F.col("id") % 10 < 9, F.lit("en")).otherwise(
+        F.concat(F.lit("l"), (F.col("id") % 10).cast("string"))
+    )
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        lang.alias("lang"),
+        F.expr("repeat('w ', 1 + CAST(id % 97 AS INT))").alias("text"),
+    )
+    out = {}
+    for shards in (1, 32):
+        t = time.time()
+        pack_sequences(docs, budget=256, n_shards=shards).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"shards_{shards}_s"] = round(time.time() - t, 2)
+    return out
+
+
+def anomaly_sketch_smoke(spark, n_series: int = 2000,
+                         n_steps: int = 500) -> dict:
+    """Counting-sketch anomaly detection over n_series × n_steps regular
+    frames (the heaviest audited plan: the sketch grid is steps × N × 2^bits
+    cells, independent of series count — the point of the approximation).
+    Values are a deterministic small-period signal with spikes planted on
+    every 97th series at step 400; the smoke evidences the 12-shuffle grid
+    plan completing at frame populations far beyond the driver testdata."""
+    from akumuli_spark.query.engine import execute_query
+
+    sid = F.col("id") % n_series
+    step = (F.col("id") / n_series).cast("long")
+    spike = F.when(
+        (step == 400) & (sid % 97 == 0), F.lit(50.0)
+    ).otherwise(F.lit(0.0))
+    frame = spark.range(n_series * n_steps).select(
+        F.concat(F.lit("sig host="), sid.cast("string")).alias("series"),
+        F.lit("sig").alias("metric"),
+        F.create_map(F.lit("host"), sid.cast("string")).alias("tags"),
+        (F.lit(T0) + step * F.lit(NS)).alias("ts_ns"),
+        # constant per series ⇒ post-warm-up EWMA error ≈ 0 everywhere
+        # except the planted spike step, which must be the detection
+        ((sid % 5) + spike).cast("double").alias("value"),
+    )
+    q = {
+        "select": "sig",
+        "range": {"from": T0, "to": T0 + n_steps * NS},
+        "apply": [{"name": "anomaly-detector", "method": "ewma",
+                   "alpha": 0.4, "threshold": 0.35, "approx": True,
+                   "bits": 8, "hashes": 3}],
+    }
+    t = time.time()
+    n_anomalies = execute_query(spark, q, frame).count()
+    return {
+        "rows": n_series * n_steps,
+        "grid_cells": n_steps * 3 * 256,
+        "n_anomalies": n_anomalies,
+        "sec": round(time.time() - t, 2),
+    }
+
+
 def main() -> None:
+    spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "pack":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps({"docs": n_docs, "pack": pack_smoke(spark, n_docs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "anomaly":
+        n_series = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+        n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+        print(json.dumps(
+            {"anomaly_sketch": anomaly_sketch_smoke(spark, n_series, n_steps)}
+        ))
+        return
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    spark = get_spark("scale-smoke")
     if n_docs:
         print(json.dumps({"docs": n_docs, "dedup": dedup_smoke(spark, n_docs)}))
         return

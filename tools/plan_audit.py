@@ -88,7 +88,9 @@ def main() -> None:
     # HEADLINE plus scale-sensitive queries the bench doesn't time
     audited = [*HEADLINE, "ann_ivf_topk", "ann_lsh_topk",
                "decontaminate_ngram", "sample_stratified",
-               "apply_anomaly_ewma_sketch"]
+               "apply_anomaly_ewma_sketch",
+               "apply_frequent_items_sketch", "apply_heavy_hitters_sketch",
+               "multimodal_decode_bmp"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -163,6 +163,63 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def _gram_expr(n: int) -> str:
+    """Word n-gram array expression over ws = split(text, ' ').  Guarded:
+    Spark's sequence(1, stop) DESCENDS when stop < 1, so short docs must
+    short-circuit to an empty array, mirroring DuckDB range()'s empty
+    result."""
+    ws = "split(text, ' ')"
+    elems = ", ".join(f"element_at({ws}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({ws}) < {n} THEN array() "
+        f"ELSE transform(sequence(1, size({ws}) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) END"
+    )
+
+
+def repetition_signals(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", Appendix A quality heuristics — public):
+    for each n, the fraction of word n-grams that repeat an earlier
+    n-gram of the same document, ``1 − distinct/total``.  High values
+    flag boilerplate/template/spam documents that LLM training pipelines
+    drop.  Pure per-row higher-order-function projection — scan speed,
+    zero shuffles, same 100 TB story as the other text operators."""
+    cols = [F.col("doc_id")]
+    for n in ns:
+        grams = _gram_expr(n)
+        total = F.expr(f"size({grams})").cast("long")
+        frac = F.when(total == 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.expr(f"size(array_distinct({grams}))") / total
+        )
+        cols.append(total.alias(f"n_{n}grams"))
+        cols.append(frac.alias(f"rep_{n}gram_frac"))
+    return docs.select(*cols)
+
+
+def repetition_signals_sql(ns: tuple[int, ...] = (2, 3)) -> str:
+    sels = ["doc_id"]
+    for n in ns:
+        joined = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+        g = f"list_transform(range(1, len(ws) - {n - 2}), i -> {joined})"
+        sels.append(f"len({g})::BIGINT AS n_{n}grams")
+        sels.append(
+            f"CASE WHEN len({g}) = 0 THEN 0.0 "
+            f"ELSE 1.0 - len(list_distinct({g})) * 1.0 / len({g}) END "
+            f"AS rep_{n}gram_frac"
+        )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents)\nSELECT " + ",\n       ".join(sels) + "\nFROM t"
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 

@@ -1122,6 +1122,14 @@ _register_pipeline(
 )
 
 _register_pipeline(
+    "text_repetition",
+    lambda spark, sf: _text.repetition_signals(load_table(spark, sf, "documents")),
+    _text.repetition_signals_sql(),
+    ["rep_2gram_frac", "rep_3gram_frac"],
+    ["doc_id", "n_2grams", "n_3grams"],
+)
+
+_register_pipeline(
     "text_fingerprint",
     lambda spark, sf: _text.fingerprint_clusters(load_table(spark, sf, "documents")),
     _text.FINGERPRINT_SQL,

@@ -341,3 +341,35 @@ def test_benchmark_contamination(spark):
            for r in dedup.benchmark_contamination(docs, bench, n=8).collect()}
     assert set(out) == {1}
     assert out[1] == 3  # 10-word sentence -> three 8-grams, all present
+
+
+def test_text_repetition_signals(spark, duck, docs):
+    out = text.repetition_signals(docs)
+    # corpus draws from a small vocabulary: real repeats must exist, and
+    # 3-gram repetition can never exceed 2-gram repetition... not in
+    # general — but distinctness is monotone: a doc's repeated 3-gram
+    # implies repeated 2-grams inside it, so any doc with
+    # rep_3gram_frac > 0 must have rep_2gram_frac > 0
+    rows = out.collect()
+    assert any(r["rep_2gram_frac"] > 0 for r in rows)
+    assert all(
+        r["rep_2gram_frac"] > 0 for r in rows if r["rep_3gram_frac"] > 0
+    )
+    assert_matches_oracle(out, duck, text.repetition_signals_sql())
+
+
+def test_text_repetition_short_docs(spark):
+    tiny = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "x x x"), (4, "a b a b a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.repetition_signals(tiny).collect()}
+    assert (got[1]["n_2grams"], got[1]["rep_2gram_frac"]) == (0, 0.0)
+    assert (got[1]["n_3grams"], got[1]["rep_3gram_frac"]) == (0, 0.0)
+    assert (got[2]["n_2grams"], got[2]["rep_2gram_frac"]) == (1, 0.0)
+    # "x x x": 2-grams = [x x, x x] -> 1/2 repeated
+    assert (got[3]["n_2grams"], got[3]["rep_2gram_frac"]) == (2, 0.5)
+    # "a b a b a": 2-grams = [a b, b a, a b, b a] -> 2/4; 3-grams
+    # [a b a, b a b, a b a] -> 1/3
+    assert got[4]["rep_2gram_frac"] == 0.5
+    assert abs(got[4]["rep_3gram_frac"] - 1 / 3) < 1e-12

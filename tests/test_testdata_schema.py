@@ -97,6 +97,36 @@ def test_ts_ns_expr_matches_duckdb_epoch_ns(both_paths):
     con.close()
 
 
+def test_ts_ns_expr_handles_date_regeneration(spark, tmp_path):
+    """If a future testdata regeneration downgrades a timestamp column to
+    parquet DATE (as happened µs↔ns for events.ts), ts_ns_expr's NTZ
+    fallback must still land on the DuckDB epoch_ns axis: midnight UTC of
+    the stored day."""
+    import datetime
+
+    path = str(tmp_path / "dates.parquet")
+    days = [datetime.date(1996, 1, 1), datetime.date(2024, 2, 29)]
+    pq.write_table(
+        pa.table({"row_id": [0, 1], "ts": pa.array(days, type=pa.date32())}),
+        path,
+    )
+    df = spark.read.parquet(path)
+    got = sorted(
+        (r["row_id"], r["ts_ns"])
+        for r in df.select("row_id", ts_ns_expr(df).alias("ts_ns")).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (int(a), int(b))
+        for a, b in con.sql(
+            f"SELECT row_id, epoch_ns(ts) FROM read_parquet('{path}')"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert got[0][1] == 820454400 * 10**9  # 1996-01-01T00:00:00Z
+
+
 def test_dtype_branch_is_plan_time(spark, both_paths):
     """The schema branch happens at plan build (dtype inspection), not via a
     per-row CASE: the generated expression for the long-ns file must not

@@ -167,8 +167,54 @@ def anomaly_sketch_smoke(spark, n_series: int = 2000,
     }
 
 
+def spacesaver_smoke(spark, n_rows: int = 10_000_000,
+                     chunks: int = 32) -> dict:
+    """ε-bounded SpaceSaving sketch over n_rows samples with a skewed
+    series distribution (sqrt-concentrated over 32 series: the top code
+    carries ~6% of the stream, the bottom codes a sliver) — the shape the
+    sketch exists for, with M = ⌈1/0.05⌉ = 20 < 32 series so evictions
+    genuinely occur.  merge-chunks slices bound per-task state at M
+    counters and per-task rows at ~n_rows/chunks; the smoke evidences the
+    chunk fold + commutative merge completing at 10M samples with the
+    heavy series reported."""
+    from akumuli_spark.query.engine import execute_query
+
+    # skewed series: sqrt of a uniform id concentrates mass at high k
+    k = (F.floor(F.sqrt(F.col("id") % 4096) / 2)).cast("long")
+    frame = spark.range(n_rows).select(
+        F.concat(F.lit("evt code="), k.cast("string")).alias("series"),
+        F.lit("evt").alias("metric"),
+        F.create_map(F.lit("code"), k.cast("string")).alias("tags"),
+        (F.lit(T0) + F.col("id") * F.lit(1_000_000)).alias("ts_ns"),
+        F.lit(1.0).alias("value"),
+    )
+    q = {
+        "select": "evt",
+        "range": {"from": T0, "to": T0 + n_rows * 1_000_000},
+        "apply": [{"name": "frequent-items", "error": 0.05, "portion": 0.04,
+                   "approx": True, "merge-chunks": chunks}],
+    }
+    t = time.time()
+    rows = execute_query(spark, q, frame).collect()
+    return {
+        "rows": n_rows,
+        "chunks": chunks,
+        "M": 20,
+        "reported": len(rows),
+        "top": [(r["series"], r["value"]) for r in rows[:3]],
+        "sec": round(time.time() - t, 2),
+    }
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "spacesaver":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        print(json.dumps(
+            {"spacesaver": spacesaver_smoke(spark, n_rows, chunks)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "pack":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps({"docs": n_docs, "pack": pack_smoke(spark, n_docs)}))

@@ -373,3 +373,27 @@ def test_text_repetition_short_docs(spark):
     # [a b a, b a b, a b a] -> 1/3
     assert got[4]["rep_2gram_frac"] == 0.5
     assert abs(got[4]["rep_3gram_frac"] - 1 / 3) < 1e-12
+
+
+def test_minhash_signature_index_is_incrementally_maintainable(spark, duck, docs):
+    """The 100 TB claim behind signatures= (dedup.py docstring): since
+    signatures are per-document, appending a corpus increment means
+    hashing ONLY the new docs and unioning their signature rows onto the
+    stored table — pair results against the incrementally-built index
+    must be identical to a from-scratch rebuild over the full corpus."""
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+    stored = dedup.minhash_signatures(old, n=5).localCheckpoint(eager=True)
+    incremental = stored.unionByName(dedup.minhash_signatures(new, n=5))
+    full = dedup.minhash_signatures(docs, n=5)
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs(
+            docs, 5, 0.5, signatures=incremental
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs(docs, 5, 0.5, signatures=full).collect()
+    }
+    assert got == want and len(got) > 0

@@ -220,6 +220,90 @@ def repetition_signals_sql(ns: tuple[int, ...] = (2, 3)) -> str:
 
 
 # ---------------------------------------------------------------------------
+# corpus report — the curation histogram filtering thresholds are read from
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Language × quality-decile histogram with document and token mass:
+    the summary a curation run reads to pick its filtering thresholds
+    ("drop q<0.3; cap en at N tokens").  All per-doc features (language
+    argmax, quality blend, token count) are computed in ONE projection
+    over a single tokenization — not by joining the three feature
+    operators — so at 100 TB this is scan speed plus one
+    low-cardinality (languages × 11 deciles) aggregation.
+
+    Both engines evaluate the identical IEEE expression tree per row, so
+    the decile bucketing (floor(quality·10)) cannot straddle engines."""
+    toks = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("__ws"))
+    n = F.size(F.col("__ws"))
+    ordered = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(
+            F.filter(F.col("__ws"), lambda t: F.array_contains(markers, t))
+        )
+        ordered.append(
+            F.struct(
+                (hits / n).alias("score"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    lang_col = F.greatest(*ordered).getField("lang")
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    stop_ratio = F.expr(f"size(filter(__ws, t -> t IN ({stops})))") / n
+    uniq_ratio = F.expr("size(array_distinct(__ws))") / n
+    quality = (
+        F.lit(0.5) * uniq_ratio
+        + F.lit(0.3) * (F.least(n.cast("long"), F.lit(200)) / F.lit(200.0))
+        + F.lit(0.2) * stop_ratio
+    )
+    per_doc = toks.select(
+        lang_col.alias("pred_lang"),
+        F.floor(quality * 10).cast("long").alias("q_decile"),
+        n.cast("long").alias("n_tokens"),
+        quality.alias("__q"),
+    )
+    return per_doc.groupBy("pred_lang", "q_decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.sum("__q") / F.count("*")).alias("mean_quality"),
+    )
+
+
+def corpus_report_sql() -> str:
+    structs = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        structs.append(
+            f"{{'score': len(list_filter(ws, t -> t IN ({markers})))"
+            f" * 1.0 / len(ws), 'neg_idx': {-i}, 'lang': '{lang}'}}"
+        )
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    q = (
+        f"0.5 * (len(list_distinct(ws)) * 1.0 / len(ws)) "
+        f"+ 0.3 * (least(len(ws), 200) / 200.0) "
+        f"+ 0.2 * (len(list_filter(ws, w -> w IN ({stops}))) * 1.0 / len(ws))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+cands AS (SELECT doc_id, unnest([{", ".join(structs)}]) AS cand FROM t),
+langs AS (SELECT doc_id, (max(cand)).lang AS pred_lang FROM cands GROUP BY doc_id),
+feats AS (
+  SELECT l.pred_lang,
+         floor(({q}) * 10)::BIGINT AS q_decile,
+         len(ws)::BIGINT AS n_tokens,
+         ({q}) AS q
+  FROM t JOIN langs l USING (doc_id)
+)
+SELECT pred_lang, q_decile, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens, sum(q) / count(*) AS mean_quality
+FROM feats GROUP BY 1, 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting
 # ---------------------------------------------------------------------------
 

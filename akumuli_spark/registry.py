@@ -1130,6 +1130,14 @@ _register_pipeline(
 )
 
 _register_pipeline(
+    "corpus_report",
+    lambda spark, sf: _text.corpus_report(load_table(spark, sf, "documents")),
+    _text.corpus_report_sql(),
+    ["mean_quality"],
+    ["pred_lang", "q_decile", "n_docs", "n_tokens"],
+)
+
+_register_pipeline(
     "text_fingerprint",
     lambda spark, sf: _text.fingerprint_clusters(load_table(spark, sf, "documents")),
     _text.FINGERPRINT_SQL,

@@ -397,3 +397,20 @@ def test_minhash_signature_index_is_incrementally_maintainable(spark, duck, docs
         for r in dedup.minhash_lsh_pairs(docs, 5, 0.5, signatures=full).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_corpus_report(spark, duck, docs):
+    out = text.corpus_report(docs)
+    rows = out.collect()
+    # histogram must cover the whole corpus exactly once
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # single-pass projection must agree with the composed feature ops
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    qual = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    import collections
+    agg = collections.Counter()
+    for d in lang:
+        agg[(lang[d], int(qual[d] * 10))] += 1
+    got = {(r["pred_lang"], r["q_decile"]): r["n_docs"] for r in rows}
+    assert got == dict(agg)
+    assert_matches_oracle(out, duck, text.corpus_report_sql())

@@ -90,7 +90,8 @@ def main() -> None:
                "decontaminate_ngram", "sample_stratified",
                "apply_anomaly_ewma_sketch",
                "apply_frequent_items_sketch", "apply_heavy_hitters_sketch",
-               "multimodal_decode_bmp", "text_repetition"]
+               "multimodal_decode_bmp", "text_repetition", "corpus_report",
+               "candlesticks"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -57,6 +57,34 @@ def write_metrics_table(metrics: DataFrame, path: str,
     )
 
 
+def recover_compaction(path: str) -> None:
+    """Self-heal a compaction swap that crashed between its two renames.
+
+    The swap is: write ``{path}.compact-tmp`` → rename path → old →
+    rename tmp → path → delete old.  A crash in the one-syscall window
+    between the renames leaves no table at ``path``; since the tmp dir
+    only enters the swap after its Spark write completed (it carries the
+    ``_SUCCESS`` marker), recovery is unambiguous: finish the swap if
+    tmp is complete, else restore the original.  Crash after the second
+    rename just leaves a stale ``old``/``tmp`` to garbage-collect.
+    Called by both the reader and the compactor, so the table heals on
+    next touch — the same self-healing contract as the ingest marks
+    table."""
+    import os
+    import shutil
+
+    tmp = f"{path}.compact-tmp"
+    old = f"{path}.compact-old"
+    if not os.path.exists(path) and os.path.exists(old):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            os.rename(tmp, path)  # roll forward: compacted table is whole
+        else:
+            os.rename(old, path)  # roll back: restore the original
+    for stale in (tmp, old):
+        if os.path.exists(path):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def compact_metrics_table(spark: SparkSession, path: str) -> None:
     """Rewrite the table so each (metric, ts_bucket) partition holds one
     (series, ts)-sorted file set.
@@ -68,6 +96,8 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     management.  The rewrite lands in a sibling directory and is swapped
     in with two renames — the local-FS analogue of a transactional
     REPLACE; on a lake you'd run the same plan through Delta OPTIMIZE.
+    A crash mid-swap self-heals via :func:`recover_compaction` on the
+    next read or compaction.
 
     Rows keep the engine schema stored on disk (no tags map — see module
     docstring); the sort restores tight row-group min/max stats that
@@ -76,6 +106,7 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     import os
     import shutil
 
+    recover_compaction(path)
     df = spark.read.parquet(path)
     cols = [c for c in df.columns if c not in ("metric", "ts_bucket")]
     tmp = f"{path}.compact-tmp"
@@ -102,6 +133,7 @@ def read_metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """Load back in engine schema (partition columns folded away); the
     tags map is reconstructed from the series string per the series
     grammar — pruned away by Catalyst unless the query references it."""
+    recover_compaction(path)
     df = spark.read.parquet(path)
     tags = F.when(
         F.instr(F.col("series"), " ") > 0,

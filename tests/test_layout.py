@@ -87,3 +87,52 @@ def test_compact_metrics_table(spark, tmp_path):
     assert list(t.itertuples(index=False)) == sorted(
         t.itertuples(index=False), key=lambda r: (r.series, r.ts_ns)
     )
+
+
+def test_compaction_crash_window_self_heals(spark, tmp_path, monkeypatch):
+    """A crash in the one-syscall window between the swap's two renames
+    leaves no table at `path`; the next read must roll the swap forward
+    (the compacted tmp dir carries _SUCCESS, so it is known-whole) and
+    GC the leftovers.  A crash before the tmp write completed must roll
+    BACK to the original instead."""
+    import os as _os
+    import shutil
+
+    from akumuli_spark.sources.layout import (
+        compact_metrics_table,
+        read_metrics_table,
+        write_metrics_table,
+    )
+    from akumuli_spark.sources.testdata import metrics_view
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "tbl")
+    bucket = 365 * 86_400 * 10**9
+    write_metrics_table(metrics_view(spark, SF_DIR), path, bucket_ns=bucket)
+    write_metrics_table(metrics_view(spark, SF_DIR), path, bucket_ns=bucket,
+                        mode="append")
+    n = read_metrics_table(spark, path).count()
+
+    real_rename = _os.rename
+
+    def crash_on_swap_in(src, dst, *a, **kw):
+        if dst == path:  # the second rename (tmp -> path)
+            raise OSError("injected crash mid-swap")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(_os, "rename", crash_on_swap_in)
+    with pytest.raises(OSError, match="injected crash"):
+        compact_metrics_table(spark, path)
+    monkeypatch.undo()
+    assert not _os.path.exists(path)  # the window is real
+
+    healed = read_metrics_table(spark, path)  # roll-forward on read
+    assert healed.count() == n
+    assert not _os.path.exists(f"{path}.compact-tmp")
+    assert not _os.path.exists(f"{path}.compact-old")
+
+    # incomplete tmp (no _SUCCESS) must roll back, not forward
+    _os.rename(path, f"{path}.compact-old")
+    _os.makedirs(f"{path}.compact-tmp")
+    assert read_metrics_table(spark, path).count() == n
+    shutil.rmtree(f"{path}.compact-tmp", ignore_errors=True)

@@ -76,12 +76,17 @@ def recover_compaction(path: str) -> None:
     tmp = f"{path}.compact-tmp"
     old = f"{path}.compact-old"
     if not os.path.exists(path) and os.path.exists(old):
-        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-            os.rename(tmp, path)  # roll forward: compacted table is whole
-        else:
-            os.rename(old, path)  # roll back: restore the original
-    for stale in (tmp, old):
-        if os.path.exists(path):
+        try:
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, path)  # roll forward: compacted table is whole
+            else:
+                os.rename(old, path)  # roll back: restore the original
+        except OSError:
+            # a concurrent recover/compactor won the rename race; fall
+            # through — the post-condition check below is what matters
+            pass
+    if os.path.exists(path):
+        for stale in (tmp, old):
             shutil.rmtree(stale, ignore_errors=True)
 
 

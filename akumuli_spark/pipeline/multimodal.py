@@ -87,6 +87,48 @@ def _parse_bmp(p: bytes):
     return len(p), width, height, max(bpp // 8, 1), "bmp"
 
 
+#: JPEG frame-header (SOFn) markers: 0xC0–0xCF minus the non-frame
+#: entries DHT (0xC4), JPG (0xC8) and DAC (0xCC) — ITU T.81 table B.1
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg(p: bytes):
+    # Marker walk from SOI to the first SOFn segment, skipping every
+    # other segment by its declared length (APPn, DQT, DHT, COM, ...).
+    # The frame header carries the dims: [len:2][precision:1][height:2]
+    # [width:2][n_components:1].  A 0xFF start byte is impossible in
+    # UTF-8 text, so document payloads can never misparse down here.
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    off, n = 2, len(p)
+    while off + 4 <= n:
+        if p[off] != 0xFF:
+            return None
+        marker = p[off + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            off += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: bare
+            off += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any frame header
+            return None
+        seglen = int.from_bytes(p[off + 2:off + 4], "big")
+        if seglen < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if off + 10 > n:
+                return None
+            height = int.from_bytes(p[off + 5:off + 7], "big")
+            width = int.from_bytes(p[off + 7:off + 9], "big")
+            channels = p[off + 9]
+            if width == 0 or height == 0 or channels == 0:
+                return None
+            return len(p), width, height, channels, "jpeg"
+        off += 2 + seglen
+    return None
+
+
 def _parse_wav(p: bytes):
     # RIFF chunk walk to the 'fmt ' chunk.  Audio has no pixel dims; the
     # documented metadata mapping is width = sample rate, height = bits
@@ -109,14 +151,14 @@ def _parse_wav(p: bytes):
 
 def decode_header(payload: bytes) -> tuple[int, int, int, int, str]:
     """Real decode kernel: parse (n_bytes, width, height, channels, format)
-    from the container header for PNG / BMP / WAV — pure Python, no codec
-    library needed.  Any payload that fails magic-byte or structural
+    from the container header for PNG / BMP / JPEG / WAV — pure Python, no
+    codec library needed.  Any payload that fails magic-byte or structural
     validation falls back to the deterministic :func:`_fake_decode` stub
     (the documented stand-in for codecs absent from this container), so
     the pipeline stays total over arbitrary blobs."""
     if not payload:
         raise NotImplementedError("empty payload: nothing to decode")
-    for parse in (_parse_png, _parse_bmp, _parse_wav):
+    for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_wav):
         meta = parse(payload)
         if meta is not None:
             return meta
@@ -169,24 +211,82 @@ def synth_bmp_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+#: synth-JPEG fixed header: SOI + 18-byte JFIF APP0 + a 5-byte DHT the
+#: marker walk must skip (0xFFC4 is in the 0xC0–0xCF range but is NOT a
+#: frame header) + 19-byte three-component SOF0 = 44 bytes before the body
+_JFIF_HEADER_LEN = 2 + 18 + 5 + 19
+
+
+def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """Build REAL JFIF payloads (SOI → APP0 → DHT → SOF0 → text body)
+    whose frame dims derive from the UTF-8 byte length of ``text`` — the
+    JPEG twin of :func:`synth_bmp_payloads`.  The DHT segment before the
+    SOF0 forces the parser to both *skip by declared length* and *exclude
+    0xC4 from the SOFn set*; the oracle recomputes the dims
+    arithmetically, so a marker-walk regression breaks the round trip."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        app0 = (
+            b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00"
+        )
+        dht = b"\xff\xc4\x00\x03\x00"
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                body = t.encode("utf-8")
+                w = 64 + len(body) % 577
+                h = 64 + (len(body) * 31) % 417
+                sof0 = (
+                    b"\xff\xc0\x00\x11\x08"
+                    + h.to_bytes(2, "big")
+                    + w.to_bytes(2, "big")
+                    + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+                )
+                payloads.append(b"\xff\xd8" + app0 + dht + sof0 + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: oracle twin of the synth-JPEG round trip (byte-length arithmetic, same
+#: octet_length(encode(...)) rationale as DECODE_BMP_SQL below)
+DECODE_JPEG_SQL = f"""
+SELECT doc_id,
+       ({_JFIF_HEADER_LEN} + octet_length(encode(text)))::BIGINT AS n_bytes,
+       (64 + octet_length(encode(text)) % 577)::BIGINT AS width,
+       (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS height,
+       3::BIGINT AS channels,
+       'jpeg' AS format
+FROM documents
+""".strip()
+
 #: oracle twin of the synth-BMP round trip: the dims decode_header must
-#: recover from the real header bytes, restated arithmetically
+#: recover from the real header bytes, restated arithmetically.  The synth
+#: dims derive from the UTF-8 *byte* length of the text, so the oracle must
+#: measure bytes too — DuckDB's length(text) counts characters and would
+#: silently diverge on any non-ASCII corpus; octet_length(encode(text))
+#: matches Python's len(t.encode("utf-8")) exactly.
 DECODE_BMP_SQL = """
 SELECT doc_id,
-       (54 + length(text))::BIGINT AS n_bytes,
-       (64 + length(text) % 577)::BIGINT AS width,
-       (64 + (length(text) * 31) % 417)::BIGINT AS height,
+       (54 + octet_length(encode(text)))::BIGINT AS n_bytes,
+       (64 + octet_length(encode(text)) % 577)::BIGINT AS width,
+       (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS height,
        3::BIGINT AS channels,
        'bmp' AS format
 FROM documents
 """.strip()
 
-#: oracle twin — the stub's arithmetic restated over the ASCII text length
+#: oracle twin — the stub's arithmetic restated over the UTF-8 byte length
 DECODE_METADATA_SQL = """
 SELECT doc_id,
-       length(text)::BIGINT AS n_bytes,
-       (64 + length(text) % 577)::BIGINT AS width,
-       (64 + (length(text) * 31) % 417)::BIGINT AS height,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (64 + octet_length(encode(text)) % 577)::BIGINT AS width,
+       (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS height,
        3::BIGINT AS channels,
        'fake-rgb' AS format
 FROM documents

@@ -742,9 +742,11 @@ def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
     on insert, never on increment), sorted by count descending.
 
     Distribution model — chunked mergeable summaries: the stream is cut
-    into ``merge-chunks`` (default 1) equal time slices; each slice is
-    SpaceSaving-folded independently (bounded M-counter state, one
-    sequential pass), and the per-chunk summaries merge commutatively:
+    into ``merge-chunks`` (default: the session's ``defaultParallelism``,
+    so an unconfigured caller gets a parallel fold, not a single
+    sequential Python task over the whole range) equal time slices; each
+    slice is SpaceSaving-folded independently (bounded M-counter state,
+    one sequential pass), and the per-chunk summaries merge commutatively:
 
         count̂(x) = Σ_present ĉᵢ(x) + Σ_absent minᵢ
         error(x) = Σ_present eᵢ(x) + Σ_absent minᵢ
@@ -756,13 +758,22 @@ def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
     (Agarwal et al., "Mergeable Summaries", PODS'12).  With one chunk
     this is exactly the reference's sequential algorithm.
 
-    Determinism divergences from the reference, both documented intent:
+    Determinism divergences from the reference, all documented intent:
     the reference iterates an unordered_map to find the eviction victim
     (spacesaver.h:124-131 — tie order is memory-layout-dependent), we
     evict the (count, series)-lexicographic minimum; its hash-map stream
     order for equal timestamps is likewise unspecified, we fold ties in
     series order.  Merged ts = the counter ts from the first chunk in
-    stream order containing the item.
+    stream order containing the item.  Missing data: the reference
+    raises AKU_EMISSING_DATA_NOT_SUPPORTED on null/NaN samples in
+    weighted mode (spacesaver.h weighted add path); this sketch instead
+    *drops* null/NaN-weighted samples before the fold (the filter
+    below), matching how the exact distributed mode's F.sum ignores
+    nulls — streams with missing data succeed here where the reference
+    errors.  Validation: ``error`` > 1 is accepted (M clamps to 1,
+    matching spacesaver.h:49-53, which only rejects error == 0);
+    negative ``error`` is rejected here, stricter than the reference,
+    whose ceil(1/error) < 0 path is nonsensical.
 
     Scale shape: one shuffle (groupBy chunk), per-chunk Arrow-batched
     fold with O(M) state, then a summary-level aggregation over ≤ C·M
@@ -775,10 +786,13 @@ def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
         # reference: "`error` can't be 0." (spacesaver.h:50-53)
         raise QueryValidationError("'error' can't be 0")
     error = float(error)
-    if error < 0.0 or error > 1.0:
-        raise QueryValidationError("'error' must be in (0, 1]")
-    M = int(math.ceil(1.0 / error))
-    k = int(node.param("merge-chunks", 1))
+    if error < 0.0:
+        raise QueryValidationError("'error' must be positive")
+    M = max(1, int(math.ceil(1.0 / error)))
+    k = node.param("merge-chunks")
+    if k is None:
+        k = res.df.sparkSession.sparkContext.defaultParallelism
+    k = int(k)
     if k < 1:
         raise QueryValidationError("'merge-chunks' must be >= 1")
     c = res.value_cols[0]

@@ -1170,6 +1170,19 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# JPEG twin of the BMP round trip: genuine JFIF bytes (SOI → APP0 → DHT →
+# SOF0 → body); the embedded DHT forces the SOFn marker walk to skip
+# non-frame segments by length AND exclude 0xC4 from the frame-header set.
+_register_pipeline(
+    "multimodal_decode_jpeg",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_jpeg_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_JPEG_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
 
 # SAX symbolization: sliding-window z-norm + quantization + numerosity
 # reduction has no SQL form — rows-only check (like apply_ewma).

@@ -57,7 +57,7 @@ def write_metrics_table(metrics: DataFrame, path: str,
     )
 
 
-def recover_compaction(path: str) -> None:
+def recover_compaction(path: str, gc: bool = False) -> None:
     """Self-heal a compaction swap that crashed between its two renames.
 
     The swap is: write ``{path}.compact-tmp`` → rename path → old →
@@ -69,7 +69,16 @@ def recover_compaction(path: str) -> None:
     rename just leaves a stale ``old``/``tmp`` to garbage-collect.
     Called by both the reader and the compactor, so the table heals on
     next touch — the same self-healing contract as the ingest marks
-    table."""
+    table.
+
+    ``gc`` gates steady-state garbage collection of leftover tmp/old
+    dirs and must only be passed by the compactor: a *reader* that
+    rmtree's ``tmp`` while the table is healthy would delete a live
+    compactor's in-progress write.  Readers still clean up ``old``
+    when they themselves performed a heal — at that point the swap is
+    known-crashed (or the reader just won the roll-forward race, which
+    the compactor's swap tolerates).  Concurrency contract: any number
+    of readers vs at most one compactor."""
     import os
     import shutil
 
@@ -85,7 +94,9 @@ def recover_compaction(path: str) -> None:
             # a concurrent recover/compactor won the rename race; fall
             # through — the post-condition check below is what matters
             pass
-    if os.path.exists(path):
+        if os.path.exists(path):
+            shutil.rmtree(old, ignore_errors=True)
+    if gc and os.path.exists(path):
         for stale in (tmp, old):
             shutil.rmtree(stale, ignore_errors=True)
 
@@ -111,7 +122,7 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     import os
     import shutil
 
-    recover_compaction(path)
+    recover_compaction(path, gc=True)
     df = spark.read.parquet(path)
     cols = [c for c in df.columns if c not in ("metric", "ts_bucket")]
     tmp = f"{path}.compact-tmp"
@@ -129,8 +140,19 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     )
     old = f"{path}.compact-old"
     shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(path, old)
+        os.rename(tmp, path)
+    except OSError:
+        # A concurrent reader's recover_compaction can roll the swap
+        # forward between our two renames (it sees no table + a complete
+        # tmp).  Any interleaving whose post-condition is "compacted
+        # table live at path, tmp consumed" is a success; anything else
+        # is a real failure.
+        if not os.path.exists(path) or os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            raise
     shutil.rmtree(old, ignore_errors=True)
 
 

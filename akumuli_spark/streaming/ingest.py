@@ -254,10 +254,12 @@ def gate_and_commit_batch(
             & (F.col("ts_ns") <= F.col("__hw") - F.lit(late_after_ns))
         ).drop("__hw")
         accepted = accepted.persist()
-        accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
-        late.write.mode("append").parquet(rejects_dir)
-        hw_state.advance(spark, accepted)
-        accepted.unpersist()
+        try:
+            accepted.write.mode("append").partitionBy("metric").parquet(out_dir)
+            late.write.mode("append").parquet(rejects_dir)
+            hw_state.advance(spark, accepted)
+        finally:
+            accepted.unpersist()
     finally:
         batch.unpersist()
 

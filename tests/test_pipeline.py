@@ -191,6 +191,45 @@ def test_multimodal_decode_bmp_roundtrip(spark, duck, docs):
     assert_matches_oracle(out, duck, multimodal.DECODE_BMP_SQL)
 
 
+def _jpeg_bytes(w, h, n_comp=3, marker=0xC0, pre_segments=b"", fill=b""):
+    sof = (
+        bytes([0xFF, marker])
+        + (8 + 3 * n_comp).to_bytes(2, "big")
+        + b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([n_comp]) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"[: 3 * n_comp]
+    )
+    return b"\xff\xd8" + pre_segments + fill + sof + b"trailing entropy data"
+
+
+def test_decode_header_jpeg():
+    """SOFn marker walk: skip APPn/COM/DQT by length, skip bare RSTn/TEM
+    markers and fill bytes, exclude DHT(0xC4) from the frame-header set,
+    accept any true SOFn (baseline 0xC0, progressive 0xC2, ...)."""
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dht = b"\xff\xc4\x00\x03\x00"
+    com = b"\xff\xfe\x00\x07hello"
+    p = _jpeg_bytes(800, 600, pre_segments=app0 + dht + com)
+    assert multimodal.decode_header(p) == (len(p), 800, 600, 3, "jpeg")
+    # progressive SOF2, greyscale
+    p = _jpeg_bytes(12, 34, n_comp=1, marker=0xC2, pre_segments=app0)
+    assert multimodal.decode_header(p)[1:] == (12, 34, 1, "jpeg")
+    # fill bytes + a bare TEM marker before the frame header
+    p = _jpeg_bytes(5, 6, pre_segments=app0, fill=b"\xff\xff\xff\x01")
+    assert multimodal.decode_header(p)[1:] == (5, 6, 3, "jpeg")
+    # SOS before any SOF (truncated/corrupt stream) → structural fail
+    assert multimodal._parse_jpeg(b"\xff\xd8\xff\xda\x00\x02" + b"x" * 8) is None
+    # DHT alone is not a frame header; walking off the end → fail
+    assert multimodal._parse_jpeg(b"\xff\xd8" + dht) is None
+    # zero-dimension frame rejected
+    assert multimodal._parse_jpeg(_jpeg_bytes(0, 10)) is None
+
+
+def test_multimodal_decode_jpeg_roundtrip(spark, duck, docs):
+    out = multimodal.decode_metadata(multimodal.synth_jpeg_payloads(docs))
+    assert out.filter("format = 'jpeg'").count() == docs.count()
+    assert_matches_oracle(out, duck, multimodal.DECODE_JPEG_SQL)
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark, docs):
     # the capped variant must be a subset-or-equal approximation whose
     # surviving pairs keep their exact (capped-set) scores deterministic

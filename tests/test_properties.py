@@ -248,3 +248,99 @@ def test_spacesaver_sketch_matches_model(spark, rows, error, portion, chunks):
         true_counts[s] = true_counts.get(s, 0) + 1
     for s, _, est in got:
         assert est >= true_counts[s] - 1e-9  # overestimate invariant
+
+
+# ---------------------------------------------------------------------------
+# select-events regex dialect parity (VERDICT r6 "What's missing" #2).
+#
+# The reference compiles the event body filter as an ECMAScript regex and
+# applies it with std::regex_search (nbtree.cpp:1732-1756, via
+# column_store.h:167-176 filter_events); the engine uses Spark's rlike —
+# Java java.util.regex, also substring-search semantics (engine.py
+# _build_select_events).  Python re.search is ECMAScript-close for the
+# grammar below, so it referees: generate patterns from a constrained
+# grammar, assert Python and Spark select the same bodies.
+#
+# The grammar deliberately EXCLUDES the constructs where the dialects are
+# known to diverge — each is a documented divergence, not an accident:
+#   * \d/\w/\s Unicode semantics: Java is ASCII-only by default, Python str
+#     patterns are Unicode, ECMAScript is ASCII — identical on the ASCII
+#     event corpus (asserted below), divergent on non-ASCII bodies;
+#   * `$` before a trailing newline: Java and Python both match there,
+#     ECMAScript only at true end-of-input — the reference would reject a
+#     body ending in '\n' that rlike accepts;
+#   * backreference syntax (\1 vs $1), possessive quantifiers (a*+) and
+#     class intersection ([a-z&&[^m]]) are Java-only; lookbehind length
+#     limits differ.  None are generated.
+_RE_ATOMS = (
+    list('abck z09 {}:",') +
+    ["\\{", "\\}", "\\.", "\\d", "\\w", "\\s",
+     "[0-9]", "[a-k]", "[^0-9]", "[ak3]", ".", "[{}]"]
+)
+
+
+@st.composite
+def _event_pattern(draw):
+    units = []
+    for _ in range(draw(st.integers(1, 4))):
+        atom = draw(st.sampled_from(_RE_ATOMS))
+        quant = draw(st.sampled_from(["", "", "?", "*", "+", "{1,2}", "{2}"]))
+        units.append(atom + quant)
+    pat = "".join(units)
+    if draw(st.booleans()):
+        alt = "".join(
+            draw(st.sampled_from(_RE_ATOMS))
+            for _ in range(draw(st.integers(1, 3)))
+        )
+        pat = f"{pat}|{alt}"
+    if draw(st.booleans()):
+        pat = "^" + pat
+    if draw(st.booleans()):
+        pat = pat + "$"
+    return pat
+
+
+_REGEX_CORPUS = None
+
+
+def _regex_corpus(spark):
+    """Distinct event bodies from the real corpus plus crafted edge
+    strings; one cached single-column DataFrame per session."""
+    global _REGEX_CORPUS
+    if _REGEX_CORPUS is None:
+        from akumuli_spark.sources.testdata import events_view
+        from tests.conftest import SF_DIR
+
+        bodies = [
+            r["body"]
+            for r in events_view(spark, SF_DIR)
+            .select("body").distinct().limit(120).collect()
+        ]
+        bodies += ["", "abc", "a]b", "1.5", "{}", '{"k": 0}',
+                   "kkk", "a" * 40, "0" * 7, "}{", '"":',
+                   "mixed 42 case", "zzz 99"]
+        assert all(all(" " <= ch <= "~" for ch in b) for b in bodies), \
+            "corpus must stay ASCII or the \\d/\\w/\\s parity args break"
+        df = spark.createDataFrame(
+            [(b,) for b in sorted(set(bodies))], schema="body string"
+        ).cache()
+        df.count()
+        _REGEX_CORPUS = (df, sorted(set(bodies)))
+    return _REGEX_CORPUS
+
+
+@settings(max_examples=30, deadline=None)
+@given(pat=_event_pattern())
+def test_event_regex_dialect_parity(spark, pat):
+    """For every generated pattern, the body set selected by Spark rlike
+    (the engine path) equals the set selected by Python re.search (the
+    ECMAScript-close referee) over real + crafted event bodies."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    df, bodies = _regex_corpus(spark)
+    ref = _re.compile(pat)
+    want = {b for b in bodies if ref.search(b)}
+    got = {r["body"] for r in df.filter(F.col("body").rlike(pat)).collect()}
+    assert got == want, f"dialect divergence on pattern {pat!r}"

@@ -136,3 +136,33 @@ def test_compaction_crash_window_self_heals(spark, tmp_path, monkeypatch):
     _os.makedirs(f"{path}.compact-tmp")
     assert read_metrics_table(spark, path).count() == n
     shutil.rmtree(f"{path}.compact-tmp", ignore_errors=True)
+
+
+def test_reader_leaves_live_compactor_tmp_alone(spark, tmp_path):
+    """While the table is healthy, a concurrent compactor may be mid-write
+    into compact-tmp.  A reader touching the table must not delete that
+    in-progress directory (the pre-r7 behavior crashed the compactor's
+    Spark write); only the compactor's own recovery path GCs."""
+    import os as _os
+
+    from akumuli_spark.sources.layout import (
+        read_metrics_table,
+        recover_compaction,
+        write_metrics_table,
+    )
+    from akumuli_spark.sources.testdata import metrics_view
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "tbl")
+    write_metrics_table(metrics_view(spark, SF_DIR), path,
+                        bucket_ns=365 * 86_400 * 10**9)
+    n = read_metrics_table(spark, path).count()
+    tmp = f"{path}.compact-tmp"
+    _os.makedirs(f"{tmp}/metric=x")  # simulated in-flight compactor write
+    read_metrics_table(spark, path)
+    assert _os.path.exists(f"{tmp}/metric=x")  # reader left it alone
+    recover_compaction(path)  # explicit reader-recover: same contract
+    assert _os.path.exists(f"{tmp}/metric=x")
+    recover_compaction(path, gc=True)  # compactor path DOES clean it
+    assert not _os.path.exists(tmp)
+    assert read_metrics_table(spark, path).count() == n

@@ -344,3 +344,114 @@ def test_event_regex_dialect_parity(spark, pat):
     want = {b for b in bodies if ref.search(b)}
     got = {r["body"] for r in df.filter(F.col("body").rlike(pat)).collect()}
     assert got == want, f"dialect divergence on pattern {pat!r}"
+
+
+# ---------------------------------------------------------------------------
+# Compaction crash/recovery interleavings (layout.py swap protocol).
+#
+# The swap is two renames (path→old, tmp→path); recovery may run from any
+# number of readers plus the next compactor, concurrently.  Model: after a
+# crash at any point and any sequence of recoverers, the table at `path`
+# must exist, hold exactly the original row multiset, and a gc-recoverer
+# must leave no stale tmp/old.  A "concurrent recoverer" is injected at
+# syscall granularity: the first recoverer's roll-forward rename is
+# preceded by a full heal by the other party, so its own rename loses the
+# race and must be tolerated (commit e74ae16 + the r7 reader-gc fix).
+_COMPACT_BASE = None
+
+
+def _compact_base(spark):
+    """One (table dir, row count) template per session; examples copytree
+    it so each starts from an identical fragmented table."""
+    global _COMPACT_BASE
+    if _COMPACT_BASE is None:
+        import tempfile
+
+        from akumuli_spark.sources.layout import write_metrics_table
+        from akumuli_spark.sources.testdata import metrics_view
+        from tests.conftest import SF_DIR
+
+        base = tempfile.mkdtemp(prefix="compact_prop_")
+        path = f"{base}/tbl"
+        bucket = 365 * 86_400 * 10**9
+        view = metrics_view(spark, SF_DIR)
+        write_metrics_table(view, path, bucket_ns=bucket)
+        write_metrics_table(view, path, bucket_ns=bucket, mode="append")
+        n = spark.read.parquet(path).count()
+        _COMPACT_BASE = (path, n)
+    return _COMPACT_BASE
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    crash=st.sampled_from(["none", "before_first", "between_renames"]),
+    concurrent=st.booleans(),
+    recoverers=st.lists(st.sampled_from(["reader", "compactor_gc"]),
+                        min_size=1, max_size=2),
+)
+def test_compaction_recovery_interleavings(spark, crash, concurrent,
+                                           recoverers):
+    import os as _os
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from akumuli_spark.sources import layout
+
+    template, n = _compact_base(spark)
+    work = tempfile.mkdtemp(prefix="compact_prop_ex_")
+    path = f"{work}/tbl"
+    shutil.copytree(template, path)
+    real_rename = _os.rename
+    try:
+        if crash != "none":
+            crash_dst = (f"{path}.compact-old" if crash == "before_first"
+                         else path)
+
+            def crashing(src, dst, *a, **kw):
+                if dst == crash_dst:
+                    raise OSError("injected crash")
+                return real_rename(src, dst, *a, **kw)
+
+            _os.rename = crashing
+            with _pytest.raises(OSError, match="injected crash"):
+                layout.compact_metrics_table(spark, path)
+            _os.rename = real_rename
+        else:
+            layout.compact_metrics_table(spark, path)
+
+        if concurrent:
+            # the first recoverer's heal rename loses a syscall-level
+            # race: the other party completes the entire heal first
+            fired = {"done": False}
+
+            def racing(src, dst, *a, **kw):
+                if not fired["done"] and dst == path:
+                    fired["done"] = True
+                    layout.recover_compaction(path)
+                return real_rename(src, dst, *a, **kw)
+
+            _os.rename = racing
+
+        gc_ran = False
+        for who in recoverers:
+            if who == "reader":
+                layout.recover_compaction(path)
+            else:
+                layout.recover_compaction(path, gc=True)
+                gc_ran = True
+            _os.rename = real_rename  # race fires at most once
+
+        assert _os.path.exists(path)
+        assert spark.read.parquet(path).count() == n
+        if gc_ran:
+            assert not _os.path.exists(f"{path}.compact-tmp")
+            assert not _os.path.exists(f"{path}.compact-old")
+        # healing (crash between renames) must also have cleared `old`
+        # even reader-only, and never leaves a second live copy around
+        if crash == "between_renames":
+            assert not _os.path.exists(f"{path}.compact-old")
+    finally:
+        _os.rename = real_rename
+        shutil.rmtree(work, ignore_errors=True)

@@ -206,8 +206,40 @@ def spacesaver_smoke(spark, n_rows: int = 10_000_000,
     }
 
 
+def text_smoke(spark, n_docs: int) -> dict:
+    """corpus_report and repetition_signals over n_docs synthetic ~24-word
+    documents.  Both are single-projection shapes (corpus_report adds one
+    languages × 11-decile aggregation), so wall-clock should track the
+    tokenize scan, not the operator — the 100 TB claim those entries
+    make.  ``tokenize_scan_s`` is the scan-bound floor measured on the
+    same generated frame: a bare split+size projection."""
+    from akumuli_spark.pipeline import text as _text
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    t = time.time()
+    docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n")
+    ).write.format("noop").mode("overwrite").save()
+    out["tokenize_scan_s"] = round(time.time() - t, 2)
+    t = time.time()
+    _text.repetition_signals(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["repetition_signals_s"] = round(time.time() - t, 2)
+    t = time.time()
+    rows = _text.corpus_report(docs).collect()  # languages × deciles rows
+    out["corpus_report_s"] = round(time.time() - t, 2)
+    out["report_rows"] = len(rows)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "text":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps({"docs": n_docs, "text": text_smoke(spark, n_docs)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "spacesaver":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         chunks = int(sys.argv[3]) if len(sys.argv) > 3 else 32

@@ -243,14 +243,17 @@ def main() -> None:
     for name in HEADLINE:
         run_one(spark, impl(name), sf_dir)
 
-    # three timed passes, keep the per-query minimum: single runs swing
+    # five timed passes, keep the per-query minimum: single runs swing
     # ±15% with scheduler/GC noise on a busy machine (r5's +5.8% headline
-    # drift had no plan change behind it), and the minimum is the standard
-    # estimator for sustained steady-state cost
+    # drift had no plan change behind it; two back-to-back r7 runs spread
+    # 11.49 → 10.82 s with identical plans), and the minimum is the
+    # standard estimator for sustained steady-state cost.  Five passes at
+    # these sub-second sizes adds ~20 s of bench wall-clock and halves
+    # the sum's run-to-run spread versus three.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(
-            min(run_one(spark, impl(name), sf_dir) for _ in range(3)), 3
+            min(run_one(spark, impl(name), sf_dir) for _ in range(5)), 3
         )
 
     layout = bench_layout(spark, sf_dir)

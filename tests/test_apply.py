@@ -492,6 +492,22 @@ def test_spacesaver_sketch_chunk_merge(spark):
         ("m a", 10, 5.0), ("m b", 70, 5.0)]
 
 
+def test_spacesaver_error_gt_one_clamps_to_single_counter(spark):
+    """Parser parity: the reference accepts any nonzero error
+    (spacesaver.h:49-53 rejects only 0), so error=1.5 is legal and M
+    clamps to ceil(1/1.5)=1 — a single counter that each new series
+    steals, inheriting the evicted count.  Hand trace over a,b,a,c,a,c:
+    the final survivor is c with estimate 6 (count) / error 5, and
+    portion 0 reports it since the guaranteed count 6−5=1 > 0."""
+    frame = _tiny_stream(spark, _SS_ROWS)
+    q = {"select": "m", "range": {"from": 0, "to": 120},
+         "apply": [{"name": "frequent-items", "error": 1.5, "portion": 0.0,
+                    "approx": True, "merge-chunks": 1}]}
+    out = execute_query(spark, q, frame).collect()
+    assert [(r["series"], r["ts_ns"], r["value"]) for r in out] == [
+        ("m c", 60, 6.0)]
+
+
 def test_spacesaver_sketch_single_chunk_matches_exact_when_unsaturated(spark, app_metrics):
     """M >= distinct series ⇒ no evictions ⇒ the sketch IS exact: counts
     match the exact mode's group-by (ts differs by design: creation vs

@@ -272,8 +272,15 @@ def test_spacesaver_sketch_matches_model(spark, rows, error, portion, chunks):
 #   * backreference syntax (\1 vs $1), possessive quantifiers (a*+) and
 #     class intersection ([a-z&&[^m]]) are Java-only; lookbehind length
 #     limits differ.  None are generated.
+#   * a LONE `{` (not opening a valid {m,n} quantifier, e.g. `aaa{`):
+#     Python and ECMAScript-Annex-B treat it as a literal, Java throws
+#     PatternSyntaxException "Illegal repetition" at compile time — found
+#     by this very test's generator.  A reference query with a bare `{`
+#     body filter would need escaping (`\{`) to run on this engine; the
+#     escaped form and `{` inside a class agree everywhere and stay in
+#     the grammar.
 _RE_ATOMS = (
-    list('abck z09 {}:",') +
+    list('abck z09 }:",') +
     ["\\{", "\\}", "\\.", "\\d", "\\w", "\\s",
      "[0-9]", "[a-k]", "[^0-9]", "[ak3]", ".", "[{}]"]
 )
@@ -286,6 +293,15 @@ def _event_pattern(draw):
         atom = draw(st.sampled_from(_RE_ATOMS))
         quant = draw(st.sampled_from(["", "", "?", "*", "+", "{1,2}", "{2}"]))
         units.append(atom + quant)
+    # optionally wrap a contiguous slice in a non-capturing group with a
+    # BOUNDED quantifier — an unbounded quantifier over a group of starred
+    # atoms is the classic catastrophic-backtracking shape, which all
+    # three dialects execute but none in reasonable time
+    if len(units) > 1 and draw(st.booleans()):
+        i = draw(st.integers(0, len(units) - 2))
+        j = draw(st.integers(i + 1, len(units)))
+        gq = draw(st.sampled_from(["", "?", "{1,2}"]))
+        units[i:j] = ["(?:" + "".join(units[i:j]) + ")" + gq]
     pat = "".join(units)
     if draw(st.booleans()):
         alt = "".join(

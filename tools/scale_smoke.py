@@ -234,8 +234,39 @@ def text_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def multimodal_smoke(spark, n_docs: int) -> dict:
+    """Binary decode throughput at volume: synthesize genuine JFIF
+    payloads for n_docs docs, then run the mapInPandas decode stage.
+    ``synth_only_s`` is the payload-construction floor (same Python
+    per-row work minus the parser), so decode cost ≈ the difference —
+    the number that scales with corpus size at 100 TB."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    t = time.time()
+    mm.synth_jpeg_payloads(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["synth_only_s"] = round(time.time() - t, 2)
+    t = time.time()
+    decoded = mm.decode_metadata(mm.synth_jpeg_payloads(docs))
+    n_jpeg = decoded.filter(F.col("format") == "jpeg").count()
+    out["synth_plus_decode_s"] = round(time.time() - t, 2)
+    out["jpeg_decoded"] = n_jpeg
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "multimodal":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(
+            {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "text":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps({"docs": n_docs, "text": text_smoke(spark, n_docs)}))

@@ -211,6 +211,107 @@ def synth_bmp_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_png_payloads(docs: DataFrame) -> DataFrame:
+    """REAL PNG signature + IHDR chunk (with a correct CRC32, so the
+    bytes are valid per the PNG spec) followed by the text body — the
+    PNG twin of :func:`synth_bmp_payloads`.  Truecolor (color type 2 →
+    3 channels); dims derive from the UTF-8 byte length."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                body = t.encode("utf-8")
+                w = 64 + len(body) % 577
+                h = 64 + (len(body) * 31) % 417
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                chunk = b"IHDR" + ihdr
+                payloads.append(
+                    _PNG_MAGIC
+                    + struct.pack(">I", 13)
+                    + chunk
+                    + struct.pack(">I", zlib.crc32(chunk))
+                    + body
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: PNG fixed prefix: 8-byte signature + 4 length + 4 type + 13 IHDR + 4 CRC
+_PNG_HEADER_LEN = 8 + 4 + 4 + 13 + 4
+
+#: oracle twin of the synth-PNG round trip
+DECODE_PNG_SQL = f"""
+SELECT doc_id,
+       ({_PNG_HEADER_LEN} + octet_length(encode(text)))::BIGINT AS n_bytes,
+       (64 + octet_length(encode(text)) % 577)::BIGINT AS width,
+       (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS height,
+       3::BIGINT AS channels,
+       'png' AS format
+FROM documents
+""".strip()
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/WAVE container with a ``fmt `` chunk and the text body
+    as the data chunk.  Audio metadata derives from the UTF-8 byte
+    length: rate = 8000 + 7·len mod 40000, bits ∈ {8,16,24}, channels ∈
+    {1,2} — each SQL-recomputable, so the oracle pins the little-endian
+    field offsets the parser must walk."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                body = t.encode("utf-8")
+                n = len(body)
+                rate = 8000 + (n * 7) % 40000
+                bits = 8 + 8 * (n % 3)
+                n_ch = 1 + n % 2
+                fmt = struct.pack(
+                    "<HHIIHH", 1, n_ch, rate,
+                    rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+                )
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(body)) + body
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                    + chunks
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: WAV fixed prefix: RIFF header (12) + fmt chunk (8+16) + data header (8)
+_WAV_HEADER_LEN = 12 + 8 + 16 + 8
+
+#: oracle twin of the synth-WAV round trip (width=rate, height=bits,
+#: channels=channel count — the documented audio metadata mapping)
+DECODE_WAV_SQL = f"""
+SELECT doc_id,
+       ({_WAV_HEADER_LEN} + octet_length(encode(text)))::BIGINT AS n_bytes,
+       (8000 + (octet_length(encode(text)) * 7) % 40000)::BIGINT AS width,
+       (8 + 8 * (octet_length(encode(text)) % 3))::BIGINT AS height,
+       (1 + octet_length(encode(text)) % 2)::BIGINT AS channels,
+       'wav' AS format
+FROM documents
+""".strip()
+
+
 #: synth-JPEG fixed header: SOI + 18-byte JFIF APP0 + a 5-byte DHT the
 #: marker walk must skip (0xFFC4 is in the 0xC0–0xCF range but is NOT a
 #: frame header) + 19-byte three-component SOF0 = 44 bytes before the body

@@ -1183,6 +1183,29 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# PNG and WAV twins: every real header kernel (PNG/BMP/JPEG/WAV) now has
+# an oracle round trip over genuine container bytes — big-endian IHDR
+# with a true CRC32 for PNG, little-endian RIFF chunk walk for WAV.
+_register_pipeline(
+    "multimodal_decode_png",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_png_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_PNG_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
+_register_pipeline(
+    "multimodal_decode_wav",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_wav_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_WAV_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
 
 # SAX symbolization: sliding-window z-norm + quantization + numerosity
 # reduction has no SQL form — rows-only check (like apply_ewma).

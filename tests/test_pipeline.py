@@ -230,6 +230,18 @@ def test_multimodal_decode_jpeg_roundtrip(spark, duck, docs):
     assert_matches_oracle(out, duck, multimodal.DECODE_JPEG_SQL)
 
 
+def test_multimodal_decode_png_roundtrip(spark, duck, docs):
+    out = multimodal.decode_metadata(multimodal.synth_png_payloads(docs))
+    assert out.filter("format = 'png'").count() == docs.count()
+    assert_matches_oracle(out, duck, multimodal.DECODE_PNG_SQL)
+
+
+def test_multimodal_decode_wav_roundtrip(spark, duck, docs):
+    out = multimodal.decode_metadata(multimodal.synth_wav_payloads(docs))
+    assert out.filter("format = 'wav'").count() == docs.count()
+    assert_matches_oracle(out, duck, multimodal.DECODE_WAV_SQL)
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark, docs):
     # the capped variant must be a subset-or-equal approximation whose
     # surviving pairs keep their exact (capped-set) scores deterministic

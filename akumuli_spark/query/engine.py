@@ -193,6 +193,24 @@ def _build_select(df: DataFrame, q: Query) -> Result:
 def _build_select_events(df: DataFrame, q: Query) -> Result:
     base = _base_scan(df, q, list(q.metrics))
     if q.event_regex:
+        # Parse-time validation parity: the reference compiles the body
+        # filter when parsing the query and rejects a bad pattern with
+        # AKU_EQUERY_PARSING_ERROR (queryparser.cpp:343-349) rather than
+        # failing mid-scan.  Compile the Java pattern up front so an
+        # invalid regex (e.g. a lone '{', legal in Python but not Java —
+        # see tests/test_properties.py dialect notes) raises a clean
+        # validation error instead of an executor stage failure.
+        try:
+            jvm = df.sparkSession._jvm
+        except AttributeError:  # connect-mode session: no JVM handle
+            jvm = None
+        if jvm is not None:
+            try:
+                jvm.java.util.regex.Pattern.compile(q.event_regex)
+            except Exception as exc:
+                raise QueryValidationError(
+                    f"invalid event filter regex: {q.event_regex!r}"
+                ) from exc
         base = base.filter(F.col("body").rlike(q.event_regex))
     return Result(base.select("series", "ts_ns", "body"), ["body"], q)
 

@@ -418,6 +418,28 @@ def test_select_events_with_regex(spark, duck, events):
     )
 
 
+def test_select_events_invalid_regex_rejected_at_parse_time(spark, events):
+    """Parity with the reference, which compiles the body filter during
+    query parsing and rejects bad patterns with AKU_EQUERY_PARSING_ERROR
+    (queryparser.cpp:343-349) — an invalid pattern must raise a clean
+    validation error at plan build, not a stage failure mid-scan.  The
+    lone '{' is the documented Java-rejects/Python-accepts divergence
+    found by the dialect property test."""
+    import pytest as _pytest
+
+    from akumuli_spark.query.errors import QueryValidationError
+
+    for bad in ("aaa{", "[", "(?<broken"):
+        with _pytest.raises(QueryValidationError, match="invalid event"):
+            execute_query(
+                spark,
+                {"select-events": "!error",
+                 "range": {"from": E0, "to": E1}, "filter": bad},
+                metrics=None,
+                events=events,
+            )
+
+
 def test_select_events_where_tag(spark, duck, events):
     df = execute_query(
         spark,

@@ -90,7 +90,9 @@ def main() -> None:
                "decontaminate_ngram", "sample_stratified",
                "apply_anomaly_ewma_sketch",
                "apply_frequent_items_sketch", "apply_heavy_hitters_sketch",
-               "multimodal_decode_bmp", "text_repetition", "corpus_report",
+               "multimodal_decode_bmp", "multimodal_decode_jpeg",
+               "multimodal_decode_png", "multimodal_decode_wav",
+               "text_repetition", "corpus_report",
                "candlesticks"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))

@@ -234,17 +234,12 @@ def repetition_signals_sql(ns: tuple[int, ...] = (2, 3)) -> str:
 # ---------------------------------------------------------------------------
 
 
-def corpus_report(docs: DataFrame) -> DataFrame:
-    """Language × quality-decile histogram with document and token mass:
-    the summary a curation run reads to pick its filtering thresholds
-    ("drop q<0.3; cap en at N tokens").  All per-doc features (language
-    argmax, quality blend, token count) are computed in ONE projection
-    over a single tokenization — not by joining the three feature
-    operators — so at 100 TB this is scan speed plus one
-    low-cardinality (languages × 11 deciles) aggregation.
-
-    Both engines evaluate the identical IEEE expression tree per row, so
-    the decile bucketing (floor(quality·10)) cannot straddle engines."""
+def _doc_features(docs: DataFrame):
+    """Shared single-scan per-doc curation features: the tokenized frame
+    plus (language-argmax, quality-blend, token-count) column expressions
+    over it — ONE tokenization, no joins.  Used by both
+    :func:`corpus_report` and :func:`curate_corpus`, so the two stay
+    bit-identical on the shared expressions."""
     toks = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("__ws"))
     n = F.size(F.col("__ws"))
     ordered = []
@@ -269,6 +264,21 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         + F.lit(0.3) * (F.least(n.cast("long"), F.lit(200)) / F.lit(200.0))
         + F.lit(0.2) * stop_ratio
     )
+    return toks, lang_col, quality, n
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Language × quality-decile histogram with document and token mass:
+    the summary a curation run reads to pick its filtering thresholds
+    ("drop q<0.3; cap en at N tokens").  All per-doc features (language
+    argmax, quality blend, token count) are computed in ONE projection
+    over a single tokenization — not by joining the three feature
+    operators — so at 100 TB this is scan speed plus one
+    low-cardinality (languages × 11 deciles) aggregation.
+
+    Both engines evaluate the identical IEEE expression tree per row, so
+    the decile bucketing (floor(quality·10)) cannot straddle engines."""
+    toks, lang_col, quality, n = _doc_features(docs)
     per_doc = toks.select(
         lang_col.alias("pred_lang"),
         F.floor(quality * 10).cast("long").alias("q_decile"),
@@ -310,6 +320,112 @@ feats AS (
 SELECT pred_lang, q_decile, count(*)::BIGINT AS n_docs,
        sum(n_tokens)::BIGINT AS n_tokens, sum(q) / count(*) AS mean_quality
 FROM feats GROUP BY 1, 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation slice
+# ---------------------------------------------------------------------------
+
+
+def curate_corpus(docs: DataFrame, min_quality: float = 0.5,
+                  langs: tuple[str, ...] = ("en",),
+                  rates: dict[str, float] | None = None,
+                  default_rate: float = 0.0) -> DataFrame:
+    """The standard pre-training curation slice as ONE composed plan:
+    per-doc features → quality/language gate → exact dedup → deterministic
+    per-language sample.  Output: the kept documents with
+    (doc_id, pred_lang, quality, n_tokens).
+
+    Plan shape at 100 TB: a single scan computes language argmax, the
+    quality blend, the token count AND the md5 fingerprint (no joins
+    between feature operators); the gates are pure filters evaluated
+    before anything shuffles, so low-quality/wrong-language mass never
+    leaves the scan; the only shuffle is the dedup window on the
+    fingerprint (hash-partitioned, text itself never shuffles); the
+    sample is the same md5-Bernoulli pure filter as
+    :func:`~akumuli_spark.pipeline.cluster.stratified_sample`.
+
+    Both engines evaluate identical IEEE expression trees, so the
+    quality >= threshold gate decisions cannot straddle engines."""
+    from pyspark.sql import Window
+
+    rates = rates if rates is not None else {}
+    toks, lang_col, quality, n = _doc_features(docs)
+    per_doc = toks.select(
+        "doc_id",
+        lang_col.alias("pred_lang"),
+        quality.alias("quality"),
+        n.cast("long").alias("n_tokens"),
+        F.md5(F.col("text")).alias("__fp"),
+    )
+    gated = per_doc.filter(
+        (F.col("quality") >= F.lit(float(min_quality)))
+        & F.col("pred_lang").isin(*langs)
+    )
+    keep = F.min("doc_id").over(Window.partitionBy("__fp"))
+    deduped = gated.withColumn("__keep", keep).filter(
+        F.col("doc_id") == F.col("__keep")
+    )
+    rate_expr = F.lit(float(default_rate))
+    for k in sorted(rates):  # deterministic plan
+        rate_expr = F.when(
+            F.col("pred_lang") == k, F.lit(float(rates[k]))
+        ).otherwise(rate_expr)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") / F.lit(4294967296.0)
+    )
+    return deduped.filter(u < rate_expr).select(
+        "doc_id", "pred_lang", "quality", "n_tokens"
+    )
+
+
+def curate_corpus_sql(min_quality: float = 0.5,
+                      langs: tuple[str, ...] = ("en",),
+                      rates: dict[str, float] | None = None,
+                      default_rate: float = 0.0) -> str:
+    """DuckDB twin of :func:`curate_corpus`."""
+    rates = rates if rates is not None else {}
+    structs = []
+    for i, lang in enumerate(sorted(LANG_MARKERS)):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        structs.append(
+            f"{{'score': len(list_filter(ws, t -> t IN ({markers})))"
+            f" * 1.0 / len(ws), 'neg_idx': {-i}, 'lang': '{lang}'}}"
+        )
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    q = (
+        f"0.5 * (len(list_distinct(ws)) * 1.0 / len(ws)) "
+        f"+ 0.3 * (least(len(ws), 200) / 200.0) "
+        f"+ 0.2 * (len(list_filter(ws, w -> w IN ({stops}))) * 1.0 / len(ws))"
+    )
+    lang_list = ", ".join(f"'{l}'" for l in langs)
+    branches = " ".join(
+        f"WHEN pred_lang = '{k}' THEN {float(rates[k])!r}"
+        for k in sorted(rates)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') ws FROM documents),
+cands AS (SELECT doc_id, unnest([{", ".join(structs)}]) AS cand FROM t),
+langs AS (SELECT doc_id, (max(cand)).lang AS pred_lang FROM cands GROUP BY doc_id),
+feats AS (
+  SELECT t.doc_id, l.pred_lang, ({q}) AS quality,
+         len(ws)::BIGINT AS n_tokens, md5(t.text) AS fp
+  FROM t JOIN langs l USING (doc_id)
+),
+gated AS (
+  SELECT * FROM feats
+  WHERE quality >= {float(min_quality)!r} AND pred_lang IN ({lang_list})
+),
+deduped AS (
+  SELECT * FROM gated
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+)
+SELECT doc_id, pred_lang, quality, n_tokens FROM deduped
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       / 4294967296.0)
+      < CASE {branches} ELSE {float(default_rate)!r} END
 """.strip()
 
 

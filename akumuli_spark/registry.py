@@ -1137,6 +1137,24 @@ _register_pipeline(
     ["pred_lang", "q_decile", "n_docs", "n_tokens"],
 )
 
+# End-to-end curation slice: feature gate → exact dedup → deterministic
+# sample composed into one plan (single scan + one fingerprint shuffle).
+# The gates are real at these params: quality >= 0.3 drops the low tail,
+# the language gate drops everything outside en/de, and the en sample
+# halves the survivors.
+_register_pipeline(
+    "curate_corpus",
+    lambda spark, sf: _text.curate_corpus(
+        load_table(spark, sf, "documents"), min_quality=0.3,
+        langs=("en", "de"), rates={"en": 0.5, "de": 1.0},
+    ),
+    _text.curate_corpus_sql(
+        min_quality=0.3, langs=("en", "de"), rates={"en": 0.5, "de": 1.0}
+    ),
+    ["quality"],
+    ["doc_id", "pred_lang", "n_tokens"],
+)
+
 _register_pipeline(
     "text_fingerprint",
     lambda spark, sf: _text.fingerprint_clusters(load_table(spark, sf, "documents")),

@@ -242,6 +242,32 @@ def test_multimodal_decode_wav_roundtrip(spark, duck, docs):
     assert_matches_oracle(out, duck, multimodal.DECODE_WAV_SQL)
 
 
+def test_curate_corpus_composes_its_stages(spark, duck, docs):
+    """The end-to-end slice must agree with its stages run separately:
+    every kept doc passes the quality and language gates, is its
+    fingerprint's minimum surviving doc_id, and passes the md5-Bernoulli
+    sample; re-running yields the identical set (determinism)."""
+    kept = text.curate_corpus(
+        docs, min_quality=0.3, langs=("en", "de"), rates={"en": 0.5, "de": 1.0}
+    )
+    rows = {r["doc_id"]: r for r in kept.collect()}
+    assert rows, "params must keep a non-trivial subset"
+    qual = {r["doc_id"]: r["quality"] for r in text.quality_score(docs).collect()}
+    lang = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    for did, r in rows.items():
+        assert qual[did] >= 0.3 and r["pred_lang"] == lang[did] in ("en", "de")
+    again = {r["doc_id"] for r in text.curate_corpus(
+        docs, min_quality=0.3, langs=("en", "de"), rates={"en": 0.5, "de": 1.0}
+    ).collect()}
+    assert again == set(rows)
+    # oracle twin agrees bit-for-bit
+    assert_matches_oracle(
+        text.curate_corpus(docs, 0.3, ("en", "de"), {"en": 0.5, "de": 1.0}),
+        duck,
+        text.curate_corpus_sql(0.3, ("en", "de"), {"en": 0.5, "de": 1.0}),
+    )
+
+
 def test_ngram_jaccard_stop_shingle_cap(spark, docs):
     # the capped variant must be a subset-or-equal approximation whose
     # surviving pairs keep their exact (capped-set) scores deterministic

@@ -92,7 +92,7 @@ def main() -> None:
                "apply_frequent_items_sketch", "apply_heavy_hitters_sketch",
                "multimodal_decode_bmp", "multimodal_decode_jpeg",
                "multimodal_decode_png", "multimodal_decode_wav",
-               "text_repetition", "corpus_report",
+               "text_repetition", "corpus_report", "curate_corpus",
                "candlesticks"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))

@@ -13,6 +13,11 @@ stage, no driver-side data (except the component loop's convergence
 counts), reproducible end-to-end: re-running yields the byte-identical
 corpus, and raising any sampling rate strictly grows the previous one.
 
+For the gate → exact-dedup → sample portion of this flow there is also a
+pre-composed single-plan operator, ``pipeline.text.curate_corpus`` (one
+scan, one shuffle, oracle-gated as the ``curate_corpus`` registry
+entry); this demo keeps the stages explicit to show the composition.
+
     python examples/training_mix.py
 """
 

@@ -231,6 +231,16 @@ def text_smoke(spark, n_docs: int) -> dict:
     rows = _text.corpus_report(docs).collect()  # languages × deciles rows
     out["corpus_report_s"] = round(time.time() - t, 2)
     out["report_rows"] = len(rows)
+    # end-to-end slice: adds the fingerprint-window dedup shuffle on top
+    # of the same single-scan features (synthetic docs have no stopwords,
+    # so quality ≈ 0.5·uniq + 0.3·len-term — threshold 0.3 gates for real)
+    t = time.time()
+    n_kept = _text.curate_corpus(
+        docs, min_quality=0.3, langs=tuple(sorted(_text.LANG_MARKERS)),
+        rates=dict.fromkeys(_text.LANG_MARKERS, 0.5),
+    ).count()
+    out["curate_corpus_s"] = round(time.time() - t, 2)
+    out["curated_docs"] = n_kept
     return out
 
 

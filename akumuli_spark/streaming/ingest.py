@@ -132,7 +132,17 @@ class HighWaterState:
 
     def _commit(self, marks: DataFrame) -> None:
         """Write a new epoch dir, fsync a temp pointer, atomically flip
-        ``CURRENT`` onto it, then best-effort GC unreferenced epochs."""
+        ``CURRENT`` onto it, then best-effort GC unreferenced epochs.
+
+        GC retains the PREVIOUS epoch alongside the new one: a concurrent
+        observer (the ``marks`` ops property, or any tool reading the
+        side table) resolves ``CURRENT`` and then scans the named dir —
+        deleting that dir the instant the pointer flips would fail any
+        read that raced one commit.  With one generation retained, a
+        reader is only broken if it falls TWO commits behind mid-scan,
+        which the single-writer batch cadence makes pathological.  Disk
+        cost: ≤ 2 epoch dirs of the compact (series, __hw) table."""
+        prev = self._current_epoch_dir()
         name = f"epoch-{uuid.uuid4().hex[:12]}"
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, name)
@@ -143,8 +153,11 @@ class HighWaterState:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.marks_dir, self.CURRENT))
+        keep = {self.CURRENT, name}
+        if prev is not None:
+            keep.add(os.path.basename(prev))
         for entry in os.listdir(self.marks_dir):
-            if entry == self.CURRENT or entry == name:
+            if entry in keep:
                 continue
             stale = os.path.join(self.marks_dir, entry)
             if os.path.isdir(stale):

@@ -231,8 +231,14 @@ def test_marks_pointer_flip_survives_crash_window(spark, tmp_path, monkeypatch):
     assert hw.marks == {"s1": 100}
     assert hw.seed_scans == 0
 
-    # recovery: the replayed batch lands on top of the intact state, and
-    # the orphaned epoch dir from the crashed commit is GC'd
+    # recovery: the replayed batch lands on top of the intact state, the
+    # orphaned epoch dir from the crashed commit is GC'd, and the
+    # previous epoch is retained one generation (observer-race guard)
+    live_before = os.path.basename(hw._current_epoch_dir())
+    orphans = set(os.listdir(hw.marks_dir)) - {
+        HighWaterState.CURRENT, live_before
+    }
+    assert orphans  # the crashed commit left its epoch dir behind
     hw.advance(
         spark,
         spark.createDataFrame([("s1", 200), ("s2", 50)],
@@ -241,4 +247,34 @@ def test_marks_pointer_flip_survives_crash_window(spark, tmp_path, monkeypatch):
     assert hw.marks == {"s1": 200, "s2": 50}
     leftovers = set(os.listdir(hw.marks_dir))
     assert HighWaterState.CURRENT in leftovers
-    assert len(leftovers) == 2  # pointer + exactly one live epoch dir
+    assert not (orphans & leftovers)  # orphan GC'd
+    assert live_before in leftovers  # previous epoch retained
+    assert len(leftovers) == 3  # pointer + live epoch + previous epoch
+
+
+def test_marks_epoch_retention_keeps_one_generation(spark, tmp_path):
+    """A concurrent observer resolves CURRENT and then scans the named
+    epoch dir; a commit that GC'd the previous epoch immediately would
+    delete that dir out from under any read racing one flip.  Each commit
+    therefore retains exactly one previous generation: the one-behind
+    reader always succeeds, two-behind is GC'd (disk stays ≤ 2 epochs)."""
+    import os as _os
+
+    from akumuli_spark.streaming.ingest import HighWaterState
+
+    def batch(ts):
+        return spark.createDataFrame([("s1", ts)], "series string, ts_ns long")
+
+    hw = HighWaterState(str(tmp_path / "marks"))
+    hw.advance(spark, batch(1))
+    epoch_a = hw._current_epoch_dir()
+    hw.advance(spark, batch(2))  # flips to B, must retain A
+    assert _os.path.isdir(epoch_a)
+    # the one-flip-behind reader's scan still works
+    held = spark.read.schema("series string, __hw long").parquet(epoch_a)
+    assert held.collect()[0]["__hw"] == 1
+    epoch_b = hw._current_epoch_dir()
+    hw.advance(spark, batch(3))  # flips to C: retains B, GCs A
+    assert not _os.path.exists(epoch_a)
+    assert _os.path.isdir(epoch_b)
+    assert hw.marks == {"s1": 3}

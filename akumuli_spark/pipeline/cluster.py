@@ -179,6 +179,66 @@ def stratified_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def deterministic_shuffle(docs: DataFrame, seed: str = "s0",
+                          n_shards: int = 16,
+                          id_col: str = "doc_id") -> DataFrame:
+    """Reproducible global shuffle + shard assignment for training-data
+    export.
+
+    Training runs need the corpus in a *fixed pseudo-random order* that
+    any re-run (and any engine) reproduces: order by
+    ``md5(seed || ':' || id)``, sharded by the key's top 32 bits so
+    every shard is an independent, internally-ordered output stream.
+    Changing ``seed`` reshuffles; changing ``n_shards`` re-buckets but
+    keeps the same global key order.
+
+    Output: (doc_id, shard, pos) — ``pos`` is the 1-based position
+    within the shard.
+
+    Scale shape: one hash-partition shuffle on ``shard`` plus a per-shard
+    sort (the window below partitions by shard, so no global ordering
+    bottleneck — each of the ``n_shards`` streams sorts independently,
+    exactly the layout a sharded training-data writer wants).  Size
+    ``n_shards`` to the cluster: ≥ executor count, and small enough that
+    a shard fits a task's spill budget.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+        % F.lit(int(n_shards))
+    )
+    w = Window.partitionBy("shard").orderBy("__key")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            key.alias("__key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def deterministic_shuffle_sql(seed: str = "s0", n_shards: int = 16) -> str:
+    """DuckDB twin of :func:`deterministic_shuffle` —
+    ``('0x' || hex)::BIGINT`` replays Spark's ``conv(hex, 16, 10)``."""
+    return f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{seed}:' || doc_id::VARCHAR) AS __key,
+         ('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % {int(n_shards)} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY __key) AS pos
+FROM keyed
+""".strip()
+
+
 def _shard_expr(id_col: str, n_shards: int):
     """Deterministic, engine-portable shard of a document id: the top 32
     bits of md5(id) mod n_shards — the same hash family as

@@ -201,6 +201,105 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span coverage (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per-document fraction of token positions covered by a word
+    ``n``-gram that also appears in at least one OTHER document — the
+    distributed analogue of exact-substring training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): instead of a suffix array over the concatenated corpus,
+    cross-document repeated spans are found by an equi-join on
+    positioned n-grams, and per-doc coverage is the union of their
+    n-token windows.
+
+    Complements ``repetition_signals`` (within-doc repetition): a high
+    ``dup_span_frac`` with low within-doc repetition means the text is
+    boilerplate shared across the corpus.
+
+    Output: (doc_id, n_tokens, n_cov, dup_span_frac) — one row per doc,
+    0.0 for docs with no cross-doc span.
+
+    Scale shape: three shuffles, all equi-keyed — (shingle, doc) distinct
+    + df count, the positions⋈duplicated-shingles join, and the per-doc
+    distinct-position count.  The position explode fans out by n only
+    for positions whose shingle is cross-doc duplicated, so the heavy
+    path is proportional to actual duplication, not corpus size.  No
+    suffix array, no global sort, no driver state.
+    """
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    )
+    n_tok = tokens.select(
+        "doc_id", F.size(F.col("__ws")).cast("long").alias("n_tokens")
+    )
+    shingle_arr = F.expr(
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> array_join(slice(__ws, i, {n}), ' '))"
+    )
+    pos = (
+        tokens.filter(F.size(F.col("__ws")) >= n)
+        .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+    )
+    dup = (
+        pos.select("shingle", "doc_id").distinct()
+        .groupBy("shingle").agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        pos.join(dup, "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("n_cov"))
+    )
+    return (
+        n_tok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_cov"), F.lit(0)).cast("long").alias("n_cov"),
+            (F.coalesce(F.col("n_cov"), F.lit(0)) / F.col("n_tokens"))
+            .alias("dup_span_frac"),
+        )
+    )
+
+
+def duplicated_span_coverage_sql(n: int = 5) -> str:
+    """DuckDB twin of :func:`duplicated_span_coverage`.  Positions are
+    0-based on both sides (Spark posexplode ↔ ``i - 1`` here)."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS start,
+         list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ') AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM toks WHERE len(ws) >= {n})
+),
+dup AS (
+  SELECT shingle FROM pos GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT doc_id, count(DISTINCT p) AS n_cov
+  FROM (SELECT doc_id, unnest(range(start, start + {n})) AS p
+        FROM pos JOIN dup USING (shingle))
+  GROUP BY 1
+)
+SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+       coalesce(c.n_cov, 0)::BIGINT AS n_cov,
+       coalesce(c.n_cov, 0) * 1.0 / len(t.ws) AS dup_span_frac
+FROM toks t LEFT JOIN cov c USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 

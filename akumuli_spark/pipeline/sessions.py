@@ -58,6 +58,47 @@ def session_stats(events: DataFrame, gap_ns: int) -> DataFrame:
     )
 
 
+def props_field_stats(events: DataFrame, field: str = "k") -> DataFrame:
+    """Semi-structured extraction: pull ``$.field`` out of the JSON
+    ``props`` column and aggregate it per event type.
+
+    Event streams carry ragged JSON payloads; projecting a typed field
+    without a pre-declared schema is the bread-and-butter of log
+    analytics.  ``get_json_object`` is a JVM-side path evaluator — the
+    extraction happens inside the scan stage (no Python, no second
+    pass), followed by one low-cardinality hash aggregation.
+
+    Output: (event_type, n_events, n_with_field, field_avg, field_min,
+    field_max).
+    """
+    v = F.get_json_object(F.col("props"), f"$.{field}").cast("double")
+    return (
+        events.select("event_type", v.alias("__v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("__v").cast("long").alias("n_with_field"),
+            F.avg("__v").alias("field_avg"),
+            F.min("__v").alias("field_min"),
+            F.max("__v").alias("field_max"),
+        )
+    )
+
+
+def props_field_stats_sql(field: str = "k") -> str:
+    """DuckDB twin of :func:`props_field_stats` (json_extract_string
+    returns NULL for missing paths, matching get_json_object)."""
+    v = f"json_extract_string(props, '$.{field}')::DOUBLE"
+    return f"""
+SELECT event_type, count(*) AS n_events,
+       count({v}) AS n_with_field,
+       avg({v}) AS field_avg,
+       min({v}) AS field_min,
+       max({v}) AS field_max
+FROM events GROUP BY 1
+""".strip()
+
+
 def session_stats_sql(gap_ns: int) -> str:
     return f"""
 WITH e AS (

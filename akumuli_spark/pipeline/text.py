@@ -165,6 +165,44 @@ FROM documents
 """.strip()
 
 
+def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the ``k`` most frequent whitespace terms
+    with total occurrences and document frequency — tokenizer-training /
+    stopword-discovery input.
+
+    Output: (term, n_occurrences, doc_freq), deterministic under ties
+    (count desc, term asc — the same tie-break on both engines, so the
+    boundary of the top-k set is stable).
+
+    Scale shape: explode → two-phase hash aggregation (map-side partial
+    on the vocab, which is tiny next to the corpus) → per-partition
+    top-k + single merge (Spark compiles orderBy+limit to
+    TakeOrderedAndProject, never a global sort).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def vocab_topk_sql(k: int = 100) -> str:
+    return f"""
+SELECT term, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents)
+GROUP BY 1 ORDER BY n_occurrences DESC, term LIMIT {int(k)}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # repetition signals (Gopher-style quality filters)
 # ---------------------------------------------------------------------------

@@ -2131,6 +2131,82 @@ _register_pipeline(
     ["user_id", "session_id", "start_ns", "end_ns", "n_events", "n_event_types"],
 )
 
+# Semi-structured extraction: typed field out of the JSON props payload,
+# aggregated per event type — JVM-side path evaluation inside the scan.
+_register_pipeline(
+    "events_props_json",
+    lambda spark, sf: _sessions.props_field_stats(
+        load_table(spark, sf, "events"), field="k"
+    ),
+    _sessions.props_field_stats_sql(field="k"),
+    ["field_avg", "field_min", "field_max"],
+    ["event_type", "n_events", "n_with_field"],
+)
+
+
+# PII detection + redaction over deterministically injected spans (the
+# driver corpus has no organic PII) — same real-kernel round-trip pattern
+# as the multimodal synth entries: the oracle reproduces the injection
+# arithmetically, so a regression in patterns or replacement order breaks
+# the value hash.
+from akumuli_spark.pipeline import pii as _pii  # noqa: E402
+
+_register_pipeline(
+    "pii_signals",
+    lambda spark, sf: _pii.pii_signals(
+        _pii.synth_pii_text(load_table(spark, sf, "documents"))
+    ),
+    _pii.pii_signals_sql(),
+    [],
+    ["doc_id", "n_email", "n_phone", "n_id", "n_ipv4", "has_pii"],
+)
+
+_register_pipeline(
+    "pii_scrub",
+    lambda spark, sf: _pii.pii_scrub(
+        _pii.synth_pii_text(load_table(spark, sf, "documents"))
+    ),
+    _pii.pii_scrub_sql(),
+    [],
+    ["doc_id", "clean_text", "n_redacted"],
+)
+
+
+# Cross-document duplicated-span coverage (substring-dedup signal):
+# positioned-shingle equi-join, no suffix array, no cross join.
+_register_pipeline(
+    "dedup_span_coverage",
+    lambda spark, sf: _dedup.duplicated_span_coverage(
+        load_table(spark, sf, "documents"), n=5
+    ),
+    _dedup.duplicated_span_coverage_sql(n=5),
+    ["dup_span_frac"],
+    ["doc_id", "n_tokens", "n_cov"],
+)
+
+
+# Deterministic global shuffle + shard assignment for training export.
+_register_pipeline(
+    "corpus_shuffle",
+    lambda spark, sf: _cluster.deterministic_shuffle(
+        load_table(spark, sf, "documents"), seed="s0", n_shards=16
+    ),
+    _cluster.deterministic_shuffle_sql(seed="s0", n_shards=16),
+    [],
+    ["doc_id", "shard", "pos"],
+)
+
+
+# Vocabulary head: top-k terms by occurrences with doc frequency,
+# deterministic tie-break on both engines.
+_register_pipeline(
+    "vocab_topk",
+    lambda spark, sf: _text.vocab_topk(load_table(spark, sf, "documents"), k=100),
+    _text.vocab_topk_sql(k=100),
+    [],
+    ["term", "n_occurrences", "doc_freq"],
+)
+
 
 _register_meta(
     "suggest_tag_names",

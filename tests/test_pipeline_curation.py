@@ -1,0 +1,203 @@
+"""Round-7 curation-operator tests: PII scrub, duplicated-span coverage,
+deterministic shuffle, JSON props extraction, vocabulary top-k — each vs
+its DuckDB oracle plus crafted-input behavioral checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.pipeline import cluster, dedup, pii, sessions, text
+from akumuli_spark.sources.testdata import load_table
+from tests.conftest import SF_DIR, assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_signals_oracle(spark, duck, docs):
+    out = pii.pii_signals(pii.synth_pii_text(docs))
+    assert_matches_oracle(out, duck, pii.pii_signals_sql())
+
+
+def test_pii_scrub_oracle(spark, duck, docs):
+    out = pii.pii_scrub(pii.synth_pii_text(docs))
+    assert_matches_oracle(out, duck, pii.pii_scrub_sql())
+
+
+def test_pii_scrub_crafted(spark):
+    # one doc exercising every pattern plus the ordering hazards:
+    # an email whose domain contains a digit run, phone (3-3-4) vs
+    # SSN-shaped id (3-2-4) disambiguation, and a bare IPv4
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "mail bob.smith+x@mail2.example.co.uk then call "
+                "415-555-0199 or ssn 078-05-1120 at 192.168.0.1 done",
+            ),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii.pii_scrub(df).collect()}
+    assert rows[1]["clean_text"] == (
+        "mail <EMAIL> then call <PHONE> or ssn <ID> at <IP> done"
+    )
+    assert rows[1]["n_redacted"] == 4
+    assert rows[2]["clean_text"] == "no pii here at all"
+    assert rows[2]["n_redacted"] == 0
+
+    sig = {r["doc_id"]: r for r in pii.pii_signals(df).collect()}
+    assert (
+        sig[1]["n_email"],
+        sig[1]["n_phone"],
+        sig[1]["n_id"],
+        sig[1]["n_ipv4"],
+        sig[1]["has_pii"],
+    ) == (1, 1, 1, 1, True)
+    assert sig[2]["has_pii"] is False
+
+
+def test_pii_synth_injects_detectable_spans(spark, docs):
+    # every synthesized doc must carry at least the email span, and the
+    # residue-gated spans must appear for exactly the gated doc_ids
+    sig = pii.pii_signals(pii.synth_pii_text(docs))
+    rows = sig.collect()
+    assert all(r["n_email"] >= 1 for r in rows)
+    for r in rows:
+        assert (r["n_ipv4"] >= 1) == (r["doc_id"] % 2 == 0), r
+        assert (r["n_phone"] >= 1) == (r["doc_id"] % 3 == 0), r
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_coverage_oracle(spark, duck, docs):
+    out = dedup.duplicated_span_coverage(docs, n=5)
+    assert_matches_oracle(out, duck, dedup.duplicated_span_coverage_sql(5))
+
+
+def test_dup_span_coverage_crafted(spark):
+    # docs 1 and 2 share the 3-gram "x y z" once each; doc 3 repeats a
+    # 3-gram WITHIN itself only (must not count: the signal is cross-doc);
+    # doc 4 is clean; doc 5 is too short for any 3-gram
+    df = spark.createDataFrame(
+        [
+            (1, "a b x y z c d"),
+            (2, "p q x y z r s"),
+            (3, "m n o m n o"),
+            (4, "u v w t e f"),
+            (5, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.duplicated_span_coverage(df, n=3).collect()}
+    assert rows[1]["n_cov"] == 3 and rows[1]["n_tokens"] == 7
+    assert rows[2]["n_cov"] == 3
+    assert rows[1]["dup_span_frac"] == pytest.approx(3 / 7)
+    assert rows[3]["n_cov"] == 0, "within-doc repetition must not count"
+    assert rows[4]["n_cov"] == 0
+    assert rows[5]["n_cov"] == 0 and rows[5]["dup_span_frac"] == 0.0
+
+
+def test_dup_span_coverage_overlapping_spans_union(spark):
+    # overlapping duplicated 3-grams: "a b c d" shared ⇒ two 3-grams
+    # ("a b c", "b c d") covering positions 0-3 = 4 distinct, not 6
+    df = spark.createDataFrame(
+        [(1, "a b c d x"), (2, "a b c d y")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.duplicated_span_coverage(df, n=3).collect()}
+    assert rows[1]["n_cov"] == 4
+    assert rows[2]["n_cov"] == 4
+
+
+# ---------------------------------------------------------------------------
+# deterministic shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_shuffle_oracle(spark, duck, docs):
+    out = cluster.deterministic_shuffle(docs, seed="s0", n_shards=16)
+    assert_matches_oracle(
+        out, duck, cluster.deterministic_shuffle_sql(seed="s0", n_shards=16)
+    )
+
+
+def test_deterministic_shuffle_properties(spark, docs):
+    out = cluster.deterministic_shuffle(docs, seed="s1", n_shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    # positions are contiguous 1..len within every shard
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # re-run is bit-identical (no RNG state)
+    again = {(r["doc_id"], r["shard"], r["pos"])
+             for r in cluster.deterministic_shuffle(
+                 docs, seed="s1", n_shards=8).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    # a different seed actually permutes
+    other = {(r["doc_id"], r["shard"], r["pos"])
+             for r in cluster.deterministic_shuffle(
+                 docs, seed="s2", n_shards=8).collect()}
+    assert other != again
+
+
+# ---------------------------------------------------------------------------
+# JSON props extraction
+# ---------------------------------------------------------------------------
+
+
+def test_props_field_stats_oracle(spark, duck, events):
+    out = sessions.props_field_stats(events, field="k")
+    assert_matches_oracle(out, duck, sessions.props_field_stats_sql("k"))
+
+
+def test_props_field_stats_missing_field(spark, events):
+    rows = sessions.props_field_stats(events, field="nope").collect()
+    assert all(r["n_with_field"] == 0 for r in rows)
+    assert all(r["field_avg"] is None for r in rows)
+    # row universe unchanged: every event_type still reports its count
+    assert sum(r["n_events"] for r in rows) == events.count()
+
+
+# ---------------------------------------------------------------------------
+# vocabulary top-k
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_topk_oracle(spark, duck, docs):
+    out = text.vocab_topk(docs, k=100)
+    assert_matches_oracle(out, duck, text.vocab_topk_sql(100))
+
+
+def test_vocab_topk_tie_break(spark):
+    # four terms with equal counts: the top-2 boundary must cut by term
+    # ascending, deterministically
+    df = spark.createDataFrame(
+        [(1, "b a"), (2, "d c"), (3, "a b"), (4, "c d")],
+        "doc_id long, text string",
+    )
+    rows = text.vocab_topk(df, k=2).collect()
+    assert [r["term"] for r in rows] == ["a", "b"]
+    assert all(r["n_occurrences"] == 2 and r["doc_freq"] == 2 for r in rows)

@@ -93,7 +93,9 @@ def main() -> None:
                "multimodal_decode_bmp", "multimodal_decode_jpeg",
                "multimodal_decode_png", "multimodal_decode_wav",
                "text_repetition", "corpus_report", "curate_corpus",
-               "candlesticks"]
+               "candlesticks",
+               "pii_signals", "pii_scrub", "dedup_span_coverage",
+               "corpus_shuffle", "events_props_json", "vocab_topk"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

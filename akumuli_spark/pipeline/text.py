@@ -174,19 +174,32 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     (count desc, term asc — the same tie-break on both engines, so the
     boundary of the top-k set is stable).
 
-    Scale shape: explode → two-phase hash aggregation (map-side partial
-    on the vocab, which is tiny next to the corpus) → per-partition
-    top-k + single merge (Spark compiles orderBy+limit to
+    Scale shape: per-doc term counts are pre-aggregated JVM-side in ONE
+    scan (explode array_distinct + an array filter count — O(words²)
+    per doc, negligible at ~tens of words), so the groupBy is a PLAIN
+    two-phase agg on ``term`` and map-side partials collapse the
+    shuffle to ~vocab × partitions rows.  Measured at 10 M docs
+    (tools/scale_smoke.py curation): 57 s, vs 118 s for the naive
+    ``countDistinct(doc_id)`` form (which shuffles every distinct
+    (term, doc) pair) and 66 s for a two-explode/two-scan variant.
+    Then per-partition top-k + single merge (orderBy+limit compiles to
     TakeOrderedAndProject, never a global sort).
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    )
+    toks = docs.select(F.split(F.col("text"), " ").alias("__ws"))
+    per_doc = toks.select(
+        F.explode(
+            F.expr(
+                "transform(array_distinct(__ws), t -> "
+                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
+            )
+        ).alias("tc")
+    ).select(F.col("tc.term").alias("term"),
+             F.col("tc.cnt").cast("long").alias("__cnt"))
     return (
-        toks.groupBy("term")
+        per_doc.groupBy("term")
         .agg(
-            F.count("*").cast("long").alias("n_occurrences"),
-            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.sum("__cnt").cast("long").alias("n_occurrences"),
+            F.count("*").cast("long").alias("doc_freq"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("term"))
         .limit(k)

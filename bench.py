@@ -165,7 +165,9 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in ("dedup_clusters", "decontaminate_ngram",
                  "sample_stratified", "pack_sequences",
-                 "pack_sequences_sharded"):
+                 "pack_sequences_sharded",
+                 "pii_scrub", "dedup_span_coverage", "corpus_shuffle",
+                 "vocab_topk", "events_props_json"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -81,6 +81,61 @@ def test_pii_synth_injects_detectable_spans(spark, docs):
         assert (r["n_phone"] >= 1) == (r["doc_id"] % 3 == 0), r
 
 
+def test_pii_dialect_parity_adversarial(spark, duck):
+    """The PII patterns run under Java regex in Spark and RE2 in the
+    DuckDB oracle; Python ``re`` referees (same role as the event-regex
+    parity test): on an adversarial ASCII corpus — glued IPs, digit
+    salads, emails with digit domains, truncated shapes — Spark's counts
+    and scrubbed text AND DuckDB's must equal the reference model's."""
+    import re as _re
+
+    corpus = [
+        "1.2.3.4.5.6.7.8",              # glued IPs: greedy left-to-right
+        "999.999.999.999",               # out-of-range octets still match shape
+        "1.2.3.45.6.7.8.9 x",
+        "a@b.c",                         # TLD too short: not an email
+        "a@b.co",
+        "a@1.2.3.4com",                  # digit domain swallowed by email
+        "x1@y2.z3.ab cd",
+        "no-reply@mail2.example.co.uk",
+        "555-123-4567 and 078-05-1120",  # phone then ssn
+        "555-12-4567-123-4567",          # ssn glued to phone tail
+        "123-456-78901",                 # 5-digit tail: \b kills the match
+        "1234-567-8901",                 # 4-digit head: \b kills the match
+        ".5.6.7.8",                      # leading dot: still a word boundary
+        "v1.2.3.4x",                     # trailing letter: no boundary
+        "a@@b.cd a@b..cd",
+        "@ . - 078-05-1120@x.yz",        # email right of an ssn shape
+        "",
+        "plain words only here",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "doc_id long, text string"
+    )
+    got_sig = {r["doc_id"]: r for r in pii.pii_signals(df).collect()}
+    got_scrub = {r["doc_id"]: r for r in pii.pii_scrub(df).collect()}
+    for i, s in enumerate(corpus):
+        clean, total = s, 0
+        for name, pat, placeholder in pii.PII_PATTERNS:
+            n = len(_re.findall(pat, s))
+            total += n
+            clean = _re.sub(pat, placeholder, clean)
+            assert got_sig[i][f"n_{name}"] == n, (s, name)
+            duck_n = duck.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [s, pat]
+            ).fetchone()[0]
+            assert duck_n == n, (s, name, "RE2 divergence")
+        assert got_scrub[i]["clean_text"] == clean, s
+        assert got_scrub[i]["n_redacted"] == total, s
+        duck_clean = s
+        for _, pat, placeholder in pii.PII_PATTERNS:
+            duck_clean = duck.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')",
+                [duck_clean, pat, placeholder],
+            ).fetchone()[0]
+        assert duck_clean == clean, (s, "RE2 scrub divergence")
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span coverage
 # ---------------------------------------------------------------------------

@@ -244,6 +244,61 @@ def text_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def curation_smoke(spark, n_docs: int, span_docs: int | None = None) -> dict:
+    """Round-7 curation operators at volume over the synthetic corpus.
+
+    pii_scrub and vocab_topk should track the tokenize scan
+    (projection / two-phase agg); corpus_shuffle adds one hash shuffle +
+    per-shard sort; duplicated_span_coverage is the heavy one (positioned
+    n-gram explode ≈ 20 rows/doc + three keyed shuffles) and runs at
+    ``span_docs`` (default n_docs/10) with the planted near-dup pairs as
+    ground truth that the join actually fires."""
+    from akumuli_spark.pipeline import cluster as _cluster
+    from akumuli_spark.pipeline import dedup as _dedup
+    from akumuli_spark.pipeline import pii as _pii
+    from akumuli_spark.pipeline import text as _text
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    t = time.time()
+    docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("n")
+    ).write.format("noop").mode("overwrite").save()
+    out["tokenize_scan_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    _pii.pii_scrub(_pii.synth_pii_text(docs)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["pii_scrub_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    _cluster.deterministic_shuffle(docs, n_shards=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["corpus_shuffle_s"] = round(time.time() - t, 2)
+
+    t = time.time()
+    vocab = _text.vocab_topk(docs, k=100).collect()
+    out["vocab_topk_s"] = round(time.time() - t, 2)
+    out["vocab_rows"] = len(vocab)
+
+    sd = span_docs if span_docs is not None else max(n_docs // 10, 1)
+    span_corpus = synthetic_docs(spark, sd)
+    t = time.time()
+    flagged = (
+        _dedup.duplicated_span_coverage(span_corpus, n=5)
+        .filter(F.col("n_cov") > 0).count()
+    )
+    out["span_docs"] = sd
+    out["dup_span_coverage_s"] = round(time.time() - t, 2)
+    # every planted near-dup (1/1000 docs) shares a 23-token prefix with
+    # its original: both sides must be flagged
+    out["span_flagged"] = flagged
+    out["span_planted_min"] = 2 * (sd // 1000)
+    return out
+
+
 def multimodal_smoke(spark, n_docs: int) -> dict:
     """Binary decode throughput at volume: synthesize genuine JFIF
     payloads for n_docs docs, then run the mapInPandas decode stage.
@@ -275,6 +330,13 @@ def main() -> None:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(
             {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "curation":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        span = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        print(json.dumps(
+            {"docs": n_docs, "curation": curation_smoke(spark, n_docs, span)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "text":

@@ -215,30 +215,20 @@ def ivf_kmeans_centroids(embs: DataFrame, nlist: int = IVF_NLIST,
     )
 
 
-def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
-             nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
-             centroids: DataFrame | None = None) -> DataFrame:
-    """IVF ANN: vectors are assigned to their max-cosine centroid's list;
-    a query probes its ``nprobe`` closest centroids and runs exact top-k
-    only inside those lists.
+def _assign_lists(embs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): each vector assigned to its
+    max-cosine centroid's inverted list.
 
-    Scale shape: the codebook is broadcast (nlist rows); assignment is a
-    broadcast join + per-vector argmax — one shuffle on vec_id.  At 100 TB
-    the list id becomes the table's partition/cluster key, so a probe is a
-    partition-pruned scan of nprobe/nlist of the corpus.  Output matches
-    :func:`cosine_topk` (cosine ties → neighbor_id asc; centroid-distance
-    ties → cid asc).
+    The assignment is a per-row argmax over the broadcast codebook —
+    zero shuffle and no corpus×nlist row blowup.  The codebook is folded
+    into ONE row holding a cid-sorted array of (cid, ce) structs; each
+    corpus row scans it with nested higher-order functions (all JVM-side).
+    The old shape (crossJoin + per-vec_id row_number window) shuffled
+    corpus×nlist rows; this computes the same cosines in the same float
+    order with none of that.  Tie-break parity: array_max over
+    struct(cosine, -cid) picks cosine desc then cid asc, exactly the old
+    (__c desc, cid asc) window order.
     """
-    cents = centroids if centroids is not None else _centroids(embs, nlist)
-    # List assignment is a per-row argmax over the broadcast codebook —
-    # zero shuffle and no corpus×nlist row blowup.  The codebook is folded
-    # into ONE row holding a cid-sorted array of (cid, ce) structs; each
-    # corpus row scans it with nested higher-order functions (all JVM-side).
-    # The old shape (crossJoin + per-vec_id row_number window) shuffled
-    # corpus×nlist rows; this computes the same cosines in the same float
-    # order with none of that.  Tie-break parity: array_max over
-    # struct(cosine, -cid) picks cosine desc then cid asc, exactly the old
-    # (__c desc, cid asc) window order.
     codebook = cents.agg(
         F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbook")
     )
@@ -248,7 +238,7 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
         "/ (sqrt(aggregate(embedding, 0.0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) "
         "* sqrt(aggregate(x.ce, 0.0D, (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
     )
-    assigned = (
+    return (
         embs.crossJoin(F.broadcast(codebook))
         .withColumn(
             "list_id",
@@ -259,6 +249,25 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
         )
         .select("vec_id", "embedding", "list_id")
     )
+
+
+def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
+             nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF ANN: vectors are assigned to their max-cosine centroid's list;
+    a query probes its ``nprobe`` closest centroids and runs exact top-k
+    only inside those lists.
+
+    Scale shape: the codebook is broadcast (nlist rows); assignment is a
+    broadcast join + per-vector argmax — one shuffle on vec_id.  At 100 TB
+    the list id becomes the table's partition/cluster key, so a probe is a
+    partition-pruned scan of nprobe/nlist of the corpus — that shape is
+    materialized by :func:`build_ivf_index` / :func:`ivf_topk_from_index`.
+    Output matches :func:`cosine_topk` (cosine ties → neighbor_id asc;
+    centroid-distance ties → cid asc).
+    """
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assigned = _assign_lists(embs, cents)
     probes = (
         assigned.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -333,3 +342,94 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — the 100 TB serving shape
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
+                    centroids: DataFrame | None = None) -> None:
+    """Materialize the IVF index: the corpus written as
+    ``{path}/lists`` PARTITIONED BY ``list_id`` plus the codebook at
+    ``{path}/centroids`` — the same build-once/query-many design as the
+    dedup signature tables (ARCHITECTURE.md "the signature table IS the
+    index").
+
+    At 100 TB this is the ANN serving layout: each inverted list is its
+    own partition directory, so a probe reads nprobe/nlist of the corpus
+    through *partition pruning* instead of filtering a full scan — the
+    claim ivf_topk's docstring makes becomes a property of the storage.
+    Rebuild (or incrementally append new vectors: assignment is a pure
+    per-row function of the frozen codebook) as the corpus grows; the
+    codebook stays frozen so list membership never shifts under readers.
+    """
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assigned = _assign_lists(embs, cents)
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite").partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
+                        nprobe: int = IVF_NPROBE) -> DataFrame:
+    """Probe a stored IVF index: same results as :func:`ivf_topk` (the
+    identical float-op order — casts to double happen at the same points,
+    so the cosines are bit-equal), but the corpus scan is pruned to the
+    probed partitions.
+
+    The probe set is collected to the driver first — it is
+    ≤ len(query_ids) · nprobe rows (O(queries), NOT O(corpus); the same
+    bounded footprint as the query parameters themselves), and turning
+    the probed list ids into a literal ``isin`` predicate is what lets
+    Spark prune partitions STATICALLY at plan time (``PartitionFilters``
+    on the scan, asserted in tests) instead of relying on runtime DPP.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists")
+    queries = lists.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probe_rows = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__c", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qe", F.col("cid").alias("list_id"))
+        .collect()  # bounded: len(query_ids) × nprobe rows
+    )
+    probe_lists = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r["query_id"], r["qe"], r["list_id"]) for r in probe_rows],
+        "query_id long, qe array<float>, list_id int",
+    )
+    scored = (
+        lists.filter(F.col("list_id").isin(probe_lists))
+        .join(F.broadcast(probes), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )

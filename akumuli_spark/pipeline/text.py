@@ -206,6 +206,49 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    percentiles of ``n_chars`` — the curation dashboard's "is this
+    source full of stubs / megadocs" check.
+
+    Exact ``percentile`` (not ``approx_percentile``) so the DuckDB
+    ``quantile_cont`` oracle matches bit-for-bit after canonical
+    rounding; at true 100 TB scale swap in ``approx_percentile`` (a
+    mergeable t-digest-style summary) — same plan shape, one
+    low-cardinality two-phase aggregation.
+
+    Output: (lang, n_docs, p50_chars, p90_chars, p99_chars, max_chars).
+    """
+    pct = F.percentile(F.col("n_chars"), F.array(
+        F.lit(0.5), F.lit(0.9), F.lit(0.99)
+    ))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            pct.alias("__p"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            "lang", "n_docs",
+            F.element_at("__p", 1).alias("p50_chars"),
+            F.element_at("__p", 2).alias("p90_chars"),
+            F.element_at("__p", 3).alias("p99_chars"),
+            "max_chars",
+        )
+    )
+
+
+LENGTH_QUANTILES_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.9) AS p90_chars,
+       quantile_cont(n_chars, 0.99) AS p99_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY 1
+""".strip()
+
+
 def vocab_topk_sql(k: int = 100) -> str:
     return f"""
 SELECT term, count(*) AS n_occurrences,

@@ -1097,6 +1097,29 @@ _register_pipeline(
     ["query_id", "neighbor_id", "rank"],
 )
 
+
+def _ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted IVF index (per-run temp dir), then answer the
+    same query from it — the partition-pruned serving shape; the oracle
+    is unchanged because the index is a pure materialization."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_ivf_idx_{os.getpid()}"
+    )
+    _sim.build_ivf_index(load_table(spark, sf, "embeddings"), path)
+    return _sim.ivf_topk_from_index(spark, path, _ANN_QUERY_IDS, k=10)
+
+
+_register_pipeline(
+    "ann_ivf_indexed",
+    _ann_ivf_indexed,
+    _sim.ivf_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
 _register_pipeline(
     "text_langid",
     lambda spark, sf: _text.language_id(load_table(spark, sf, "documents")),
@@ -2194,6 +2217,18 @@ _register_pipeline(
     _cluster.deterministic_shuffle_sql(seed="s0", n_shards=16),
     [],
     ["doc_id", "shard", "pos"],
+)
+
+
+# Per-language length distribution: exact interpolated percentiles
+# (DuckDB quantile_cont twin); approx_percentile is the documented
+# 100 TB swap-in.
+_register_pipeline(
+    "corpus_length_quantiles",
+    lambda spark, sf: _text.length_quantiles(load_table(spark, sf, "documents")),
+    _text.LENGTH_QUANTILES_SQL,
+    ["p50_chars", "p90_chars", "p99_chars"],
+    ["lang", "n_docs", "max_chars"],
 )
 
 

@@ -491,3 +491,60 @@ def test_corpus_report(spark, duck, docs):
     got = {(r["pred_lang"], r["q_decile"]): r["n_docs"] for r in rows}
     assert got == dict(agg)
     assert_matches_oracle(out, duck, text.corpus_report_sql())
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, embs, tmp_path):
+    """The persisted index answers bit-identically to the one-shot path
+    (same float-op order end to end), and the probed scan carries a
+    STATIC partition filter on list_id — the 100 TB serving property the
+    index exists for."""
+    path = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(embs, path)
+    from_index = similarity.ivf_topk_from_index(spark, path, QUERY_IDS, k=10)
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in from_index.collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(embs, QUERY_IDS, k=10).collect()
+    }
+    assert got == want  # exact equality, not approx: same arithmetic
+
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters")[1][:400]
+
+
+def test_ivf_index_append_only_growth(spark, embs, tmp_path):
+    """New vectors append into their lists without rebuilding: assignment
+    is a pure function of the frozen codebook, so an index built on the
+    full corpus equals an index built on a prefix plus an append of the
+    rest."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_idx_grow")
+    prefix = embs.filter(F.col("vec_id") % 2 == 0)
+    rest = embs.filter(F.col("vec_id") % 2 == 1)
+    # codebook must come from a stable seed set (smallest vec_ids exist
+    # in the prefix: vec_id 0,2,.. — use the full corpus's centroids to
+    # freeze it explicitly, as a production build would)
+    cents = similarity._centroids(embs, similarity.IVF_NLIST)
+    similarity.build_ivf_index(prefix, path, centroids=cents)
+    (
+        similarity._assign_lists(rest, cents)
+        .repartition("list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk_from_index(
+            spark, path, QUERY_IDS, k=10
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
+        for r in similarity.ivf_topk(embs, QUERY_IDS, k=10).collect()
+    }
+    assert got == want

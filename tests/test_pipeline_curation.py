@@ -246,6 +246,22 @@ def test_vocab_topk_oracle(spark, duck, docs):
     assert_matches_oracle(out, duck, text.vocab_topk_sql(100))
 
 
+def test_length_quantiles_oracle(spark, duck, docs):
+    out = text.length_quantiles(docs)
+    assert_matches_oracle(out, duck, text.LENGTH_QUANTILES_SQL)
+
+
+def test_length_quantiles_interpolation(spark):
+    # 4 docs of one lang: p50 over [10,20,30,40] interpolates to 25
+    df = spark.createDataFrame(
+        [(i, "en", 10 * (i + 1)) for i in range(4)],
+        "doc_id long, lang string, n_chars long",
+    )
+    r = text.length_quantiles(df).collect()[0]
+    assert r["p50_chars"] == pytest.approx(25.0)
+    assert r["max_chars"] == 40 and r["n_docs"] == 4
+
+
 def test_vocab_topk_tie_break(spark):
     # four terms with equal counts: the top-2 boundary must cut by term
     # ascending, deterministically

@@ -95,7 +95,8 @@ def main() -> None:
                "text_repetition", "corpus_report", "curate_corpus",
                "candlesticks",
                "pii_signals", "pii_scrub", "dedup_span_coverage",
-               "corpus_shuffle", "events_props_json", "vocab_topk"]
+               "corpus_shuffle", "events_props_json", "vocab_topk",
+               "corpus_length_quantiles", "ann_ivf_indexed"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

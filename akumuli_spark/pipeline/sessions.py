@@ -99,6 +99,94 @@ FROM events GROUP BY 1
 """.strip()
 
 
+def funnel_counts(events: DataFrame,
+                  steps: tuple[str, ...] = ("view", "click", "purchase")
+                  ) -> DataFrame:
+    """Ordered-funnel analysis: how many users complete each prefix of
+    ``steps`` in strict time order (first qualifying occurrence per
+    step, each strictly after the previous step's).
+
+    Output: (step, event_type, n_users, conv_pct) — one row per funnel
+    stage, ``conv_pct`` relative to stage 1.
+
+    Scale shape: one per-step aggregation chain, each an equi-join on
+    ``user_id`` against the (already aggregated, one row per surviving
+    user) previous stage — frames shrink monotonically down the funnel
+    and nothing is windowed globally; the final rate join broadcasts the
+    single stage-1 count row.
+    """
+    from ..sources.testdata import ts_ns_expr
+
+    e = events.select(
+        "user_id", ts_ns_expr(events).alias("ts_ns"), "event_type"
+    )
+    stage_users = []
+    prev = None
+    for s in steps:
+        cur = e.filter(F.col("event_type") == s)
+        if prev is not None:
+            cur = (
+                cur.join(prev, "user_id")
+                .filter(F.col("ts_ns") > F.col("__t"))
+                .drop("__t")
+            )
+        agg = cur.groupBy("user_id").agg(F.min("ts_ns").alias("__t"))
+        stage_users.append(agg)
+        prev = agg
+    counts = None
+    for i, (s, agg) in enumerate(zip(steps, stage_users)):
+        c = agg.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    first = counts.filter(F.col("step") == 1).select(
+        F.col("n_users").alias("__first")
+    )
+    return (
+        counts.crossJoin(F.broadcast(first))
+        .select(
+            "step", "event_type", "n_users",
+            (F.col("n_users") / F.col("__first")).alias("conv_pct"),
+        )
+    )
+
+
+def funnel_counts_sql(steps: tuple[str, ...] = ("view", "click", "purchase")
+                      ) -> str:
+    """DuckDB twin of :func:`funnel_counts` (same strict-after chain)."""
+    ctes = ["e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type "
+            "FROM events)"]
+    selects = []
+    for i, s in enumerate(steps):
+        n = i + 1
+        if i == 0:
+            ctes.append(
+                f"u{n} AS (SELECT user_id, min(ts_ns) AS t FROM e "
+                f"WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"u{n} AS (SELECT e.user_id, min(e.ts_ns) AS t "
+                f"FROM e JOIN u{i} USING (user_id) "
+                f"WHERE e.event_type = '{s}' AND e.ts_ns > u{i}.t "
+                f"GROUP BY 1)"
+            )
+        selects.append(
+            f"SELECT {n}::INT AS step, '{s}' AS event_type, "
+            f"count(*) AS n_users FROM u{n}"
+        )
+    return f"""
+WITH {", ".join(ctes)},
+counts AS ({" UNION ALL ".join(selects)})
+SELECT step, event_type, n_users,
+       n_users * 1.0 / (SELECT n_users FROM counts WHERE step = 1)
+         AS conv_pct
+FROM counts
+""".strip()
+
+
 def session_stats_sql(gap_ns: int) -> str:
     return f"""
 WITH e AS (

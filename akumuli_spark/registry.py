@@ -2154,6 +2154,18 @@ _register_pipeline(
     ["user_id", "session_id", "start_ns", "end_ns", "n_events", "n_event_types"],
 )
 
+# Ordered-funnel analysis over the events stream: strict-after step
+# chain, per-stage user counts + conversion.
+_register_pipeline(
+    "events_funnel",
+    lambda spark, sf: _sessions.funnel_counts(
+        load_table(spark, sf, "events"), steps=("view", "click", "purchase")
+    ),
+    _sessions.funnel_counts_sql(steps=("view", "click", "purchase")),
+    ["conv_pct"],
+    ["step", "event_type", "n_users"],
+)
+
 # Semi-structured extraction: typed field out of the JSON props payload,
 # aggregated per event type — JVM-side path evaluation inside the scan.
 _register_pipeline(

@@ -5,6 +5,7 @@ its DuckDB oracle plus crafted-input behavioral checks."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from akumuli_spark.pipeline import cluster, dedup, pii, sessions, text
 from akumuli_spark.sources.testdata import load_table
@@ -234,6 +235,40 @@ def test_props_field_stats_missing_field(spark, events):
     assert all(r["field_avg"] is None for r in rows)
     # row universe unchanged: every event_type still reports its count
     assert sum(r["n_events"] for r in rows) == events.count()
+
+
+def test_funnel_oracle(spark, duck, events):
+    out = sessions.funnel_counts(events, steps=("view", "click", "purchase"))
+    assert_matches_oracle(
+        out, duck, sessions.funnel_counts_sql(("view", "click", "purchase"))
+    )
+
+
+def test_funnel_strict_ordering_crafted(spark):
+    # user 1 completes view→click→purchase in order; user 2 has all
+    # three but the purchase PRECEDES the click (must stop at stage 2);
+    # user 3 views only; user 4's click is simultaneous with the view
+    # (strict 'after' excludes it)
+    rows = [
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        (2, 100, "view"), (2, 300, "click"), (2, 200, "purchase"),
+        (3, 100, "view"),
+        (4, 100, "view"), (4, 100, "click"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id long, ts_us long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+    )
+    got = {r["step"]: r for r in
+           sessions.funnel_counts(df).collect()}
+    assert got[1]["n_users"] == 4
+    assert got[2]["n_users"] == 2   # users 1 and 2
+    assert got[3]["n_users"] == 1   # user 1 only
+    assert got[3]["conv_pct"] == pytest.approx(0.25)
 
 
 # ---------------------------------------------------------------------------

@@ -153,6 +153,73 @@ def funnel_counts(events: DataFrame,
     )
 
 
+def retention_cohorts(events: DataFrame,
+                      bucket_ns: int = 7 * 86_400 * NS) -> DataFrame:
+    """Cohort retention: users grouped by their first-seen time bucket
+    (the cohort), then counted in every later bucket they were active in
+    — the week-over-week retention triangle.
+
+    Output: (cohort_bucket, bucket_offset, n_active, retention_pct) —
+    ``cohort_bucket`` is the epoch-bucket index of first activity,
+    ``bucket_offset`` ≥ 0 the bucket distance, ``retention_pct``
+    relative to the cohort's offset-0 size (≡ cohort size: every user
+    is active in their first bucket by definition).
+
+    Scale shape: one groupBy(user) for first-seen, one distinct over
+    (user, bucket) — both partial-aggregated map-side — then an
+    equi-join on user and a low-cardinality (cohorts × offsets)
+    aggregation; the offset-0 sizes broadcast back for the pct column.
+    """
+    from ..sources.testdata import ts_ns_expr
+
+    e = events.select(
+        "user_id",
+        (ts_ns_expr(events) / F.lit(int(bucket_ns)))
+        .cast("long").alias("bucket"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("bucket").alias("cohort_bucket"))
+    active = e.distinct()
+    counts = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    sizes = counts.filter(F.col("bucket_offset") == 0).select(
+        "cohort_bucket", F.col("n_active").alias("__size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_bucket")
+        .select(
+            "cohort_bucket", "bucket_offset", "n_active",
+            (F.col("n_active") / F.col("__size")).alias("retention_pct"),
+        )
+    )
+
+
+def retention_cohorts_sql(bucket_ns: int = 7 * 86_400 * NS) -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {int(bucket_ns)} AS bucket
+  FROM events
+),
+firsts AS (SELECT user_id, min(bucket) AS cohort_bucket FROM e GROUP BY 1),
+counts AS (
+  SELECT f.cohort_bucket, e.bucket - f.cohort_bucket AS bucket_offset,
+         count(*) AS n_active
+  FROM e JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_bucket, c.bucket_offset, c.n_active,
+       c.n_active * 1.0 / s.n_active AS retention_pct
+FROM counts c
+JOIN (SELECT cohort_bucket, n_active FROM counts WHERE bucket_offset = 0) s
+  USING (cohort_bucket)
+""".strip()
+
+
 def funnel_counts_sql(steps: tuple[str, ...] = ("view", "click", "purchase")
                       ) -> str:
     """DuckDB twin of :func:`funnel_counts` (same strict-after chain)."""

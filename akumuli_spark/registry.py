@@ -2166,6 +2166,18 @@ _register_pipeline(
     ["step", "event_type", "n_users"],
 )
 
+# Cohort retention triangle: first-seen-bucket cohorts × activity-bucket
+# offsets with per-cohort retention rates.
+_register_pipeline(
+    "events_retention",
+    lambda spark, sf: _sessions.retention_cohorts(
+        load_table(spark, sf, "events")
+    ),
+    _sessions.retention_cohorts_sql(),
+    ["retention_pct"],
+    ["cohort_bucket", "bucket_offset", "n_active"],
+)
+
 # Semi-structured extraction: typed field out of the JSON props payload,
 # aggregated per event type — JVM-side path evaluation inside the scan.
 _register_pipeline(

@@ -244,6 +244,38 @@ def test_funnel_oracle(spark, duck, events):
     )
 
 
+def test_retention_oracle(spark, duck, events):
+    out = sessions.retention_cohorts(events)
+    assert_matches_oracle(out, duck, sessions.retention_cohorts_sql())
+
+
+def test_retention_crafted(spark):
+    # bucket = 100ns for legibility: user 1 active in buckets 0,1,3;
+    # user 2 first seen in bucket 1, active 1 and 3; user 3 bucket 0 only
+    rows = [
+        (1, 10), (1, 150), (1, 320),
+        (2, 110), (2, 350),
+        (3, 50),
+    ]
+    df = spark.createDataFrame(
+        [(u, t) for u, t in rows], "user_id long, ts_us long"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    got = {(r["cohort_bucket"], r["bucket_offset"]): r
+           for r in sessions.retention_cohorts(
+               df, bucket_ns=100_000).collect()}
+    # cohort 0 = users 1,3; offsets: 0 → both, 1 → user 1, 3 → user 1
+    assert got[(0, 0)]["n_active"] == 2
+    assert got[(0, 1)]["n_active"] == 1
+    assert got[(0, 3)]["n_active"] == 1
+    assert got[(0, 1)]["retention_pct"] == pytest.approx(0.5)
+    # cohort 1 = user 2; offsets 0 and 2
+    assert got[(1, 0)]["n_active"] == 1
+    assert got[(1, 2)]["retention_pct"] == pytest.approx(1.0)
+    assert set(got) == {(0, 0), (0, 1), (0, 3), (1, 0), (1, 2)}
+
+
 def test_funnel_strict_ordering_crafted(spark):
     # user 1 completes view→click→purchase in order; user 2 has all
     # three but the purchase PRECEDES the click (must stop at stage 2);

@@ -206,6 +206,47 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization — the first stage of every dedup /
+    fingerprint pipeline (C4-style): lowercase, strip ASCII control
+    characters, collapse whitespace runs to single spaces, trim.
+
+    Pure projection (three chained regexp_replace + lower, one codegen
+    stage, 0 shuffles).  Output: (doc_id, norm_text, n_chars_raw,
+    n_chars_norm).
+
+    Dialect note: patterns stay in the Java↔RE2 agreement subset (see
+    ``pipeline/pii.py``); control chars are matched by explicit ranges
+    (``[\\x00-\\x1f\\x7f]``), not POSIX classes, which the two engines
+    define differently.
+    """
+    t = F.col("text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[\x00-\x1f\x7f]", " "),
+            r" {2,}", " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(t).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm_text,
+       length(text)::BIGINT AS n_chars_raw,
+       length(trim(regexp_replace(regexp_replace(lower(text),
+            '[\x00-\x1f\x7f]', ' ', 'g'), ' {2,}', ' ', 'g')))::BIGINT
+         AS n_chars_norm
+FROM documents
+""".strip()
+
+
 def length_quantiles(docs: DataFrame) -> DataFrame:
     """Per-language document-length distribution: exact interpolated
     percentiles of ``n_chars`` — the curation dashboard's "is this

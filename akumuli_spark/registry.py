@@ -2244,6 +2244,16 @@ _register_pipeline(
 )
 
 
+# Canonical text normalization: the standard pre-dedup projection.
+_register_pipeline(
+    "text_normalize",
+    lambda spark, sf: _text.normalize_text(load_table(spark, sf, "documents")),
+    _text.NORMALIZE_SQL,
+    [],
+    ["doc_id", "norm_text", "n_chars_raw", "n_chars_norm"],
+)
+
+
 # Per-language length distribution: exact interpolated percentiles
 # (DuckDB quantile_cont twin); approx_percentile is the documented
 # 100 TB swap-in.

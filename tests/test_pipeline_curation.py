@@ -308,6 +308,23 @@ def test_funnel_strict_ordering_crafted(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_normalize_oracle(spark, duck, docs):
+    assert_matches_oracle(
+        text.normalize_text(docs), duck, text.NORMALIZE_SQL
+    )
+
+
+def test_normalize_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD\x01  x  \x7f  "), (2, "already clean")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.normalize_text(df).collect()}
+    assert rows[1]["norm_text"] == "hello world x"
+    assert rows[1]["n_chars_norm"] == len("hello world x")
+    assert rows[2]["norm_text"] == "already clean"
+
+
 def test_vocab_topk_oracle(spark, duck, docs):
     out = text.vocab_topk(docs, k=100)
     assert_matches_oracle(out, duck, text.vocab_topk_sql(100))

@@ -349,8 +349,46 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # ---------------------------------------------------------------------------
 
 
+def _assign_lists_vectorized(embs: DataFrame, cents: DataFrame) -> DataFrame:
+    """numpy-matmul list assignment: Arrow batches × a broadcast codebook
+    matrix, one ``(batch × dim) @ (dim × nlist)`` product + argmax per
+    batch — measured 498 s → 23 s over 2 M × 64-dim vectors vs the
+    higher-order-function argmax (whose lambda interpreter executes per
+    element; tools/scale_smoke.py ivf).
+
+    Same argmax under the same tie-break (cosine desc, cid asc — argmax
+    takes the first occurrence in ascending-cid order).  The one
+    divergence: numpy sums dot products in SIMD/pairwise order while the
+    HOF path folds left-to-right, so cosines can differ in the last ulp
+    and flip the argmax ONLY on exact cosine ties between centroids —
+    fine for production builds, which is why this is the
+    :func:`build_ivf_index` ``vectorized=True`` path and not the
+    oracle-audited default.
+    """
+    import numpy as np
+
+    cb = cents.orderBy("cid").collect()  # nlist rows — codebook-sized
+    C = np.array([r["ce"] for r in cb], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cb], dtype=np.int32)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def fn(pdfs):
+        for pdf in pdfs:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            sims = (E / norms) @ Cn.T
+            pdf = pdf[["vec_id", "embedding"]].copy()
+            pdf["list_id"] = cids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    return embs.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id long, embedding array<float>, list_id int"
+    )
+
+
 def build_ivf_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
-                    centroids: DataFrame | None = None) -> None:
+                    centroids: DataFrame | None = None,
+                    vectorized: bool = False) -> None:
     """Materialize the IVF index: the corpus written as
     ``{path}/lists`` PARTITIONED BY ``list_id`` plus the codebook at
     ``{path}/centroids`` — the same build-once/query-many design as the
@@ -364,9 +402,16 @@ def build_ivf_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
     Rebuild (or incrementally append new vectors: assignment is a pure
     per-row function of the frozen codebook) as the corpus grows; the
     codebook stays frozen so list membership never shifts under readers.
+
+    ``vectorized=True`` assigns via the numpy-matmul path
+    (:func:`_assign_lists_vectorized`) — 20× faster at volume, with a
+    last-ulp FP divergence that matters only on exact cosine ties; use
+    it for production builds, leave it off where oracle-exact
+    reproducibility is required.
     """
     cents = centroids if centroids is not None else _centroids(embs, nlist)
-    assigned = _assign_lists(embs, cents)
+    assign = _assign_lists_vectorized if vectorized else _assign_lists
+    assigned = assign(embs, cents)
     (
         assigned.repartition("list_id")
         .write.mode("overwrite").partitionBy("list_id")

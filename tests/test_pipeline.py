@@ -548,3 +548,15 @@ def test_ivf_index_append_only_growth(spark, embs, tmp_path):
         for r in similarity.ivf_topk(embs, QUERY_IDS, k=10).collect()
     }
     assert got == want
+
+
+def test_ivf_vectorized_assignment_matches_hof(spark, embs):
+    """The numpy-matmul assignment equals the higher-order-function
+    argmax on the test corpus (no exact cosine ties), list for list."""
+    cents = similarity._centroids(embs, similarity.IVF_NLIST)
+    hof = {r["vec_id"]: r["list_id"]
+           for r in similarity._assign_lists(embs, cents).collect()}
+    vec = {r["vec_id"]: r["list_id"]
+           for r in similarity._assign_lists_vectorized(
+               embs, cents).collect()}
+    assert hof == vec

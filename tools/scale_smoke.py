@@ -333,7 +333,8 @@ def ivf_smoke(spark, n_vecs: int, nlist: int = 256, nprobe: int = 8) -> dict:
     cents = sim.ivf_kmeans_centroids(embs, nlist=nlist, max_iter=3)
     out["kmeans_codebook_s"] = round(time.time() - t, 2)
     t = time.time()
-    sim.build_ivf_index(embs, path, nlist=nlist, centroids=cents)
+    sim.build_ivf_index(embs, path, nlist=nlist, centroids=cents,
+                        vectorized=True)
     out["index_build_s"] = round(time.time() - t, 2)
     out["n_list_partitions"] = len(glob.glob(f"{path}/lists/list_id=*"))
     t = time.time()

@@ -200,6 +200,74 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 """.strip()
 
 
+def ngram_containment_pairs(docs: DataFrame, n: int = 5,
+                            threshold: float = 0.8,
+                            max_df: int | None = None) -> DataFrame:
+    """Directed near-duplicate pairs by shingle-set containment
+    ``|A∩B| / |A|`` — the asymmetric companion to Jaccard: a short
+    document quoted wholesale inside a much longer one scores high
+    containment but low Jaccard (the union is dominated by the long
+    doc), so symmetric dedup misses exactly the partial-copy case this
+    catches.
+
+    Output: (doc_src, doc_dst, containment) with doc_src ≠ doc_dst —
+    doc_src is the (mostly-)contained document.  Both directions of a
+    pair are emitted independently when both clear ``threshold``.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — inverted-
+    index equi-join on shingles, candidate aggregation proportional to
+    true shared-shingle pairs, ``max_df`` as the boilerplate skew guard.
+    """
+    sh = word_shingles(docs, n=n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_src"), F.col("b.id").alias("doc_dst"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes, F.col("doc_src") == F.col("id"))
+        .withColumn("containment", F.col("n_common") / F.col("n_shingles"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_src", "doc_dst", "containment")
+    )
+
+
+def ngram_containment_sql(n: int = 5, threshold: float = 0.8,
+                          max_df: int | None = None) -> str:
+    if max_df is not None:
+        base = (
+            _shingles_sql(n).strip().replace("shingles AS (", "shingles0 AS (", 1)
+            + f""",
+rare AS (SELECT shingle FROM shingles0 GROUP BY 1 HAVING count(*) <= {max_df}),
+shingles AS (SELECT s.* FROM shingles0 s JOIN rare USING (shingle))"""
+        )
+    else:
+        base = _shingles_sql(n)
+    return f"""
+WITH {base},
+sizes AS (SELECT id, count(*) n_sh FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_src, b.id AS doc_dst, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT doc_src, doc_dst, n_common * 1.0 / s.n_sh AS containment
+FROM inter JOIN sizes s ON doc_src = s.id
+WHERE n_common * 1.0 / s.n_sh >= {threshold}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span coverage (substring-dedup signal)
 # ---------------------------------------------------------------------------

@@ -2219,6 +2219,20 @@ _register_pipeline(
 )
 
 
+# Directed containment pairs: the asymmetric partial-copy detector
+# (quoted-inside-longer-doc cases Jaccard misses).  Threshold 0.5 so the
+# planted near-dups (which differ by a few words) actually clear it.
+_register_pipeline(
+    "dedup_containment",
+    lambda spark, sf: _dedup.ngram_containment_pairs(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5, max_df=64
+    ),
+    _dedup.ngram_containment_sql(n=5, threshold=0.5, max_df=64),
+    ["containment"],
+    ["doc_src", "doc_dst"],
+)
+
+
 # Cross-document duplicated-span coverage (substring-dedup signal):
 # positioned-shingle equi-join, no suffix array, no cross join.
 _register_pipeline(

@@ -184,6 +184,33 @@ def test_dup_span_coverage_overlapping_spans_union(spark):
     assert rows[2]["n_cov"] == 4
 
 
+def test_containment_oracle(spark, duck, docs):
+    out = dedup.ngram_containment_pairs(docs, n=5, threshold=0.5, max_df=64)
+    assert out.count() > 0, "planted near-dups must clear the threshold"
+    assert_matches_oracle(
+        out, duck, dedup.ngram_containment_sql(5, 0.5, max_df=64)
+    )
+
+
+def test_containment_asymmetry_crafted(spark):
+    # doc 2 is a verbatim quote of doc 1's middle inside a much longer
+    # text: containment(1→2) is high, containment(2→1) and Jaccard low
+    quote = "q1 q2 q3 q4 q5 q6 q7"
+    long_doc = "a1 a2 a3 " + quote + " z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    df = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "u1 u2 u3 u4 u5 u6 u7 u8")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_src"], r["doc_dst"]): r["containment"]
+            for r in dedup.ngram_containment_pairs(
+                df, n=5, threshold=0.9).collect()}
+    assert rows[(1, 2)] == pytest.approx(1.0)   # quote fully contained
+    assert (2, 1) not in rows                     # reverse direction low
+    assert (3, 1) not in rows and (1, 3) not in rows
+    jac = dedup.ngram_jaccard_pairs(df, n=5, threshold=0.5).collect()
+    assert not jac, "Jaccard must miss the partial-copy pair"
+
+
 # ---------------------------------------------------------------------------
 # deterministic shuffle
 # ---------------------------------------------------------------------------

@@ -167,7 +167,9 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "sample_stratified", "pack_sequences",
                  "pack_sequences_sharded",
                  "pii_scrub", "dedup_span_coverage", "corpus_shuffle",
-                 "vocab_topk", "events_props_json"):
+                 "vocab_topk", "events_props_json", "dedup_containment",
+                 "text_normalize", "events_funnel", "events_retention",
+                 "corpus_length_quantiles"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -330,6 +330,48 @@ def test_funnel_strict_ordering_crafted(spark):
     assert got[3]["conv_pct"] == pytest.approx(0.25)
 
 
+def test_funnel_matches_model_on_random_streams(spark):
+    """200 seeded-random users with timestamp ties and noise events: the
+    funnel must equal a sequential reference model of the strict-after
+    first-occurrence rule for every stage."""
+    import random
+
+    rng = random.Random(1234)
+    steps = ("view", "click", "purchase")
+    types = list(steps) + ["error", "signup"]
+    rows = []
+    events_by_user: dict[int, list] = {}
+    for u in range(200):
+        n = rng.randint(0, 8)
+        evs = [(rng.randint(0, 5), rng.choice(types)) for _ in range(n)]
+        events_by_user[u] = evs
+        rows += [(u, t * 1_000_000, e) for t, e in evs]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+    )
+    got = {r["step"]: r["n_users"]
+           for r in sessions.funnel_counts(df, steps=steps).collect()}
+
+    # reference: stage i's time = min ts of steps[i] strictly after the
+    # previous stage's time
+    want = [0] * len(steps)
+    for evs in events_by_user.values():
+        prev = -1
+        for i, s in enumerate(steps):
+            cand = [t for t, e in evs if e == s and t > prev]
+            if not cand:
+                break
+            prev = min(cand)
+            want[i] += 1
+    for i in range(len(steps)):
+        assert got.get(i + 1, 0) == want[i], (i, got, want)
+
+
 # ---------------------------------------------------------------------------
 # vocabulary top-k
 # ---------------------------------------------------------------------------

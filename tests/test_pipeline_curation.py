@@ -303,6 +303,36 @@ def test_retention_crafted(spark):
     assert set(got) == {(0, 0), (0, 1), (0, 3), (1, 0), (1, 2)}
 
 
+def test_retention_matches_model_on_random_streams(spark):
+    """150 seeded-random users over 6 buckets: the retention triangle
+    must equal a direct cohort/offset recount."""
+    import random
+
+    rng = random.Random(99)
+    bucket_ns = 100_000  # 100 µs buckets over µs-resolution timestamps
+    rows, by_user = [], {}
+    for u in range(150):
+        n = rng.randint(1, 6)
+        ts = sorted(rng.sample(range(0, 600), n))
+        by_user[u] = ts
+        rows += [(u, t) for t in ts]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long"
+    ).select("user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    got = {(r["cohort_bucket"], r["bucket_offset"]): r["n_active"]
+           for r in sessions.retention_cohorts(
+               df, bucket_ns=bucket_ns).collect()}
+
+    want: dict[tuple[int, int], int] = {}
+    for ts in by_user.values():
+        buckets = sorted({t * 1000 // bucket_ns for t in ts})
+        cohort = buckets[0]
+        for b in buckets:
+            k = (cohort, b - cohort)
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
 def test_funnel_strict_ordering_crafted(spark):
     # user 1 completes view→click→purchase in order; user 2 has all
     # three but the purchase PRECEDES the click (must stop at stage 2);

@@ -156,6 +156,46 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def enforce_retention(path: str, keep_ns: int, now_ns: int,
+                      bucket_ns: int = DAY_NS) -> int:
+    """Volume-recycling analogue: drop whole ``ts_bucket`` partitions
+    older than the retention window — the reference's fixed-size volume
+    ring evicts its oldest volume when full (volume.cpp,
+    functests/test_database_overflow.py); here the unit of eviction is
+    the (metric, time-bucket) partition directory, so retention costs a
+    directory rename per expired bucket and ZERO data scan.
+
+    Buckets with index < (now_ns − keep_ns) div bucket_ns are expired
+    (the cutoff bucket itself survives: it may still hold in-window
+    rows).  Each expired partition is atomically renamed into a
+    ``{path}.trash`` sibling first, then deleted — a reader that listed
+    files just before the rename may see missing files for one query;
+    run readers with ``spark.sql.files.ignoreMissingFiles`` (or retry)
+    when retention runs concurrently, the same contract Spark documents
+    for any external partition drop.  Returns the number of dropped
+    partitions.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    cutoff = (now_ns - keep_ns) // bucket_ns
+    trash = f"{path}.trash"
+    os.makedirs(trash, exist_ok=True)
+    dropped = 0
+    for bdir in glob.glob(os.path.join(path, "metric=*", "ts_bucket=*")):
+        try:
+            bucket = int(os.path.basename(bdir).split("=", 1)[1])
+        except ValueError:  # pragma: no cover - foreign dirs left alone
+            continue
+        if bucket < cutoff:
+            os.rename(bdir, os.path.join(trash, uuid.uuid4().hex))
+            dropped += 1
+    shutil.rmtree(trash, ignore_errors=True)
+    return dropped
+
+
 def read_metrics_table(spark: SparkSession, path: str) -> DataFrame:
     """Load back in engine schema (partition columns folded away); the
     tags map is reconstructed from the series string per the series

@@ -166,3 +166,42 @@ def test_reader_leaves_live_compactor_tmp_alone(spark, tmp_path):
     recover_compaction(path, gc=True)  # compactor path DOES clean it
     assert not _os.path.exists(tmp)
     assert read_metrics_table(spark, path).count() == n
+
+
+def test_enforce_retention_drops_old_partitions(spark, tmp_path):
+    """Volume-recycling analogue: partitions strictly older than the
+    retention window disappear; the cutoff bucket and everything newer
+    survive with identical rows; untouched data never rescans."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.sources.layout import DAY_NS, enforce_retention
+
+    path = str(tmp_path / "metrics")
+    src = app_metrics_view(spark, SF_DIR)
+    write_metrics_table(src, path)
+    buckets = sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(f"{path}/metric=*/ts_bucket=*")
+    )
+    assert len(set(buckets)) > 2, "need multiple buckets to evict"
+    cutoff = sorted(set(buckets))[1]  # keep from the 2nd bucket onward
+    now_ns = (cutoff + 5) * DAY_NS
+    dropped = enforce_retention(path, keep_ns=5 * DAY_NS, now_ns=now_ns)
+    assert dropped == sum(1 for b in buckets if b < cutoff) > 0
+
+    left = {
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(f"{path}/metric=*/ts_bucket=*")
+    }
+    assert min(left) == cutoff
+    # surviving rows identical to the source filtered at the bucket line
+    stored = read_metrics_table(spark, path)
+    want = src.withColumn(
+        "__b", (F.col("ts_ns") / F.lit(DAY_NS)).cast("long")
+    ).filter(F.col("__b") >= cutoff).drop("__b")
+    assert stored.count() == want.count()
+    a = {tuple(r) for r in stored.select("series", "ts_ns", "value").collect()}
+    b = {tuple(r) for r in want.select("series", "ts_ns", "value").collect()}
+    assert a == b

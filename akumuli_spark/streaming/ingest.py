@@ -277,6 +277,50 @@ def gate_and_commit_batch(
         batch.unpersist()
 
 
+def replay_rejects(
+    spark: SparkSession,
+    rejects_dir: str,
+    out_dir: str,
+    hw_state: HighWaterState,
+    late_after_ns: int,
+) -> dict:
+    """Operational backfill: re-gate previously rejected late writes
+    under a (typically widened) lateness window and land the now-
+    acceptable rows in the main table.
+
+    The reference's AKU_ELATE_WRITE rows are simply lost; here the
+    rejects sink is a parquet table, so an operator can raise
+    ``late_after_ns`` after an upstream clock incident and replay.  The
+    replay routes through :func:`gate_and_commit_batch` — the EXACT
+    production gate, including the marks advance — with the still-late
+    remainder landed in ``{rejects_dir}.replay`` (re-pointing the
+    stream's rejects sink there completes the rotation).  The consumed
+    rejects dir is renamed aside atomically first, so a crashed replay
+    leaves either the untouched original or a fully-consumed marker —
+    never a half-eaten rejects table that a re-run would double-ingest.
+
+    Returns {"replayed": n_read, "still_late": n_rerejected}.
+    """
+    import os
+
+    consumed = f"{rejects_dir}.consumed"
+    os.rename(rejects_dir, consumed)
+    batch = spark.read.parquet(consumed)
+    n = batch.count()
+    re_rejects = f"{rejects_dir}.replay"
+    gate_and_commit_batch(batch, out_dir, re_rejects, late_after_ns, hw_state)
+    try:
+        still_late = spark.read.parquet(re_rejects).count()
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):
+            raise
+        still_late = 0  # everything accepted: no re-rejects written
+    import shutil
+
+    shutil.rmtree(consumed, ignore_errors=True)
+    return {"replayed": n, "still_late": still_late}
+
+
 def start_parquet_ingest(
     parsed: DataFrame,
     out_dir: str,

@@ -278,3 +278,46 @@ def test_marks_epoch_retention_keeps_one_generation(spark, tmp_path):
     assert not _os.path.exists(epoch_a)
     assert _os.path.isdir(epoch_b)
     assert hw.marks == {"s1": 3}
+
+
+def test_replay_rejects_backfills_under_wider_window(spark, dirs):
+    """Late rows rejected under a 60s window land in the main table when
+    replayed under a wider window; a row late beyond even the replay
+    window re-rejects into the rotated sink; the consumed rejects dir is
+    gone (a re-run cannot double-ingest)."""
+    import os
+
+    from akumuli_spark.streaming.ingest import replay_rejects
+
+    _write_pdu_file(dirs["in"], "b1.txt", "+cpu host=a\n:1000000000000\n:1\n")
+    stream = parsed_stream_from_files(spark, dirs["in"])
+    hw = HighWaterState()
+    q = start_parquet_ingest(
+        stream, dirs["out"], dirs["chk"], dirs["rej"], late_after_ns=60 * NS,
+        state=hw,
+    )
+    try:
+        q.processAllAvailable()
+        _write_pdu_file(
+            dirs["in"], "b2.txt",
+            "+cpu host=a\n:1001000000000\n:2\n"
+            "+cpu host=a\n:900000000000\n:3\n"      # 101s late: replayable
+            "+cpu host=a\n:1000000000\n:4\n",        # ~1000s late: hopeless
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(dirs["rej"]).count() == 2
+
+    res = replay_rejects(
+        spark, dirs["rej"], dirs["out"], hw, late_after_ns=500 * NS
+    )
+    assert res == {"replayed": 2, "still_late": 1}
+    accepted = spark.read.parquet(dirs["out"])
+    assert sorted(r["ts_ns"] for r in accepted.collect()) == [
+        900000000000, 1000000000000, 1001000000000,
+    ]
+    still = spark.read.parquet(dirs["rej"] + ".replay")
+    assert [r["ts_ns"] for r in still.collect()] == [1000000000]
+    assert not os.path.exists(dirs["rej"])
+    assert not os.path.exists(dirs["rej"] + ".consumed")

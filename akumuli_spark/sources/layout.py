@@ -174,6 +174,12 @@ def enforce_retention(path: str, keep_ns: int, now_ns: int,
     when retention runs concurrently, the same contract Spark documents
     for any external partition drop.  Returns the number of dropped
     partitions.
+
+    Ordering contract with compaction: run retention and
+    :func:`compact_metrics_table` from the same maintenance job,
+    retention LAST — a compactor that scanned the table before a
+    concurrent retention pass would faithfully rewrite (resurrect) the
+    dropped buckets when its swap lands.
     """
     import glob
     import os

@@ -471,3 +471,52 @@ def test_compaction_recovery_interleavings(spark, crash, concurrent,
     finally:
         _os.rename = real_rename
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Query-JSON parser fuzz — the reference ships AFL harnesses for its
+# parsers (fuzzers/afl_*.cpp); the property analogue here: ANY JSON-ish
+# dict either parses to a plan or raises the typed error hierarchy
+# (QueryParseError/QueryValidationError, both ValueError) — never an
+# uncontrolled KeyError/TypeError/AttributeError from deep in the
+# parser.
+# ---------------------------------------------------------------------------
+
+_GRAMMAR_KEYS = st.sampled_from([
+    "select", "select-events", "aggregate", "group-aggregate", "join",
+    "group-aggregate-join", "range", "where", "filter", "group-by-tag",
+    "pivot-by-tag", "group-by", "order-by", "limit", "offset", "apply",
+    "output", "from", "to", "step", "metric", "func", "name", "junk",
+])
+
+_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.text(max_size=12),
+    st.sampled_from([
+        "cpu", "!ev", "20240101T000000", "1s", "sum", "time", "series",
+    ]),
+)
+
+_JSONISH = st.recursive(
+    _SCALARS,
+    lambda inner: st.one_of(
+        st.lists(inner, max_size=4),
+        st.dictionaries(_GRAMMAR_KEYS, inner, max_size=5),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(q=st.dictionaries(_GRAMMAR_KEYS, _JSONISH, max_size=6))
+def test_query_parser_total_over_jsonish_input(q):
+    from akumuli_spark.query.parser import parse_query
+
+    try:
+        plan = parse_query(q)
+    except ValueError:
+        return  # QueryParseError / QueryValidationError — the contract
+    assert plan is not None

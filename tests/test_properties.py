@@ -520,3 +520,20 @@ def test_query_parser_total_over_jsonish_input(q):
     except ValueError:
         return  # QueryParseError / QueryValidationError — the contract
     assert plan is not None
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(
+    alphabet=st.sampled_from(list("put sys.cpu=1 \n\t0123456789.eE+-abz")),
+    max_size=120,
+))
+def test_opentsdb_parser_never_crashes(text):
+    """Telnet-line parser totality: arbitrary put-shaped garbage either
+    parses or raises the module's typed ValueError — mirror of the RESP
+    fuzz above."""
+    from akumuli_spark.sources.opentsdb import parse_opentsdb
+
+    try:
+        parse_opentsdb(text)
+    except ValueError:
+        pass

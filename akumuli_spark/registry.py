@@ -2258,6 +2258,50 @@ _register_pipeline(
 )
 
 
+# Gap-filled group-aggregate (extension: the reference emits only
+# non-empty buckets; fill=previous completes interior gaps).  4-hour
+# buckets over the sparse per-user app.click stream leave genuine holes.
+_FILL_STEP = 4 * 3600 * NS
+
+
+def _group_aggregate_filled(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.fill import fill_gaps
+
+    frame = app_metrics_view(spark, sf)
+    agg = execute_query(spark, {
+        "group-aggregate": {"metric": "app.click", "step": "4h",
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E1},
+    }, frame)
+    return _round_doubles(fill_gaps(agg, anchor_ns=E0, step_ns=_FILL_STEP))
+
+
+def _group_aggregate_filled_oracle() -> str:
+    from akumuli_spark.operators.fill import fill_gaps_sql
+
+    inner = f"""WITH {APP_METRICS_SQL}
+    SELECT 'app.click:sum|app.click:count ' || 'user=' || tag_user AS series,
+           min(ts_ns) AS ts_ns,
+           sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count
+    FROM app_metrics
+    WHERE metric = 'app.click' AND ts_ns >= {E0} AND ts_ns < {E1}
+    GROUP BY 1, (ts_ns - {E0}) // {_FILL_STEP}"""
+    return fill_gaps_sql(
+        inner, anchor_ns=E0, step_ns=_FILL_STEP,
+        value_cols=["sum", "count"],
+    )
+
+
+REGISTRY["group_aggregate_filled"] = (
+    _group_aggregate_filled,
+    _wrap_round(
+        _group_aggregate_filled_oracle(),
+        ["sum", "count"],
+        ["series", "ts_ns"],
+    ),
+)
+
+
 # Canonical text normalization: the standard pre-dedup projection.
 _register_pipeline(
     "text_normalize",

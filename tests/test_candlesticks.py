@@ -100,3 +100,47 @@ def test_join_sparse_horizontal_sum_nan_rule(spark, sparse):
     ).collect()
     by_i2 = {(r["ts_ns"] - t0) // NS: r["value"] for r in rows2}
     assert by_i2[1] == 1.0 and by_i2[3] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# gap filling (operators/fill.py) — extension operator tests
+# ---------------------------------------------------------------------------
+
+
+def test_fill_gaps_crafted(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from akumuli_spark.operators.fill import fill_gaps
+
+    # series A: buckets 0, 3 present (gap 1, 2); series B: bucket 5 only
+    step = 100
+    rows = [
+        ("A", 7, 10.0, 1.0),      # bucket 0, first-sample ts 7
+        ("A", 315, 40.0, 2.0),    # bucket 3
+        ("B", 505, 9.0, 3.0),     # bucket 5
+    ]
+    agg = spark.createDataFrame(
+        rows, "series string, ts_ns long, sum double, count double"
+    )
+    out = {(r["series"], r["ts_ns"]): (r["sum"], r["count"])
+           for r in fill_gaps(agg, anchor_ns=0, step_ns=step).collect()}
+    # non-empty buckets keep their first-sample ts and values
+    assert out[("A", 7)] == (10.0, 1.0)
+    assert out[("A", 315)] == (40.0, 2.0)
+    assert out[("B", 505)] == (9.0, 3.0)
+    # interior gaps carry the previous bucket forward, ts = bucket begin
+    assert out[("A", 100)] == (10.0, 1.0)
+    assert out[("A", 200)] == (10.0, 1.0)
+    # nothing invented outside each series' support
+    assert len(out) == 5
+    # fill=null keeps the holes explicit
+    from akumuli_spark.operators.fill import fill_gaps as fg
+
+    nulls = {(r["series"], r["ts_ns"]): (r["sum"], r["count"])
+             for r in fg(agg, 0, step, mode="null").collect()}
+    assert nulls[("A", 100)] == (None, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fill mode"):
+        fg(agg, 0, step, mode="linear")

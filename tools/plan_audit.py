@@ -97,7 +97,8 @@ def main() -> None:
                "pii_signals", "pii_scrub", "dedup_span_coverage",
                "corpus_shuffle", "events_props_json", "vocab_topk",
                "corpus_length_quantiles", "ann_ivf_indexed", "events_funnel",
-               "events_retention", "text_normalize", "dedup_containment"]
+               "events_retention", "text_normalize", "dedup_containment",
+               "group_aggregate_filled"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -2302,6 +2302,46 @@ REGISTRY["group_aggregate_filled"] = (
 )
 
 
+# Top-k series per bucket (extension: the reference's `top` ranks over
+# the whole range only): top-3 user tagsets by 4h click volume.
+def _top_series_per_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.fill import top_series_per_bucket
+
+    frame = app_metrics_view(spark, sf)
+    agg = execute_query(spark, {
+        "group-aggregate": {"metric": "app.click", "step": "4h",
+                            "func": "sum"},
+        "range": {"from": E0, "to": E1},
+    }, frame)
+    return _round_doubles(top_series_per_bucket(
+        agg, anchor_ns=E0, step_ns=_FILL_STEP, k=3, value_col="sum"
+    ))
+
+
+def _top_series_per_bucket_oracle() -> str:
+    from akumuli_spark.operators.fill import top_series_per_bucket_sql
+
+    inner = f"""WITH {APP_METRICS_SQL}
+    SELECT 'app.click:sum ' || 'user=' || tag_user AS series,
+           min(ts_ns) AS ts_ns, sum(value) AS sum
+    FROM app_metrics
+    WHERE metric = 'app.click' AND ts_ns >= {E0} AND ts_ns < {E1}
+    GROUP BY 1, (ts_ns - {E0}) // {_FILL_STEP}"""
+    return top_series_per_bucket_sql(
+        inner, anchor_ns=E0, step_ns=_FILL_STEP, k=3, value_col="sum"
+    )
+
+
+REGISTRY["top_series_per_bucket"] = (
+    _top_series_per_bucket,
+    _wrap_round(
+        _top_series_per_bucket_oracle(),
+        ["sum"],
+        ["ts_ns", "series", "rank"],
+    ),
+)
+
+
 # Canonical text normalization: the standard pre-dedup projection.
 _register_pipeline(
     "text_normalize",

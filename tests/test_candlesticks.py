@@ -144,3 +144,19 @@ def test_fill_gaps_crafted(spark):
 
     with _pytest.raises(ValueError, match="fill mode"):
         fg(agg, 0, step, mode="linear")
+
+
+def test_top_series_per_bucket_crafted(spark):
+    from akumuli_spark.operators.fill import top_series_per_bucket
+
+    step = 100
+    rows = [
+        # bucket 0: A=5, B=9, C=9 (tie: B before C); bucket 1: A only
+        ("A", 10, 5.0), ("B", 20, 9.0), ("C", 30, 9.0),
+        ("A", 110, 7.0),
+    ]
+    agg = spark.createDataFrame(rows, "series string, ts_ns long, sum double")
+    out = [(r["ts_ns"], r["series"], r["rank"]) for r in
+           top_series_per_bucket(agg, 0, step, k=2, value_col="sum")
+           .orderBy("ts_ns", "rank").collect()]
+    assert out == [(0, "B", 1), (0, "C", 2), (100, "A", 1)]

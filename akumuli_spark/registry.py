@@ -2342,6 +2342,34 @@ REGISTRY["top_series_per_bucket"] = (
 )
 
 
+# LTTB plot downsampling (extension; companion to candlesticks): each
+# per-user click series (~250 points at sf0.01) down to 40
+# shape-preserving points via the sequential triangle recursion.
+def _lttb_downsample(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.lttb import lttb
+
+    frame = app_metrics_view(spark, sf)
+    pts = execute_query(spark, {
+        "select": "app.click", "range": {"from": E0, "to": E1},
+    }, frame)
+    return _round_doubles(lttb(pts, n_out=40))
+
+
+def _lttb_downsample_oracle() -> str:
+    from akumuli_spark.operators.lttb import lttb_sql
+
+    inner = f"""WITH {APP_METRICS_SQL}
+    SELECT series, ts_ns, value FROM app_metrics
+    WHERE metric = 'app.click' AND ts_ns >= {E0} AND ts_ns < {E1}"""
+    return lttb_sql(inner, n_out=40)
+
+
+REGISTRY["lttb_downsample"] = (
+    _lttb_downsample,
+    _wrap_round(_lttb_downsample_oracle(), ["value"], ["series", "ts_ns"]),
+)
+
+
 # Canonical text normalization: the standard pre-dedup projection.
 _register_pipeline(
     "text_normalize",

@@ -160,3 +160,55 @@ def test_top_series_per_bucket_crafted(spark):
            top_series_per_bucket(agg, 0, step, k=2, value_col="sum")
            .orderBy("ts_ns", "rank").collect()]
     assert out == [(0, "B", 1), (0, "C", 2), (100, "A", 1)]
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (operators/lttb.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lttb_preserves_endpoints_and_peaks(spark):
+    from akumuli_spark.operators.lttb import lttb
+
+    # flat series with one huge spike: the spike's bucket must pick it
+    rows = [("s", i * 100, 1.0 if i != 37 else 500.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "series string, ts_ns long, value double")
+    out = sorted((r["ts_ns"], r["value"]) for r in lttb(df, n_out=10).collect())
+    assert len(out) == 10
+    assert out[0] == (0, 1.0) and out[-1] == (5900, 1.0)   # endpoints
+    assert (3700, 500.0) in out                             # the spike
+
+
+def test_lttb_small_series_pass_through(spark):
+    from akumuli_spark.operators.lttb import lttb
+
+    rows = [("s", 1, 1.0), ("s", 2, 2.0), ("s", 3, 3.0)]
+    df = spark.createDataFrame(rows, "series string, ts_ns long, value double")
+    assert lttb(df, n_out=10).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_out"):
+        lttb(df, n_out=2)
+
+
+def test_lttb_spark_matches_python_model(spark):
+    import random
+
+    from akumuli_spark.operators.lttb import _lttb_series, lttb
+
+    rng = random.Random(42)
+    per_series = {
+        s: [(i * 7 + rng.randint(0, 3), round(rng.uniform(-5, 5), 3))
+            for i in range(120)]
+        for s in ("m a", "m b", "m c")
+    }
+    rows = [(s, t, v) for s, pts in per_series.items() for t, v in pts]
+    df = spark.createDataFrame(rows, "series string, ts_ns long, value double")
+    got = {}
+    for r in lttb(df, n_out=25).collect():
+        got.setdefault(r["series"], []).append((r["ts_ns"], r["value"]))
+    for s, pts in per_series.items():
+        pts = sorted(pts)
+        ts = [p[0] for p in pts]; ys = [p[1] for p in pts]
+        want = [(ts[i], ys[i]) for i in _lttb_series(ts, ys, 25)]
+        assert sorted(got[s]) == sorted(want), s

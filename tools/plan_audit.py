@@ -98,7 +98,8 @@ def main() -> None:
                "corpus_shuffle", "events_props_json", "vocab_topk",
                "corpus_length_quantiles", "ann_ivf_indexed", "events_funnel",
                "events_retention", "text_normalize", "dedup_containment",
-               "group_aggregate_filled", "top_series_per_bucket"]
+               "group_aggregate_filled", "top_series_per_bucket",
+               "lttb_downsample"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

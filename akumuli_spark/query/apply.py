@@ -143,6 +143,29 @@ def _node_rate(res, node: ApplyNode):
     return res
 
 
+def _node_counter_rate(res, node: ApplyNode):
+    """Reset-aware Δx/Δt per second — engine EXTENSION beside ``rate``.
+
+    Plain ``rate`` over a monotone counter that restarts at zero (process
+    restart, host replacement) emits one huge negative spike per reset.
+    The standard TSDB remedy (Prometheus ``rate()``'s reset rule) treats
+    a decrease as a restart and takes the post-reset value itself as the
+    delta: Δ = x − x_prev when x ≥ x_prev, else x.  Same implicit (0, 0)
+    previous point as ``rate`` (rate.cpp:31-40), same pure-window shape —
+    one lag per value column, JVM-side, no Python."""
+    w = _stream_window(res.query)
+    df = res.df
+    for c in res.value_cols:
+        col = F.col(f"`{c}`")
+        prev_v = F.lag(col, 1, 0.0).over(w)
+        prev_t = F.lag(F.col("ts_ns"), 1, 0).over(w)
+        delta = F.when(col >= prev_v, col - prev_v).otherwise(col)
+        rate = delta / (F.col("ts_ns") - prev_t) * F.lit(NANOS_PER_SEC)
+        df = df.withColumn(c, rate)
+    res.df = df
+    return res
+
+
 def _node_accumulate(res, node: ApplyNode):
     # Default RANGE frame (not ROWS): duplicate timestamps are peers and get
     # the same running value — the only deterministic choice for a set-based
@@ -936,6 +959,7 @@ _NODES = {
     "abs": _node_abs,
     "scale": _node_scale,
     "rate": _node_rate,
+    "counter-rate": _node_counter_rate,
     "accumulate": _node_accumulate,
     "cusum": _node_accumulate,
     "sum": lambda r, n: _horizontal(r, n, "sum"),

@@ -574,6 +574,24 @@ _register(
     FROM base""",
 )
 
+# counter-rate (engine extension): reset-aware rate — a decrease is a
+# counter restart and the delta is the post-reset value (Prometheus rate
+# rule).  app.click values are non-monotone, so the reset branch fires on
+# most adjacent pairs — maximally discriminative vs plain rate.
+_register(
+    "apply_counter_rate",
+    "app_metrics",
+    {"select": "app.click", "range": {"from": E0, "to": E1},
+     "apply": [{"name": "counter-rate"}]},
+    f"""WITH {APP_METRICS_SQL}, base AS ({_app_base('app.click')})
+    SELECT series, ts_ns,
+           (CASE WHEN value >= lag(value, 1, 0.0) {W}
+                 THEN value - lag(value, 1, 0.0) {W}
+                 ELSE value END)
+           / (ts_ns - lag(ts_ns, 1, 0) {W}) * 1e9 AS value
+    FROM base""",
+)
+
 _register(
     "apply_cusum",
     "app_metrics",
@@ -2338,6 +2356,67 @@ REGISTRY["top_series_per_bucket"] = (
         _top_series_per_bucket_oracle(),
         ["sum"],
         ["ts_ns", "series", "rank"],
+    ),
+)
+
+
+# As-of join (extension: the engine's `join` aligns on EXACT ts only):
+# each click sample picks up the user's most recent purchase value.  The
+# tolerance entry narrows chunks to 6h so the sf0.01 gate exercises the
+# cross-chunk boundary carry, not just the within-chunk window.
+def _join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.asof import asof_join
+
+    frame = app_metrics_view(spark, sf)
+    return _round_doubles(asof_join(
+        frame, "app.click", "app.purchase", begin_ns=E0, end_ns=E1
+    ))
+
+
+def _join_asof_oracle() -> str:
+    from akumuli_spark.operators.asof import asof_join_sql
+
+    return asof_join_sql(
+        APP_METRICS_SQL, "app_metrics", "app.click", "app.purchase",
+        begin_ns=E0, end_ns=E1,
+    )
+
+
+REGISTRY["join_asof"] = (
+    _join_asof,
+    _wrap_round(
+        _join_asof_oracle(),
+        ["app.click", "app.purchase"],
+        ["series", "ts_ns"],
+    ),
+)
+
+
+def _join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.asof import asof_join
+
+    frame = app_metrics_view(spark, sf)
+    return _round_doubles(asof_join(
+        frame, "app.click", "app.purchase", begin_ns=E0, end_ns=E1,
+        tolerance_ns=2 * 3600 * NS, chunk_ns=6 * 3600 * NS,
+    ))
+
+
+def _join_asof_tolerance_oracle() -> str:
+    from akumuli_spark.operators.asof import asof_join_sql
+
+    return asof_join_sql(
+        APP_METRICS_SQL, "app_metrics", "app.click", "app.purchase",
+        begin_ns=E0, end_ns=E1, tolerance_ns=2 * 3600 * NS,
+    )
+
+
+REGISTRY["join_asof_tolerance"] = (
+    _join_asof_tolerance,
+    _wrap_round(
+        _join_asof_tolerance_oracle(),
+        ["app.click", "app.purchase"],
+        ["series", "ts_ns"],
     ),
 )
 

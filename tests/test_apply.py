@@ -535,3 +535,38 @@ def test_spacesaver_sketch_error_zero_rejected(spark, app_metrics):
                         "approx": True, "error": 0}]},
             app_metrics,
         )
+
+
+def test_counter_rate_crafted(spark):
+    # Monotone counter with one reset: 10 → 30 → 5 (restart) → 25.
+    # Deltas: 10 (vs the (0,0) seed), 20, 5 (reset: post-reset value), 20;
+    # dt = ts gap in seconds.
+    rows = [
+        ("cnt host=a", "cnt", {"host": "a"}, i * NS, v)
+        for i, v in ((1, 10.0), (2, 30.0), (3, 5.0), (4, 25.0))
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "series string, metric string, tags map<string,string>, "
+        "ts_ns long, value double",
+    )
+    out = {
+        r["ts_ns"] // NS: r["value"]
+        for r in execute_query(
+            spark,
+            {"select": "cnt", "range": {"from": 0, "to": 10 * NS},
+             "apply": [{"name": "counter-rate"}]},
+            frame,
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 3: 5.0, 4: 20.0}
+
+
+def test_counter_rate_equals_rate_on_monotone(spark, duck, app_metrics):
+    # On a stream with no decreases the reset branch never fires —
+    # counter-rate must equal plain rate.  cusum makes app.view monotone.
+    q = {"select": "app.view", "range": {"from": E0, "to": E1}}
+    chain = lambda *names: {**q, "apply": [{"name": n} for n in names]}
+    a = execute_query(spark, chain("cusum", "counter-rate"), app_metrics)
+    b = execute_query(spark, chain("cusum", "rate"), app_metrics)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

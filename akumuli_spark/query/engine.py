@@ -38,6 +38,7 @@ from akumuli_spark.query.plan import (
     QueryRange,
     ValueFilter,
     WherePredicate,
+    percentile_fraction,
 )
 
 
@@ -172,6 +173,15 @@ def agg_expr(func: str, value: str = "value", ts: str = "ts_ns") -> Column:
         return F.min(t).cast("double")
     if func == "last_timestamp":
         return F.max(t).cast("double")
+    frac = percentile_fraction(func)
+    if frac is not None:
+        # Engine EXTENSION (see plan.percentile_fraction): EXACT percentile
+        # with linear interpolation — identical to DuckDB's quantile_cont.
+        # Exact percentile shuffles the bucket's values to one reducer per
+        # group key; at 100 TB swap in approx_percentile(v, frac, accuracy)
+        # (t-digest-style, mergeable partials, no per-group value list) —
+        # same call shape, documented-approximate result.
+        return F.percentile(v, F.lit(frac))
     raise QueryValidationError(f"unknown aggregate function {func!r}")
 
 

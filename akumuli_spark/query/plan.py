@@ -227,8 +227,20 @@ def parse_timestamp_ns(value: str | int | float) -> int:
     return int(dt.timestamp()) * 1_000_000_000 + int(frac)
 
 
+#: engine EXTENSION beside the reference's 11 funcs (operator.h:20-32):
+#: exact percentiles ``p<0-100>``, e.g. p50 / p99 / p99.9 — the dashboard
+#: latency-quantile staple the reference lacks.
+_PERCENTILE_RE = re.compile(r"^p(\d{1,2}(?:\.\d+)?|100)$")
+
+
+def percentile_fraction(name: str) -> float | None:
+    """``p99.9`` → 0.999; None when ``name`` is not a percentile token."""
+    m = _PERCENTILE_RE.match(name)
+    return float(m.group(1)) / 100.0 if m else None
+
+
 def validate_agg_func(name: str) -> str:
-    if name not in AGG_FUNCS:
+    if name not in AGG_FUNCS and percentile_fraction(name) is None:
         raise QueryParseError(f"unknown aggregate function {name!r}")
     return name
 

@@ -304,6 +304,32 @@ _register(
     double_cols=["sum", "count", "mean"],
 )
 
+# Percentile funcs (engine extension, plan.percentile_fraction): exact
+# per-bucket latency-style quantiles; DuckDB twin is quantile_cont (same
+# linear interpolation at rank (n-1)·p).
+_register(
+    "group_aggregate_percentiles",
+    "metrics",
+    {
+        "group-aggregate": {
+            "metric": "lineitem.price",
+            "step": "7d",
+            "func": ["p50", "p90", "p99"],
+        },
+        "range": {"from": _T96_OFF, "to": T97},
+    },
+    f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price:p50|lineitem.price:p90|lineitem.price:p99 ' || {TAGSTR} AS series,
+           min(ts_ns) AS ts_ns,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {_T96_OFF} AND ts_ns < {T97}
+    GROUP BY 1, (ts_ns - {_T96_OFF}) // {WEEK}""",
+    double_cols=["p50", "p90", "p99"],
+)
+
 _register(
     "group_aggregate_bwd",
     "metrics",

@@ -489,3 +489,45 @@ def test_aggregate_multiple_metrics_different_funcs(spark, duck, metrics):
         UNION ALL
         SELECT 'lineitem.disc:max ' || tagstr, first_ts, mx FROM g WHERE metric = 'lineitem.disc'""",
     )
+
+
+def test_group_aggregate_percentile_crafted(spark):
+    # p50/p100 over a 4-sample bucket: exact linear interpolation at rank
+    # (n-1)*p — p50 of {1,2,3,10} = 2.5, p90 = 3 + 0.7*(10-3) = 7.9.
+    NS = 10**9
+    rows = [
+        ("m t=a", "m", {"t": "a"}, i * NS, v)
+        for i, v in ((0, 1.0), (1, 3.0), (2, 10.0), (3, 2.0))
+    ]
+    frame = spark.createDataFrame(
+        rows,
+        "series string, metric string, tags map<string,string>, "
+        "ts_ns long, value double",
+    )
+    out = execute_query(
+        spark,
+        {"group-aggregate": {"metric": "m", "step": 100 * NS,
+                             "func": ["p50", "p90", "p100"]},
+         "range": {"from": 0, "to": 100 * NS}},
+        frame,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["series"].startswith("m:p50|m:p90|m:p100 ")
+    assert r["p50"] == 2.5
+    assert abs(r["p90"] - 7.9) < 1e-9
+    assert r["p100"] == 10.0
+
+
+def test_percentile_token_validation():
+    from akumuli_spark.query.errors import QueryParseError
+    from akumuli_spark.query.plan import percentile_fraction, validate_agg_func
+
+    assert percentile_fraction("p99.9") == pytest.approx(0.999)
+    assert percentile_fraction("p0") == 0.0
+    assert percentile_fraction("mean") is None
+    assert validate_agg_func("p75") == "p75"
+    with pytest.raises(QueryParseError):
+        validate_agg_func("p101")
+    with pytest.raises(QueryParseError):
+        validate_agg_func("pfoo")

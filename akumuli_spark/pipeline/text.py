@@ -593,3 +593,105 @@ SELECT md5(list_aggregate(list_sort(list_distinct(string_split(text, ' '))),
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity (CCNet-style quality scoring)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram LM trained
+    on the corpus itself — the CCNet recipe (Wenzek et al. 2020, public:
+    score documents by LM perplexity, keep/weight the fluent ones), with
+    the corpus standing in for the clean reference corpus a production
+    run would train on (CCNet uses Wikipedia; swapping the training
+    frame is a one-argument change).
+
+    Model: tokens = whitespace split of lower(text), empties dropped;
+    P(w2|w1) = (c(w1,w2) + k) / (c1(w1) + k·V), c1 = bigram-context
+    count (token occurrences excluding each doc's final position),
+    V = corpus distinct-token count.  Output per doc with ≥1 bigram:
+    ``n_bigrams``, ``avg_logp`` (mean ln P over bigram instances) and
+    ``ppl = exp(-avg_logp)``.
+
+    Scale shape: counts and scoring are all *equi-joins on token keys* —
+    doc-bigram instances ⋈ bigram counts on (w1,w2), ⋈ context counts on
+    w1; V is a one-row aggregate crossJoined (broadcast) in.  Nothing is
+    collected; the count tables shuffle-partition by their keys and the
+    hot join key distribution is the corpus Zipf curve, which AQE's skew
+    split handles (the skewed keys are stopword bigrams whose count rows
+    are single rows — only the instance side is skewed, and it joins to
+    one row each).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("__t"),
+    )
+    pairs = toks.filter(F.expr("size(__t) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1), "
+                "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+            )
+        ).alias("__p"),
+    ).select("doc_id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").alias("__c1"))
+    vocab = toks.select(F.explode("__t").alias("tok")).agg(
+        F.countDistinct("tok").alias("__v")
+    )
+    lp = F.log(
+        (F.col("__c12") + F.lit(float(k)))
+        / (F.col("__c1") + F.lit(float(k)) * F.col("__v"))
+    )
+    return (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg(lp).alias("avg_logp"),
+        )
+        .withColumn("ppl", F.exp(-F.col("avg_logp")))
+    )
+
+
+def perplexity_scores_sql(k: float = 1.0) -> str:
+    """DuckDB twin: same model restated over lead() windows."""
+    kf = float(k)
+    return f"""
+WITH __toks AS (
+  SELECT doc_id, u.i AS ord, u.tok
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+                                 i -> {{'i': i, 'tok': t[i]}})) AS u
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+          FROM documents)
+  )
+),
+__bg AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM __toks
+),
+__bgi AS (SELECT doc_id, w1, w2 FROM __bg WHERE w2 IS NOT NULL),
+__c12 AS (SELECT w1, w2, count(*) AS c12 FROM __bgi GROUP BY 1, 2),
+__c1 AS (SELECT w1, count(*) AS c1 FROM __bgi GROUP BY 1),
+__vocab AS (SELECT count(DISTINCT tok) AS v FROM __toks)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       avg(lp) AS avg_logp, exp(-avg(lp)) AS ppl
+FROM (
+  SELECT b.doc_id,
+         ln((c.c12 + {kf}) / (c1.c1 + {kf} * v.v)) AS lp
+  FROM __bgi b
+  JOIN __c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN __c1 c1 ON b.w1 = c1.w1
+  CROSS JOIN __vocab v
+)
+GROUP BY doc_id
+""".strip()

@@ -1172,6 +1172,15 @@ _register_pipeline(
     ["doc_id", "pred_lang"],
 )
 
+# CCNet-style bigram-LM perplexity (corpus-trained, add-1 smoothing).
+_register_pipeline(
+    "text_perplexity",
+    lambda spark, sf: _text.perplexity_scores(load_table(spark, sf, "documents")),
+    _text.perplexity_scores_sql(),
+    ["avg_logp", "ppl"],
+    ["doc_id", "n_bigrams"],
+)
+
 _register_pipeline(
     "text_quality",
     lambda spark, sf: _text.quality_score(load_table(spark, sf, "documents")),

@@ -560,3 +560,24 @@ def test_ivf_vectorized_assignment_matches_hof(spark, embs):
            for r in similarity._assign_lists_vectorized(
                embs, cents).collect()}
     assert hof == vec
+
+
+def test_perplexity_crafted(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "A b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.perplexity_scores(docs).collect()}
+    # corpus bigrams (lowercased): doc1 (a,b)(b,a)(a,b), doc2 (a,b)
+    # c12: (a,b)=3, (b,a)=1; c1: a=3, b=1; V=3 (a, b, solo); k=1
+    lp_ab = math.log((3 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    d1 = (2 * lp_ab + lp_ba) / 3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logp"] == pytest.approx(d1, rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(math.exp(-d1), rel=1e-12)
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logp"] == pytest.approx(lp_ab, rel=1e-12)
+    assert 3 not in out  # single-token doc has no bigrams

@@ -99,7 +99,9 @@ def main() -> None:
                "corpus_length_quantiles", "ann_ivf_indexed", "events_funnel",
                "events_retention", "text_normalize", "dedup_containment",
                "group_aggregate_filled", "top_series_per_bucket",
-               "lttb_downsample"]
+               "lttb_downsample", "join_asof", "join_asof_tolerance",
+               "apply_counter_rate", "group_aggregate_percentiles",
+               "text_perplexity"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -376,8 +376,31 @@ def multimodal_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def asof_smoke(spark, n_rows: int = 10_000_000, n_series: int = 8) -> dict:
+    """As-of join at 10M samples with deliberately FEW tagsets (n_series=8
+    → 2 host tagsets) — the worst case for the textbook per-tagset carry
+    window.  chunk_ns = whole-span reproduces that serialized shape; the
+    10-minute chunking restores tagsets × chunks parallelism.  Outputs are
+    identical by construction (chunk invariance is pytest-pinned), so the
+    delta is pure straggler removal."""
+    from akumuli_spark.operators.asof import asof_join
+
+    m = synthetic_metrics(spark, n_rows, n_series=n_series)
+    end = T0 + n_rows * 10_000_000
+    out = {}
+    for label, chunk in (("one_chunk", end - T0), ("chunks_10min", 600 * NS)):
+        t = time.time()
+        n = asof_join(m, "cpu.user", "cpu.syst", T0, end, chunk_ns=chunk).count()
+        out[label] = {"rows": n, "s": round(time.time() - t, 2)}
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "asof":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps({"rows": n_rows, "asof": asof_smoke(spark, n_rows)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "multimodal":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(

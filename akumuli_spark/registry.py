@@ -2456,6 +2456,62 @@ REGISTRY["join_asof_tolerance"] = (
 )
 
 
+# Value histogram (extension: the dashboard heatmap primitive): per-series
+# 10-bin distribution of lineitem.qty (integer values 1..50 — bin edges
+# are exact doubles, no boundary ambiguity).
+def _value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.histogram import value_histogram
+
+    return _round_doubles(value_histogram(
+        metrics_view(spark, sf), "lineitem.qty", _T96_OFF, T97,
+        lo=0.0, hi=50.0, n_bins=10,
+    ))
+
+
+def _value_histogram_oracle() -> str:
+    from akumuli_spark.operators.histogram import value_histogram_sql
+
+    return value_histogram_sql(
+        METRICS_SQL, "metrics", "lineitem.qty", _T96_OFF, T97,
+        lo=0.0, hi=50.0, n_bins=10,
+    )
+
+
+REGISTRY["value_histogram"] = (
+    _value_histogram,
+    _wrap_round(
+        _value_histogram_oracle(), ["bin_lo"], ["series", "bin", "count"]
+    ),
+)
+
+
+# Cross-metric Pearson correlation per tag-set (extension), price vs qty
+# on exactly-aligned samples — closed form over six shared sums so both
+# engines run the identical arithmetic.
+def _metrics_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.histogram import metrics_correlation
+
+    return _round_doubles(metrics_correlation(
+        metrics_view(spark, sf), "lineitem.price", "lineitem.qty",
+        _T96_OFF, T97,
+    ))
+
+
+def _metrics_corr_oracle() -> str:
+    from akumuli_spark.operators.histogram import metrics_correlation_sql
+
+    return metrics_correlation_sql(
+        METRICS_SQL, "metrics", "lineitem.price", "lineitem.qty",
+        _T96_OFF, T97,
+    )
+
+
+REGISTRY["metrics_correlation"] = (
+    _metrics_corr,
+    _wrap_round(_metrics_corr_oracle(), ["corr"], ["tagstr", "n_aligned"]),
+)
+
+
 # LTTB plot downsampling (extension; companion to candlesticks): each
 # per-user click series (~250 points at sf0.01) down to 40
 # shape-preserving points via the sequential triangle recursion.

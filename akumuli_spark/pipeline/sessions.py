@@ -275,3 +275,62 @@ SELECT user_id, session_id, min(ts_ns) AS start_ns, max(ts_ns) AS end_ns,
        count(DISTINCT event_type) AS n_event_types
 FROM sess GROUP BY 1, 2
 """.strip()
+
+
+def active_users(events: DataFrame, day_ns: int = 86_400 * NS,
+                 window_days: int = 7) -> DataFrame:
+    """DAU / trailing-window AU / stickiness per day — the product
+    engagement staple.
+
+    ``dau`` = distinct users active that day; ``wau`` = distinct users
+    active in the trailing ``window_days`` days ending that day;
+    ``stickiness`` = dau / wau.  Only days with any activity are emitted
+    (compose with operators.fill for a dense spine).
+
+    Scale shape: the rolling distinct is NOT a range join or a per-day
+    re-scan — each deduped (user, day) pair contributes itself to
+    ``window_days`` trailing window-days via a sequence explode, and the
+    rolling count collapses to a second distinct + hash aggregation.
+    Amplification is the window width (7), constant per row; every
+    shuffle is on a (user, day) or day key.
+    """
+    from ..sources.testdata import ts_ns_expr
+
+    e = events.select(
+        "user_id",
+        (ts_ns_expr(events) / F.lit(int(day_ns))).cast("long").alias("day"),
+    ).distinct()
+    dau = e.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    wau = (
+        e.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau",
+        (F.col("dau") / F.col("wau")).alias("stickiness"),
+    )
+
+
+def active_users_sql(day_ns: int = 86_400 * NS, window_days: int = 7) -> str:
+    """DuckDB twin of :func:`active_users` (same explode-offsets shape)."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {int(day_ns)} AS day
+  FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM e GROUP BY 1),
+w AS (
+  SELECT DISTINCT user_id, day + o AS day
+  FROM e CROSS JOIN (SELECT unnest(range(0, {int(window_days)})) AS o)
+),
+wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
+SELECT d.day, d.dau, wau.wau, d.dau * 1.0 / wau.wau AS stickiness
+FROM dau d JOIN wau USING (day)
+""".strip()

@@ -2231,6 +2231,16 @@ _register_pipeline(
     ["cohort_bucket", "bucket_offset", "n_active"],
 )
 
+# DAU/WAU/stickiness: the rolling distinct as an explode-offsets double
+# aggregation (no range join, no per-day re-scan).
+_register_pipeline(
+    "events_active_users",
+    lambda spark, sf: _sessions.active_users(load_table(spark, sf, "events")),
+    _sessions.active_users_sql(),
+    ["stickiness"],
+    ["day", "dau", "wau"],
+)
+
 # Semi-structured extraction: typed field out of the JSON props payload,
 # aggregated per event type — JVM-side path evaluation inside the scan.
 _register_pipeline(

@@ -455,3 +455,40 @@ def test_vocab_topk_tie_break(spark):
     rows = text.vocab_topk(df, k=2).collect()
     assert [r["term"] for r in rows] == ["a", "b"]
     assert all(r["n_occurrences"] == 2 and r["doc_freq"] == 2 for r in rows)
+
+
+def test_active_users_oracle(spark, duck, events):
+    out = sessions.active_users(events)
+    assert_matches_oracle(out, duck, sessions.active_users_sql())
+
+
+def test_active_users_crafted(spark):
+    # day = 100ns; 3-day window.  user 1 active days 0,1; user 2 day 1
+    # (twice — dedup); user 3 day 4.
+    rows = [(1, 10), (1, 150), (2, 110), (2, 120), (3, 440)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long"
+    ).select("user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    got = {r["day"]: (r["dau"], r["wau"], r["stickiness"])
+           for r in sessions.active_users(
+               df, day_ns=100_000, window_days=3).collect()}
+    # day 0: dau {1}, window days {-2..0}→ just day 0 → wau {1}
+    assert got[0] == (1, 1, pytest.approx(1.0))
+    # day 1: dau {1,2}; window {day -1..1} → users {1,2} → 2/2
+    assert got[1] == (2, 2, pytest.approx(1.0))
+    # day 4: dau {3}; window days {2,3,4} → only user 3
+    assert got[4] == (1, 1, pytest.approx(1.0))
+    # days without activity are omitted (2, 3 despite nonzero WAU)
+    assert set(got) == {0, 1, 4}
+
+
+def test_active_users_window_counts_once(spark):
+    # a user active twice inside one window still counts once in WAU
+    rows = [(1, 10), (1, 110), (2, 210)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long"
+    ).select("user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"))
+    got = {r["day"]: (r["dau"], r["wau"])
+           for r in sessions.active_users(
+               df, day_ns=100_000, window_days=3).collect()}
+    assert got[2] == (1, 2)  # window {0,1,2}: users {1,2}, user 1 once

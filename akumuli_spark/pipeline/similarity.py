@@ -478,3 +478,103 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
             "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
         )
     )
+
+
+def kmeans_lloyd_step(embs: DataFrame, nlist: int = 16) -> DataFrame:
+    """One exact Lloyd iteration from the deterministic seed codebook —
+    the oracle-verifiable core of the IVF codebook build (production
+    iterates this via :func:`ivf_kmeans_centroids`; MLlib's initialization
+    is not cross-engine reproducible, a single exact step from the fixed
+    seed set is, so THIS is the piece a DuckDB twin can audit).
+
+    Assignment: per-vector argmin of squared L2 over the broadcast seed
+    codebook (same fold shape as :func:`_assign_lists` — one row scans a
+    cid-sorted struct array JVM-side; zero shuffle, no corpus×nlist
+    blowup), ties on distance break to the smaller cid.  Update: new
+    centroid = elementwise mean of assigned vectors, emitted EXPLODED as
+    (cid, dim, n_assigned, mean) rows so every FP output is a scalar
+    double the canonical rounding covers (an array column would bypass
+    it).  Empty lists vanish (no assigned vectors → no rows), as in
+    textbook Lloyd.
+
+    Scale shape: broadcast codebook argmin (scan-bound) + a ×dim
+    posexplode into a (cid, dim)-keyed hash agg with map-side partials —
+    the explode amplifies rows by the dimension but each row is 20 bytes;
+    at 100 TB the shuffle carries nlist×dim partials per task, not data.
+    """
+    cents = _centroids(embs, nlist)
+    codebook = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "ce"))).alias("cbook")
+    )
+    dist_to_x = (
+        "aggregate(zip_with(embedding, x.ce, "
+        "(p, q) -> (CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) "
+        "* (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), "
+        "0.0D, (a, v) -> a + v)"
+    )
+    assigned = (
+        embs.crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "cid",
+            F.expr(
+                "array_min(transform(cbook, "
+                f"x -> named_struct('d', {dist_to_x}, 'cid', x.cid))).cid"
+            ),
+        )
+        .select("vec_id", "embedding", "cid")
+    )
+    counts = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_assigned")
+    )
+    dims = assigned.select(
+        "cid", F.posexplode(F.col("embedding")).alias("dim", "__v")
+    )
+    means = dims.groupBy("cid", "dim").agg(
+        (F.sum(F.col("__v").cast("double")) / F.count("*")).alias("mean")
+    )
+    return (
+        means.join(F.broadcast(counts), "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.col("dim").cast("long").alias("dim"),
+            "n_assigned", "mean",
+        )
+    )
+
+
+def kmeans_lloyd_step_sql(nlist: int = 16) -> str:
+    """DuckDB twin: same seed codebook, same sequential-fold distance,
+    same (distance, cid) tie order, same sum/count mean."""
+    return f"""
+WITH __cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+__pairs AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_aggregate(
+           list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE))),
+           'sum') AS d
+  FROM embeddings e CROSS JOIN __cents c
+),
+__assigned AS (
+  SELECT vec_id, embedding, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM __pairs)
+  WHERE rn = 1
+),
+__counts AS (SELECT cid, count(*) AS n_assigned FROM __assigned GROUP BY 1),
+__dims AS (
+  SELECT cid, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+  FROM __assigned,
+       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+)
+SELECT CAST(d.cid AS BIGINT) AS cid, CAST(d.dim AS BIGINT) AS dim,
+       CAST(c.n_assigned AS BIGINT) AS n_assigned,
+       sum(d.v) / count(*) AS mean
+FROM __dims d JOIN __counts c USING (cid)
+GROUP BY d.cid, d.dim, c.n_assigned
+""".strip()

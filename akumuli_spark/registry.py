@@ -1142,6 +1142,19 @@ _register_pipeline(
 )
 
 
+# One exact Lloyd iteration from the deterministic seed codebook — the
+# oracle-auditable core of the IVF codebook build.
+_register_pipeline(
+    "kmeans_lloyd_step",
+    lambda spark, sf: _sim.kmeans_lloyd_step(
+        load_table(spark, sf, "embeddings"), nlist=16
+    ),
+    _sim.kmeans_lloyd_step_sql(nlist=16),
+    ["mean"],
+    ["cid", "dim", "n_assigned"],
+)
+
+
 def _ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """Build the persisted IVF index (per-run temp dir), then answer the
     same query from it — the partition-pruned serving shape; the oracle

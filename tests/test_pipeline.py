@@ -581,3 +581,34 @@ def test_perplexity_crafted(spark):
     assert out[2]["n_bigrams"] == 1
     assert out[2]["avg_logp"] == pytest.approx(lp_ab, rel=1e-12)
     assert 3 not in out  # single-token doc has no bigrams
+
+
+def test_kmeans_lloyd_step_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 4)).astype("float32")
+    embs = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    nlist = 5
+    out = similarity.kmeans_lloyd_step(embs, nlist=nlist).collect()
+    # reference: seed centroids are the nlist smallest vec_ids (cid = i+1)
+    cents = vecs[:nlist].astype("float64")
+    d = ((vecs.astype("float64")[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    assign = d.argmin(1)  # numpy argmin takes first min → same cid-asc tie rule
+    got = {}
+    for r in out:
+        got.setdefault(r["cid"], [None] * 4)[r["dim"]] = (
+            r["mean"], r["n_assigned"])
+    for cid in range(1, nlist + 1):
+        members = vecs[assign == cid - 1].astype("float64")
+        if len(members) == 0:
+            assert cid not in got
+            continue
+        for dim in range(4):
+            mean, n = got[cid][dim]
+            assert n == len(members)
+            assert mean == pytest.approx(
+                members[:, dim].sum() / len(members), rel=1e-12)

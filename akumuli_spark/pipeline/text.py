@@ -695,3 +695,75 @@ FROM (
 )
 GROUP BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-``k`` adjacent symbol pairs for the first BPE merge decision
+    (Sennrich et al. 2016, public): char-level symbols with an ``</w>``
+    end-of-word marker, pair counts weighted by word frequency.
+
+    The corpus is NEVER exploded to characters: pairs are enumerated
+    over the DISTINCT-word table (Zipf-small vs the corpus) and weighted
+    by the word counts — the standard trick that makes iterated BPE
+    training tractable.  Two hash aggregations + a top-k; ties at rank k
+    break (count desc, left, right) identically in the DuckDB twin, so
+    the selected set is deterministic.
+
+    Iterating to a full merge list keeps this shape: apply the winning
+    merge to the distinct-word symbol sequences (a projection) and
+    re-count — each round is one job over |vocab| rows.
+    """
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("__wc"))
+    )
+    pair = (
+        "transform(sequence(1, length(w)), i -> named_struct("
+        "'a', substring(w, i, 1), "
+        "'b', if(i < length(w), substring(w, i + 1, 1), '</w>')))"
+    )
+    return (
+        words.select(F.explode(F.expr(pair)).alias("__p"), "__wc")
+        .groupBy(
+            F.col("__p.a").alias("left"), F.col("__p.b").alias("right")
+        )
+        .agg(F.sum("__wc").alias("count"))
+        .orderBy(F.col("count").desc(), "left", "right")
+        .limit(k)
+    )
+
+
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`."""
+    return f"""
+WITH __words AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+),
+__pairs AS (
+  SELECT substring(w, u.i, 1) AS "left",
+         CASE WHEN u.i < length(w) THEN substring(w, u.i + 1, 1)
+              ELSE '</w>' END AS "right",
+         wc
+  FROM __words,
+       LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) u
+)
+SELECT "left", "right", sum(wc)::BIGINT AS count
+FROM __pairs
+GROUP BY 1, 2
+ORDER BY count DESC, "left", "right"
+LIMIT {int(k)}
+""".strip()

@@ -1185,6 +1185,15 @@ _register_pipeline(
     ["doc_id", "pred_lang"],
 )
 
+# BPE first-merge pair statistics over the distinct-word table.
+_register_pipeline(
+    "bpe_pair_counts",
+    lambda spark, sf: _text.bpe_pair_counts(load_table(spark, sf, "documents")),
+    _text.bpe_pair_counts_sql(),
+    [],
+    ["left", "right", "count"],
+)
+
 # CCNet-style bigram-LM perplexity (corpus-trained, add-1 smoothing).
 _register_pipeline(
     "text_perplexity",

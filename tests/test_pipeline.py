@@ -612,3 +612,17 @@ def test_kmeans_lloyd_step_numpy_reference(spark):
             assert n == len(members)
             assert mean == pytest.approx(
                 members[:, dim].sum() / len(members), rel=1e-12)
+
+
+def test_bpe_pair_counts_crafted(spark):
+    # "ab ab ba b": pairs (a,b)×2 + (b,</w>)×2 from "ab"; (b,a)+(a,</w>)
+    # from "ba"; (b,</w>) from "b" → (b,</w>)=3, (a,b)=2, (b,a)=1, (a,</w>)=1
+    docs = spark.createDataFrame(
+        [(1, "ab AB"), (2, "ba b")], "doc_id long, text string"
+    )
+    out = [(r["left"], r["right"], r["count"])
+           for r in text.bpe_pair_counts(docs, k=3).collect()]
+    assert out[0] == ("b", "</w>", 3)
+    assert out[1] == ("a", "b", 2)
+    # rank-3 tie between (a,</w>) and (b,a) breaks lexicographic
+    assert out[2] == ("a", "</w>", 1)

@@ -101,7 +101,9 @@ def main() -> None:
                "group_aggregate_filled", "top_series_per_bucket",
                "lttb_downsample", "join_asof", "join_asof_tolerance",
                "apply_counter_rate", "group_aggregate_percentiles",
-               "text_perplexity"]
+               "text_perplexity", "value_histogram", "metrics_correlation",
+               "events_active_users", "kmeans_lloyd_step",
+               "bpe_pair_counts"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

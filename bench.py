@@ -169,7 +169,10 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "pii_scrub", "dedup_span_coverage", "corpus_shuffle",
                  "vocab_topk", "events_props_json", "dedup_containment",
                  "text_normalize", "events_funnel", "events_retention",
-                 "corpus_length_quantiles"):
+                 "corpus_length_quantiles", "text_perplexity",
+                 "bpe_pair_counts", "events_active_users",
+                 "kmeans_lloyd_step", "join_asof", "value_histogram",
+                 "metrics_correlation"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -242,6 +242,19 @@ def text_smoke(spark, n_docs: int) -> dict:
     ).count()
     out["curate_corpus_s"] = round(time.time() - t, 2)
     out["curated_docs"] = n_kept
+    # bigram-LM perplexity: ~23 bigram instances per doc join the count
+    # tables on token keys — the heaviest text op; the point proven is
+    # that it stays join-bound (no blowup beyond the ×n_bigrams explode)
+    t = time.time()
+    _text.perplexity_scores(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["perplexity_s"] = round(time.time() - t, 2)
+    # BPE pair counts run over the DISTINCT-word table (tiny here: the
+    # synthetic pool has 1000 words) — the |vocab|-not-|corpus| claim
+    t = time.time()
+    _text.bpe_pair_counts(docs).collect()
+    out["bpe_pairs_s"] = round(time.time() - t, 2)
     return out
 
 

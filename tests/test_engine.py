@@ -531,3 +531,33 @@ def test_percentile_token_validation():
         validate_agg_func("p101")
     with pytest.raises(QueryParseError):
         validate_agg_func("pfoo")
+
+
+def test_percentile_composes_with_ga_join_and_having(spark):
+    NS = 10**9
+    rows = []
+    for m, vals in (("a", [1.0, 2.0, 3.0]), ("b", [10.0, 20.0, 30.0])):
+        rows += [(f"{m} t=x", m, {"t": "x"}, i * NS, v)
+                 for i, v in enumerate(vals)]
+    frame = spark.createDataFrame(
+        rows,
+        "series string, metric string, tags map<string,string>, "
+        "ts_ns long, value double",
+    )
+    out = execute_query(
+        spark,
+        {"group-aggregate-join": {"metric": ["a", "b"], "step": 100 * NS,
+                                  "func": "p50"},
+         "range": {"from": 0, "to": 100 * NS}},
+        frame,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["a"] == 2.0 and out[0]["b"] == 20.0
+    had = execute_query(
+        spark,
+        {"group-aggregate": {"metric": "b", "step": 100 * NS, "func": "p90"},
+         "range": {"from": 0, "to": 100 * NS},
+         "filter": {"p90": {"gt": 50}}},
+        frame,
+    ).collect()
+    assert had == []  # p90 of {10,20,30} = 28 < 50 → bucket filtered

@@ -64,7 +64,13 @@ def streaming_asof_join(
         else:
             rts, rv = None, math.nan
         out = []
-        for pdf in pdfs:
+        # One key's micro-batch rows arrive as an ITERATOR of Arrow
+        # chunks; the (ts, side) walk is order-sensitive and the SUM dup
+        # rule spans chunks, so the batch must be concatenated first.
+        # Memory = one key's slice of one micro-batch — the quantity the
+        # micro-batch interval already bounds.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
             # batch dup rule: SUM-combine per (ts, metric) before the walk
             g = pdf.groupby(["ts_ns", "metric"], as_index=False)["value"].sum()
             g["__side"] = (g["metric"] != right_metric).astype("int64")

@@ -97,3 +97,39 @@ def test_streaming_asof_tolerance_and_validation(spark, tmp_path):
             spark.readStream.schema(SCHEMA).parquet(in_dir), "L", "R",
             tolerance_ns=0,
         )
+
+
+def test_streaming_asof_group_spans_arrow_chunks(spark, tmp_path):
+    # Force one key's micro-batch slice across MANY Arrow chunks (batch
+    # size 16) with file order deliberately scrambled: the (ts, side)
+    # walk must still see the whole batch in global ts order.
+    rng = random.Random(3)
+    rows = _rows(seed=3, n_per=60)
+    scrambled = rows[:]
+    rng.shuffle(scrambled)
+    in_dir, chk = str(tmp_path / "in"), str(tmp_path / "chk")
+    os.makedirs(in_dir)
+    _write_chunk(spark, in_dir, "c0", scrambled)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(
+            os.path.join(in_dir, "*"))
+        q = (
+            streaming_asof_join(stream, "L", "R")
+            .writeStream.format("memory").queryName("asof_chunks_sink")
+            .option("checkpointLocation", chk).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r["series"], r["ts_ns"]): (r["left_value"], r["right_value"])
+        for r in spark.sql("SELECT * FROM asof_chunks_sink").collect()
+    }
+    assert got == _expected(spark, rows)

@@ -827,3 +827,112 @@ dots AS (
 )
 SELECT id_a, id_b, cosine FROM dots WHERE cosine >= {threshold}
 """.strip()
+
+
+def semantic_dedup(embs: DataFrame, nlist: int = 16,
+                   threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): bucket the corpus by coarse k-means cluster, then
+    prune, within each cluster, every vector that is near-duplicate
+    (cosine ≥ ``threshold``) of a lower-id vector.
+
+    This is the third embedding-dedup path next to the exact self-join
+    (verification-only) and the sign-LSH buckets: cluster buckets follow
+    the *density* of the embedding space, which is exactly where semantic
+    duplicates concentrate — the published method's reason for choosing
+    k-means buckets over random projections.
+
+    Keep rule: within a cluster, a vector is pruned iff SOME lower-id
+    vector in the same cluster clears the threshold — the deterministic
+    "dominated by an earlier id" rule.  (Sequential greedy — skip a
+    pruned doc when judging later ones — needs the transitive structure;
+    compose with ``cluster.connected_components`` over the surviving
+    pair list when that exact semantic is required.  The paper itself
+    keeps one arbitrary representative per near-dup set; lowest-id is
+    the engine-portable choice.)
+
+    Output: (vec_id, cid, pruned) — the full corpus with its cluster id
+    and a 0/1 prune flag (BIGINT, not BOOLEAN, so canonical-value
+    comparison treats it as the integer it is).
+
+    Scale shape: assignment is the zero-shuffle broadcast-codebook fold
+    (`similarity._assign_lists`); the pair space is Σ cluster², bounded
+    by nlist times the square of the mean cluster size — size ``nlist``
+    so clusters fit a task (the paper uses 10⁵ clusters at web scale).
+    A pathologically hot cluster is the same skew case as a hot LSH
+    bucket: split it by sub-bucketing on a second key (sign-LSH inside
+    the cluster) before pairing.  The self-join shuffles the corpus
+    twice on cid; the prune list is near-dup-sized, joined back
+    broadcast.
+    """
+    from akumuli_spark.pipeline.similarity import _assign_lists, _centroids
+
+    assigned = _assign_lists(embs, _centroids(embs, nlist)).select(
+        "vec_id", "embedding", F.col("list_id").alias("cid")
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    return (
+        assigned.join(F.broadcast(pruned), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce(F.col("__p"), F.lit(0)).cast("long").alias("pruned"),
+        )
+    )
+
+
+def semantic_dedup_sql(nlist: int = 16, threshold: float = 0.4) -> str:
+    """DuckDB twin: same seed codebook (`similarity._centroids` — the
+    nlist smallest vec_ids), same cosine-desc/cid-asc assignment order,
+    same lower-id prune rule."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH __cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+__assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         (SELECT c.cid FROM __cents c
+          ORDER BY {cos.format(a='e.embedding::DOUBLE[]', b='c.ce')} DESC, c.cid ASC
+          LIMIT 1) AS cid
+  FROM embeddings e
+),
+__pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM __assigned a JOIN __assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos.format(a='a.emb', b='b.emb')} >= {threshold}
+)
+SELECT s.vec_id, s.cid::BIGINT AS cid,
+       (CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS pruned
+FROM __assigned s LEFT JOIN __pruned p ON s.vec_id = p.vec_id
+""".strip()

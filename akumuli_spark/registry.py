@@ -2066,6 +2066,19 @@ _register_pipeline(
     ["id_a", "id_b"],
 )
 
+# SemDeDup: k-means-cluster-bucketed embedding dedup — the published
+# curation method's bucket choice (density-following clusters), third
+# path beside the exact self-join and the sign-LSH buckets.
+_register_pipeline(
+    "dedup_semantic",
+    lambda spark, sf: _dedup.semantic_dedup(
+        load_table(spark, sf, "embeddings"), nlist=16, threshold=0.4
+    ),
+    _dedup.semantic_dedup_sql(nlist=16, threshold=0.4),
+    [],
+    ["vec_id", "cid", "pruned"],
+)
+
 # apply-chain composition: eval collapses the join tuple to revenue, then
 # rate differentiates it per series (join output has unique (series, ts)
 # after pivot, so the window order is deterministic)

@@ -296,6 +296,34 @@ def test_embedding_near_dup_lsh(spark, duck, embs):
     assert lsh <= exact
 
 
+def test_semantic_dedup_oracle(spark, duck, embs):
+    out = dedup.semantic_dedup(embs, nlist=16, threshold=0.4)
+    assert_matches_oracle(out, duck, dedup.semantic_dedup_sql(16, 0.4))
+
+
+def test_semantic_dedup_crafted(spark):
+    """Planted clusters: seeds are the two smallest vec_ids ([1,0] and
+    [0,1]); near-copies of each seed must be pruned (dominated by the
+    lower id), the distinct member of cluster 2 must survive."""
+    rows = [
+        (1, [1.0, 0.0]),     # seed / cluster 1 — kept
+        (2, [0.0, 1.0]),     # seed / cluster 2 — kept
+        (3, [1.0, 0.01]),    # ~v1 → pruned
+        (4, [0.99, 0.02]),   # ~v1, ~v3 → pruned
+        (5, [0.0, 1.01]),    # ~v2 → pruned
+        (6, [0.7, 0.72]),    # cluster 2, cos(v6,v2)≈0.72 < 0.95 — kept
+    ]
+    embs6 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cid"], r["pruned"])
+        for r in dedup.semantic_dedup(embs6, nlist=2, threshold=0.95).collect()
+    }
+    assert {v for v, (_, p) in got.items() if p == 1} == {3, 4, 5}
+    assert got[6][0] == 2 and got[3][0] == 1 and got[4][0] == 1
+    # full corpus comes back exactly once each
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+
+
 def test_sessionization(spark, duck):
     from akumuli_spark.pipeline import sessions
     from akumuli_spark.sources.testdata import load_table

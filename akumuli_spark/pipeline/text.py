@@ -767,3 +767,89 @@ GROUP BY 1, 2
 ORDER BY count DESC, "left", "right"
 LIMIT {int(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# hashed linear classifier scoring (fastText / CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def classifier_score(docs: DataFrame, buckets: int = 1024,
+                     seed: str = "quality-v1") -> DataFrame:
+    """Score documents with a hashed bag-of-words linear classifier —
+    the fastText shape CCNet uses for corpus quality filtering (Wenzek
+    et al. 2020, "CCNet: Extracting high quality monolingual datasets
+    from web crawl data"; Joulin et al. 2017 for the hashing trick):
+    each token hashes to one of ``buckets`` feature buckets, the
+    document logit is the mean of its buckets' weights, the score is the
+    logistic of the logit.
+
+    The weight table here is a deterministic stand-in — weight(b) =
+    u(md5(seed ':' b))·2 − 1 ∈ [−1, 1) — because a *trained* weight
+    vector is not cross-engine reproducible; the plumbing (tokenize →
+    hash → gather weights → mean → sigmoid) is the real operator, and a
+    production model swaps the md5 expression for a lookup into a
+    broadcast weights table (≤ buckets rows) without touching the shape.
+    Same md5-to-uniform construction as ``cluster.stratified_sample``.
+
+    Output: (doc_id, n_tokens, logit, prob); empty documents score NULL
+    with n_tokens = 0.
+
+    Scale shape: a pure per-row projection (JVM higher-order functions,
+    zero shuffle, scan-bound) — the classifier-filter stage of a 100 TB
+    curation run costs one pass over the text column.
+    """
+    b = int(buckets)
+    tok_bucket = (
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % " + str(b)
+    )
+    weight = (
+        "(CAST(conv(substring(md5(concat('" + seed + "', ':', "
+        f"CAST({tok_bucket} AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+        "/ 4294967296.0D) * 2.0D - 1.0D"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.expr("filter(split(lower(text), ' '), t -> t != '')").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(__toks)").cast("long").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN size(__toks) = 0 THEN NULL ELSE "
+                f"aggregate(transform(__toks, t -> {weight}), 0.0D, (a, v) -> a + v)"
+                " / size(__toks) END"
+            ).alias("logit"),
+        )
+        .withColumn("prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))))
+    )
+
+
+def classifier_score_sql(buckets: int = 1024, seed: str = "quality-v1") -> str:
+    """DuckDB twin: identical md5 bucket/weight math; sum order differs
+    (group-agg vs array fold) — covered by canonical rounding."""
+    b = int(buckets)
+    return f"""
+WITH __toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  ) WHERE t <> ''
+),
+__wtd AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('{seed}:' ||
+             (('0x' || substr(md5(t), 1, 8))::BIGINT % {b})::VARCHAR
+           ), 1, 8))::BIGINT / 4294967296.0) * 2.0 - 1.0 AS w
+  FROM __toks
+),
+__agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w) / count(*) AS logit
+  FROM __wtd GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+       a.logit AS logit,
+       1.0 / (1.0 + exp(-a.logit)) AS prob
+FROM documents d LEFT JOIN __agg a ON d.doc_id = a.doc_id
+""".strip()

@@ -1235,6 +1235,16 @@ _register_pipeline(
     ["pred_lang", "q_decile", "n_docs", "n_tokens"],
 )
 
+# fastText/CCNet-shape hashed linear classifier scoring (deterministic
+# stand-in weights; production swaps a broadcast trained-weights table).
+_register_pipeline(
+    "text_classifier_score",
+    lambda spark, sf: _text.classifier_score(load_table(spark, sf, "documents")),
+    _text.classifier_score_sql(),
+    ["logit", "prob"],
+    ["doc_id", "n_tokens"],
+)
+
 # End-to-end curation slice: feature gate → exact dedup → deterministic
 # sample composed into one plan (single scan + one fingerprint shuffle).
 # The gates are real at these params: quality >= 0.3 drops the low tail,

@@ -324,6 +324,35 @@ def test_semantic_dedup_crafted(spark):
     assert sorted(got) == [1, 2, 3, 4, 5, 6]
 
 
+def test_classifier_score_oracle(spark, duck, docs):
+    out = text.classifier_score(docs)
+    assert_matches_oracle(out, duck, text.classifier_score_sql())
+
+
+def test_classifier_score_crafted(spark):
+    """Recompute the hashed-linear score in pure Python (hashlib) for one
+    document and pin the engine to it; empty text scores NULL."""
+    import hashlib
+    import math
+
+    def w(tok, buckets=1024, seed="quality-v1"):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+        u = int(hashlib.md5(f"{seed}:{b}".encode()).hexdigest()[:8], 16)
+        return (u / 4294967296.0) * 2.0 - 1.0
+
+    toks = ["the", "quick", "brown", "fox", "the"]
+    expect_logit = sum(w(t) for t in toks) / len(toks)
+    rows = spark.createDataFrame(
+        [(1, "the quick  brown fox the"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.classifier_score(rows).collect()}
+    assert got[1]["n_tokens"] == 5
+    assert abs(got[1]["logit"] - expect_logit) < 1e-12
+    assert abs(got[1]["prob"] - 1 / (1 + math.exp(-expect_logit))) < 1e-12
+    assert got[2]["n_tokens"] == 0 and got[2]["logit"] is None
+
+
 def test_sessionization(spark, duck):
     from akumuli_spark.pipeline import sessions
     from akumuli_spark.sources.testdata import load_table

@@ -830,7 +830,9 @@ SELECT id_a, id_b, cosine FROM dots WHERE cosine >= {threshold}
 
 
 def semantic_dedup(embs: DataFrame, nlist: int = 16,
-                   threshold: float = 0.4) -> DataFrame:
+                   threshold: float = 0.4,
+                   centroids: DataFrame | None = None,
+                   vectorized: bool = False) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication"): bucket the corpus by coarse k-means cluster, then
@@ -865,12 +867,57 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
     the cluster) before pairing.  The self-join shuffles the corpus
     twice on cid; the prune list is near-dup-sized, joined back
     broadcast.
-    """
-    from akumuli_spark.pipeline.similarity import _assign_lists, _centroids
 
-    assigned = _assign_lists(embs, _centroids(embs, nlist)).select(
+    Same production knobs as ``similarity.build_ivf_index``: pass a
+    trained ``centroids`` frame (`ivf_kmeans_centroids`) instead of the
+    deterministic seed codebook, and ``vectorized=True`` for the numpy
+    path — matmul assignment AND a per-cluster cosine *matrix* in one
+    Arrow-batched applyInPandas (the paper's actual within-cluster
+    computation; measured 20×+ at volume, tools/scale_smoke.py
+    semdedup).  Numpy sums in SIMD/pairwise order, so a cosine sitting
+    EXACTLY on the threshold can flip vs the sequential fold — last-ulp
+    only, which is why vectorized is not the oracle-audited default.
+    Per-task memory in the vectorized path is cluster_size² doubles —
+    the sub-bucketing guidance above is what bounds it.
+    """
+    from akumuli_spark.pipeline.similarity import (
+        _assign_lists, _assign_lists_vectorized, _centroids,
+    )
+
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assign = _assign_lists_vectorized if vectorized else _assign_lists
+    assigned = assign(embs, cents).select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
     )
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        def prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("vec_id")
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            sim = En @ En.T
+            # strictly-upper triangle: [i, j] = "earlier i dominates j"
+            dom = np.triu(sim >= threshold, k=1)
+            return pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cid": pdf["cid"].to_numpy().astype("int64"),
+                "pruned": dom.any(axis=0).astype("int64"),
+            })
+
+        # Fixed-width repartition on the cluster key: AQE sizes shuffle
+        # partitions by BYTES, but this stage's cost is Python compute
+        # per cluster — measured 154 s → 44 s at 500 k vectors when AQE
+        # coalesced the tiny-byte shuffle onto too few Python workers.
+        # An explicit numPartitions is exempt from AQE coalescing, and
+        # groupBy reuses the hash partitioning (no second exchange).
+        par = embs.sparkSession.sparkContext.defaultParallelism
+        return (
+            assigned.repartition(par, "cid")
+            .groupBy("cid")
+            .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
+        )
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),

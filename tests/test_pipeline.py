@@ -324,6 +324,19 @@ def test_semantic_dedup_crafted(spark):
     assert sorted(got) == [1, 2, 3, 4, 5, 6]
 
 
+def test_semantic_dedup_vectorized_matches_default(spark, embs):
+    """The numpy per-cluster-matrix path must agree with the audited
+    HOF-join path everywhere off exact-threshold ties (none in this
+    corpus)."""
+    want = sorted(
+        map(tuple, dedup.semantic_dedup(embs, 16, 0.4).collect())
+    )
+    got = sorted(
+        map(tuple, dedup.semantic_dedup(embs, 16, 0.4, vectorized=True).collect())
+    )
+    assert got == want
+
+
 def test_classifier_score_oracle(spark, duck, docs):
     out = text.classifier_score(docs)
     assert_matches_oracle(out, duck, text.classifier_score_sql())

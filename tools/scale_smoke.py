@@ -408,8 +408,59 @@ def asof_smoke(spark, n_rows: int = 10_000_000, n_series: int = 8) -> dict:
     return out
 
 
+def semdedup_smoke(spark, n_vecs: int = 500_000, nlist: int | None = None,
+                   dup_frac: int = 100) -> dict:
+    """SemDeDup at volume: every ``dup_frac``-th vector is a planted
+    near-copy of its predecessor (0.999/0.001 blend → cosine ≈ 1), the
+    rest are hash-random directions.  ``nlist`` defaults to n_vecs/200
+    so mean cluster size stays ~200 — the knob that bounds the Σcluster²
+    pair stage (the paper's 10⁵ clusters at web scale is the same rule).
+    Reports recall over the planted pairs: a planted copy is found iff
+    both ends land in one cluster, so this also measures assignment
+    stability under the vectorized (numpy-argmax) path."""
+    from akumuli_spark.pipeline.dedup import semantic_dedup
+
+    nlist = nlist or max(16, n_vecs // 200)
+    base = synthetic_embeddings(spark, n_vecs)
+    planted = (
+        "transform(sequence(0, 63), j -> CAST("
+        "0.999 * (CAST(hash(vec_id - 1, j) % 1000 AS DOUBLE) / 1000.0)"
+        " + 0.001 * (CAST(hash(vec_id, j) % 1000 AS DOUBLE) / 1000.0)"
+        " AS FLOAT))"
+    )
+    embs = base.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") % dup_frac == 1) & (F.col("vec_id") > 0),
+            F.expr(planted),
+        ).otherwise(F.col("embedding")),
+    )
+    out = {"nlist": nlist}
+    t = time.time()
+    res = semantic_dedup(embs, nlist=nlist, threshold=0.9, vectorized=True)
+    pruned = res.filter("pruned = 1")
+    n_pruned = pruned.count()
+    out["semdedup_s"] = round(time.time() - t, 2)
+    out["n_pruned"] = n_pruned
+    planted_ids = embs.filter(
+        (F.col("vec_id") % dup_frac == 1) & (F.col("vec_id") > 0)
+    ).select("vec_id")
+    n_planted = planted_ids.count()
+    hit = pruned.join(planted_ids, "vec_id").count()
+    out["planted"] = n_planted
+    out["planted_pruned"] = hit
+    out["recall"] = round(hit / max(n_planted, 1), 4)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
+        n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+        print(json.dumps(
+            {"vecs": n_vecs, "semdedup": semdedup_smoke(spark, n_vecs)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "asof":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps({"rows": n_rows, "asof": asof_smoke(spark, n_rows)}))

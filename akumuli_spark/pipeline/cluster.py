@@ -353,3 +353,94 @@ SELECT doc_id, stratum, sample_key FROM (
   FROM documents
 ) WHERE sample_key < rate
 """.strip()
+
+
+def quota_sample(docs: DataFrame, quotas: dict[str, int],
+                 stratum_col: str = "lang",
+                 n_salts: int = 32) -> DataFrame:
+    """Budgeted per-stratum curation: keep the ``quotas[stratum]`` BEST
+    documents of each stratum, ranked by the corpus quality heuristic —
+    the "take the top N per language" selection rule of mixture-budgeted
+    training runs (rank-and-cut, vs :func:`stratified_sample`'s
+    rate-based Bernoulli).
+
+    Ranking: quality desc, doc_id asc — the tie order is deterministic
+    and the quality blend evaluates in the same IEEE op order on both
+    engines, so the cut boundary is engine-stable.
+
+    Output: (doc_id, stratum, quality, rank), rank 1-based within the
+    stratum, only rows inside the quota.  Strata without a quota entry
+    are dropped.
+
+    Scale shape: a naive ``row_number() over (partition by stratum)``
+    funnels each stratum through ONE task — the biggest stratum is the
+    whole corpus in the worst case.  Two-phase instead: phase 1 ranks
+    inside (stratum, salt) sub-partitions (salt = md5(doc_id) mod
+    ``n_salts``, the engine-portable hash family) and keeps at most
+    ``quota`` rows per sub-partition, which is correct because a row
+    outside its salt's top-quota is outrank-dominated by quota rows in
+    ANY merged order; phase 2 re-ranks the ≤ n_salts·quota survivors
+    per stratum.  Per-task work is bounded by max(stratum/n_salts,
+    n_salts·quota) rows — size ``n_salts`` ~ cluster parallelism.  The
+    two phases reuse one hash partitioning family, and the result is
+    provably identical to the single-window form (the DuckDB twin IS
+    the single-window form).
+    """
+    from akumuli_spark.pipeline.text import quality_score
+
+    from pyspark.sql import Window
+
+    if not quotas:
+        raise ValueError("quotas must name at least one stratum")
+    quota_expr = F.lit(None).cast("int")
+    for k in sorted(quotas, reverse=True):
+        quota_expr = F.when(
+            F.col("stratum") == k, F.lit(int(quotas[k]))
+        ).otherwise(quota_expr)
+    scored = quality_score(docs, carry=(stratum_col,)).select(
+        "doc_id", F.col(stratum_col).alias("stratum"), "quality"
+    ).withColumn("__quota", quota_expr).filter(F.col("__quota").isNotNull())
+    salt = _shard_expr("doc_id", n_salts)
+    w1 = Window.partitionBy("stratum", "__salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= F.col("__quota"))
+    )
+    w2 = Window.partitionBy("stratum").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= F.col("__quota"))
+        .select("doc_id", "stratum", "quality", "rank")
+    )
+
+
+def quota_sample_sql(quotas: dict[str, int], stratum_col: str = "lang") -> str:
+    """DuckDB twin of :func:`quota_sample` — the single-window form the
+    two-phase plan is provably equal to."""
+    from akumuli_spark.pipeline.text import quality_score_sql
+
+    branches = " ".join(
+        f"WHEN stratum = '{k}' THEN {int(quotas[k])}"
+        for k in sorted(quotas)
+    )
+    return f"""
+WITH __q AS (
+  SELECT q.doc_id, d.{stratum_col} AS stratum, q.quality
+  FROM ({quality_score_sql()}) q JOIN documents d ON q.doc_id = d.doc_id
+),
+__ranked AS (
+  SELECT doc_id, stratum, quality,
+         row_number() OVER (
+           PARTITION BY stratum ORDER BY quality DESC, doc_id ASC
+         ) AS rank,
+         CASE {branches} ELSE NULL END AS quota
+  FROM __q
+)
+SELECT doc_id, stratum, quality, rank::BIGINT AS rank
+FROM __ranked WHERE quota IS NOT NULL AND rank <= quota
+""".strip()

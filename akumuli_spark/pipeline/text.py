@@ -81,7 +81,7 @@ FROM cands GROUP BY doc_id
 STOPWORDS = ("the", "a", "and", "of", "to", "in")
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Length / stopword / repetition heuristics:
 
     * n_words, mean_word_len
@@ -89,11 +89,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
     * uniq_ratio — distinct words / words (low ⇒ repetitive)
     * quality — fixed blend in [0, 1]: 0.5·uniq_ratio + 0.3·min(n_words,
       200)/200 + 0.2·stop_ratio
+
+    ``carry`` names extra input columns to pass through unchanged
+    (e.g. the stratum column for downstream quota ranking) — carried in
+    the same single-scan projection, not joined back.
     """
     # tokenize ONCE through a layered projection (same rationale as
     # repetition_signals: inlining split(text) into each ratio would
     # re-split the row once per feature)
-    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+    toks = docs.select(
+        "doc_id", *carry, F.split(F.col("text"), " ").alias("__ws")
+    )
     n = F.size(F.col("__ws")).cast("long")
     stops = ", ".join(f"'{s}'" for s in STOPWORDS)
     stop_ratio = F.expr(f"size(filter(__ws, t -> t IN ({stops})))") / n
@@ -108,6 +114,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return toks.select(
         "doc_id",
+        *carry,
         n.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
         stop_ratio.alias("stop_ratio"),

@@ -2066,6 +2066,20 @@ _register_pipeline(
     ["doc_id", "stratum"],
 )
 
+# rank-and-cut counterpart of the rate-based stratified sample: the top-N
+# best docs per language (quotas sized so the en cut bites mid-corpus)
+_QUOTAS = {"en": 80, "de": 40, "zh": 25}
+
+_register_pipeline(
+    "sample_quota",
+    lambda spark, sf: _cluster.quota_sample(
+        load_table(spark, sf, "documents"), _QUOTAS
+    ),
+    _cluster.quota_sample_sql(_QUOTAS),
+    ["quality"],
+    ["doc_id", "stratum", "rank"],
+)
+
 _register_pipeline(
     "dedup_embedding_lsh",
     lambda spark, sf: _dedup.embedding_near_dup_lsh(

@@ -190,3 +190,39 @@ def test_pack_sequences_sharded_budget_invariants(spark):
             packs.setdefault(r["pack_id"], []).append(r["n_tokens"])
         for toks in packs.values():
             assert sum(toks) <= budget or len(toks) == 1
+
+
+def test_quota_sample_salt_invariance_and_cut(spark):
+    """The two-phase rank must equal the single-window semantics for any
+    n_salts (n_salts=1 IS the single window), and the cut keeps exactly
+    the quota per stratum ranked by quality desc."""
+    from akumuli_spark.pipeline.cluster import quota_sample
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    quotas = {"en": 7, "de": 3}
+    base = sorted(map(tuple, quota_sample(docs, quotas, n_salts=1).collect()))
+    for n_salts in (4, 32):
+        got = sorted(
+            map(tuple, quota_sample(docs, quotas, n_salts=n_salts).collect())
+        )
+        assert got == base, f"n_salts={n_salts} diverged"
+    per = {}
+    for doc_id, stratum, quality, rank in base:
+        per.setdefault(stratum, []).append((rank, quality))
+    assert set(per) == {"en", "de"}
+    for stratum, rows in per.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, quotas[stratum] + 1))
+        quals = [q for _, q in rows]
+        assert quals == sorted(quals, reverse=True)
+
+
+def test_quota_sample_empty_quotas_raises(spark):
+    from akumuli_spark.pipeline.cluster import quota_sample
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    with pytest.raises(ValueError):
+        quota_sample(load_table(spark, SF_DIR, "documents"), {})

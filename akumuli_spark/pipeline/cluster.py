@@ -444,3 +444,83 @@ __ranked AS (
 SELECT doc_id, stratum, quality, rank::BIGINT AS rank
 FROM __ranked WHERE quota IS NOT NULL AND rank <= quota
 """.strip()
+
+
+def mixture_plan(docs: DataFrame, weights: dict[str, float],
+                 budget_tokens: int,
+                 stratum_col: str = "lang") -> DataFrame:
+    """Training-mixture planning: turn target mixture weights + a token
+    budget into per-stratum sampling rates — the static sizing step in
+    front of :func:`stratified_sample` (rates) or :func:`quota_sample`
+    (counts) when assembling a training mix ("30% en, 20% code, ...").
+
+    Per stratum named in ``weights``:
+
+    * ``avail_tokens`` — whitespace tokens available in the corpus;
+    * ``target_tokens`` — budget · weight / Σweights;
+    * ``rate`` — min(1, target/avail): the Bernoulli rate that hits the
+      target in expectation (feed straight into ``stratified_sample``);
+    * ``epochs`` — target/avail uncapped: >1 means the stratum must be
+      UPSAMPLED (repeated ~epochs times) to meet its weight, the
+      standard under-resourced-language case.
+
+    Scale shape: one low-cardinality hash agg over a single scan (the
+    tokenizing projection is per-row, map-side partials collapse the
+    shuffle to |strata|×partitions rows); the plan math is a projection
+    over |weights| rows.
+    """
+    if not weights or budget_tokens <= 0:
+        raise ValueError("weights must be non-empty and budget positive")
+    total_w = float(sum(weights.values()))
+    target = F.lit(None).cast("double")
+    for k in sorted(weights, reverse=True):
+        target = F.when(
+            F.col("stratum") == k,
+            F.lit(float(budget_tokens) * float(weights[k]) / total_w),
+        ).otherwise(target)
+    agg = (
+        docs.select(
+            F.col(stratum_col).alias("stratum"),
+            F.expr("size(split(text, ' '))").cast("long").alias("__t"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__t").cast("long").alias("avail_tokens"),
+        )
+    )
+    return (
+        agg.withColumn("target_tokens", target)
+        .filter(F.col("target_tokens").isNotNull())
+        .withColumn(
+            "epochs", F.col("target_tokens") / F.col("avail_tokens")
+        )
+        .withColumn("rate", F.least(F.lit(1.0), F.col("epochs")))
+        .select("stratum", "n_docs", "avail_tokens", "target_tokens",
+                "rate", "epochs")
+    )
+
+
+def mixture_plan_sql(weights: dict[str, float], budget_tokens: int,
+                     stratum_col: str = "lang") -> str:
+    """DuckDB twin of :func:`mixture_plan`."""
+    total_w = float(sum(weights.values()))
+    branches = " ".join(
+        f"WHEN stratum = '{k}' THEN "
+        f"{float(budget_tokens) * float(weights[k]) / total_w!r}::DOUBLE"
+        for k in sorted(weights)
+    )
+    return f"""
+WITH __agg AS (
+  SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n_docs,
+         sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+  FROM documents GROUP BY 1
+),
+__t AS (
+  SELECT *, CASE {branches} ELSE NULL::DOUBLE END AS target_tokens FROM __agg
+)
+SELECT stratum, n_docs, avail_tokens, target_tokens,
+       least(1.0::DOUBLE, target_tokens / avail_tokens) AS rate,
+       target_tokens / avail_tokens AS epochs
+FROM __t WHERE target_tokens IS NOT NULL
+""".strip()

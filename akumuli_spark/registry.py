@@ -2066,6 +2066,20 @@ _register_pipeline(
     ["doc_id", "stratum"],
 )
 
+# mixture sizing: weights + token budget → the per-language rates the
+# stratified sampler consumes ("en" under-budget, "zh" needs upsampling)
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "zh": 0.3}
+
+_register_pipeline(
+    "sample_mixture_plan",
+    lambda spark, sf: _cluster.mixture_plan(
+        load_table(spark, sf, "documents"), _MIX_WEIGHTS, budget_tokens=20_000
+    ),
+    _cluster.mixture_plan_sql(_MIX_WEIGHTS, budget_tokens=20_000),
+    ["target_tokens", "rate", "epochs"],
+    ["stratum", "n_docs", "avail_tokens"],
+)
+
 # rank-and-cut counterpart of the rate-based stratified sample: the top-N
 # best docs per language (quotas sized so the en cut bites mid-corpus)
 _QUOTAS = {"en": 80, "de": 40, "zh": 25}

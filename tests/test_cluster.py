@@ -226,3 +226,44 @@ def test_quota_sample_empty_quotas_raises(spark):
 
     with pytest.raises(ValueError):
         quota_sample(load_table(spark, SF_DIR, "documents"), {})
+
+
+def test_mixture_plan_math_and_composition(spark):
+    """Hand-check the plan math on a crafted corpus, and feed the rates
+    into stratified_sample (the composition it exists for)."""
+    from akumuli_spark.pipeline.cluster import mixture_plan, stratified_sample
+
+    rows = [
+        # 4 en docs x 10 tokens = 40 avail; 2 zh docs x 5 tokens = 10 avail
+        *[(i, " ".join(["w"] * 10), "en") for i in range(4)],
+        *[(10 + i, " ".join(["z"] * 5), "zh") for i in range(2)],
+        (99, "dropped stratum", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # budget 40, weights en=0.5/zh=0.5 → target 20 each:
+    #   en: 20/40 → rate 0.5, epochs 0.5;  zh: 20/10 → rate 1.0, epochs 2.0
+    plan = {r["stratum"]: r for r in
+            mixture_plan(docs, {"en": 0.5, "zh": 0.5}, 40).collect()}
+    assert set(plan) == {"en", "zh"}
+    assert plan["en"]["avail_tokens"] == 40 and plan["zh"]["avail_tokens"] == 10
+    assert plan["en"]["rate"] == 0.5 and plan["en"]["epochs"] == 0.5
+    assert plan["zh"]["rate"] == 1.0 and plan["zh"]["epochs"] == 2.0
+    sampled = stratified_sample(
+        docs, {s: r["rate"] for s, r in plan.items()}
+    ).collect()
+    # rate-1.0 stratum keeps everything; fr (no weight) contributes nothing
+    kept_zh = {r["doc_id"] for r in sampled if r["stratum"] == "zh"}
+    assert kept_zh == {10, 11}
+    assert all(r["stratum"] != "fr" for r in sampled)
+
+
+def test_mixture_plan_validation(spark):
+    from akumuli_spark.pipeline.cluster import mixture_plan
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {}, 100)
+    with pytest.raises(ValueError):
+        mixture_plan(docs, {"en": 1.0}, 0)

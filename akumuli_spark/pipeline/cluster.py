@@ -524,3 +524,52 @@ SELECT stratum, n_docs, avail_tokens, target_tokens,
        target_tokens / avail_tokens AS epochs
 FROM __t WHERE target_tokens IS NOT NULL
 """.strip()
+
+
+def semantic_clusters(embs: DataFrame, nlist: int = 16,
+                      threshold: float = 0.4) -> DataFrame:
+    """SemDeDup with the paper's exact keep rule: connected components
+    over the within-cluster near-dup pairs, ONE canonical survivor per
+    near-dup SET (minimum vec_id).  The flat prune flag
+    (``dedup.semantic_dedup``) can over-prune a chain A~B~C where only
+    adjacent pairs clear the threshold; the transitive form keeps A and
+    prunes exactly {B, C}.
+
+    Output: (vec_id, cluster_id, is_canonical) over the full corpus —
+    filtering to ``is_canonical`` IS the dedup.  Same pointer-jumping
+    component scheme (and scale argument) as :func:`dedup_clusters`.
+    """
+    pairs = _dedup.semantic_near_dup_pairs(
+        embs, nlist=nlist, threshold=threshold
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    nodes = embs.select(F.col("vec_id").alias("id"))
+    comp = connected_components(nodes, pairs)
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("comp") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def semantic_clusters_sql(nlist: int = 16, threshold: float = 0.4) -> str:
+    """DuckDB twin of :func:`semantic_clusters` — the recursive-CTE
+    closure over the semantic pair list (same downward-propagation prune
+    as :func:`dedup_clusters_sql`)."""
+    pairs_sql = _dedup.semantic_pairs_sql(nlist=nlist, threshold=threshold)
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(id, comp) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.id
+  WHERE r.comp < e.d
+)
+SELECT id AS vec_id, min(comp) AS cluster_id, min(comp) = id AS is_canonical
+FROM reach GROUP BY id
+""".strip()

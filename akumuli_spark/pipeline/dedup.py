@@ -983,3 +983,71 @@ SELECT s.vec_id, s.cid::BIGINT AS cid,
        (CASE WHEN p.vec_id IS NULL THEN 0 ELSE 1 END)::BIGINT AS pruned
 FROM __assigned s LEFT JOIN __pruned p ON s.vec_id = p.vec_id
 """.strip()
+
+
+def semantic_near_dup_pairs(embs: DataFrame, nlist: int = 16,
+                            threshold: float = 0.4) -> DataFrame:
+    """Within-cluster semantic near-dup PAIRS — the edge list behind
+    :func:`semantic_dedup`'s prune flag, exposed for the transitive form
+    (``cluster.semantic_clusters``: connected components → exactly one
+    survivor per near-dup SET, the SemDeDup paper's own keep rule).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, both ends assigned to
+    the same coarse cluster.  Same scale shape as the prune path: the
+    pair space is Σ cluster², never corpus².
+    """
+    from akumuli_spark.pipeline.similarity import _assign_lists, _centroids
+
+    assigned = _assign_lists(embs, _centroids(embs, nlist)).select(
+        "vec_id", "embedding", F.col("list_id").alias("cid")
+    )
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_pairs_sql(nlist: int = 16, threshold: float = 0.4) -> str:
+    """DuckDB twin of :func:`semantic_near_dup_pairs` (also the pair CTE
+    the clusters twin builds on)."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+WITH __cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {nlist})
+),
+__assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS emb,
+         (SELECT c.cid FROM __cents c
+          ORDER BY {cos.format(a='e.embedding::DOUBLE[]', b='c.ce')} DESC, c.cid ASC
+          LIMIT 1) AS cid
+  FROM embeddings e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {cos.format(a='a.emb', b='b.emb')} AS cosine
+FROM __assigned a JOIN __assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {cos.format(a='a.emb', b='b.emb')} >= {threshold}
+""".strip()

@@ -2066,6 +2066,18 @@ _register_pipeline(
     ["doc_id", "stratum"],
 )
 
+# SemDeDup with the paper's exact keep rule: components over the
+# within-cluster pair list, one canonical survivor per near-dup SET
+_register_pipeline(
+    "dedup_semantic_clusters",
+    lambda spark, sf: _cluster.semantic_clusters(
+        load_table(spark, sf, "embeddings"), nlist=16, threshold=0.4
+    ),
+    _cluster.semantic_clusters_sql(nlist=16, threshold=0.4),
+    [],
+    ["vec_id", "cluster_id", "is_canonical"],
+)
+
 # mixture sizing: weights + token budget → the per-language rates the
 # stratified sampler consumes ("en" under-budget, "zh" needs upsampling)
 _MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "zh": 0.3}

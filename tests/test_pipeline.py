@@ -337,6 +337,28 @@ def test_semantic_dedup_vectorized_matches_default(spark, embs):
     assert got == want
 
 
+def test_semantic_clusters_transitive_chain(spark):
+    """A ~0.96-cosine chain v1~v3~v7 where v1~v7 clears the threshold
+    only transitively: the flat prune drops {3, 7}; the cluster form
+    groups all three and keeps exactly the minimum id."""
+    from akumuli_spark.pipeline.cluster import semantic_clusters
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),      # second seed, own cluster
+        (3, [0.97, 0.24, 0.0]),    # cos(v1,v3)≈0.97
+        (7, [0.88, 0.47, 0.0]),    # cos(v3,v7)≈0.967, cos(v1,v7)≈0.88 < 0.95
+    ]
+    embs4 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in semantic_clusters(embs4, nlist=2, threshold=0.95).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[3] == (1, False) and got[7] == (1, False)  # transitive reach
+    assert got[2] == (2, True)
+
+
 def test_classifier_score_oracle(spark, duck, docs):
     out = text.classifier_score(docs)
     assert_matches_oracle(out, duck, text.classifier_score_sql())

@@ -104,7 +104,8 @@ def main() -> None:
                "text_perplexity", "value_histogram", "metrics_correlation",
                "events_active_users", "kmeans_lloyd_step",
                "bpe_pair_counts", "dedup_semantic", "text_classifier_score",
-               "sample_quota", "sample_mixture_plan"]
+               "sample_quota", "sample_mixture_plan",
+               "dedup_semantic_clusters"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -172,7 +172,9 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "corpus_length_quantiles", "text_perplexity",
                  "bpe_pair_counts", "events_active_users",
                  "kmeans_lloyd_step", "join_asof", "value_histogram",
-                 "metrics_correlation"):
+                 "metrics_correlation", "dedup_semantic",
+                 "dedup_semantic_clusters", "text_classifier_score",
+                 "sample_quota", "sample_mixture_plan"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -5,7 +5,9 @@ the standard corpus-curation flow —
       → quality filter          (pipeline/text.quality_score)
       → near-dup clustering     (pipeline/cluster.dedup_clusters)
       → keep canonical survivor per cluster
-      → deterministic stratified sample by language
+      → semantic dedup          (pipeline/cluster.semantic_clusters)
+      → mixture planning        (pipeline/cluster.mixture_plan)
+      → deterministic stratified sample at the planned rates
       → token-budget accounting (pipeline/text.token_counts)
 
 Every stage is a DataFrame transformation — one lazily-composed plan per
@@ -36,8 +38,10 @@ from akumuli_spark.sources.testdata import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
-#: per-language sampling rates for the target mix
-MIX = {"en": 0.8, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.3}
+#: target mixture weights + token budget — mixture_plan turns these
+#: into the per-language rates the stratified sampler consumes
+WEIGHTS = {"en": 0.5, "de": 0.15, "fr": 0.1, "es": 0.1, "zh": 0.15}
+BUDGET_TOKENS = 2_000
 
 QUALITY_FLOOR = 0.35
 
@@ -61,9 +65,21 @@ def main() -> None:
         clusters.filter("is_canonical").select("doc_id"), "doc_id"
     )
 
-    # 3. deterministic stratified sample on the *stored* language label
-    #    (swap in text.language_id(...) for unlabeled corpora)
-    sampled = cluster.stratified_sample(canonical, MIX)
+    # 3a. semantic dedup on the embedding side: prune near-copies the
+    #     text-shingle clusters cannot see (paraphrases, re-encodes)
+    embs = load_table(spark, SF_DIR, "embeddings")
+    sem = cluster.semantic_clusters(embs, nlist=16, threshold=0.4)
+    sem_keep = sem.filter("is_canonical").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    canonical = canonical.join(sem_keep, "doc_id", "left_semi")
+
+    # 3b. size the mix: token budget + target weights → per-language
+    #     rates (mixture_plan), then the deterministic stratified sample
+    #     consumes those rates verbatim
+    plan = cluster.mixture_plan(canonical, WEIGHTS, BUDGET_TOKENS)
+    rates = {r["stratum"]: r["rate"] for r in plan.collect()}
+    sampled = cluster.stratified_sample(canonical, rates)
     final = canonical.join(sampled.select("doc_id"), "doc_id")
 
     # 4. token-budget accounting for the final mix

@@ -453,8 +453,47 @@ def semdedup_smoke(spark, n_vecs: int = 500_000, nlist: int | None = None,
     return out
 
 
+def quota_smoke(spark, n_docs: int = 10_000_000, quota: int = 1000) -> dict:
+    """Quota sampling under the same 90%-hot-stratum skew as pack_smoke:
+    n_salts=1 is the textbook single-window-per-stratum plan (one task
+    ranks the whole 0.9·n_docs stratum), n_salts=32 is the two-phase
+    salted top-k.  Outputs are identical by construction (salt
+    invariance is pytest-pinned), so the wall-clock gap is pure
+    straggler removal."""
+    from akumuli_spark.pipeline.cluster import quota_sample
+
+    lang = F.when(F.col("id") % 10 < 9, F.lit("en")).otherwise(
+        F.concat(F.lit("l"), (F.col("id") % 10).cast("string"))
+    )
+    # short docs on purpose: the tokenize/quality scan is embarrassingly
+    # parallel and identical in both plans — keeping it cheap makes the
+    # wall-clock delta isolate the WINDOW's straggler, which is the
+    # thing under test
+    word = "concat('w', CAST(abs(hash(id, j)) % 5000 AS STRING))"
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        lang.alias("lang"),
+        F.expr(
+            f"array_join(transform(sequence(0, 3), j -> {word}), ' ')"
+        ).alias("text"),
+    )
+    quotas = {"en": quota, "l9": quota}
+    out = {}
+    for n_salts in (1, 32):
+        t = time.time()
+        quota_sample(docs, quotas, n_salts=n_salts).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out[f"salts_{n_salts}_s"] = round(time.time() - t, 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "quota":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps({"docs": n_docs, "quota": quota_smoke(spark, n_docs)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "semdedup":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
         print(json.dumps(

@@ -1051,3 +1051,52 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM __assigned a JOIN __assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
 WHERE {cos.format(a='a.emb', b='b.emb')} >= {threshold}
 """.strip()
+
+
+def semantic_dedup_from_index(spark, path: str,
+                              threshold: float = 0.4) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF index (`similarity.build_ivf_index`)
+    — one stored index serves both ANN probes and semantic dedup, and the
+    assignment cost (the matmul over the codebook) is amortized into the
+    index build instead of repeated per dedup run.
+
+    Reads the ``lists`` table (already partitioned by ``list_id`` on
+    disk), reuses the inverted-list id as the dedup cluster id and runs
+    the per-cluster cosine-matrix prune.  Output and keep rule are
+    exactly :func:`semantic_dedup` with ``vectorized=True`` over the
+    same codebook (pytest-pinned): (vec_id, cid, pruned).
+
+    Scale shape: one shuffle on list_id into the Python prune stage
+    (same AQE-exempt fixed-width repartition); everything upstream is a
+    columnar scan of the stored lists.  Incremental growth composes:
+    append new vectors to the lists under the frozen codebook
+    (build_ivf_index's documented contract), re-run the prune only on
+    clusters that received appends (a partition-pruned read:
+    ``lists.filter(list_id IN changed)``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lists = spark.read.parquet(f"{path}/lists")
+    assigned = lists.select(
+        "vec_id", "embedding", F.col("list_id").alias("cid")
+    )
+
+    def prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        sim = En @ En.T
+        dom = np.triu(sim >= threshold, k=1)
+        return pd.DataFrame({
+            "vec_id": pdf["vec_id"].to_numpy(),
+            "cid": pdf["cid"].to_numpy().astype("int64"),
+            "pruned": dom.any(axis=0).astype("int64"),
+        })
+
+    par = spark.sparkContext.defaultParallelism
+    return (
+        assigned.repartition(par, "cid")
+        .groupBy("cid")
+        .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
+    )

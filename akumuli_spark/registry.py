@@ -1177,6 +1177,32 @@ _register_pipeline(
     ["query_id", "neighbor_id", "rank"],
 )
 
+
+def _dedup_semantic_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup over the persisted IVF lists (per-run temp dir) —
+    one stored index serving both ANN and dedup; the oracle is the
+    direct semantic_dedup twin because the index build uses the same
+    seed codebook (default nlist) and the index is a materialization."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_semdedup_idx_{os.getpid()}"
+    )
+    _sim.build_ivf_index(
+        load_table(spark, sf, "embeddings"), path, nlist=16
+    )
+    return _dedup.semantic_dedup_from_index(spark, path, threshold=0.4)
+
+
+_register_pipeline(
+    "dedup_semantic_indexed",
+    _dedup_semantic_indexed,
+    _dedup.semantic_dedup_sql(nlist=16, threshold=0.4),
+    [],
+    ["vec_id", "cid", "pruned"],
+)
+
 _register_pipeline(
     "text_langid",
     lambda spark, sf: _text.language_id(load_table(spark, sf, "documents")),

@@ -337,6 +337,23 @@ def test_semantic_dedup_vectorized_matches_default(spark, embs):
     assert got == want
 
 
+def test_semantic_dedup_from_index_matches_direct(spark, embs, tmp_path):
+    """Dedup over the stored IVF lists must equal the direct vectorized
+    run under the same codebook (list_id IS the cluster id)."""
+    from akumuli_spark.pipeline.similarity import _centroids, build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    cents = _centroids(embs, 16)
+    build_ivf_index(embs, path, centroids=cents, vectorized=True)
+    got = sorted(map(tuple, dedup.semantic_dedup_from_index(
+        spark, path, threshold=0.4
+    ).collect()))
+    want = sorted(map(tuple, dedup.semantic_dedup(
+        embs, nlist=16, threshold=0.4, centroids=cents, vectorized=True
+    ).collect()))
+    assert got == want
+
+
 def test_semantic_clusters_transitive_chain(spark):
     """A ~0.96-cosine chain v1~v3~v7 where v1~v7 clears the threshold
     only transitively: the flat prune drops {3, 7}; the cluster form

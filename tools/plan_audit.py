@@ -105,7 +105,7 @@ def main() -> None:
                "events_active_users", "kmeans_lloyd_step",
                "bpe_pair_counts", "dedup_semantic", "text_classifier_score",
                "sample_quota", "sample_mixture_plan",
-               "dedup_semantic_clusters"]
+               "dedup_semantic_clusters", "dedup_semantic_indexed"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

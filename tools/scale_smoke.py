@@ -255,6 +255,13 @@ def text_smoke(spark, n_docs: int) -> dict:
     t = time.time()
     _text.bpe_pair_counts(docs).collect()
     out["bpe_pairs_s"] = round(time.time() - t, 2)
+    # hashed-classifier gate: two md5 evaluations per token, zero
+    # shuffles — should sit a small constant factor over the bare scan
+    t = time.time()
+    _text.classifier_score(docs).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["classifier_score_s"] = round(time.time() - t, 2)
     return out
 
 

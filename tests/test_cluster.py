@@ -267,3 +267,20 @@ def test_mixture_plan_validation(spark):
         mixture_plan(docs, {}, 100)
     with pytest.raises(ValueError):
         mixture_plan(docs, {"en": 1.0}, 0)
+
+
+def test_quota_sample_all_ties_ranks_by_doc_id(spark):
+    """Identical texts ⇒ identical quality: the (quality desc, doc_id
+    asc) order degenerates to doc_id order and the cut keeps the three
+    smallest ids — across salt widths (ties stress the dominance
+    argument's strict total order)."""
+    from akumuli_spark.pipeline.cluster import quota_sample
+
+    rows = [(i, "same text here four", "en") for i in range(10, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for n_salts in (1, 8):
+        got = sorted(
+            (r["rank"], r["doc_id"])
+            for r in quota_sample(docs, {"en": 3}, n_salts=n_salts).collect()
+        )
+        assert got == [(1, 10), (2, 11), (3, 12)], f"n_salts={n_salts}"

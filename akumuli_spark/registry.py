@@ -2700,3 +2700,41 @@ _register_meta(
     f"""WITH {_DIM_SQL}
     SELECT DISTINCT 'user' AS name FROM dim WHERE metric = 'app.error'""",
 )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog distinct sketch (operators/distinct.py):
+# md5-derived registers computed identically in both engines, so the
+# oracle matches the ESTIMATE exactly — the 100 TB count-distinct shape
+# (bounded register state, no distinct-key shuffle, mergeable by max).
+# ---------------------------------------------------------------------------
+from akumuli_spark.operators import distinct as _distinct  # noqa: E402
+
+_register_pipeline(
+    "events_distinct_users_hll",
+    lambda spark, sf: _distinct.approx_distinct(
+        load_table(spark, sf, "events"), "user_id", group_cols=("event_type",)
+    ),
+    _distinct.hll_sql(
+        "SELECT event_type, CAST(user_id AS VARCHAR) AS __v FROM events",
+        group_cols=("event_type",),
+    ),
+    ["approx_distinct"],
+    ["event_type"],
+)
+
+# Global variant over an exploded token stream: distinct-vocabulary
+# estimation without shuffling a single token string (registers only).
+_register_pipeline(
+    "text_distinct_tokens_hll",
+    lambda spark, sf: _distinct.approx_distinct(
+        load_table(spark, sf, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token")),
+        "token",
+    ),
+    _distinct.hll_sql(
+        "SELECT unnest(string_split(text, ' ')) AS __v FROM documents"
+    ),
+    ["approx_distinct"],
+    [],
+)

@@ -495,8 +495,46 @@ def quota_smoke(spark, n_docs: int = 10_000_000, quota: int = 1000) -> dict:
     return out
 
 
+def hll_smoke(spark, n_rows: int) -> dict:
+    """HLL vs exact count-distinct over n_rows values (~n_rows/2 distinct
+    after the modulus), grouped into 8 groups — the distinct-user-count
+    shape.  The claim: HLL shuffles ≤ m register rows per group per
+    partition while exact shuffles every distinct key; wall-clock and
+    the observed relative error are both reported."""
+    from akumuli_spark.operators.distinct import approx_distinct
+
+    half = n_rows // 2
+    vals = spark.range(n_rows).select(
+        (F.col("id") % 8).cast("string").alias("g"),
+        F.concat(F.lit("u"), (F.col("id") % half)).alias("v"),
+    )
+    out = {}
+    t = time.time()
+    hll = {
+        r["g"]: r["approx_distinct"]
+        for r in approx_distinct(vals, "v", ("g",), b=12).collect()
+    }
+    out["hll_b12_s"] = round(time.time() - t, 2)
+    t = time.time()
+    exact = {
+        r["g"]: r["n"]
+        for r in vals.groupBy("g")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    out["exact_s"] = round(time.time() - t, 2)
+    out["max_rel_err"] = round(
+        max(abs(hll[g] - exact[g]) / exact[g] for g in exact), 4
+    )
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "hll":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
+        print(json.dumps({"rows": n_rows, "hll": hll_smoke(spark, n_rows)}))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "quota":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps({"docs": n_docs, "quota": quota_smoke(spark, n_docs)}))

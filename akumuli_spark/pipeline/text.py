@@ -880,3 +880,93 @@ SELECT d.doc_id,
        1.0 / (1.0 + exp(-a.logit)) AS prob
 FROM documents d LEFT JOIN __agg a ON d.doc_id = a.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+#: Ranking happens on the canonically-rounded score so both engines rank
+#: the same values: mathematically-equal scores from different (tf, df)
+#: pairs (e.g. 2·ln4 vs 1·ln16) are FP-unequal in engine-specific ways,
+#: and the shared 1e-4 floor collapses them onto the term tie-break.
+#: Same constant as the registry's canonical rounding.
+_TFIDF_ROUND = "floor({x} * 10000.0 + 0.50031830988618379) / 10000.0"
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-``k`` whitespace terms by TF-IDF — the classic
+    keyword-extraction / topic-labeling feature of a curation pipeline
+    (salient terms per doc for domain tagging and diversity metrics).
+
+    score = tf · ln(N / df), ranked per doc by (rounded score desc,
+    term asc); output (doc_id, term, tf, score, rank), rank ≤ k.
+
+    Scale shape: per-doc term counts come from the same one-scan
+    JVM-side projection as :func:`vocab_topk` (no explode shuffle);
+    ``df`` is a two-phase agg over that frame (map-side partials cap
+    the shuffle at vocab × partitions); the join back is an equi-join
+    on ``term`` (AQE broadcasts when the vocabulary is small); the
+    final window partitions by ``doc_id`` where per-partition work is
+    bounded by words-per-doc.  N arrives as a broadcast one-row frame,
+    never a driver round-trip.
+    """
+    from pyspark.sql import Window
+
+    per_doc = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(array_distinct(__ws), t -> "
+                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
+            )
+        ).alias("tc"),
+    ).select(
+        "doc_id",
+        F.col("tc.term").alias("term"),
+        F.col("tc.cnt").cast("long").alias("tf"),
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
+    n = docs.agg(F.count("*").alias("__n"))
+    raw = F.col("tf") * F.log(F.col("__n") / F.col("__df"))
+    # cast: Spark types floor(double)/10000.0 as BIGINT/DECIMAL → DECIMAL
+    score = F.expr(_TFIDF_ROUND.format(x="__raw")).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        per_doc.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__raw", raw)
+        .select("doc_id", "term", "tf", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def tfidf_topk_sql(k: int = 3) -> str:
+    rnd = _TFIDF_ROUND.format(x="tf * ln(CAST(__n AS DOUBLE) / __df)")
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS __df FROM per_doc GROUP BY term),
+n AS (SELECT count(*) AS __n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, {rnd} AS score
+  FROM per_doc JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {int(k)}
+""".strip()

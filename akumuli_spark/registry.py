@@ -2738,3 +2738,14 @@ _register_pipeline(
     ["approx_distinct"],
     [],
 )
+
+# TF-IDF keyword extraction: per-doc top-k salient terms, ranked on the
+# canonically-rounded score so FP-equal-but-bitwise-different scores
+# collapse onto the term tie-break identically in both engines.
+_register_pipeline(
+    "text_tfidf_topk",
+    lambda spark, sf: _text.tfidf_topk(load_table(spark, sf, "documents"), k=3),
+    _text.tfidf_topk_sql(k=3),
+    ["score"],
+    ["doc_id", "term", "tf", "rank"],
+)

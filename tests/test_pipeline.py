@@ -735,3 +735,38 @@ def test_bpe_pair_counts_crafted(spark):
     assert out[1] == ("a", "b", 2)
     # rank-3 tie between (a,</w>) and (b,a) breaks lexicographic
     assert out[2] == ("a", "</w>", 1)
+
+
+def test_tfidf_crafted(spark):
+    """Hand-computed TF-IDF on a 4-doc corpus: 'rare' appears twice in
+    one doc only (tf=2, df=1 → 2·ln4 ≈ 2.7726); 'common' is in all four
+    (idf=0); rank breaks the idf=0 tie alphabetically."""
+    import math
+
+    from akumuli_spark.pipeline import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common alpha"),
+            (2, "common beta alpha"),
+            (3, "common beta"),
+            (4, "common alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score"], r["rank"])
+        for r in text.tfidf_topk(docs, k=2).collect()
+    }
+    tf, score, rank = out[(1, "rare")]
+    assert (tf, rank) == (2, 1)
+    assert abs(score - 2 * math.log(4)) < 1e-3
+    # doc 1's runner-up: alpha (df=3, ln(4/3)·1) beats common (idf=0)
+    assert out[(1, "alpha")][2] == 2
+    # doc 3: beta (df=2) then common (df=4, score 0 still ranked)
+    assert out[(3, "beta")][2] == 1
+    assert out[(3, "common")] == (1, 0.0, 2)
+    # k cut: no doc emits more than 2 rows
+    from collections import Counter
+
+    assert max(Counter(d for d, _ in out).values()) == 2

@@ -106,7 +106,8 @@ def main() -> None:
                "bpe_pair_counts", "dedup_semantic", "text_classifier_score",
                "sample_quota", "sample_mixture_plan",
                "dedup_semantic_clusters", "dedup_semantic_indexed",
-               "events_distinct_users_hll", "text_distinct_tokens_hll"]
+               "events_distinct_users_hll", "text_distinct_tokens_hll",
+               "text_tfidf_topk"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

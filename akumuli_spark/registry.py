@@ -2749,3 +2749,61 @@ _register_pipeline(
     ["score"],
     ["doc_id", "term", "tf", "rank"],
 )
+
+
+# Bucketized interval (range) join: error events open 30-min windows,
+# purchase samples land in every window containing them, aggregated per
+# window.  The DuckDB twin is the plain inequality join (IEJoin) — the
+# bucketization is pair-exact, so the two must agree row-for-row.
+def _join_interval(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.interval import interval_join
+    from akumuli_spark.sources.testdata import ts_ns_expr
+
+    ev = load_table(spark, sf, "events")
+    win_ns = 30 * 60 * NS
+    iv = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        ts_ns_expr(ev).alias("start_ns"),
+        (ts_ns_expr(ev) + F.lit(win_ns)).alias("end_ns"),
+    )
+    s = (
+        app_metrics_view(spark, sf)
+        .where(F.col("metric") == "app.purchase")
+        .select("ts_ns", "value")
+    )
+    return (
+        interval_join(s, iv, bucket_ns=win_ns)
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+def _join_interval_oracle() -> str:
+    from akumuli_spark.operators.interval import interval_join_sql
+
+    win_ns = 30 * 60 * NS
+    inner = interval_join_sql(
+        "s AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events "
+        "WHERE event_type = 'purchase')",
+        f"iv AS (SELECT event_id AS interval_id, epoch_ns(ts) AS start_ns, "
+        f"epoch_ns(ts) + {win_ns} AS end_ns FROM events "
+        f"WHERE event_type = 'error')",
+        "s", "iv",
+        select="i.interval_id, s.value",
+    )
+    return (
+        "SELECT interval_id, count(*) AS n_samples, avg(value) AS avg_value "
+        f"FROM (\n{inner}\n) __iv GROUP BY interval_id"
+    )
+
+
+_register_pipeline(
+    "join_interval",
+    _join_interval,
+    _join_interval_oracle(),
+    ["avg_value"],
+    ["interval_id", "n_samples"],
+)

@@ -1,0 +1,72 @@
+"""Bucketized interval join: boundary semantics, multi-bucket spans,
+bucket-width invariance, overlap fan-out."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.operators.interval import interval_join
+
+
+def _samples(spark, tss):
+    return spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(tss)], "ts_ns long, value double"
+    )
+
+
+def _intervals(spark, spans):
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(spans)],
+        "interval_id long, start_ns long, end_ns long",
+    )
+
+
+def _pairs(spark, tss, spans, bucket_ns):
+    out = interval_join(
+        _samples(spark, tss), _intervals(spark, spans), bucket_ns
+    )
+    return sorted((r["ts_ns"], r["interval_id"]) for r in out.collect())
+
+
+def test_semi_open_boundaries(spark):
+    # start inclusive, end exclusive — the engine's range contract
+    got = _pairs(spark, [100, 199, 200], [(100, 200)], bucket_ns=50)
+    assert got == [(100, 0), (199, 0)]
+
+
+def test_interval_spanning_many_buckets(spark):
+    # span 10 buckets: every in-range sample found exactly once
+    tss = list(range(0, 1000, 37))
+    got = _pairs(spark, tss, [(111, 888)], bucket_ns=100)
+    want = sorted((t, 0) for t in tss if 111 <= t < 888)
+    assert got == want
+
+
+@pytest.mark.parametrize("bucket_ns", [1, 7, 100, 10_000])
+def test_bucket_width_invariance(spark, bucket_ns):
+    tss = [5, 50, 123, 124, 125, 400, 999]
+    spans = [(50, 125), (120, 130), (124, 124), (990, 10_000)]
+    got = _pairs(spark, tss, spans, bucket_ns)
+    want = sorted(
+        (t, i)
+        for t in tss
+        for i, (a, b) in enumerate(spans)
+        if a <= t < b
+    )
+    assert got == want
+
+
+def test_overlapping_intervals_fan_out(spark):
+    # one sample inside three overlapping windows → three pairs
+    got = _pairs(spark, [500], [(0, 1000), (400, 600), (499, 501)], 250)
+    assert got == [(500, 0), (500, 1), (500, 2)]
+
+
+def test_empty_and_inverted_intervals_dropped(spark):
+    got = _pairs(spark, [10], [(10, 10), (20, 5)], 4)
+    assert got == []
+
+
+def test_bucket_ns_validation(spark):
+    with pytest.raises(ValueError):
+        interval_join(_samples(spark, [1]), _intervals(spark, [(0, 1)]), 0)

@@ -392,3 +392,173 @@ SELECT doc_id,
        'fake-rgb' AS format
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages (the post-decode half of the pipeline)
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in pixel generator (the codec-less analogue of a
+#: decoded pixel array): pixel(x, y) = (31·x + 17·y + n_bytes) mod 256.
+#: The RESIZE math downstream of it is real (materialized numpy source
+#: grid, nearest-neighbor gather) and the oracle replays the generator
+#: arithmetically, so a resampling-index regression breaks the hash.
+_PX = "(31 * {x} + 17 * {y} + {n}) % 256"
+
+
+def resize_images(payloads: DataFrame, out_w: int = 8,
+                  out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor thumbnail stage: (doc_id, payload) → per-doc
+    resized-grid statistics.
+
+    Real parts: header parse (:func:`decode_header`), source-grid
+    materialization (h×w uint8 numpy array per image — the batch/memory
+    shape a codec hands back), and the resample itself
+    (``src = floor(dst · src_dim / dst_dim)`` gather).  Only the pixel
+    VALUES come from the deterministic stand-in generator above — the
+    sanctioned fake for this codec-less container.
+
+    Output: (doc_id, src_w, src_h, px_sum, px_mean) where px_* are over
+    the out_w×out_h resized grid.  Arrow-batched mapInPandas, zero
+    shuffles — at 100 TB this scales with the payload scan exactly like
+    the decode stage."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dims must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                n_bytes, w, h, _, _ = decode_header(p)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                ys = (17 * np.arange(h, dtype=np.int64)) % 256
+                src = ((ys[:, None] + xs[None, :]) + n_bytes) % 256
+                sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                dst = src[np.ix_(sy, sx)]
+                s = int(dst.sum())
+                rows.append((w, h, s, s / float(out_w * out_h)))
+            out = pd.DataFrame(
+                rows, columns=["src_w", "src_h", "px_sum", "px_mean"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel,
+        schema="doc_id long, src_w long, src_h long, px_sum long, px_mean double",
+    )
+
+
+def resize_images_sql(out_w: int = 8, out_h: int = 8) -> str:
+    """Oracle twin over the synth-BMP corpus: replays dims + generator +
+    nearest-neighbor indices on an (out_w × out_h) grid arithmetically."""
+    px = _PX.format(x="((gx.x * w) // {w})".format(w=out_w),
+                    y="((gy.y * h) // {h})".format(h=out_h),
+                    n="n_bytes")
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         (54 + octet_length(encode(text)))::BIGINT AS n_bytes,
+         (64 + octet_length(encode(text)) % 577)::BIGINT AS w,
+         (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS h
+  FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h, sum({px})::BIGINT AS px_sum
+  FROM dims,
+       (SELECT unnest(range(0, {out_w})) AS x) gx,
+       (SELECT unnest(range(0, {out_h})) AS y) gy
+  GROUP BY doc_id, w, h
+)
+SELECT doc_id, w AS src_w, h AS src_h, px_sum,
+       px_sum / {float(out_w * out_h)} AS px_mean
+FROM grid
+""".strip()
+
+
+def sample_audio_frames(payloads: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame-sampling stage for WAV payloads: walk the real RIFF header
+    (rate / bits / channels → frame size), then sample every
+    ``stride``-th frame of the data chunk and report first-byte
+    statistics — the plumbing shape of audio feature extraction (the
+    per-frame kernel is where a real featurizer would drop in).
+
+    Output: (doc_id, n_frames, n_sampled, frame_mean).  Frames are
+    ``channels · bits/8`` bytes; a truncated trailing frame is ignored,
+    and docs whose data chunk holds no complete frame report 0/0/NULL.
+    """
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                meta = _parse_wav(p)
+                if meta is None:
+                    rows.append((0, 0, None))
+                    continue
+                _, _, bits, n_ch, _ = meta
+                body = p[_WAV_HEADER_LEN_LOCAL:]
+                fs = max(1, n_ch * bits // 8)
+                n_frames = len(body) // fs
+                if n_frames == 0:
+                    rows.append((0, 0, None))
+                    continue
+                vals = np.frombuffer(body, dtype=np.uint8)[
+                    0 : n_frames * fs : fs * stride
+                ]
+                rows.append(
+                    (n_frames, len(vals), float(vals.mean()))
+                )
+            out = pd.DataFrame(
+                rows, columns=["n_frames", "n_sampled", "frame_mean"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames long, n_sampled long, frame_mean double",
+    )
+
+
+#: synth-WAV data chunk starts right after the fixed 44-byte prefix
+_WAV_HEADER_LEN_LOCAL = 12 + 8 + 16 + 8
+
+
+def sample_audio_frames_sql(stride: int = 4) -> str:
+    """Oracle twin over the synth-WAV corpus (ASCII text asserted by the
+    testdata schema test, so byte k of the body = ascii(substr(text)))."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text))::BIGINT AS n,
+         (1 + octet_length(encode(text)) % 2)
+           * (1 + octet_length(encode(text)) % 3) AS fs
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, n // fs AS n_frames, fs, text
+  FROM dims
+),
+sampled AS (
+  SELECT doc_id, n_frames, fs, text,
+         unnest(range(0, n_frames, {int(stride)})) AS j
+  FROM frames WHERE n_frames > 0
+),
+agg AS (
+  SELECT doc_id, n_frames, count(*)::BIGINT AS n_sampled,
+         avg(ascii(substr(text, (j * fs + 1)::INT, 1))) AS frame_mean
+  FROM sampled GROUP BY doc_id, n_frames
+)
+SELECT doc_id, n_frames, n_sampled, frame_mean FROM agg
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, NULL::DOUBLE
+FROM frames WHERE n_frames = 0
+""".strip()

@@ -2807,3 +2807,29 @@ _register_pipeline(
     ["avg_value"],
     ["interval_id", "n_samples"],
 )
+
+
+# Post-decode multimodal stages: nearest-neighbor resize over a
+# materialized source grid (values from the documented deterministic
+# generator; dims + resample indices replayed arithmetically by the
+# oracle) and WAV frame sampling (real RIFF header walk; sampled-byte
+# stats replayed via ascii(substr) on the ASCII corpus).
+_register_pipeline(
+    "multimodal_resize",
+    lambda spark, sf: _mm.resize_images(
+        _mm.synth_bmp_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.resize_images_sql(),
+    ["px_mean"],
+    ["doc_id", "src_w", "src_h", "px_sum"],
+)
+
+_register_pipeline(
+    "multimodal_frame_sample",
+    lambda spark, sf: _mm.sample_audio_frames(
+        _mm.synth_wav_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.sample_audio_frames_sql(),
+    ["frame_mean"],
+    ["doc_id", "n_frames", "n_sampled"],
+)

@@ -770,3 +770,58 @@ def test_tfidf_crafted(spark):
     from collections import Counter
 
     assert max(Counter(d for d, _ in out).values()) == 2
+
+
+def test_resize_images_crafted(spark):
+    """Hand-computed nearest-neighbor resize of a real 4x2 BMP payload:
+    the kernel must parse the genuine header, materialize the generator
+    grid, and gather src = floor(dst*src/dst) indices."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    w, h, body = 4, 2, b"xx"
+    hdr = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    payloads = spark.createDataFrame(
+        [(1, bytearray(hdr + body))], "doc_id long, payload binary"
+    )
+    (r,) = mm.resize_images(payloads, out_w=2, out_h=2).collect()
+    n = 54 + len(body)
+    src = np.array(
+        [[(31 * x + 17 * y + n) % 256 for x in range(w)] for y in range(h)]
+    )
+    want = src[np.ix_([0, 1], [0, 2])]  # sy=floor(y*2/2), sx=floor(x*4/2)
+    assert (r["src_w"], r["src_h"]) == (w, h)
+    assert r["px_sum"] == int(want.sum())
+    assert abs(r["px_mean"] - want.mean()) < 1e-12
+
+
+def test_sample_audio_frames_crafted(spark):
+    """Synth WAV over known text: frame size from the real header walk,
+    stride-4 sampling, trailing partial frame ignored."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    text = "abcdefghijklmnopqrstu"  # n=21: fs=(1+1)*(1+0)=2, 10 frames
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    (r,) = mm.sample_audio_frames(
+        mm.synth_wav_payloads(docs), stride=4
+    ).collect()
+    assert (r["n_frames"], r["n_sampled"]) == (10, 3)
+    # sampled frames 0,4,8 → body bytes 0,8,16 → 'a','i','q'
+    want = (ord("a") + ord("i") + ord("q")) / 3.0
+    assert abs(r["frame_mean"] - want) < 1e-12
+
+
+def test_sample_audio_frames_no_complete_frame(spark):
+    from akumuli_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    # n=1: fs=(1+1%2)*(1+1%3)=2*2=4 > 1 byte → zero frames, NULL mean
+    (r,) = mm.sample_audio_frames(mm.synth_wav_payloads(docs)).collect()
+    assert (r["n_frames"], r["n_sampled"], r["frame_mean"]) == (0, 0, None)

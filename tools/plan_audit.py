@@ -107,7 +107,8 @@ def main() -> None:
                "sample_quota", "sample_mixture_plan",
                "dedup_semantic_clusters", "dedup_semantic_indexed",
                "events_distinct_users_hll", "text_distinct_tokens_hll",
-               "text_tfidf_topk", "join_interval"]
+               "text_tfidf_topk", "join_interval",
+               "multimodal_resize", "multimodal_frame_sample"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

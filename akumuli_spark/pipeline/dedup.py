@@ -1100,3 +1100,63 @@ def semantic_dedup_from_index(spark, path: str,
         .groupBy("cid")
         .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
     )
+
+
+def exact_duplicates_keep_best(scored: DataFrame,
+                               score_col: str = "quality") -> DataFrame:
+    """Survivorship-policy exact dedup: keep the BEST-scoring copy of
+    each distinct text instead of the smallest id — the Dolma /
+    RefinedWeb-style rule when duplicates differ in extraction quality.
+
+    ``scored`` must carry (doc_id, text, score_col).  Winner = highest
+    score, ties to the smallest doc_id; the comparison happens on the
+    canonically-rounded score (engine-portable — two mathematically
+    equal scores reached by different FP paths round identically, so
+    the Spark argmax and the oracle's window agree on the survivor).
+
+    One shuffle on the md5 fingerprint via a struct-argmax aggregate —
+    deliberately NOT a window: a window would sort every group, the
+    struct-max folds map-side like any other agg.  Output:
+    (fingerprint, keep_id, keep_score, n_copies).
+    """
+    rounded = F.expr(
+        f"floor(`{score_col}` * 10000.0 + 0.50031830988618379) / 10000.0"
+    ).cast("double")
+    pick = F.max(
+        F.struct(
+            rounded.alias("s"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    return (
+        scored.select(
+            F.md5(F.col("text")).alias("fingerprint"), "doc_id",
+            F.col(score_col),
+        )
+        .groupBy("fingerprint")
+        .agg(pick.alias("__p"), F.count(F.lit(1)).cast("long").alias("n_copies"))
+        .select(
+            "fingerprint",
+            (-F.col("__p.nid")).alias("keep_id"),
+            F.col("__p.s").alias("keep_score"),
+            "n_copies",
+        )
+    )
+
+
+def exact_keep_best_sql(scored_cte: str, score_col: str = "quality") -> str:
+    """Oracle twin: window argmax over the same rounded score.
+
+    ``scored_cte`` must define a CTE named ``scored`` with
+    (doc_id, text, score_col)."""
+    rnd = (f'floor("{score_col}" * 10000.0 + 0.50031830988618379) / 10000.0')
+    return f"""
+WITH {scored_cte}
+SELECT fingerprint, keep_id, keep_score, n_copies FROM (
+  SELECT md5(text) AS fingerprint, doc_id AS keep_id,
+         {rnd} AS keep_score,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY {rnd} DESC, doc_id ASC) AS __rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+  FROM scored
+) WHERE __rn = 1
+""".strip()

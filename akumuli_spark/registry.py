@@ -2833,3 +2833,30 @@ _register_pipeline(
     ["frame_mean"],
     ["doc_id", "n_frames", "n_sampled"],
 )
+
+
+# Survivorship-policy dedup: best-quality copy survives (score ties →
+# smallest id), argmax as a struct-max aggregate rather than a window.
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # carry=("text",) keeps scoring + fingerprinting in ONE scan — no
+    # join back to re-fetch the text column
+    scored = _text.quality_score(docs, carry=("text",))
+    return _dedup.exact_duplicates_keep_best(scored)
+
+
+_register_pipeline(
+    "dedup_exact_keep_best",
+    _dedup_keep_best,
+    _dedup.exact_keep_best_sql(
+        "scored AS (\n"
+        "  SELECT doc_id, text,\n"
+        "         0.5 * (len(list_distinct(ws)) * 1.0 / len(ws))\n"
+        "           + 0.3 * (least(len(ws), 200) / 200.0)\n"
+        "           + 0.2 * (len(list_filter(ws, w -> w IN ({stops}))) * 1.0 / len(ws)) AS quality\n"
+        "  FROM (SELECT doc_id, text, string_split(text, ' ') ws FROM documents)\n"
+        ")".format(stops=", ".join("'" + w + "'" for w in _text.STOPWORDS))
+    ),
+    ["keep_score"],
+    ["fingerprint", "keep_id", "n_copies"],
+)

@@ -174,7 +174,9 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "kmeans_lloyd_step", "join_asof", "value_histogram",
                  "metrics_correlation", "dedup_semantic",
                  "dedup_semantic_clusters", "text_classifier_score",
-                 "sample_quota", "sample_mixture_plan"):
+                 "sample_quota", "sample_mixture_plan",
+                 "events_distinct_users_hll", "text_tfidf_topk",
+                 "join_interval", "multimodal_resize"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -70,3 +70,49 @@ def test_empty_and_inverted_intervals_dropped(spark):
 def test_bucket_ns_validation(spark):
     with pytest.raises(ValueError):
         interval_join(_samples(spark, [1]), _intervals(spark, [(0, 1)]), 0)
+
+
+def test_stream_static_interval_join_matches_batch(spark, tmp_path):
+    """interval_join is a plain equi-join + filter, so it runs unchanged
+    as a stream-static join — streamed samples against a static interval
+    table must produce exactly the batch pairs across micro-batch splits
+    (the streaming-enrichment deployment shape)."""
+    import os
+
+    tss = [5, 50, 123, 124, 125, 400, 999]
+    spans = [(50, 125), (120, 130), (990, 10_000)]
+    samples = _samples(spark, tss)
+    intervals = _intervals(spark, spans)
+    want = sorted(
+        (r["ts_ns"], r["interval_id"])
+        for r in interval_join(samples, intervals, 100).collect()
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    rows = [(t, float(i)) for i, t in enumerate(tss)]
+    for i, cut in enumerate([(0, 2), (2, 3), (3, 7)]):
+        spark.createDataFrame(
+            rows[cut[0]:cut[1]], "ts_ns long, value double"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"c{i}"))
+
+    stream = (
+        spark.readStream.schema("ts_ns long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = (
+        interval_join(stream, intervals, 100)
+        .writeStream.format("memory").queryName("iv_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["ts_ns"], r["interval_id"])
+        for r in spark.sql("select * from iv_sink").collect()
+    )
+    assert got == want and len(want) == 7

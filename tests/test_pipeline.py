@@ -825,3 +825,24 @@ def test_sample_audio_frames_no_complete_frame(spark):
     # n=1: fs=(1+1%2)*(1+1%3)=2*2=4 > 1 byte → zero frames, NULL mean
     (r,) = mm.sample_audio_frames(mm.synth_wav_payloads(docs)).collect()
     assert (r["n_frames"], r["n_sampled"], r["frame_mean"]) == (0, 0, None)
+
+
+def test_dedup_keep_best_crafted(spark):
+    """Three copies of one text with distinct scores: the highest-score
+    copy survives; exact score ties fall to the smallest doc_id."""
+    from akumuli_spark.pipeline.dedup import exact_duplicates_keep_best
+
+    rows = [
+        (1, "same text", 0.2),
+        (2, "same text", 0.9),
+        (3, "same text", 0.9),   # tie with 2 → 2 wins
+        (9, "other", 0.5),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, text string, quality double"
+    )
+    got = {
+        r["keep_id"]: (r["n_copies"], r["keep_score"])
+        for r in exact_duplicates_keep_best(scored).collect()
+    }
+    assert got == {2: (3, 0.9), 9: (1, 0.5)}

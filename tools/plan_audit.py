@@ -108,7 +108,8 @@ def main() -> None:
                "dedup_semantic_clusters", "dedup_semantic_indexed",
                "events_distinct_users_hll", "text_distinct_tokens_hll",
                "text_tfidf_topk", "join_interval",
-               "multimodal_resize", "multimodal_frame_sample"]
+               "multimodal_resize", "multimodal_frame_sample",
+               "dedup_exact_keep_best"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -114,3 +114,40 @@ def test_b_validation(spark):
     for bad in (0, 3, 6, 20):
         with pytest.raises(ValueError):
             hll_registers(df, "v", b=bad)
+
+
+def test_streaming_registers_match_batch(spark, tmp_path):
+    """hll_registers is a plain stateful agg, so it runs unchanged over
+    a stream (complete mode): after all micro-batches the register table
+    must equal the batch sketch — the bounded-state (≤ m rows per group)
+    streaming distinct-count story."""
+    import os
+
+    rows = [(f"u{i % 700}",) for i in range(2_000)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, cut in enumerate([(0, 300), (300, 1100), (1100, 2000)]):
+        spark.createDataFrame(rows[cut[0]:cut[1]], "v string").coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"c{i}"))
+
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = (
+        hll_registers(stream, "v")
+        .writeStream.format("memory").queryName("hll_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql("select * from hll_sink").collect()))
+    want = sorted(
+        map(tuple, hll_registers(spark.createDataFrame(rows, "v string"), "v").collect())
+    )
+    assert got == want and len(got) <= 256

@@ -529,8 +529,52 @@ def hll_smoke(spark, n_rows: int) -> dict:
     return out
 
 
+def interval_smoke(spark, n_samples: int, n_intervals: int) -> dict:
+    """Bucketized interval join at scale: n_samples over a 10⁷-bucket
+    timeline × n_intervals windows of ~3-bucket span, vs the naive
+    inequality join (broadcast-nested-loop) at 1% size — the quadratic
+    shape the bucketization replaces."""
+    from akumuli_spark.operators.interval import interval_join
+
+    bn = 1000
+    samples = spark.range(n_samples).select(
+        (F.col("id") * 997 % (10_000_000 * bn)).alias("ts_ns"),
+        F.col("id").cast("double").alias("value"),
+    )
+    iv = spark.range(n_intervals).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 99_991 % (10_000_000 * bn)).alias("start_ns"),
+    ).withColumn("end_ns", F.col("start_ns") + (F.col("interval_id") % 3000) + 1)
+    out = {}
+    t = time.time()
+    n_pairs = interval_join(samples, iv, bn).count()
+    out["bucketized_s"] = round(time.time() - t, 2)
+    out["n_pairs"] = n_pairs
+    small_s = samples.limit(n_samples // 100)
+    small_i = iv.limit(n_intervals // 100)
+    t = time.time()
+    naive = small_s.join(
+        F.broadcast(small_i),
+        (F.col("ts_ns") >= F.col("start_ns")) & (F.col("ts_ns") < F.col("end_ns")),
+    ).count()
+    out["naive_1pct_s"] = round(time.time() - t, 2)
+    t = time.time()
+    buck = interval_join(small_s, small_i, bn).count()
+    out["bucketized_1pct_s"] = round(time.time() - t, 2)
+    assert naive == buck, (naive, buck)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "interval":
+        n_s = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        n_i = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
+        print(json.dumps(
+            {"samples": n_s, "intervals": n_i,
+             "interval": interval_smoke(spark, n_s, n_i)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "hll":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
         print(json.dumps({"rows": n_rows, "hll": hll_smoke(spark, n_rows)}))

@@ -334,3 +334,61 @@ wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1)
 SELECT d.day, d.dau, wau.wau, d.dau * 1.0 / wau.wau AS stickiness
 FROM dau d JOIN wau USING (day)
 """.strip()
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Markov transition matrix over the event stream: counts (and
+    conditional probabilities) of consecutive event-type pairs per user
+    — the aggregate complement of :func:`funnel` (which tracks ONE
+    ordered path; this surfaces all observed next-step behavior).
+
+    Consecutive = by (ts, event_id) within a user — event_id breaks
+    timestamp ties deterministically, so both engines see the same
+    sequence.  Output: (from_type, to_type, n_transitions, prob) with
+    prob = P(to | from) over observed transitions.
+
+    Scale shape: one shuffle on user_id for the lead() window (the
+    natural partition key; per-user sequences are short), then a
+    low-cardinality (type × type) agg whose map-side partials collapse
+    the second shuffle; the per-from totals ride a tiny broadcast join,
+    never a second pass."""
+    from ..sources.testdata import ts_ns_expr
+
+    proj = events.select(
+        "user_id", "event_id",
+        F.col("event_type").alias("from_type"),
+        ts_ns_expr(events).alias("__ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__ts", "event_id")
+    pairs = proj.select(
+        "from_type", F.lead("from_type").over(w).alias("to_type")
+    ).where(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("__total")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type", "to_type", "n_transitions",
+        (F.col("n_transitions") / F.col("__total")).alias("prob"),
+    )
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id) AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       n_transitions * 1.0
+         / sum(n_transitions) OVER (PARTITION BY from_type) AS prob
+FROM counts
+""".strip()

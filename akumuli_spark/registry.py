@@ -2860,3 +2860,15 @@ _register_pipeline(
     ["keep_score"],
     ["fingerprint", "keep_id", "n_copies"],
 )
+
+
+# Markov transition matrix over the event stream — the aggregate
+# complement of the funnel entry; (ts, event_id) ordering makes the
+# per-user sequence deterministic across engines.
+_register_pipeline(
+    "events_transitions",
+    lambda spark, sf: _sessions.event_transitions(load_table(spark, sf, "events")),
+    _sessions.event_transitions_sql(),
+    ["prob"],
+    ["from_type", "to_type", "n_transitions"],
+)

@@ -846,3 +846,37 @@ def test_dedup_keep_best_crafted(spark):
         for r in exact_duplicates_keep_best(scored).collect()
     }
     assert got == {2: (3, 0.9), 9: (1, 0.5)}
+
+
+def test_event_transitions_crafted(spark):
+    """Two users with timestamp ties: sequence order is (ts, event_id),
+    transitions never cross users, probs sum to 1 per from_type."""
+    from datetime import datetime
+
+    from akumuli_spark.pipeline.sessions import event_transitions
+
+    t = datetime(2024, 1, 1)
+    t2 = datetime(2024, 1, 1, 0, 1)
+    rows = [
+        # user 1: a -> b -> b (tie at t2 broken by event_id 2 < 3)
+        (1, t, 1, "a", 0.0, ""),
+        (3, t2, 1, "b", 0.0, ""),
+        (2, t2, 1, "b", 0.0, ""),
+        # user 2: b -> a (no cross-user a->b link from user 1's tail)
+        (4, t, 2, "b", 0.0, ""),
+        (5, t2, 2, "a", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 1.0),
+        ("b", "b"): (1, 0.5),
+        ("b", "a"): (1, 0.5),
+    }

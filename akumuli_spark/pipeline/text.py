@@ -970,3 +970,183 @@ ranked AS (
 SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {int(k)}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection)
+# ---------------------------------------------------------------------------
+
+#: hashed n-gram features: unigrams plus word bigrams ("w1 w2"), the
+#: feature set of the DSIR paper.  Bigram construction guards the
+#: size<2 case because Spark's sequence(1, 0) counts DOWN by default.
+_FEATS = (
+    "concat(__ws, CASE WHEN size(__ws) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(__ws) - 1), "
+    "i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) END)"
+)
+
+
+def dsir_logweights(docs: DataFrame, target: DataFrame,
+                    buckets: int = 1024, alpha: float = 0.01) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score each
+    raw document by how target-like its hashed n-gram profile is,
+    ``logw = Σ_f ln λ_target(b(f)) − ln λ_raw(b(f))`` over the doc's
+    feature instances, with add-α smoothed bucket distributions.
+    Compose with ``cluster.stratified_sample``-style Bernoulli gates on
+    ``exp(logw)`` for the paper's resampling step.
+
+    Features are unigrams + word bigrams hashed into ``buckets`` via the
+    repo's md5-bucket convention (classifier_score); the raw
+    distribution and the per-doc fold both derive from the same
+    doc×bucket count frame ``db``.
+
+    Output: (doc_id, n_feats, dsir_logw); docs with no features report
+    n_feats = 0 with NULL weight.
+
+    Scale shape: the score-after-aggregate dependency makes this an
+    inherently TWO-pass operator over the doc×bucket frame
+    (distribution first, fold second), and Spark's lazy lineage
+    re-derives it — so the corpus text is tokenized twice in this
+    one-shot form.  At production scale materialize
+    :func:`dsir_feature_counts` once and score via
+    :func:`dsir_logweights_from_counts` (the stored-signature pattern
+    of the indexed dedup entries; pytest pins stored ≡ one-shot).
+    Every other structure is bounded — ≤ ``buckets``-row re-aggs and
+    broadcast joins for the log-ratio table, one doc-keyed agg for the
+    fold.  The target side (an eval-set-sized frame) is scanned once
+    independently.
+    """
+    db = dsir_feature_counts(docs, buckets)
+    scored = dsir_logweights_from_counts(
+        db, dsir_feature_counts(target, buckets), buckets, alpha
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+            "dsir_logw",
+        )
+    )
+
+
+def dsir_feature_counts(df: DataFrame, buckets: int = 1024) -> DataFrame:
+    """Doc×bucket hashed-feature count frame — the artifact a production
+    DSIR job materializes ONCE (stored-signature pattern) and feeds both
+    passes, target swaps, and re-scores from."""
+    b = int(buckets)
+    tok_bucket = (
+        "CAST(conv(substring(md5(f), 1, 8), 16, 10) AS BIGINT) % " + str(b)
+    )
+    return (
+        df.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .select("doc_id", F.explode(F.expr(_FEATS)).alias("f"))
+        .select("doc_id", F.expr(tok_bucket).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def dsir_logweights_from_counts(db: DataFrame, tgt_db: DataFrame,
+                                buckets: int = 1024,
+                                alpha: float = 0.01) -> DataFrame:
+    """Scoring core over prebuilt count frames (see
+    :func:`dsir_feature_counts`).  Docs with zero features are absent
+    here — the one-shot wrapper restores them via the doc spine."""
+    b = int(buckets)
+    raw_dist = db.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+    tgt_dist = tgt_db.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+
+    def smoothed_log(dist: DataFrame, name: str) -> DataFrame:
+        tot = dist.agg(F.sum("c").alias("t"))
+        return dist.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(float(alpha)))
+                / (F.col("t") + F.lit(float(alpha) * b))
+            ).alias(name),
+            F.log(
+                F.lit(float(alpha)) / (F.col("t") + F.lit(float(alpha) * b))
+            ).alias(f"__absent_{name}"),
+        )
+
+    lt = smoothed_log(tgt_dist, "__lt")
+    lr = smoothed_log(raw_dist, "__lr")
+    # raw_dist's buckets are a superset of the doc frame's buckets by
+    # construction, so a left join from raw covers every scoring key;
+    # target-absent buckets fill with the add-α absent-mass log (the
+    # one-row broadcast — every lt row carries the same constant)
+    ratio = (
+        lr.select("bucket", "__lr")
+        .join(lt.select("bucket", "__lt"), "bucket", "left")
+        .crossJoin(
+            F.broadcast(
+                lt.limit(1).select(F.col("__absent___lt").alias("__abs_t"))
+            )
+        )
+        .select(
+            "bucket",
+            (F.coalesce(F.col("__lt"), F.col("__abs_t")) - F.col("__lr")).alias(
+                "__logratio"
+            ),
+        )
+    )
+    return (
+        db.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("__logratio")).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_logweights_sql(target_where: str, buckets: int = 1024,
+                        alpha: float = 0.01) -> str:
+    """DuckDB twin; ``target_where`` is the predicate defining the
+    target corpus (e.g. ``source = 'src0'``)."""
+    b = int(buckets)
+    bucket = f"(('0x' || substr(md5(f), 1, 8))::BIGINT % {b})"
+    feats = (
+        "list_concat(ws, CASE WHEN len(ws) < 2 THEN [] "
+        "ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) "
+        "END)"
+    )
+    return f"""
+WITH db AS (
+  SELECT doc_id, {bucket} AS bucket, count(*) AS cnt
+  FROM (SELECT doc_id, unnest({feats}) AS f
+        FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents))
+  GROUP BY doc_id, {bucket}
+),
+raw_d AS (SELECT bucket, sum(cnt) AS c FROM db GROUP BY bucket),
+tgt_d AS (
+  SELECT bucket, count(*) AS c
+  FROM (SELECT unnest({feats}) AS f
+        FROM (SELECT string_split(text, ' ') ws FROM documents
+              WHERE {target_where})) _t(f),
+       LATERAL (SELECT {bucket} AS bucket) _b
+  GROUP BY bucket
+),
+tot AS (
+  SELECT (SELECT sum(c) FROM raw_d) AS rt, (SELECT sum(c) FROM tgt_d) AS tt
+),
+ratio AS (
+  SELECT r.bucket,
+         ln(coalesce(t.c, 0) + {float(alpha)})
+           - ln(tot.tt + {float(alpha) * b})
+           - ln(r.c + {float(alpha)})
+           + ln(tot.rt + {float(alpha) * b}) AS logratio
+  FROM raw_d r LEFT JOIN tgt_d t USING (bucket) CROSS JOIN tot
+),
+scored AS (
+  SELECT db.doc_id, sum(db.cnt)::BIGINT AS n_feats,
+         sum(db.cnt * ratio.logratio) AS dsir_logw
+  FROM db JOIN ratio USING (bucket)
+  GROUP BY db.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats, s.dsir_logw
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+""".strip()

@@ -2872,3 +2872,18 @@ _register_pipeline(
     ["prob"],
     ["from_type", "to_type", "n_transitions"],
 )
+
+
+# DSIR importance weights (Xie et al. 2023): target = the 'src0' slice,
+# hashed unigram+bigram distributions, one text scan for both the raw
+# distribution and the per-doc fold.
+_register_pipeline(
+    "text_dsir_weights",
+    lambda spark, sf: _text.dsir_logweights(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "documents").where(F.col("source") == "src0"),
+    ),
+    _text.dsir_logweights_sql("source = 'src0'"),
+    ["dsir_logw"],
+    ["doc_id", "n_feats"],
+)

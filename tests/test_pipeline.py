@@ -880,3 +880,62 @@ def test_event_transitions_crafted(spark):
         ("b", "b"): (1, 0.5),
         ("b", "a"): (1, 0.5),
     }
+
+
+def test_dsir_weights_crafted(spark):
+    """Directional sanity on a corpus with two disjoint vocabularies:
+    target-vocabulary docs must outscore off-target docs, and a doc from
+    the target slice itself must be positive."""
+    from akumuli_spark.pipeline.text import dsir_logweights
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", "t"),
+        (2, "alpha beta beta alpha alpha", "t"),
+        (3, "alpha beta alpha alpha beta", "r"),
+        (4, "zed yolk zed yolk zed yolk", "r"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_logweights(
+            docs, docs.where(F.col("source") == "t"), buckets=64
+        ).collect()
+    }
+    assert got[3] > got[4]           # target-like beats off-target
+    assert got[1] > 0 and got[4] < 0
+    # single-word doc edge: bigram guard (size<2) must not blow up
+    one = spark.createDataFrame([(9, "alpha", "r")], "doc_id long, text string, source string")
+    (r,) = dsir_logweights(one, one, buckets=64).collect()
+    assert r["n_feats"] == 1
+
+
+def test_dsir_from_stored_counts_matches_oneshot(spark, tmp_path):
+    """The production shape: materialize dsir_feature_counts once, score
+    from the stored frame — must equal the one-shot plan exactly."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.pipeline.text import (
+        dsir_feature_counts,
+        dsir_logweights,
+        dsir_logweights_from_counts,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "source")
+    )
+    tgt = docs.where(F.col("source") == "src0")
+    p = str(tmp_path / "db")
+    dsir_feature_counts(docs, buckets=256).write.parquet(p)
+    stored = dsir_logweights_from_counts(
+        spark.read.parquet(p), dsir_feature_counts(tgt, buckets=256),
+        buckets=256,
+    )
+    oneshot = dsir_logweights(docs, tgt, buckets=256).where(
+        F.col("n_feats") > 0
+    )
+    a = sorted(map(tuple, stored.collect()))
+    z = sorted(map(tuple, oneshot.collect()))
+    assert a == z and len(a) > 0

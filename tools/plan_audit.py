@@ -109,7 +109,8 @@ def main() -> None:
                "events_distinct_users_hll", "text_distinct_tokens_hll",
                "text_tfidf_topk", "join_interval",
                "multimodal_resize", "multimodal_frame_sample",
-               "dedup_exact_keep_best", "events_transitions"]
+               "dedup_exact_keep_best", "events_transitions",
+               "text_dsir_weights"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -537,3 +537,43 @@ def test_opentsdb_parser_never_crashes(text):
         parse_opentsdb(text)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# interval join ≡ brute force over random spans / samples / bucket widths
+# ---------------------------------------------------------------------------
+
+
+@given(
+    tss=st.lists(st.integers(min_value=0, max_value=5_000),
+                 min_size=0, max_size=25),
+    spans=st.lists(
+        st.tuples(st.integers(min_value=-100, max_value=5_000),
+                  st.integers(min_value=-100, max_value=5_100)),
+        min_size=0, max_size=12,
+    ),
+    bucket_ns=st.sampled_from([1, 3, 64, 1_000, 100_000]),
+)
+@settings(max_examples=25, deadline=None)
+def test_interval_join_matches_brute_force(spark, tss, spans, bucket_ns):
+    from akumuli_spark.operators.interval import interval_join
+
+    samples = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(tss)] or [(None, None)],
+        "ts_ns long, value double",
+    ).where("ts_ns IS NOT NULL")
+    intervals = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(spans)] or [(None, None, None)],
+        "interval_id long, start_ns long, end_ns long",
+    ).where("interval_id IS NOT NULL")
+    got = sorted(
+        (r["ts_ns"], r["interval_id"])
+        for r in interval_join(samples, intervals, bucket_ns).collect()
+    )
+    want = sorted(
+        (t, i)
+        for t in tss
+        for i, (a, b) in enumerate(spans)
+        if a <= t < b
+    )
+    assert got == want

@@ -179,3 +179,131 @@ SELECT tagstr, CAST(n AS BIGINT) AS n_aligned,
        END AS corr
 FROM __sums
 """.strip()
+
+
+def metrics_correlation_lagged(
+    metrics: DataFrame,
+    metric_a: str,
+    metric_b: str,
+    begin_ns: int,
+    end_ns: int,
+    step_ns: int,
+    lags: tuple[int, ...] = (-2, -1, 0, 1, 2),
+    min_samples: int = 2,
+) -> DataFrame:
+    """Lead-lag Pearson correlation: resample both metrics to
+    ``step_ns`` buckets (per-bucket MEAN per tag-set), then correlate
+    ``a(t)`` against ``b(t + lag·step)`` for each lag — "does metric a
+    lead metric b, and by how much" (positive best-lag ⇒ a leads).
+
+    Output: (tagstr, lag, n_aligned, corr) — same closed-form /
+    NULL-on-degenerate rules as :func:`metrics_correlation`.
+
+    Scale shape: the bucket resample is two filtered two-phase aggs on
+    (tagstr, bucket); the lag set rides a broadcast (|lags| rows) so
+    the shifted join stays ONE equi-join on (tagstr, bucket+lag) with
+    |lags|× fan-out on the left side only; the final agg is per
+    (tagstr, lag).  No window, no self-join per lag.
+    """
+    if end_ns <= begin_ns:
+        raise QueryValidationError("lagged correlation range must be forward")
+    if step_ns <= 0:
+        raise QueryValidationError("step_ns must be positive")
+    if not lags:
+        raise QueryValidationError("need at least one lag")
+    tagstr = F.when(
+        F.instr(F.col("series"), " ") > 0,
+        F.expr("substring(series, instr(series, ' ') + 1)"),
+    ).otherwise(F.lit(""))
+    bucket = ((F.col("ts_ns") - F.lit(begin_ns)) / F.lit(step_ns)).cast("long")
+
+    def resampled(metric: str, out: str) -> DataFrame:
+        return (
+            metrics.filter(
+                (F.col("metric") == metric)
+                & (F.col("ts_ns") >= begin_ns) & (F.col("ts_ns") < end_ns)
+            )
+            .select(tagstr.alias("tagstr"), bucket.alias("bucket"), "value")
+            .groupBy("tagstr", "bucket")
+            .agg(F.avg("value").alias(out))
+        )
+
+    xs = resampled(metric_a, "x")
+    ys = resampled(metric_b, "y").withColumnRenamed("bucket", "__yb")
+    spark = metrics.sparkSession
+    lag_df = spark.createDataFrame([(int(l),) for l in sorted(set(lags))],
+                                   "lag long")
+    aligned = (
+        xs.crossJoin(F.broadcast(lag_df))
+        .withColumn("__yb", F.col("bucket") + F.col("lag"))
+        .join(ys, ["tagstr", "__yb"])
+    )
+    x, y = F.col("x"), F.col("y")
+    sums = aligned.groupBy("tagstr", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"), F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n")
+    varx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vary = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    corr = F.when(
+        (n >= min_samples) & (varx > 0) & (vary > 0),
+        cov / F.sqrt(varx * vary),
+    )
+    return sums.select(
+        "tagstr", "lag", F.col("__n").cast("long").alias("n_aligned"),
+        corr.alias("corr"),
+    )
+
+
+def metrics_correlation_lagged_sql(
+    view_sql: str, view_name: str, metric_a: str, metric_b: str,
+    begin_ns: int, end_ns: int, step_ns: int,
+    lags: tuple[int, ...] = (-2, -1, 0, 1, 2), min_samples: int = 2,
+) -> str:
+    """DuckDB twin — identical resample, shift, and closed form."""
+    lag_list = ", ".join(str(int(l)) for l in sorted(set(lags)))
+    return f"""
+WITH {view_sql},
+__base AS (
+  SELECT CASE WHEN instr(series, ' ') > 0
+              THEN substring(series, instr(series, ' ') + 1)
+              ELSE '' END AS tagstr,
+         metric,
+         (ts_ns - {begin_ns}) // {step_ns} AS bucket,
+         value
+  FROM {view_name}
+  WHERE ts_ns >= {begin_ns} AND ts_ns < {end_ns}
+),
+__xs AS (
+  SELECT tagstr, bucket, avg(value) AS x FROM __base
+  WHERE metric = '{metric_a}' GROUP BY tagstr, bucket
+),
+__ys AS (
+  SELECT tagstr, bucket, avg(value) AS y FROM __base
+  WHERE metric = '{metric_b}' GROUP BY tagstr, bucket
+),
+__aligned AS (
+  SELECT xs.tagstr, l.lag, xs.x, ys.y
+  FROM __xs xs
+  CROSS JOIN (SELECT unnest([{lag_list}]) AS lag) l
+  JOIN __ys ys ON ys.tagstr = xs.tagstr AND ys.bucket = xs.bucket + l.lag
+),
+__sums AS (
+  SELECT tagstr, lag,
+         count(*)::DOUBLE AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM __aligned GROUP BY tagstr, lag
+)
+SELECT tagstr, lag, n::BIGINT AS n_aligned,
+       CASE WHEN n >= {int(min_samples)}
+                 AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+       END AS corr
+FROM __sums
+""".strip()

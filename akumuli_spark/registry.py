@@ -2887,3 +2887,34 @@ _register_pipeline(
     ["dsir_logw"],
     ["doc_id", "n_feats"],
 )
+
+
+# Lead-lag correlation (extension): a(t) vs b(t + lag·step) over
+# 6h-bucket resampled series — one shifted equi-join for ALL lags via a
+# broadcast lag table, never a self-join per lag.
+_LAG_STEP = 6 * 3600 * NS
+
+
+def _metrics_corr_lagged(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.histogram import metrics_correlation_lagged
+
+    return _round_doubles(metrics_correlation_lagged(
+        metrics_view(spark, sf), "lineitem.price", "lineitem.qty",
+        _T96_OFF, T97, _LAG_STEP,
+    ))
+
+
+def _metrics_corr_lagged_oracle() -> str:
+    from akumuli_spark.operators.histogram import metrics_correlation_lagged_sql
+
+    return metrics_correlation_lagged_sql(
+        METRICS_SQL, "metrics", "lineitem.price", "lineitem.qty",
+        _T96_OFF, T97, _LAG_STEP,
+    )
+
+
+REGISTRY["metrics_correlation_lagged"] = (
+    _metrics_corr_lagged,
+    _wrap_round(_metrics_corr_lagged_oracle(), ["corr"],
+                ["tagstr", "lag", "n_aligned"]),
+)

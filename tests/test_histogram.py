@@ -80,3 +80,47 @@ def test_correlation_anticorrelated(spark):
     assert len(out) == 1
     assert out[0]["corr"] == pytest.approx(-1.0, abs=1e-12)
     assert math.isfinite(out[0]["corr"])
+
+
+def test_lagged_correlation_finds_the_shift(spark):
+    """b is a copy of a delayed by exactly 2 steps: corr must be 1.0 at
+    lag +2 (a leads) and below it elsewhere."""
+    from akumuli_spark.operators.histogram import metrics_correlation_lagged
+
+    rows = []
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5]
+    for i, v in enumerate(vals):
+        rows.append((f"m.a host=h", "m.a", i * 10, v))
+    for i, v in enumerate(vals):
+        rows.append((f"m.b host=h", "m.b", (i + 2) * 10, v))
+    df = spark.createDataFrame(
+        rows, "series string, metric string, ts_ns long, value double"
+    )
+    got = {
+        r["lag"]: r["corr"]
+        for r in metrics_correlation_lagged(
+            df, "m.a", "m.b", 0, 200, 10, lags=(-1, 0, 1, 2, 3)
+        ).collect()
+    }
+    assert abs(got[2] - 1.0) < 1e-9
+    for lag, c in got.items():
+        if lag != 2 and c is not None:
+            assert c < 0.999
+
+
+def test_lagged_correlation_validation(spark):
+    import pytest
+
+    from akumuli_spark.operators.histogram import metrics_correlation_lagged
+    from akumuli_spark.query.errors import QueryValidationError
+
+    df = spark.createDataFrame(
+        [("m.a", "m.a", 0, 1.0)],
+        "series string, metric string, ts_ns long, value double",
+    )
+    with pytest.raises(QueryValidationError):
+        metrics_correlation_lagged(df, "m.a", "m.b", 10, 0, 10)
+    with pytest.raises(QueryValidationError):
+        metrics_correlation_lagged(df, "m.a", "m.b", 0, 10, 0)
+    with pytest.raises(QueryValidationError):
+        metrics_correlation_lagged(df, "m.a", "m.b", 0, 10, 10, lags=())

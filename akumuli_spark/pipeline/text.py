@@ -1150,3 +1150,61 @@ scored AS (
 SELECT d.doc_id, coalesce(s.n_feats, 0)::BIGINT AS n_feats, s.dsir_logw
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# token entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the unigram distribution — the
+    information-density quality signal (low entropy ⇒ repetitive /
+    template text; complements the repetition fractions, which see only
+    adjacent structure).
+
+    entropy = −Σ_w p(w)·ln p(w) over the doc's tokens;
+    ``norm_entropy`` divides by ln(n_distinct) (0/0 → NULL for docs
+    with ≤ 1 distinct token), giving the [0, 1] evenness score.
+
+    Scale shape: pure per-row projection via higher-order functions
+    (the per-doc distinct×count fold is the same O(words²) in-row trick
+    as vocab_topk) — zero shuffles, scan-bound at 100 TB.
+    """
+    toks = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    )
+    n = F.size(F.col("__ws"))
+    # -Σ c/n · ln(c/n) folded over the distinct tokens, all JVM-side
+    ent = F.expr(
+        "aggregate(transform(array_distinct(__ws), "
+        "t -> size(filter(__ws, x -> x = t))), 0.0D, "
+        "(acc, c) -> acc - (CAST(c AS DOUBLE) / size(__ws))"
+        " * ln(CAST(c AS DOUBLE) / size(__ws)))"
+    )
+    k = F.expr("size(array_distinct(__ws))")
+    return toks.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        k.cast("long").alias("n_distinct"),
+        ent.alias("entropy"),
+        F.when(k > 1, ent / F.log(k.cast("double"))).alias("norm_entropy"),
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+e AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_tokens,
+         len(list_distinct(ws))::BIGINT AS n_distinct,
+         list_sum(list_transform(list_distinct(ws),
+           t -> -(len(list_filter(ws, x -> x = t)) * 1.0 / len(ws))
+                * ln(len(list_filter(ws, x -> x = t)) * 1.0 / len(ws))
+         )) AS entropy
+  FROM t
+)
+SELECT doc_id, n_tokens, n_distinct, entropy,
+       CASE WHEN n_distinct > 1 THEN entropy / ln(n_distinct) END AS norm_entropy
+FROM e
+""".strip()

@@ -2918,3 +2918,14 @@ REGISTRY["metrics_correlation_lagged"] = (
     _wrap_round(_metrics_corr_lagged_oracle(), ["corr"],
                 ["tagstr", "lag", "n_aligned"]),
 )
+
+
+# Shannon token entropy (quality signal): zero-shuffle projection, the
+# information-density complement of the repetition fractions.
+_register_pipeline(
+    "text_entropy",
+    lambda spark, sf: _text.token_entropy(load_table(spark, sf, "documents")),
+    _text.TOKEN_ENTROPY_SQL,
+    ["entropy", "norm_entropy"],
+    ["doc_id", "n_tokens", "n_distinct"],
+)

@@ -939,3 +939,27 @@ def test_dsir_from_stored_counts_matches_oneshot(spark, tmp_path):
     a = sorted(map(tuple, stored.collect()))
     z = sorted(map(tuple, oneshot.collect()))
     assert a == z and len(a) > 0
+
+
+def test_token_entropy_crafted(spark):
+    """Hand-computed entropies: uniform 4-token doc = ln 4 (norm 1.0);
+    constant doc = 0 with NULL norm; 3:1 split checked exactly."""
+    import math
+
+    from akumuli_spark.pipeline.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x x x x"),
+            (3, "a a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert abs(got[1]["entropy"] - math.log(4)) < 1e-12
+    assert abs(got[1]["norm_entropy"] - 1.0) < 1e-12
+    assert got[2]["entropy"] == 0.0 and got[2]["norm_entropy"] is None
+    want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(got[3]["entropy"] - want) < 1e-12
+    assert got[3]["n_distinct"] == 2

@@ -6,9 +6,11 @@ oracle-gated pieces:
       → normalize               (pipeline/text.normalize_text)
       → PII scrub               (pipeline/pii.pii_scrub)
       → quality + repetition gate
-      → exact dedup             (fingerprint groupBy)
+      → exact dedup, keep-best  (survivorship by quality)
       → cross-doc span signal   (pipeline/dedup.duplicated_span_coverage)
       → containment filter      (pipeline/dedup.ngram_containment_pairs)
+      → DSIR target-likeness    (pipeline/text.dsir_logweights)
+      → HLL vocabulary report   (operators/distinct.approx_distinct)
       → deterministic shuffle + shard for training export
 
 Every stage is a lazy DataFrame transformation; nothing but tiny
@@ -57,11 +59,13 @@ def main() -> None:
     )
     n_gated = gated.count()
 
-    # 3. exact dedup: keep the minimum doc_id per fingerprint
+    # 3. exact dedup with survivorship policy: the BEST-quality copy
+    # survives (ties -> smallest id), not simply the first one seen
     keep = (
-        gated.groupBy(F.md5("text").alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        dedup.exact_duplicates_keep_best(
+            gated.join(q, "doc_id"), score_col="quality"
+        )
+        .select(F.col("keep_id").alias("doc_id"))
     )
     unique = gated.join(keep, "doc_id")
 
@@ -78,12 +82,27 @@ def main() -> None:
     span = dedup.duplicated_span_coverage(survivors, n=5)
     boilerplate = span.filter(F.col("dup_span_frac") > 0.5).count()
 
-    # 6. deterministic shuffle into training shards
+    # 6. DSIR importance weights toward the 'src0' slice: the
+    # target-likeness signal a selection pass samples against
+    target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    dsir = text.dsir_logweights(survivors, target, buckets=256)
+    n_targetlike = dsir.filter(F.col("dsir_logw") > 0).count()
+
+    # 7. corpus cardinality report without a distinct shuffle: HLL
+    # estimate of the surviving vocabulary
+    from akumuli_spark.operators.distinct import approx_distinct
+
+    toks = survivors.select(F.explode(F.split("text", " ")).alias("tok"))
+    (vocab_est,) = approx_distinct(toks, "tok", b=12).collect()
+
+    # 8. deterministic shuffle into training shards
     shards = cluster.deterministic_shuffle(survivors, seed="r7", n_shards=8)
     per_shard = shards.groupBy("shard").count().orderBy("shard").collect()
 
     print(f"documents: {n0} → gated {n_gated} → unique+containment "
-          f"{n_survivors}; {boilerplate} boilerplate-flagged")
+          f"{n_survivors}; {boilerplate} boilerplate-flagged; "
+          f"{n_targetlike} target-like; "
+          f"~{vocab_est['approx_distinct']:.0f} distinct tokens")
     for r in per_shard:
         print(f"  shard {r['shard']}: {r['count']} docs")
 

@@ -577,3 +577,40 @@ def test_interval_join_matches_brute_force(spark, tss, spans, bucket_ns):
         if a <= t < b
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# HLL estimate: Spark ≡ DuckDB on arbitrary value sets (incl. non-ASCII)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="'\x00"
+            ),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_hll_estimate_cross_engine(spark, vals):
+    """The register math must agree between engines for ANY value set —
+    md5 operates on identical UTF-8 bytes in both."""
+    import duckdb
+
+    from akumuli_spark.operators.distinct import approx_distinct, hll_sql
+
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    (got,) = (
+        r["approx_distinct"] for r in approx_distinct(df, "v").collect()
+    )
+    con = duckdb.connect()
+    values = ", ".join("(?)" for _ in vals)
+    con.execute(f"CREATE TABLE src (v VARCHAR); INSERT INTO src VALUES {values}",
+                list(vals))
+    sql = hll_sql("SELECT v AS __v FROM src")
+    (want,) = con.execute(sql).fetchone()
+    assert got == want

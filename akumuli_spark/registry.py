@@ -2929,3 +2929,33 @@ _register_pipeline(
     ["entropy", "norm_entropy"],
     ["doc_id", "n_tokens", "n_distinct"],
 )
+
+
+# Mergeable log-histogram quantile sketch (DDSketch-style bounded
+# relative error) — the quantile sibling of the SpaceSaving and HLL
+# approx modes; bin counts are the whole state.
+def _events_quantiles_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles
+
+    return approx_quantiles(
+        load_table(spark, sf, "events"), "value", [0.5, 0.9, 0.99],
+        group_cols=("event_type",),
+    )
+
+
+def _events_quantiles_sketch_oracle() -> str:
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles_sql
+
+    return approx_quantiles_sql(
+        "SELECT event_type, value::DOUBLE AS __v FROM events",
+        [0.5, 0.9, 0.99], group_cols=("event_type",),
+    )
+
+
+_register_pipeline(
+    "events_quantiles_sketch",
+    _events_quantiles_sketch,
+    _events_quantiles_sketch_oracle(),
+    ["q", "est"],
+    ["event_type"],
+)

@@ -565,8 +565,64 @@ def interval_smoke(spark, n_samples: int, n_intervals: int) -> dict:
     return out
 
 
+def qsketch_smoke(spark, n_rows: int) -> dict:
+    """Log-histogram quantile sketch vs exact percentile at n_rows
+    skewed (lognormal-ish) doubles in 8 groups: wall-clock and worst
+    relative error vs the e^(1/2k)-1 bound."""
+    import math
+
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles
+
+    k = 64
+    # high-cardinality continuous values (~n_rows distinct doubles over
+    # 8 decades): exact percentile must hold each group's value set,
+    # the sketch holds ≤ a few hundred bins per group
+    vals = spark.range(n_rows).select(
+        (F.col("id") % 8).cast("string").alias("g"),
+        F.exp(
+            (F.abs(F.hash(F.col("id"))) % 10_000_000) / F.lit(500_000.0)
+        ).alias("v"),
+    )
+    out = {}
+    t = time.time()
+    sk = {
+        (r["g"], r["q"]): r["est"]
+        for r in approx_quantiles(vals, "v", [0.5, 0.99], ("g",), k=k).collect()
+    }
+    out["sketch_s"] = round(time.time() - t, 2)
+    # exact must materialize each group's full value multiset in one
+    # task; at ~12.5 M distinct doubles per group this is where it
+    # starts GC-thrashing — report the failure honestly if it dies
+    t = time.time()
+    try:
+        ex = {
+            (r["g"], r["q"]): r["e"]
+            for r in vals.groupBy("g")
+            .agg(F.explode(F.expr(
+                "map_from_arrays(array(0.5D, 0.99D), "
+                "percentile(v, array(0.5D, 0.99D)))"
+            )).alias("q", "e"))
+            .collect()
+        }
+        out["exact_s"] = round(time.time() - t, 2)
+        out["max_rel_err"] = round(
+            max(abs(sk[kq] - ex[kq]) / abs(ex[kq]) for kq in ex), 5
+        )
+    except Exception as e:  # Py4J wraps the executor OOM/GC failure
+        out["exact_s"] = None
+        out["exact_error"] = type(e).__name__
+    out["bound"] = round(math.exp(1.0 / (2 * k)) - 1.0, 5)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "qsketch":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
+        print(json.dumps(
+            {"rows": n_rows, "qsketch": qsketch_smoke(spark, n_rows)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "interval":
         n_s = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         n_i = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000

@@ -96,3 +96,39 @@ def test_validation(spark):
         approx_quantiles(df, "v", [1.5])
     with pytest.raises(ValueError):
         log_histogram(df, "v", k=0)
+
+
+def test_streaming_histogram_matches_batch(spark, tmp_path):
+    """log_histogram is a plain stateful agg — streaming complete-mode
+    bin table after all micro-batches equals the batch histogram."""
+    import os
+
+    rows = [(float(1 + (i * 7) % 500),) for i in range(2_000)]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, cut in enumerate([(0, 400), (400, 1500), (1500, 2000)]):
+        spark.createDataFrame(rows[cut[0]:cut[1]], "v double").coalesce(
+            1
+        ).write.parquet(os.path.join(in_dir, f"c{i}"))
+
+    stream = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = (
+        log_histogram(stream, "v")
+        .writeStream.format("memory").queryName("qs_sink")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql("select * from qs_sink").collect()))
+    want = sorted(
+        map(tuple,
+            log_histogram(spark.createDataFrame(rows, "v double"), "v").collect())
+    )
+    assert got == want

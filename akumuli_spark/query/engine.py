@@ -178,9 +178,11 @@ def agg_expr(func: str, value: str = "value", ts: str = "ts_ns") -> Column:
         # Engine EXTENSION (see plan.percentile_fraction): EXACT percentile
         # with linear interpolation — identical to DuckDB's quantile_cont.
         # Exact percentile shuffles the bucket's values to one reducer per
-        # group key; at 100 TB swap in approx_percentile(v, frac, accuracy)
-        # (t-digest-style, mergeable partials, no per-group value list) —
-        # same call shape, documented-approximate result.
+        # group key; for unbounded groups at 100 TB use the repo's
+        # mergeable log-histogram sketch (operators/quantile_sketch —
+        # deterministic, oracle-replayable, ≤ a few hundred bins of state
+        # per group) rather than approx_percentile, whose t-digest is
+        # engine-private and not cross-checkable.
         return F.percentile(v, F.lit(frac))
     raise QueryValidationError(f"unknown aggregate function {func!r}")
 

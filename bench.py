@@ -176,7 +176,10 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "dedup_semantic_clusters", "text_classifier_score",
                  "sample_quota", "sample_mixture_plan",
                  "events_distinct_users_hll", "text_tfidf_topk",
-                 "join_interval", "multimodal_resize"):
+                 "join_interval", "multimodal_resize",
+                 "events_quantiles_sketch", "text_entropy",
+                 "dedup_exact_keep_best", "events_transitions",
+                 "text_dsir_weights", "metrics_correlation_lagged"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

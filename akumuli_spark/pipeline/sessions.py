@@ -392,3 +392,65 @@ SELECT from_type, to_type, n_transitions,
          / sum(n_transitions) OVER (PARTITION BY from_type) AS prob
 FROM counts
 """.strip()
+
+
+def session_sequences(events: DataFrame, gap_ns: int) -> DataFrame:
+    """Interaction-episode construction: one row per (user, session)
+    with the ORDERED event-type sequence — the behavioral-modeling /
+    next-action training shape (each row is one training episode).
+
+    Event order inside a session is (ts_ns, event_id) — the id breaks
+    timestamp ties so the sequence string is deterministic across
+    engines.  Session boundaries themselves are tie-robust (a zero
+    time delta can never exceed the gap).  Output: (user_id,
+    session_id, seq, n_events, duration_ns), ``seq`` = event types
+    joined by '>'.
+
+    Scale shape: sessionize's user window (one shuffle) then one agg
+    per (user, session); the in-group sort runs on collected structs
+    bounded by session length — sessions are gap-bounded by
+    construction, the same per-group bound session_stats relies on.
+    """
+    from ..sources.testdata import ts_ns_expr
+
+    s = sessionize(
+        events.select(
+            "user_id", ts_ns_expr(events).alias("ts_ns"),
+            "event_id", "event_type",
+        ),
+        gap_ns,
+        ts_col="ts_ns",
+    )
+    ordered = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "struct(ts_ns, event_id, event_type))), x -> x.event_type), '>')"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        ordered.alias("seq"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_ns") - F.min("ts_ns")).alias("duration_ns"),
+    )
+
+
+def session_sequences_sql(gap_ns: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                   OR ts_ns - lag(ts_ns) OVER w > {gap_ns}
+            THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns)
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       string_agg(event_type, '>' ORDER BY ts_ns, event_id) AS seq,
+       count(*) AS n_events,
+       max(ts_ns) - min(ts_ns) AS duration_ns
+FROM sess GROUP BY 1, 2
+""".strip()

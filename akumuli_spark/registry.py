@@ -2959,3 +2959,17 @@ _register_pipeline(
     ["q", "est"],
     ["event_type"],
 )
+
+
+# Interaction episodes: per-session ordered event-type sequences (the
+# behavioral-modeling training shape); (ts, event_id) ordering keeps
+# the sequence string deterministic across engines.
+_register_pipeline(
+    "session_sequences",
+    lambda spark, sf: _sessions.session_sequences(
+        load_table(spark, sf, "events"), _SESSION_GAP
+    ),
+    _sessions.session_sequences_sql(_SESSION_GAP),
+    [],
+    ["user_id", "session_id", "seq", "n_events", "duration_ns"],
+)

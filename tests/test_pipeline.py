@@ -963,3 +963,31 @@ def test_token_entropy_crafted(spark):
     want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
     assert abs(got[3]["entropy"] - want) < 1e-12
     assert got[3]["n_distinct"] == 2
+
+
+def test_session_sequences_crafted(spark):
+    """Two sessions split by the gap; ties inside a session order by
+    event_id; duration is last-minus-first."""
+    from datetime import datetime, timedelta
+
+    from akumuli_spark.pipeline.sessions import session_sequences
+
+    t0 = datetime(2024, 1, 1)
+    mk = lambda eid, mins, et: (eid, t0 + timedelta(minutes=mins), 1, et, 0.0, "")
+    rows = [
+        mk(1, 0, "view"),
+        mk(3, 1, "click"),   # tie at +1min with event 2:
+        mk(2, 1, "view"),    # event_id 2 < 3 → view before click
+        mk(4, 500, "purchase"),  # > gap → new session
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["seq"], r["n_events"], r["duration_ns"])
+        for r in session_sequences(ev, gap_ns=3600 * 10**9).collect()
+    }
+    assert got[(1, 1)] == ("view>view>click", 3, 60 * 10**9)
+    assert got[(1, 2)] == ("purchase", 1, 0)

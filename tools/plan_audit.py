@@ -111,7 +111,8 @@ def main() -> None:
                "multimodal_resize", "multimodal_frame_sample",
                "dedup_exact_keep_best", "events_transitions",
                "text_dsir_weights", "metrics_correlation_lagged",
-               "text_entropy", "events_quantiles_sketch"]
+               "text_entropy", "events_quantiles_sketch",
+               "session_sequences"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

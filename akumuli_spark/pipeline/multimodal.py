@@ -562,3 +562,78 @@ UNION ALL
 SELECT doc_id, 0::BIGINT, 0::BIGINT, NULL::DOUBLE
 FROM frames WHERE n_frames = 0
 """.strip()
+
+
+def image_features(payloads: DataFrame, out_w: int = 8,
+                   out_h: int = 8, n_bins: int = 8) -> DataFrame:
+    """Feature-extraction stage: an intensity histogram (plus mean) over
+    the nearest-neighbor-resized grid — the per-image feature vector a
+    similarity/quality model consumes.  Same real-parse + real-resample
+    + generator-pixel contract as :func:`resize_images`; the histogram
+    binning itself is the real kernel a codec-backed featurizer would
+    keep unchanged.
+
+    Output: (doc_id, b0..b{n_bins-1}, px_mean) — bin counts over the
+    out_w×out_h grid, bin width 256/n_bins.  Arrow-batched
+    mapInPandas, zero shuffles."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("output dims must be positive")
+    if n_bins <= 0 or 256 % n_bins != 0:
+        raise ValueError("n_bins must divide 256")
+    width = 256 // n_bins
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f"b{i}" for i in range(n_bins)]
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                n_bytes, w, h, _, _ = decode_header(p)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                ys = (17 * np.arange(h, dtype=np.int64)) % 256
+                src = ((ys[:, None] + xs[None, :]) + n_bytes) % 256
+                sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                dst = src[np.ix_(sy, sx)]
+                hist = np.bincount(dst.ravel() // width, minlength=n_bins)
+                rows.append((*map(int, hist), float(dst.mean())))
+            out = pd.DataFrame(rows, columns=[*cols, "px_mean"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    schema = "doc_id long, " + ", ".join(
+        f"b{i} long" for i in range(n_bins)
+    ) + ", px_mean double"
+    return payloads.select("doc_id", "payload").mapInPandas(kernel, schema)
+
+
+def image_features_sql(out_w: int = 8, out_h: int = 8,
+                       n_bins: int = 8) -> str:
+    """Oracle twin over the synth-BMP corpus (same grid replay as
+    DECODE/RESIZE, binned)."""
+    width = 256 // n_bins
+    px = _PX.format(
+        x=f"((gx.x * w) // {out_w})", y=f"((gy.y * h) // {out_h})",
+        n="n_bytes",
+    )
+    bins = ",\n         ".join(
+        f"sum(CASE WHEN ({px}) // {width} = {i} THEN 1 ELSE 0 END)::BIGINT AS b{i}"
+        for i in range(n_bins)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         (54 + octet_length(encode(text)))::BIGINT AS n_bytes,
+         (64 + octet_length(encode(text)) % 577)::BIGINT AS w,
+         (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+         {bins},
+         sum({px}) * 1.0 / {out_w * out_h} AS px_mean
+FROM dims,
+     (SELECT unnest(range(0, {out_w})) AS x) gx,
+     (SELECT unnest(range(0, {out_h})) AS y) gy
+GROUP BY doc_id
+""".strip()

@@ -2973,3 +2973,17 @@ _register_pipeline(
     [],
     ["user_id", "session_id", "seq", "n_events", "duration_ns"],
 )
+
+
+# Feature-extraction stage over the resized grid: intensity histogram +
+# mean, completing the decode / feature-extract / resize / frame-sample
+# multimodal plumbing set.
+_register_pipeline(
+    "multimodal_features",
+    lambda spark, sf: _mm.image_features(
+        _mm.synth_bmp_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.image_features_sql(),
+    ["px_mean"],
+    ["doc_id"] + [f"b{i}" for i in range(8)],
+)

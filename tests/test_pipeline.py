@@ -991,3 +991,46 @@ def test_session_sequences_crafted(spark):
     }
     assert got[(1, 1)] == ("view>view>click", 3, 60 * 10**9)
     assert got[(1, 2)] == ("purchase", 1, 0)
+
+
+def test_image_features_crafted(spark):
+    """Histogram over the resized grid of a real tiny BMP: bins must
+    partition the 4 sampled pixels and match the independent numpy
+    recompute of generator + resample + bincount."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    w, h, body = 4, 2, b"xy"
+    hdr = struct.pack(
+        "<2sIHHIIiiHHIIiiII",
+        b"BM", 54 + len(body), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    payloads = spark.createDataFrame(
+        [(1, bytearray(hdr + body))], "doc_id long, payload binary"
+    )
+    (r,) = mm.image_features(payloads, out_w=2, out_h=2, n_bins=4).collect()
+    n = 54 + len(body)
+    src = np.array(
+        [[(31 * x + 17 * y + n) % 256 for x in range(w)] for y in range(h)]
+    )
+    dst = src[np.ix_([0, 1], [0, 2])]
+    want = np.bincount(dst.ravel() // 64, minlength=4)
+    assert [r[f"b{i}"] for i in range(4)] == list(map(int, want))
+    assert sum(want) == 4
+    assert abs(r["px_mean"] - dst.mean()) < 1e-12
+
+
+def test_image_features_validation(spark):
+    import pytest
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "doc_id long, payload binary")
+    with pytest.raises(ValueError):
+        mm.image_features(df, n_bins=7)
+    with pytest.raises(ValueError):
+        mm.image_features(df, out_w=0)

@@ -615,8 +615,106 @@ def qsketch_smoke(spark, n_rows: int) -> dict:
     return out
 
 
+def dsir_smoke(spark, n_docs: int, tmp: str) -> dict:
+    """DSIR + TF-IDF at corpus scale over the synthetic ~24-word docs.
+
+    DSIR is measured BOTH ways: the one-shot plan (tokenizes twice —
+    documented) and the production stored-counts path (materialize
+    dsir_feature_counts once, score from parquet).  TF-IDF's heavy
+    parts are the term-keyed join and the per-doc window."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from akumuli_spark.pipeline import text as _text
+
+    docs = synthetic_docs(spark, n_docs)
+    target = docs.where(F.col("doc_id") % 97 == 0)  # ~1% "eval set"
+    out = {}
+    t = time.time()
+    _text.dsir_logweights(docs, target).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["dsir_oneshot_s"] = round(time.time() - t, 2)
+    p = os.path.join(tmp, "dsir_db")
+    t = time.time()
+    _text.dsir_feature_counts(docs).write.mode("overwrite").parquet(p)
+    out["dsir_counts_build_s"] = round(time.time() - t, 2)
+    t = time.time()
+    _text.dsir_logweights_from_counts(
+        spark.read.parquet(p), _text.dsir_feature_counts(target)
+    ).write.format("noop").mode("overwrite").save()
+    out["dsir_from_counts_s"] = round(time.time() - t, 2)
+    t = time.time()
+    _text.tfidf_topk(docs, k=3).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["tfidf_topk_s"] = round(time.time() - t, 2)
+    return out
+
+
+def events_smoke(spark, n_events: int, n_users: int) -> dict:
+    """Markov transitions + session sequences at event-stream scale:
+    both are one user-keyed window; per-user sequences stay short
+    (n_events/n_users), so the window is a local sort after one
+    shuffle — the claim being timed."""
+    from akumuli_spark.pipeline import sessions as _sessions
+
+    t0 = 1_700_000_000 * NS
+    ev = spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        # each user's k-th event 30s apart plus a per-event ms jitter
+        F.timestamp_micros(
+            ((F.lit(t0) + (F.col("id") / F.lit(n_users)).cast("long")
+              * F.lit(30 * NS)
+              + (F.col("id") % 1000) * F.lit(1_000_000)) / 1000).cast("long")
+        ).alias("ts"),
+        (F.col("id") % n_users).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in
+                      ("view", "click", "purchase", "error", "signup")]),
+            ((F.abs(F.hash(F.col("id"))) % 5) + 1).cast("int"),
+        ).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = {}
+    t = time.time()
+    rows = _sessions.event_transitions(ev).collect()  # ≤ 25 rows
+    out["transitions_s"] = round(time.time() - t, 2)
+    out["transition_rows"] = len(rows)
+    t = time.time()
+    _sessions.session_sequences(ev, gap_ns=3600 * NS).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["session_sequences_s"] = round(time.time() - t, 2)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "events":
+        n_e = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        n_u = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+        print(json.dumps(
+            {"events": n_e, "users": n_u,
+             "ev": events_smoke(spark, n_e, n_u)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "dsir":
+        import tempfile
+
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        tmp = tempfile.mkdtemp(prefix="dsir_smoke_")
+        try:
+            print(json.dumps(
+                {"docs": n_docs, "dsir": dsir_smoke(spark, n_docs, tmp)}
+            ))
+        finally:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "qsketch":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000_000
         print(json.dumps(

@@ -77,3 +77,26 @@ SELECT {select}
 FROM {samples_name} s JOIN {intervals_name} i
   ON s.{ts_col} >= i.{start_col} AND s.{ts_col} < i.{end_col}
 """.strip()
+
+
+def interval_anti_join(samples: DataFrame, intervals: DataFrame,
+                       bucket_ns: int, ts_col: str = "ts_ns",
+                       start_col: str = "start_ns",
+                       end_col: str = "end_ns") -> DataFrame:
+    """Samples covered by NO interval — the exclusion form (drop
+    maintenance windows / incident spans before aggregating).
+
+    Coverage depends only on the timestamp, so the cover set is
+    computed over DISTINCT timestamps (bounded by time range ÷
+    resolution, typically far smaller than the sample count) and
+    anti-joined back — the sample table itself is never fanned out.
+    """
+    covered = (
+        interval_join(
+            samples.select(ts_col).distinct(), intervals, bucket_ns,
+            ts_col=ts_col, start_col=start_col, end_col=end_col,
+        )
+        .select(ts_col)
+        .distinct()
+    )
+    return samples.join(covered, ts_col, "left_anti")

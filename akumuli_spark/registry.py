@@ -2987,3 +2987,50 @@ _register_pipeline(
     ["px_mean"],
     ["doc_id"] + [f"b{i}" for i in range(8)],
 )
+
+
+# Exclusion form of the interval join: purchase samples OUTSIDE every
+# error window, aggregated — the drop-maintenance-windows shape.
+def _join_interval_anti(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.interval import interval_anti_join
+    from akumuli_spark.sources.testdata import ts_ns_expr
+
+    ev = load_table(spark, sf, "events")
+    win_ns = 30 * 60 * NS
+    iv = ev.where(F.col("event_type") == "error").select(
+        ts_ns_expr(ev).alias("start_ns"),
+        (ts_ns_expr(ev) + F.lit(win_ns)).alias("end_ns"),
+    )
+    s = (
+        app_metrics_view(spark, sf)
+        .where(F.col("metric") == "app.purchase")
+        .select("ts_ns", "value")
+    )
+    return interval_anti_join(s, iv, bucket_ns=win_ns).agg(
+        F.count(F.lit(1)).cast("long").alias("n_outside"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+_JOIN_INTERVAL_ANTI_SQL = f"""
+WITH iv AS (
+  SELECT epoch_ns(ts) AS start_ns,
+         epoch_ns(ts) + {30 * 60 * NS} AS end_ns
+  FROM events WHERE event_type = 'error'
+),
+s AS (SELECT epoch_ns(ts) AS ts_ns, value FROM events
+      WHERE event_type = 'purchase')
+SELECT count(*) AS n_outside, sum(value) AS value_sum
+FROM s
+WHERE NOT EXISTS (
+  SELECT 1 FROM iv WHERE s.ts_ns >= iv.start_ns AND s.ts_ns < iv.end_ns
+)
+""".strip()
+
+_register_pipeline(
+    "join_interval_anti",
+    _join_interval_anti,
+    _JOIN_INTERVAL_ANTI_SQL,
+    ["value_sum"],
+    ["n_outside"],
+)

@@ -116,3 +116,35 @@ def test_stream_static_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from iv_sink").collect()
     )
     assert got == want and len(want) == 7
+
+
+def test_anti_join_complements_inner(spark):
+    tss = [5, 50, 123, 124, 125, 400, 999]
+    spans = [(50, 125), (990, 10_000)]
+    from akumuli_spark.operators.interval import interval_anti_join
+
+    samples, intervals = _samples(spark, tss), _intervals(spark, spans)
+    inside = {r["ts_ns"] for r in
+              interval_join(samples, intervals, 64).collect()}
+    outside = sorted(
+        r["ts_ns"] for r in
+        interval_anti_join(samples, intervals, 64).collect()
+    )
+    assert outside == sorted(set(tss) - inside)
+    assert outside == [5, 125, 400]
+
+
+def test_anti_join_keeps_duplicate_samples(spark):
+    # two samples at the same uncovered ts both survive (distinct is on
+    # the cover set, not the data)
+    samples = spark.createDataFrame(
+        [(7, 1.0), (7, 2.0), (100, 3.0)], "ts_ns long, value double"
+    )
+    intervals = _intervals(spark, [(90, 200)])
+    from akumuli_spark.operators.interval import interval_anti_join
+
+    got = sorted(
+        (r["ts_ns"], r["value"])
+        for r in interval_anti_join(samples, intervals, 50).collect()
+    )
+    assert got == [(7, 1.0), (7, 2.0)]

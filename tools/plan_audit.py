@@ -112,7 +112,8 @@ def main() -> None:
                "dedup_exact_keep_best", "events_transitions",
                "text_dsir_weights", "metrics_correlation_lagged",
                "text_entropy", "events_quantiles_sketch",
-               "session_sequences", "multimodal_features"]
+               "session_sequences", "multimodal_features",
+               "join_interval_anti"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -199,7 +199,13 @@ def _parse_group_by(query: dict) -> GroupByTag | None:
         op = GroupByOp.PIVOT
     else:
         op = GroupByOp.GROUP if key == "group-by-tag" else GroupByOp.PIVOT
-    tags = (raw,) if isinstance(raw, str) else tuple(str(t) for t in raw)
+    if isinstance(raw, str):
+        tags = (raw,)
+    elif isinstance(raw, (list, tuple)):
+        tags = tuple(str(t) for t in raw)
+    else:
+        # null / number / object — reject, don't TypeError (totality)
+        raise QueryParseError(f"{key} must be a tag name or list of tag names")
     if not tags:
         raise QueryParseError(f"{key} requires at least one tag")
     return GroupByTag(op=op, tags=tags)

@@ -179,7 +179,9 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "join_interval", "multimodal_resize",
                  "events_quantiles_sketch", "text_entropy",
                  "dedup_exact_keep_best", "events_transitions",
-                 "text_dsir_weights", "metrics_correlation_lagged"):
+                 "text_dsir_weights", "metrics_correlation_lagged",
+                 "session_sequences", "multimodal_features",
+                 "join_interval_anti"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

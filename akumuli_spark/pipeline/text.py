@@ -1208,3 +1208,59 @@ SELECT doc_id, n_tokens, n_distinct, entropy,
        CASE WHEN n_distinct > 1 THEN entropy / ln(n_distinct) END AS norm_entropy
 FROM e
 """.strip()
+
+
+def dsir_resample(weighted: DataFrame, n: int,
+                  seed: str = "dsir-v1") -> DataFrame:
+    """The DSIR paper's selection step: importance-resample ``n``
+    documents with probability ∝ exp(logw) WITHOUT replacement, via the
+    Gumbel top-k identity (top-n of ``logw + Gumbel(0,1)`` is exactly a
+    weighted sample without replacement — Vieira 2014, public).
+
+    The Gumbel noise is deterministic: u = md5-uniform(seed:doc_id)
+    (the repo's stratified-sample convention), g = −ln(−ln u) — so the
+    sample is reproducible and the DuckDB twin replays it.  Selection
+    compares the canonically-rounded key (cross-engine ln differs in
+    the last ulp), ties → smallest doc_id.
+
+    Output: the selected (doc_id, dsir_logw, sel_key) rows — a SET (no
+    rank column: the post-limit ranking window would be the one
+    single-partition exchange in the plan; order by sel_key desc when
+    a ranking is needed downstream).  Scale shape: a pure projection
+    plus one TakeOrdered(n) — no global sort, no shuffle of the
+    corpus.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    u = (
+        "( (CAST(conv(substring(md5(concat('" + seed + ":', doc_id)), 1, 8), 16, 10)"
+        " AS BIGINT) + 0.5) / 4294967296.0 )"
+    )
+    key = f"dsir_logw + (-ln(-ln({u})))"
+    rounded = F.expr(
+        f"floor(({key}) * 10000.0 + 0.50031830988618379) / 10000.0"
+    ).cast("double")
+    return (
+        weighted.where(F.col("dsir_logw").isNotNull())
+        .withColumn("sel_key", rounded)
+        .orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
+        .limit(int(n))
+    )
+
+
+def dsir_resample_sql(weights_cte: str, n: int,
+                      seed: str = "dsir-v1") -> str:
+    """DuckDB twin; ``weights_cte`` must define CTE ``weights`` with
+    (doc_id, dsir_logw)."""
+    u = (
+        f"((('0x' || substr(md5('{seed}:' || doc_id::VARCHAR), 1, 8))::BIGINT"
+        " + 0.5) / 4294967296.0)"
+    )
+    key = f"dsir_logw + (-ln(-ln({u})))"
+    rnd = f"floor(({key}) * 10000.0 + 0.50031830988618379) / 10000.0"
+    return f"""
+WITH {weights_cte}
+SELECT doc_id, dsir_logw, {rnd} AS sel_key
+FROM weights WHERE dsir_logw IS NOT NULL
+ORDER BY {rnd} DESC, doc_id ASC LIMIT {int(n)}
+""".strip()

@@ -3034,3 +3034,28 @@ _register_pipeline(
     ["value_sum"],
     ["n_outside"],
 )
+
+
+# DSIR selection step: deterministic Gumbel top-k importance resampling
+# over the weights — the paper's without-replacement sampling identity
+# with md5-derived noise both engines replay.
+def _dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    weighted = _text.dsir_logweights(
+        docs, docs.where(F.col("source") == "src0")
+    ).select("doc_id", "dsir_logw")
+    return _text.dsir_resample(weighted, n=50)
+
+
+_register_pipeline(
+    "text_dsir_resample",
+    _dsir_resample,
+    _text.dsir_resample_sql(
+        "weights AS (SELECT doc_id, dsir_logw FROM (\n"
+        + _text.dsir_logweights_sql("source = 'src0'")
+        + "\n) __w)",
+        n=50,
+    ),
+    ["dsir_logw", "sel_key"],
+    ["doc_id"],
+)

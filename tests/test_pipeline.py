@@ -1034,3 +1034,27 @@ def test_image_features_validation(spark):
         mm.image_features(df, n_bins=7)
     with pytest.raises(ValueError):
         mm.image_features(df, out_w=0)
+
+
+def test_dsir_resample_properties(spark):
+    """Gumbel top-k selection: n bounds the output, higher-weight docs
+    are favored (a doc with overwhelming weight always wins), and the
+    selection is deterministic across runs."""
+    from akumuli_spark.pipeline.text import dsir_resample
+
+    rows = [(i, 0.0) for i in range(100)] + [(999, 50.0)]  # dominant doc
+    w = spark.createDataFrame(rows, "doc_id long, dsir_logw double")
+    got = dsir_resample(w, n=10).collect()
+    ids = {r["doc_id"] for r in got}
+    assert len(got) == 10 and 999 in ids
+    again = {r["doc_id"] for r in dsir_resample(w, n=10).collect()}
+    assert ids == again
+    # null weights are excluded; n larger than the pool returns the pool
+    w2 = spark.createDataFrame(
+        [(1, 0.5), (2, None)], "doc_id long, dsir_logw double"
+    )
+    assert [r["doc_id"] for r in dsir_resample(w2, n=5).collect()] == [1]
+    import pytest
+
+    with pytest.raises(ValueError):
+        dsir_resample(w2, n=0)

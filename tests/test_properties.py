@@ -614,3 +614,39 @@ def test_hll_estimate_cross_engine(spark, vals):
     sql = hll_sql("SELECT v AS __v FROM src")
     (want,) = con.execute(sql).fetchone()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# quantile sketch: every estimate within the bin bound of exact nearest-rank
+# ---------------------------------------------------------------------------
+
+
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            st.just(0.0),
+        ),
+        min_size=1, max_size=40,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 1.0]),
+)
+@settings(max_examples=25, deadline=None)
+def test_quantile_sketch_within_bound(spark, vals, q):
+    import math
+
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles
+
+    k = 64
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    (row,) = approx_quantiles(df, "v", [q], k=k).collect()
+    got = row["est"]
+    exact = sorted(vals)[math.ceil(q * len(vals)) - 1]
+    if exact == 0.0:
+        assert got == 0.0
+    else:
+        bound = math.exp(1.0 / (2 * k)) - 1.0
+        assert abs(got - exact) <= abs(exact) * (bound + 1e-9), (
+            got, exact, vals, q
+        )

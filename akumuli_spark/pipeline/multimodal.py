@@ -431,6 +431,10 @@ def resize_images(payloads: DataFrame, out_w: int = 8,
         for pdf in batches:
             rows = []
             for p in pdf["payload"]:
+                if not p:
+                    # empty blob: null-stats row, never a job failure
+                    rows.append((None, None, None, None))
+                    continue
                 n_bytes, w, h, _, _ = decode_header(p)
                 xs = (31 * np.arange(w, dtype=np.int64)) % 256
                 ys = (17 * np.arange(h, dtype=np.int64)) % 256
@@ -589,6 +593,9 @@ def image_features(payloads: DataFrame, out_w: int = 8,
         for pdf in batches:
             rows = []
             for p in pdf["payload"]:
+                if not p:
+                    rows.append((*([None] * n_bins), None))
+                    continue
                 n_bytes, w, h, _, _ = decode_header(p)
                 xs = (31 * np.arange(w, dtype=np.int64)) % 256
                 ys = (17 * np.arange(h, dtype=np.int64)) % 256

@@ -1058,3 +1058,17 @@ def test_dsir_resample_properties(spark):
 
     with pytest.raises(ValueError):
         dsir_resample(w2, n=0)
+
+
+def test_resize_and_features_total_over_empty_payload(spark):
+    """An empty blob yields a null-stats row, never a task failure —
+    one corrupt record must not kill a 100 TB job."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, None)], "doc_id long, payload binary"
+    )
+    rs = {r["doc_id"]: r for r in mm.resize_images(df).collect()}
+    assert rs[1]["px_sum"] is None and rs[2]["px_sum"] is None
+    fs = {r["doc_id"]: r for r in mm.image_features(df).collect()}
+    assert fs[1]["b0"] is None and fs[1]["px_mean"] is None

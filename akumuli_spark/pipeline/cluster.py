@@ -573,3 +573,48 @@ reach(id, comp) AS (
 SELECT id AS vec_id, min(comp) AS cluster_id, min(comp) = id AS is_canonical
 FROM reach GROUP BY id
 """.strip()
+
+
+def materialize_packs(docs: DataFrame, packed: DataFrame,
+                      sep: str = " <eod> ",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Turn :func:`pack_sequences` assignments into actual training
+    rows: one row per (stratum, shard, pack_id) with the member texts
+    concatenated in ``id_col`` order, separated by ``sep`` — the final
+    export step before tokenized shards.
+
+    Output: (stratum, shard, pack_id, n_docs, n_tokens, text).
+
+    Scale shape: one equi-join on the doc id (assignment table back to
+    text) then one agg per pack; the in-group ordered concat runs on
+    collected structs bounded by the pack's token budget — the same
+    per-group bound packing guarantees by construction.
+    """
+    joined = packed.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        "doc_id",
+    )
+    ordered = F.expr(
+        f"array_join(transform(array_sort(collect_list("
+        f"struct(doc_id, {text_col}))), x -> x.{text_col}), '{sep}')"
+    )
+    return joined.groupBy("stratum", "shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        ordered.alias("text"),
+    )
+
+
+def materialize_packs_sql(pack_sql: str, sep: str = " <eod> ") -> str:
+    """DuckDB twin; ``pack_sql`` is the full pack_sequences_sql query
+    (wrapped as a subquery and joined back to documents)."""
+    return f"""
+SELECT p.stratum, p.shard, p.pack_id,
+       count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,
+       string_agg(d.text, '{sep}' ORDER BY p.doc_id) AS text
+FROM (
+{pack_sql}
+) p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY p.stratum, p.shard, p.pack_id
+""".strip()

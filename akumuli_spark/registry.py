@@ -3059,3 +3059,22 @@ _register_pipeline(
     ["dsir_logw", "sel_key"],
     ["doc_id"],
 )
+
+
+# Pack materialization: assignments → one concatenated training row per
+# pack, texts in doc_id order with an <eod> separator.
+def _pack_materialize(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    packed = _cluster.pack_sequences(docs, budget=256, n_shards=1)
+    return _cluster.materialize_packs(docs, packed)
+
+
+_register_pipeline(
+    "pack_materialize",
+    _pack_materialize,
+    _cluster.materialize_packs_sql(
+        _cluster.pack_sequences_sql(budget=256, n_shards=1)
+    ),
+    [],
+    ["stratum", "shard", "pack_id", "n_docs", "n_tokens", "text"],
+)

@@ -284,3 +284,26 @@ def test_quota_sample_all_ties_ranks_by_doc_id(spark):
             for r in quota_sample(docs, {"en": 3}, n_salts=n_salts).collect()
         )
         assert got == [(1, 10), (2, 11), (3, 12)], f"n_salts={n_salts}"
+
+
+def test_materialize_packs_crafted(spark):
+    """Pack rows carry members in doc_id order with the separator, and
+    every doc appears in exactly one pack row."""
+    from akumuli_spark.pipeline.cluster import materialize_packs, pack_sequences
+
+    rows = [
+        (1, "aa bb", "en"),     # 2 tokens
+        (2, "cc dd ee", "en"),  # 3 → pack 0 holds 1+2 (budget 5)
+        (3, "ff", "en"),        # overflow → pack 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    packed = pack_sequences(docs, budget=5, n_shards=1)
+    out = {
+        r["pack_id"]: r
+        for r in materialize_packs(docs, packed, sep="|").collect()
+    }
+    assert out[0]["text"] == "aa bb|cc dd ee"
+    assert (out[0]["n_docs"], out[0]["n_tokens"]) == (2, 5)
+    assert out[1]["text"] == "ff"
+    total_docs = sum(r["n_docs"] for r in out.values())
+    assert total_docs == 3

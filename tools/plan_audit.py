@@ -113,7 +113,8 @@ def main() -> None:
                "text_dsir_weights", "metrics_correlation_lagged",
                "text_entropy", "events_quantiles_sketch",
                "session_sequences", "multimodal_features",
-               "join_interval_anti", "text_dsir_resample"]
+               "join_interval_anti", "text_dsir_resample",
+               "pack_materialize"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -311,7 +311,16 @@ def parse_query(query: dict) -> Query:
         metrics = tuple(spec.keys())
         pairs = []
         for metric, fn in spec.items():
-            fns = (fn,) if isinstance(fn, str) else tuple(fn)
+            if isinstance(fn, str):
+                fns = (fn,)
+            elif isinstance(fn, (list, tuple)):
+                fns = tuple(fn)
+            else:
+                # null / number / object — reject, don't TypeError
+                raise QueryParseError(
+                    f"aggregate function for {metric!r} must be a name "
+                    "or list of names"
+                )
             pairs.append((metric, tuple(validate_agg_func(f) for f in fns)))
         agg_funcs = tuple(pairs)
         filt = _parse_filter(query, metrics, kind)

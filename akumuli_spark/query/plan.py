@@ -240,6 +240,9 @@ def percentile_fraction(name: str) -> float | None:
 
 
 def validate_agg_func(name: str) -> str:
+    if not isinstance(name, str):
+        # null / number inside a function list — reject, don't TypeError
+        raise QueryParseError(f"aggregate function must be a name, got {name!r}")
     if name not in AGG_FUNCS and percentile_fraction(name) is None:
         raise QueryParseError(f"unknown aggregate function {name!r}")
     return name

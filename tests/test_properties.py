@@ -650,3 +650,46 @@ def test_quantile_sketch_within_bound(spark, vals, q):
         assert abs(got - exact) <= abs(exact) * (bound + 1e-9), (
             got, exact, vals, q
         )
+
+
+# ---------------------------------------------------------------------------
+# apply-pipeline nodes: parse-or-QueryError over junk-shaped node lists
+# ---------------------------------------------------------------------------
+
+_APPLY_TOKENS = st.sampled_from([
+    "abs", "scale", "rate", "accumulate", "cusum", "sum", "diff",
+    "multiply", "divide", "sma", "sma-error", "cma", "ewma", "ewma-error",
+    "eval", "top", "frequent-items", "heavy-hitters", "sax",
+    "anomaly-detector", "counter-rate", "junk-token",
+])
+_APPLY_PARAMS = st.sampled_from([
+    "N", "decay", "window", "threshold", "error", "portion",
+    "merge-chunks", "expr", "approx", "alphabet-size", "method", "frame",
+    "weight", "junk",
+])
+_APPLY_NODE = st.one_of(
+    _SCALARS,
+    st.dictionaries(
+        st.one_of(st.just("name"), _APPLY_PARAMS),
+        st.one_of(_SCALARS, _APPLY_TOKENS),
+        max_size=4,
+    ),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(ap=st.one_of(_SCALARS, st.lists(_APPLY_NODE, max_size=3)))
+def test_apply_nodes_total_over_junk(ap):
+    from akumuli_spark.query.errors import (
+        QueryParseError,
+        QueryValidationError,
+    )
+    from akumuli_spark.query.parser import parse_query
+
+    q = {"select": "cpu",
+         "range": {"from": "20240101T000000", "to": "20240102T000000"},
+         "apply": ap}
+    try:
+        parse_query(q)
+    except (QueryParseError, QueryValidationError):
+        pass

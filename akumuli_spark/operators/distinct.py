@@ -121,9 +121,15 @@ def hll_estimate(registers: DataFrame,
     """
     m = _check_b(b)
     gcols = list(group_cols)
+    # coalesce: ungrouped agg over an EMPTY register table yields one
+    # row with sum=NULL; with __sp=0 and __np=0 the linear-counting
+    # branch gives m·ln(m/m) = 0 — matching count(distinct) over empty
+    # input instead of a NULL estimate.
     agg = registers.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("__np"),
-        F.sum(F.pow(F.lit(2.0), -F.col("register"))).alias("__sp"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("register"))), F.lit(0.0)
+        ).alias("__sp"),
     )
     raw = F.lit(_alpha(m) * m * m) / (F.col("__sp") + (F.lit(m) - F.col("__np")))
     v = (F.lit(m) - F.col("__np")).cast("double")

@@ -215,7 +215,12 @@ def metrics_correlation_lagged(
         F.instr(F.col("series"), " ") > 0,
         F.expr("substring(series, instr(series, ' ') + 1)"),
     ).otherwise(F.lit(""))
-    bucket = ((F.col("ts_ns") - F.lit(begin_ns)) / F.lit(step_ns)).cast("long")
+    # Exact int64 floor division: the double-division form is only
+    # exact while (end_ns - begin_ns) < 2^53 ns (~104 days); a longer
+    # range would silently risk off-by-one buckets vs the oracle's `//`.
+    # ts_ns - begin_ns is non-negative here (range filter), so `div`
+    # truncation equals floor.
+    bucket = F.expr(f"(ts_ns - {int(begin_ns)}L) div {int(step_ns)}L")
 
     def resampled(metric: str, out: str) -> DataFrame:
         return (

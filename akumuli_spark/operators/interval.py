@@ -23,7 +23,24 @@ AQE's skew-join split applies to the equi-join as usual.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def _bucket(col: str, bucket_ns: int) -> Column:
+    """Exact integer floor-division bucket key.
+
+    ``F.floor(col / lit)`` goes through IEEE double, which has only 53
+    mantissa bits; int64 epoch-ns timestamps (~1.7e18) lose the low
+    ~8 bits, so a value within ~256 ns of a bucket-width multiple can
+    be floored into the WRONG bucket — and since the containment
+    predicate only filters pairs that already met in a bucket, a
+    qualifying pair could silently never meet.  ``(x - pmod(x, b)) div
+    b`` stays in exact int64 arithmetic and is true floor division
+    (correct for negative values too, unlike bare ``div`` truncation).
+    """
+    b = int(bucket_ns)
+    x = f"`{col}`" if col.isidentifier() else f"({col})"
+    return F.expr(f"({x} - pmod({x}, {b})) div {b}")
 
 
 def interval_join(samples: DataFrame, intervals: DataFrame,
@@ -40,18 +57,17 @@ def interval_join(samples: DataFrame, intervals: DataFrame,
     """
     if bucket_ns <= 0:
         raise ValueError("bucket_ns must be positive")
-    b = F.lit(int(bucket_ns))
     iv = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col) / b),
+                _bucket(start_col, bucket_ns),
                 # end is exclusive: the last covered ns is end-1
-                F.floor((F.col(end_col) - F.lit(1)) / b),
+                _bucket(f"`{end_col}` - 1", bucket_ns),
             )
         ),
     )
-    sm = samples.withColumn("__b", F.floor(F.col(ts_col) / b))
+    sm = samples.withColumn("__b", _bucket(ts_col, bucket_ns))
     return (
         sm.join(iv, "__b")
         .where(

@@ -591,13 +591,19 @@ def materialize_packs(docs: DataFrame, packed: DataFrame,
     collected structs bounded by the pack's token budget — the same
     per-group bound packing guarantees by construction.
     """
+    if not text_col.isidentifier():
+        raise ValueError(f"text_col must be a plain identifier: {text_col!r}")
     joined = packed.join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         "doc_id",
     )
+    # sep is interpolated into a single-quoted Spark SQL literal:
+    # escape backslashes and quotes so separators like "' <eod> '" or
+    # "\n" survive verbatim instead of breaking the expression.
+    sep_lit = sep.replace("\\", "\\\\").replace("'", "\\'")
     ordered = F.expr(
         f"array_join(transform(array_sort(collect_list("
-        f"struct(doc_id, {text_col}))), x -> x.{text_col}), '{sep}')"
+        f"struct(doc_id, {text_col}))), x -> x.{text_col}), '{sep_lit}')"
     )
     return joined.groupBy("stratum", "shard", "pack_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -609,6 +615,7 @@ def materialize_packs(docs: DataFrame, packed: DataFrame,
 def materialize_packs_sql(pack_sql: str, sep: str = " <eod> ") -> str:
     """DuckDB twin; ``pack_sql`` is the full pack_sequences_sql query
     (wrapped as a subquery and joined back to documents)."""
+    sep = sep.replace("'", "''")
     return f"""
 SELECT p.stratum, p.shard, p.pack_id,
        count(*) AS n_docs, sum(p.n_tokens) AS n_tokens,

@@ -126,7 +126,7 @@ GROUP BY 1 HAVING count(*) >= {min_overlap}
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 256) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard.
 
     Inverted-index join: docs sharing ≥1 shingle become candidates; the
@@ -137,7 +137,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     document frequency exceeds it are dropped from the candidate join
     (their join fan-out is df² and they carry no discriminative signal —
     boilerplate headers etc.).  Pairs are then scored on the *capped*
-    shingle sets, a documented approximation; default None = exact.
+    shingle sets, a documented approximation.  The guard is ON by
+    default (max_df=256): at web scale the unguarded df² fan-out on
+    boilerplate shingles is a job-killer; pass ``max_df=None`` to
+    explicitly opt into the exact all-df join.
     """
     sh = word_shingles(docs, n=n)
     if max_df is not None:
@@ -173,7 +176,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
 
 
 def ngram_jaccard_sql(n: int = 5, threshold: float = 0.5,
-                      max_df: int | None = None) -> str:
+                      max_df: int | None = 256) -> str:
     if max_df is not None:
         base = (
             _shingles_sql(n).strip().replace("shingles AS (", "shingles0 AS (", 1)
@@ -202,7 +205,7 @@ WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
 
 def ngram_containment_pairs(docs: DataFrame, n: int = 5,
                             threshold: float = 0.8,
-                            max_df: int | None = None) -> DataFrame:
+                            max_df: int | None = 256) -> DataFrame:
     """Directed near-duplicate pairs by shingle-set containment
     ``|A∩B| / |A|`` — the asymmetric companion to Jaccard: a short
     document quoted wholesale inside a much longer one scores high
@@ -216,7 +219,8 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
 
     Scale shape: identical to :func:`ngram_jaccard_pairs` — inverted-
     index equi-join on shingles, candidate aggregation proportional to
-    true shared-shingle pairs, ``max_df`` as the boilerplate skew guard.
+    true shared-shingle pairs, ``max_df`` as the boilerplate skew guard
+    — ON by default (256); ``max_df=None`` is the explicit exact opt-in.
     """
     sh = word_shingles(docs, n=n)
     if max_df is not None:
@@ -244,7 +248,7 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
 
 
 def ngram_containment_sql(n: int = 5, threshold: float = 0.8,
-                          max_df: int | None = None) -> str:
+                          max_df: int | None = 256) -> str:
     if max_df is not None:
         base = (
             _shingles_sql(n).strip().replace("shingles AS (", "shingles0 AS (", 1)
@@ -731,14 +735,30 @@ FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4) -> DataFrame:
+def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4,
+                             max_rows: int | None = 100_000) -> DataFrame:
     """Near-duplicate vector pairs by cosine similarity ≥ threshold.
 
-    This is the verification-quality (exact) variant: a self-join over a
-    block key would bound the pair space at scale — here the corpus fits a
-    broadcast, which Catalyst picks automatically; the LSH-bucketed scale
-    path lives in akumuli_spark.pipeline.similarity.
+    This is the verification-quality (exact) variant: the all-pairs
+    inequality join is QUADRATIC in the corpus — correct, and the right
+    tool for verifying a sample or a small corpus, but a job-killer at
+    scale.  ``max_rows`` (default 100k ⇒ ≤5e9 candidate pairs) counts
+    the input eagerly and raises with a pointer to the bounded paths
+    when exceeded; pass ``max_rows=None`` to explicitly opt into the
+    unguarded exact join.  The scale paths are
+    :func:`embedding_near_dup_lsh` (sign-LSH buckets) and
+    :func:`semantic_near_dup_pairs` (IVF cluster buckets).
     """
+    if max_rows is not None:
+        n_rows = embs.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs: input has {n_rows} rows > "
+                f"max_rows={max_rows}; the exact all-pairs join is "
+                "quadratic. Use embedding_near_dup_lsh / "
+                "semantic_near_dup_pairs for large corpora, or pass "
+                "max_rows=None to opt into the exact join explicitly."
+            )
     a = embs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
     )
@@ -944,8 +964,12 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
         .distinct()
         .withColumn("__p", F.lit(1))
     )
+    # No explicit broadcast hint: the prune list is data-dependent (all
+    # within-cluster near-dup ids) and at low thresholds can approach
+    # corpus size — let AQE pick broadcast vs shuffle from its measured
+    # size instead of forcing a driver-sized copy.
     return (
-        assigned.join(F.broadcast(pruned), "vec_id", "left")
+        assigned.join(pruned, "vec_id", "left")
         .select(
             "vec_id",
             F.col("cid").cast("long").alias("cid"),

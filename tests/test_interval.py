@@ -148,3 +148,42 @@ def test_anti_join_keeps_duplicate_samples(spark):
         for r in interval_anti_join(samples, intervals, 50).collect()
     )
     assert got == [(7, 1.0), (7, 2.0)]
+
+
+def test_int64_precision_buckets(spark):
+    """Epoch-ns timestamps (~1.7e18) exceed double's 2^53 exact range:
+    `floor(ts / b)` through IEEE double misbuckets values within ~256 ns
+    of a bucket boundary.  The bucket key must use exact int64 floor
+    division — pin boundary-straddling pairs at full epoch magnitude."""
+    b = 1_000_000_000
+    edge = 1_700_000_000_000_000_000
+    tss = [edge - 1, edge, edge + 1]
+    spans = [
+        (edge - b, edge),        # covers only edge-1
+        (edge, edge + b),        # covers edge, edge+1
+        (edge - 1, edge + 1),    # covers edge-1, edge
+    ]
+    got = _pairs(spark, tss, spans, b)
+    assert got == [
+        (edge - 1, 0), (edge - 1, 2),
+        (edge, 1), (edge, 2),
+        (edge + 1, 1),
+    ]
+
+
+def test_bucket_helper_exact_vs_python(spark):
+    """_bucket == Python // on adversarial near-boundary int64 values."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.operators.interval import _bucket
+
+    b = 1_000_000_000
+    vals = [
+        1_699_999_999_999_999_999, 1_700_000_000_999_999_999,
+        1_700_000_001_999_999_999, 1_700_000_000_000_000_000,
+        0, 1, b - 1, b, -1, -b, -b - 1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["x"]: r["b"] for r in
+           df.select("x", _bucket("x", b).alias("b")).collect()}
+    assert got == {v: v // b for v in vals}

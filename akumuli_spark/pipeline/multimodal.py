@@ -149,15 +149,19 @@ def _parse_wav(p: bytes):
     return None
 
 
-def decode_header(payload: bytes) -> tuple[int, int, int, int, str]:
+def decode_header(payload: bytes | None) -> tuple[int, int | None, int | None, int | None, str]:
     """Real decode kernel: parse (n_bytes, width, height, channels, format)
     from the container header for PNG / BMP / JPEG / WAV — pure Python, no
     codec library needed.  Any payload that fails magic-byte or structural
     validation falls back to the deterministic :func:`_fake_decode` stub
-    (the documented stand-in for codecs absent from this container), so
-    the pipeline stays total over arbitrary blobs."""
+    (the documented stand-in for codecs absent from this container).
+
+    TOTAL over arbitrary blobs: a null or empty payload yields a
+    ``(0, None, None, None, 'corrupt')`` row instead of raising — at
+    10⁹ blobs a corrupt row is routine and must never be stage-fatal
+    inside ``mapInPandas``."""
     if not payload:
-        raise NotImplementedError("empty payload: nothing to decode")
+        return 0, None, None, None, "corrupt"
     for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_wav):
         meta = parse(payload)
         if meta is not None:
@@ -382,6 +386,68 @@ SELECT doc_id,
 FROM documents
 """.strip()
 
+def synth_dirty_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic DIRTY corpus for the totality gate: by ``doc_id %
+    4`` the payload is NULL (0), empty bytes (1), garbage that fails
+    every container magic (2 — a NUL byte prepended to the text bytes),
+    or a genuine BMP (3).  At 10⁹ blobs every one of these shapes is
+    routine; decode must emit a typed row for each, never raise."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                body = t.encode("utf-8")
+                m = int(did) % 4
+                if m == 0:
+                    payloads.append(None)
+                elif m == 1:
+                    payloads.append(b"")
+                elif m == 2:
+                    payloads.append(b"\x00" + body)
+                else:
+                    w = 64 + len(body) % 577
+                    h = 64 + (len(body) * 31) % 417
+                    hdr = struct.pack(
+                        "<2sIHHIIiiHHIIiiII",
+                        b"BM", 54 + len(body), 0, 0, 54,
+                        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+                    )
+                    payloads.append(hdr + body)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: oracle twin of the dirty round trip: NULL/empty → the corrupt row,
+#: garbage → the stub arithmetic over 1 + byte-length, valid BMP → the
+#: parsed dims — all restated arithmetically per the doc_id % 4 shape.
+DECODE_DIRTY_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 0
+            WHEN doc_id % 4 = 2 THEN 1 + octet_length(encode(text))
+            ELSE 54 + octet_length(encode(text)) END::BIGINT AS n_bytes,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN NULL
+            WHEN doc_id % 4 = 2
+              THEN 64 + (1 + octet_length(encode(text))) % 577
+            ELSE 64 + octet_length(encode(text)) % 577 END::BIGINT AS width,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN NULL
+            WHEN doc_id % 4 = 2
+              THEN 64 + ((1 + octet_length(encode(text))) * 31) % 417
+            ELSE 64 + (octet_length(encode(text)) * 31) % 417
+            END::BIGINT AS height,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN NULL ELSE 3 END::BIGINT AS channels,
+       CASE WHEN doc_id % 4 IN (0, 1) THEN 'corrupt'
+            WHEN doc_id % 4 = 2 THEN 'fake-rgb'
+            ELSE 'bmp' END AS format
+FROM documents
+""".strip()
+
+
 #: oracle twin — the stub's arithmetic restated over the UTF-8 byte length
 DECODE_METADATA_SQL = """
 SELECT doc_id,
@@ -508,7 +574,7 @@ def sample_audio_frames(payloads: DataFrame, stride: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for p in pdf["payload"]:
-                meta = _parse_wav(p)
+                meta = _parse_wav(p) if p else None
                 if meta is None:
                     rows.append((0, 0, None))
                     continue

@@ -1348,6 +1348,20 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# Totality gate: NULL / empty / garbage / valid payloads mixed by
+# doc_id % 4 — decode must emit a typed (possibly corrupt) row for every
+# blob, never raise inside mapInPandas (a corrupt row is routine at 10⁹
+# blobs; a stage-fatal decode is a job-killer).
+_register_pipeline(
+    "multimodal_decode_dirty",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_dirty_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_DIRTY_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
 _register_pipeline(
     "multimodal_decode_wav",
     lambda spark, sf: _mm.decode_metadata(

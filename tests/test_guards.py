@@ -138,3 +138,20 @@ def test_lagged_correlation_exact_buckets_on_quarter_plus_range(spark, duck):
         view, "__m", "cpu", "mem", begin, end, step, lags=(-1, 0, 1)
     )
     assert_matches_oracle(out, duck, sql)
+
+
+def test_multimodal_dirty_corpus_is_total(spark, docs):
+    """NULL / empty / garbage / valid payloads all decode to typed rows;
+    audio frame sampling null-rows non-WAV and NULL payloads too."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    dirty = mm.synth_dirty_payloads(docs)
+    out = mm.decode_metadata(dirty)
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    assert out.filter("format = 'corrupt'").count() == (
+        dirty.filter("payload IS NULL OR length(payload) = 0").count()
+    )
+    audio = mm.sample_audio_frames(dirty)
+    assert audio.count() == n_docs  # no stage failure on NULL payloads
+    assert audio.filter("n_frames = 0").count() == n_docs  # none are WAV

@@ -121,11 +121,14 @@ def test_multimodal_decode(spark, duck, docs):
     assert_matches_oracle(out, duck, multimodal.DECODE_METADATA_SQL)
 
 
-def test_multimodal_stub_raises_on_empty():
+def test_multimodal_decode_total_on_empty():
+    """decode_header is TOTAL: null/empty payloads yield a corrupt row,
+    never a stage-fatal raise (a corrupt blob is routine at 10⁹ rows).
+    The internal stub keeps its guard — it is unreachable on empties."""
+    assert multimodal.decode_header(b"") == (0, None, None, None, "corrupt")
+    assert multimodal.decode_header(None) == (0, None, None, None, "corrupt")
     with pytest.raises(NotImplementedError):
         multimodal._fake_decode(b"")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_header(b"")
 
 
 def _png_bytes(w, h, color_type, depth=8):

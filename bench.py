@@ -52,6 +52,29 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def plan_fingerprint(df) -> str:
+    """Stable 12-hex hash of the physical plan, so round-over-round
+    timing drift is attributable by diff: same hash ⇒ same plan shape ⇒
+    the drift is machine load, different hash ⇒ a code/plan change.
+    Normalizes the volatile parts of the formatted explain (exprIds,
+    plan ids, temp file paths, cached-relation ids) before hashing."""
+    import hashlib
+
+    try:
+        jqe = df._jdf.queryExecution()
+        mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        s = jqe.explainString(mode.fromString("formatted"))
+    except Exception:
+        s = df._jdf.queryExecution().simpleString()
+    s = re.sub(r"#\d+L?", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"file:[^\s,\]\)]+", "file:<path>", s)
+    s = re.sub(r"/tmp/[^\s,\]\)]+", "<tmp>", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     """Production-layout figures: the same engine queries against the
     metric/day-partitioned sorted Parquet written by
@@ -79,6 +102,28 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
                             "func": ["sum", "count"]},
         "range": {"from": t96, "to": t96_feb},
     }
+    # the pruning story must hold beyond select/group-aggregate: pair
+    # the layout against the view for the join materializer, the
+    # group-aggregate-join, and an apply chain too (the NB+tree
+    # time-pruning analogue, nbtree_def.h:38-75 — every query kind
+    # enters through the same pruned scan)
+    join_q = {
+        "join": ["lineitem.price", "lineitem.qty", "lineitem.disc"],
+        "range": {"from": t96, "to": t96_feb},
+    }
+    gaj_q = {
+        "group-aggregate-join": {
+            "metric": ["lineitem.price", "lineitem.qty"],
+            "step": "7d", "func": "mean",
+        },
+        "range": {"from": t96, "to": t96_feb},
+    }
+    ewma_q = {
+        "group-aggregate": {"metric": "lineitem.qty", "step": "1d",
+                            "func": "mean"},
+        "range": {"from": t96, "to": t96_feb},
+        "apply": [{"name": "ewma", "decay": 0.3}],
+    }
     out: dict[str, float] = {}
     view = metrics_view(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="akumuli_bench_layout_")
@@ -91,7 +136,9 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     write_metrics_table(view, path, bucket_ns=90 * 86_400 * 10**9)
     out["write_s"] = round(time.time() - t0, 3)
     table = read_metrics_table(spark, path)
-    for label, q in (("select_narrow", narrow_select), ("group_agg", group_agg)):
+    for label, q in (("select_narrow", narrow_select), ("group_agg", group_agg),
+                     ("join_metrics", join_q), ("group_agg_join", gaj_q),
+                     ("apply_ewma", ewma_q)):
         for src_label, frame in (("view", view), ("layout", table)):
             # warm once (codegen compile, footer cache) — same steady-state
             # methodology as the headline section; the view side already
@@ -146,14 +193,22 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     from akumuli_spark.sources.testdata import load_table
 
     docs = load_table(spark, sf_dir, "documents")
+    sig_dir = tempfile.mkdtemp(prefix="akumuli_bench_layout_sig_")
+    dedup.minhash_signatures(docs, n=5).write.parquet(f"{sig_dir}/mh")
     for label, fn in (
         ("dedup_minhash_oneshot", lambda: dedup.minhash_lsh_pairs(docs, 5, 0.5)),
         ("dedup_simhash_oneshot", lambda: dedup.simhash_pairs(docs, 3, 3)),
+        # the stored-signature pair row: same query answered from the
+        # persisted index — the dedup analogue of the layout's pruned
+        # scan vs the full view scan
+        ("dedup_minhash_indexed", lambda: dedup.minhash_lsh_pairs(
+            docs, 5, 0.5, signatures=spark.read.parquet(f"{sig_dir}/mh"))),
     ):
         fn().write.format("noop").mode("overwrite").save()  # warm
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
         out[label] = round(time.time() - t0, 3)
+    shutil.rmtree(sig_dir, ignore_errors=True)
     return out
 
 
@@ -267,10 +322,12 @@ def main() -> None:
     # these sub-second sizes adds ~20 s of bench wall-clock and halves
     # the sum's run-to-run spread versus three.
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         timings[name] = round(
             min(run_one(spark, impl(name), sf_dir) for _ in range(5)), 3
         )
+        plans[name] = plan_fingerprint(impl(name)(spark, sf_dir))
 
     layout = bench_layout(spark, sf_dir)
     layout["dedup_index_build_s"] = index_build_s
@@ -291,6 +348,11 @@ def main() -> None:
                 # indexed dedup rows exclude (ADVICE r4)
                 "dedup_index_build_s": index_build_s,
                 "dedup_index_build_cold_s": index_build_cold_s,
+                # normalized physical-plan hash per headline query: a
+                # timing drift with an UNCHANGED hash is machine load, a
+                # CHANGED hash is a plan regression — attribution is a
+                # diff, not a judgment call
+                "plans": plans,
                 "layout": layout,
                 "curation": curation,
                 "sf": sf,

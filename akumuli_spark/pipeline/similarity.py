@@ -420,6 +420,39 @@ def build_ivf_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def append_ivf_index(embs_new: DataFrame, path: str,
+                     vectorized: bool = False) -> None:
+    """Incrementally grow a stored IVF index: assign the new vectors
+    against the FROZEN codebook at ``{path}/centroids`` and append their
+    rows to the partitioned ``{path}/lists`` — no rebuild, and the
+    existing list files are never read or rewritten.
+
+    Equivalence contract: list membership is a pure per-row function of
+    (vector, codebook).  With the codebook frozen, build(A) followed by
+    append(B) yields byte-for-byte the same logical lists table as a
+    fresh build over A ∪ B with the same codebook, so every probe
+    (:func:`ivf_topk_from_index`) answers identically — gated by the
+    ``ann_ivf_append`` oracle entry and pinned structurally by
+    ``test_ivf_append_equals_rebuild``.
+
+    Scale shape: cost is O(|new| · nlist) broadcast-codebook assignment
+    plus a partitioned append of |new| rows; growing a 10⁹-vector index
+    by 10⁶ vectors touches only the new rows.  Concurrent readers are
+    safe: a parquet append adds whole new files per list directory, so a
+    probe sees either the pre- or post-append file set, never a torn
+    list.
+    """
+    spark = embs_new.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = _assign_lists_vectorized if vectorized else _assign_lists
+    (
+        assign(embs_new, cents)
+        .repartition("list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+
+
 def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
                         nprobe: int = IVF_NPROBE) -> DataFrame:
     """Probe a stored IVF index: same results as :func:`ivf_topk` (the

@@ -1178,6 +1178,39 @@ _register_pipeline(
 )
 
 
+def _ann_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-growth serving path: build the index over 3/4 of the
+    corpus, append the remaining quarter against the frozen codebook
+    (:func:`akumuli_spark.pipeline.similarity.append_ivf_index`), then
+    probe.  The codebook is trained once over the full corpus — the
+    production pattern (codebook frozen, corpus grows) — so the oracle
+    is the unchanged full-corpus ivf_topk twin: assignment is a pure
+    function of (vector, codebook) and build+append ≡ fresh build on
+    the union."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_ivf_app_{os.getpid()}"
+    )
+    embs = load_table(spark, sf, "embeddings")
+    cents = _sim._centroids(embs, _sim.IVF_NLIST)
+    initial = embs.filter(F.col("vec_id") % 4 != 3)
+    growth = embs.filter(F.col("vec_id") % 4 == 3)
+    _sim.build_ivf_index(initial, path, centroids=cents)
+    _sim.append_ivf_index(growth, path)
+    return _sim.ivf_topk_from_index(spark, path, _ANN_QUERY_IDS, k=10)
+
+
+_register_pipeline(
+    "ann_ivf_append",
+    _ann_ivf_append,
+    _sim.ivf_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+
 def _dedup_semantic_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic dedup over the persisted IVF lists (per-run temp dir) —
     one stored index serving both ANN and dedup; the oracle is the

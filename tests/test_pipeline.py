@@ -643,12 +643,7 @@ def test_ivf_index_append_only_growth(spark, embs, tmp_path):
     # freeze it explicitly, as a production build would)
     cents = similarity._centroids(embs, similarity.IVF_NLIST)
     similarity.build_ivf_index(prefix, path, centroids=cents)
-    (
-        similarity._assign_lists(rest, cents)
-        .repartition("list_id")
-        .write.mode("append").partitionBy("list_id")
-        .parquet(f"{path}/lists")
-    )
+    similarity.append_ivf_index(rest, path)
     got = {
         (r["query_id"], r["neighbor_id"]): (r["cosine"], r["rank"])
         for r in similarity.ivf_topk_from_index(
@@ -660,6 +655,17 @@ def test_ivf_index_append_only_growth(spark, embs, tmp_path):
         for r in similarity.ivf_topk(embs, QUERY_IDS, k=10).collect()
     }
     assert got == want
+
+    # structural claim, stronger than probe equality: the grown lists
+    # table is row-identical to a fresh build over the union with the
+    # same frozen codebook
+    fresh = str(tmp_path / "ivf_idx_fresh")
+    similarity.build_ivf_index(embs, fresh, centroids=cents)
+    read = lambda p: sorted(
+        (r["vec_id"], r["list_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(f"{p}/lists").collect()
+    )
+    assert read(path) == read(fresh)
 
 
 def test_ivf_vectorized_assignment_matches_hof(spark, embs):

@@ -65,6 +65,26 @@ def parsed_stream_from_files(spark: SparkSession, input_dir: str,
     )
 
 
+def sink_as_metrics(sink: DataFrame) -> DataFrame:
+    """Committed ingest sink → the engine's metrics-frame shape
+    ``(series, metric, tags map, ts_ns, value)`` — the read side of the
+    continuous-query loop (the reference's reader in
+    functests/test_continuous_queries.py queries over HTTP while the TCP
+    writer streams; here the reader opens a Database over the committed
+    parquet).  The sink stores tags as the canonical ``k=v,k=v`` string
+    so it can partition on plain columns; this re-derives the map with
+    built-in collection functions (JVM-side, no UDF)."""
+    tags = F.expr(
+        "map_from_entries(transform("
+        "  filter(split(tags_str, ','), kv -> kv != ''), "
+        "  kv -> struct(split_part(kv, '=', 1), split_part(kv, '=', 2))))"
+    )
+    return sink.select(
+        "series", "metric", tags.alias("tags"), "ts_ns",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 class HighWaterState:
     """Per-series high-water marks for the late-write gate, kept as a
     compact parquet side table ``(series, __hw)`` — never on the driver.

@@ -321,3 +321,88 @@ def test_replay_rejects_backfills_under_wider_window(spark, dirs):
     assert [r["ts_ns"] for r in still.collect()] == [1000000000]
     assert not os.path.exists(dirs["rej"])
     assert not os.path.exists(dirs["rej"] + ".consumed")
+
+
+def test_continuous_query_parity(spark, dirs):
+    """The reference's continuous-query functest
+    (functests/test_continuous_queries.py): a reader runs the same query
+    while a writer streams in two bursts with a pause between.  Spark
+    analogue: micro-batches commit through the ingest gate; a Database
+    opened over the committed sink answers the SAME §2 query between
+    batches.  Parity claims:
+
+    - gate-consistent: each read returns exactly the committed prefix —
+      values and timestamps exact, forward order (the functest's
+      check_values loop);
+    - monotone: the first read is a strict prefix of the second, and the
+      final read equals the full written series (its points_required
+      check);
+    - rollup freshness: a LAGGING base-step rollup attached with its
+      high-water (attach_rollup complete_through_ns) never under-reports
+      mid-stream — a group-aggregate whose range extends past the
+      high-water falls through to the raw scan and matches the direct
+      answer over everything committed."""
+    from akumuli_spark.api import open_database
+    from akumuli_spark.query.engine import execute_query
+    from akumuli_spark.streaming.ingest import sink_as_metrics
+
+    N = 120
+
+    def pdu(i: int) -> str:
+        return f"+test tag=Foo\n:{(i + 1) * NS}\n:{float(i)}\n"
+
+    sel = {
+        "select": "test",
+        "range": {"from": 0, "to": (N + 1) * NS},
+        "order-by": "time",
+    }
+    _write_pdu_file(dirs["in"], "w1.txt",
+                    "".join(pdu(i) for i in range(N // 2)))
+    stream = parsed_stream_from_files(spark, dirs["in"])
+    q = start_parquet_ingest(stream, dirs["out"], dirs["chk"], dirs["rej"])
+    try:
+        q.processAllAvailable()
+        db1 = open_database(
+            spark, sink_as_metrics(spark.read.parquet(dirs["out"]))
+        )
+        rows1 = db1.query(sel).collect()
+        # writer's second burst (the functest's post-pause half)
+        _write_pdu_file(dirs["in"], "w2.txt",
+                        "".join(pdu(i) for i in range(N // 2, N)))
+        q.processAllAvailable()
+        full = sink_as_metrics(spark.read.parquet(dirs["out"]))
+        db2 = open_database(spark, full)
+        rows2 = db2.query(sel).collect()
+    finally:
+        q.stop()
+
+    want = [((i + 1) * NS, float(i)) for i in range(N)]
+    got1 = [(r["ts_ns"], r["value"]) for r in rows1]
+    got2 = [(r["ts_ns"], r["value"]) for r in rows2]
+    assert got1 == want[: N // 2]          # exactly the committed prefix
+    assert got2 == want                     # final read = full series
+    assert got2[: len(got1)] == got1        # monotone extension
+    assert all(r["series"] == "test tag=Foo" for r in rows2)
+    assert all(dict(r["tags"]) == {"tag": "Foo"} for r in
+               db2.metrics.limit(3).collect())
+
+    # -- rollup freshness mid-stream --------------------------------------
+    hw_ns = (N // 2) * NS  # rollup only covers the first burst
+    lagging = windowed_rollup_stream(
+        full.filter(full.ts_ns <= hw_ns).select("series", "ts_ns", "value"),
+        step="1 minute",
+    )
+    db2.attach_rollup(lagging, 60 * NS, complete_through_ns=hw_ns)
+    gagg = {
+        "group-aggregate": {"metric": "test", "step": 60 * NS,
+                            "func": ["count", "sum"]},
+        "range": {"from": 0, "to": 180 * NS},
+    }
+    served = sorted(map(tuple, db2.query(gagg).collect()))
+    direct = sorted(map(tuple, execute_query(spark, gagg, full).collect()))
+    assert served == direct  # range past hw ⇒ raw fall-through, complete
+    # sanity: a range the rollup DOES cover is also answered consistently
+    gagg_in = {**gagg, "range": {"from": 0, "to": 60 * NS}}
+    assert sorted(map(tuple, db2.query(gagg_in).collect())) == sorted(
+        map(tuple, execute_query(spark, gagg_in, full).collect())
+    )

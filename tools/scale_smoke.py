@@ -371,6 +371,51 @@ def ivf_smoke(spark, n_vecs: int, nlist: int = 256, nprobe: int = 8) -> dict:
     return out
 
 
+def ivf_append_smoke(spark, n_vecs: int, n_append: int,
+                     nlist: int = 256, nprobe: int = 8) -> dict:
+    """Incremental-growth shape at volume: build the index over
+    ``n_vecs``, append ``n_append`` new vectors against the frozen
+    codebook (no rebuild), and show the append cost scales with the
+    appended rows, not the corpus — plus probe-over-grown-index timing.
+    VERDICT r7 Next #7's 2M + 200k smoke."""
+    import glob
+    import shutil
+    import tempfile
+
+    from akumuli_spark.pipeline import similarity as sim
+
+    embs = synthetic_embeddings(spark, n_vecs + n_append)
+    initial = embs.filter(F.col("vec_id") < n_vecs)
+    growth = embs.filter(F.col("vec_id") >= n_vecs)
+    path = os.path.join(tempfile.gettempdir(), "akumuli_ivf_append_smoke")
+    shutil.rmtree(path, ignore_errors=True)
+    out = {}
+    t = time.time()
+    cents = sim.ivf_kmeans_centroids(initial, nlist=nlist, max_iter=3)
+    out["kmeans_codebook_s"] = round(time.time() - t, 2)
+    t = time.time()
+    sim.build_ivf_index(initial, path, nlist=nlist, centroids=cents,
+                        vectorized=True)
+    out["index_build_s"] = round(time.time() - t, 2)
+    t = time.time()
+    sim.append_ivf_index(growth, path, vectorized=True)
+    out["append_s"] = round(time.time() - t, 2)
+    out["n_list_partitions"] = len(glob.glob(f"{path}/lists/list_id=*"))
+    t = time.time()
+    res = sim.ivf_topk_from_index(
+        spark, path, query_ids=[0, 1, n_vecs, n_vecs + 1], k=10,
+        nprobe=nprobe,
+    )
+    out["result_rows"] = res.count()
+    out["probe_s"] = round(time.time() - t, 2)
+    # appended ids must be findable: every query (old and new) gets k
+    out["appended_served"] = res.filter(
+        F.col("query_id") >= n_vecs
+    ).count()
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def multimodal_smoke(spark, n_docs: int) -> dict:
     """Binary decode throughput at volume: synthesize genuine JFIF
     payloads for n_docs docs, then run the mapInPandas decode stage.
@@ -756,6 +801,14 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"vecs": n_vecs, "ivf": ivf_smoke(spark, n_vecs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_append":
+        n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        n_app = int(sys.argv[3]) if len(sys.argv) > 3 else 200_000
+        print(json.dumps(
+            {"vecs": n_vecs, "appended": n_app,
+             "ivf_append": ivf_append_smoke(spark, n_vecs, n_app)}
+        ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "curation":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000

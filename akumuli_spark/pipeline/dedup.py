@@ -425,6 +425,24 @@ def minhash_signatures(docs: DataFrame, n: int = 5) -> DataFrame:
     return hashed.groupBy("id").agg(*mh_cols)
 
 
+def _banded_long(sig: DataFrame) -> DataFrame:
+    """Signature table → long (id, band_idx, band_sig) band rows — the
+    join key shape shared by the one-shot, stored-index, and incremental
+    LSH paths."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_cols = []
+    for bnd in range(MINHASH_BANDS):
+        parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.concat_ws(":", *[p.cast("string") for p in parts]).alias(f"band{bnd}")
+        )
+    banded = sig.select("id", *band_cols)
+    stack = ", ".join(f"{b}, band{b}" for b in range(MINHASH_BANDS))
+    return banded.select(
+        "id", F.expr(f"stack({MINHASH_BANDS}, {stack}) AS (band_idx, band_sig)")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
                       signatures: DataFrame | None = None) -> DataFrame:
     """MinHash/LSH near-dup: shingle → 32-bit hash → k minhashes → band
@@ -442,18 +460,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     reads only candidate documents' text.
     """
     sig = signatures if signatures is not None else minhash_signatures(docs, n)
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    band_cols = []
-    for bnd in range(MINHASH_BANDS):
-        parts = [F.col(f"mh{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.concat_ws(":", *[p.cast("string") for p in parts]).alias(f"band{bnd}")
-        )
-    banded = sig.select("id", *band_cols)
-    stack = ", ".join(f"{b}, band{b}" for b in range(MINHASH_BANDS))
-    long = banded.select(
-        "id", F.expr(f"stack({MINHASH_BANDS}, {stack}) AS (band_idx, band_sig)")
-    )
+    long = _banded_long(sig)
     a = long.alias("a")
     b = long.alias("b")
     cands = (
@@ -476,15 +483,20 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
         # released when the frame is garbage-collected.
         .localCheckpoint(eager=True)
     )
-    # verification: exact Jaccard computed ONLY for candidate pairs — the
-    # point of LSH is that this step never touches non-candidate pairs.
-    # The candidate ids are SEMI-JOINED against the DOCUMENTS (broadcast —
-    # the id set is O(near-dups)) before shingling, so the verify stage
-    # re-tokenizes only candidate docs instead of exploding the whole
-    # corpus and filtering the rows after (at web scale candidates ≪
-    # corpus; materializing every doc's set would shuffle the whole corpus
-    # as arrays).  Each side of the pair then joins its shingle set and
-    # the intersection is computed with array_intersect.
+    return _verify_jaccard_pairs(cands, docs, n, threshold)
+
+
+def _verify_jaccard_pairs(cands: DataFrame, docs: DataFrame, n: int,
+                          threshold: float) -> DataFrame:
+    """Exact-Jaccard verification computed ONLY for candidate pairs — the
+    point of LSH is that this step never touches non-candidate pairs.
+    The candidate ids are SEMI-JOINED against the DOCUMENTS (broadcast —
+    the id set is O(near-dups)) before shingling, so the verify stage
+    re-tokenizes only candidate docs instead of exploding the whole
+    corpus and filtering the rows after (at web scale candidates ≪
+    corpus; materializing every doc's set would shuffle the whole corpus
+    as arrays).  Each side of the pair then joins its shingle set and
+    the intersection is computed with array_intersect."""
     cand_ids = (
         cands.select(F.col("doc_a").alias("id"))
         .union(cands.select(F.col("doc_b").alias("id")))
@@ -571,6 +583,71 @@ FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
 """.strip()
 
 
+def minhash_lsh_pairs_incremental(docs: DataFrame, signatures: DataFrame,
+                                  new_docs: DataFrame, n: int = 5,
+                                  threshold: float = 0.5) -> DataFrame:
+    """Dedup an ARRIVING BATCH against a stored signature index: every
+    near-dup pair with at least one endpoint in the batch — new-vs-corpus
+    via a band equi-join against the stored table, new-vs-new within the
+    batch — verified with exact Jaccard over candidate documents only.
+    The daily-ingest production shape: the corpus is never re-paired.
+
+    Contract: ``signatures`` covers the corpus EXCLUDING the batch (the
+    batch's signature rows can be appended to the store afterwards, like
+    :func:`~akumuli_spark.pipeline.similarity.append_ivf_index` grows the
+    IVF lists); ``docs`` holds the text of corpus AND batch documents
+    (verification reads candidates from it).  The result equals the
+    full-corpus :func:`minhash_lsh_pairs` restricted to pairs touching a
+    batch id — old-vs-old pairs were reported when THEIR batch arrived —
+    gated cross-engine by the ``dedup_minhash_incremental`` oracle entry.
+
+    Scale shape: per-batch cost is O(|batch|) signature aggregation plus
+    band equi-joins whose fan-out is colliding docs only; the stored
+    table is read through a keyed join (bucketable on band_sig), never
+    re-aggregated; corpus text is touched only for verification
+    candidates.
+    """
+    new_long = _banded_long(
+        minhash_signatures(new_docs, n=n)
+    ).localCheckpoint(eager=True)  # feeds both the vs-corpus and the
+    # vs-batch joins; O(|batch| × bands) rows
+    old_long = _banded_long(signatures)
+    nm, om = new_long.alias("a"), old_long.alias("b")
+    band_eq = (F.col("a.band_idx") == F.col("b.band_idx")) & (
+        F.col("a.band_sig") == F.col("b.band_sig")
+    )
+    vs_corpus = (
+        nm.join(om, band_eq & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        )
+    )
+    nb = new_long.alias("b")
+    vs_batch = (
+        nm.join(nb, band_eq & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+    )
+    cands = (
+        vs_corpus.unionByName(vs_batch).distinct()
+        # same two-consumer materialization rationale as minhash_lsh_pairs
+        .localCheckpoint(eager=True)
+    )
+    return _verify_jaccard_pairs(cands, docs, n, threshold)
+
+
+def minhash_lsh_incremental_sql(batch_pred: str, n: int = 5,
+                                threshold: float = 0.5) -> str:
+    """DuckDB twin: the FULL-corpus LSH pairs restricted to pairs with an
+    endpoint in the batch (``batch_pred`` over a doc id column) — the
+    incremental path must equal exactly this."""
+    return (
+        f"SELECT doc_a, doc_b, jaccard FROM ({minhash_lsh_sql(n, threshold)})\n"
+        f"WHERE ({batch_pred.replace('{id}', 'doc_a')}) "
+        f"OR ({batch_pred.replace('{id}', 'doc_b')})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
@@ -636,6 +713,27 @@ def simhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     return votes.select("id", guarded.alias("simhash"))
 
 
+def _simhash_chunks(sig: DataFrame) -> DataFrame:
+    """Signature table → (id, simhash, chunk_idx, chunk_val) pigeonhole
+    rows — the join-key shape shared by the one-shot, stored-index, and
+    incremental paths."""
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    return sig.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftright(F.col("simhash"), c * chunk_bits)
+                    .bitwiseAND(F.lit(mask)).alias("chunk_val"),
+                )
+                for c in range(SIMHASH_CHUNKS)
+            ])
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+
+
 def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3,
                   signatures: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
@@ -657,21 +755,7 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3,
         sig = signatures
     else:
         sig = simhash_signatures(docs, n=n).localCheckpoint(eager=True)
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
-    mask = (1 << chunk_bits) - 1
-    chunks = sig.select(
-        "id", "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(c).alias("chunk_idx"),
-                    F.shiftright(F.col("simhash"), c * chunk_bits)
-                    .bitwiseAND(F.lit(mask)).alias("chunk_val"),
-                )
-                for c in range(SIMHASH_CHUNKS)
-            ])
-        ).alias("ch"),
-    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    chunks = _simhash_chunks(sig)
     a = chunks.alias("a")
     b = chunks.alias("b")
     cands = (
@@ -733,6 +817,64 @@ FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
+
+
+def simhash_pairs_incremental(signatures: DataFrame, new_docs: DataFrame,
+                              n: int = 3, max_hamming: int = 3) -> DataFrame:
+    """Dedup an arriving batch against a stored simhash index: pairs with
+    hamming ≤ ``max_hamming`` and at least one endpoint in the batch —
+    new-vs-corpus chunk equi-joins against the stored table plus
+    new-vs-new within the batch.  Unlike MinHash, verification is pure
+    signature arithmetic (bit_count of the XOR), so the corpus documents
+    are NEVER read: per-batch cost is O(|batch|) signature aggregation
+    plus keyed joins whose fan-out is chunk-colliding docs.  Equals the
+    full :func:`simhash_pairs` restricted to pairs touching a batch id,
+    gated by the ``dedup_simhash_incremental`` oracle entry.
+
+    Contract mirrors :func:`minhash_lsh_pairs_incremental`: ``signatures``
+    covers the corpus excluding the batch; append the batch's rows to the
+    store afterwards.
+    """
+    new_chunks = _simhash_chunks(
+        simhash_signatures(new_docs, n=n)
+    ).localCheckpoint(eager=True)  # feeds both joins; O(|batch| × chunks)
+    old_chunks = _simhash_chunks(signatures)
+    nm, om = new_chunks.alias("a"), old_chunks.alias("b")
+    chunk_eq = (F.col("a.chunk_idx") == F.col("b.chunk_idx")) & (
+        F.col("a.chunk_val") == F.col("b.chunk_val")
+    )
+    pick = [
+        F.least(F.col("a.id"), F.col("b.id")).alias("doc_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("doc_b"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("a.simhash"))
+        .otherwise(F.col("b.simhash")).alias("sh_a"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("b.simhash"))
+        .otherwise(F.col("a.simhash")).alias("sh_b"),
+    ]
+    vs_corpus = nm.join(om, chunk_eq & (F.col("a.id") != F.col("b.id"))).select(*pick)
+    nb = new_chunks.alias("b")
+    vs_batch = nm.join(nb, chunk_eq & (F.col("a.id") < F.col("b.id"))).select(
+        F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+    )
+    cands = vs_corpus.unionByName(vs_batch).distinct()
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_incremental_sql(batch_pred: str, n: int = 3,
+                            max_hamming: int = 3) -> str:
+    """DuckDB twin: the full simhash pairs restricted to pairs with an
+    endpoint in the batch."""
+    return (
+        f"SELECT doc_a, doc_b, hamming FROM ({simhash_sql(n, max_hamming)})\n"
+        f"WHERE ({batch_pred.replace('{id}', 'doc_a')}) "
+        f"OR ({batch_pred.replace('{id}', 'doc_b')})"
+    )
 
 
 def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4,

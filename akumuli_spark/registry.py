@@ -1086,6 +1086,50 @@ _register_pipeline(
     ["doc_a", "doc_b"],
 )
 
+
+def _dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest shape: docs with doc_id % 7 == 3 are 'today's batch',
+    the rest the already-indexed corpus; the batch is deduped against the
+    corpus's stored signatures without re-pairing the corpus.  Oracle:
+    the full-corpus LSH twin restricted to pairs touching a batch id."""
+    docs = load_table(spark, sf, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    stored = _dedup.minhash_signatures(corpus, n=5)
+    return _dedup.minhash_lsh_pairs_incremental(
+        docs, stored, batch, n=5, threshold=0.5
+    )
+
+
+_register_pipeline(
+    "dedup_minhash_incremental",
+    _dedup_minhash_incremental,
+    _dedup.minhash_lsh_incremental_sql("{id} % 7 = 3", 5, 0.5),
+    ["jaccard"],
+    ["doc_a", "doc_b"],
+)
+
+
+def _dedup_simhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Same daily-ingest split as dedup_minhash_incremental; simhash's
+    verification is signature arithmetic, so the corpus text is never
+    read — only its stored (id, simhash) rows."""
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    stored = _dedup.simhash_signatures(corpus, n=3)
+    return _dedup.simhash_pairs_incremental(
+        stored, docs.filter(F.col("doc_id") % 7 == 3), n=3, max_hamming=3
+    )
+
+
+_register_pipeline(
+    "dedup_simhash_incremental",
+    _dedup_simhash_incremental,
+    _dedup.simhash_incremental_sql("{id} % 7 = 3", 3, 3),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "dedup_simhash_indexed",
     lambda spark, sf: _dedup.simhash_pairs(

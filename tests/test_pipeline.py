@@ -588,6 +588,43 @@ def test_minhash_signature_index_is_incrementally_maintainable(spark, duck, docs
     assert got == want and len(got) > 0
 
 
+def test_incremental_dedup_equals_restricted_full(spark, docs):
+    """The batch-vs-index query path: minhash_lsh_pairs_incremental /
+    simhash_pairs_incremental over (stored corpus signatures, arriving
+    batch) must equal the full-corpus run restricted to pairs touching a
+    batch id — old-vs-old pairs were reported when their batch arrived."""
+    batch_ids = {r["doc_id"] for r in
+                 docs.filter("doc_id % 3 = 0").select("doc_id").collect()}
+    corpus = docs.filter("doc_id % 3 != 0")
+    batch = docs.filter("doc_id % 3 = 0")
+
+    mh_stored = dedup.minhash_signatures(corpus, n=5)
+    got = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs_incremental(
+            docs, mh_stored, batch, n=5, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_lsh_pairs(docs, 5, 0.5).collect()
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    assert got == want and len(got) > 0
+
+    sh_stored = dedup.simhash_signatures(corpus, n=3)
+    got_sh = {
+        tuple(r) for r in dedup.simhash_pairs_incremental(
+            sh_stored, batch, n=3, max_hamming=3
+        ).collect()
+    }
+    want_sh = {
+        tuple(r) for r in dedup.simhash_pairs(docs, 3, 3).collect()
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    assert got_sh == want_sh and len(got_sh) > 0
+
+
 def test_corpus_report(spark, duck, docs):
     out = text.corpus_report(docs)
     rows = out.collect()

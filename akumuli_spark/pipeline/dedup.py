@@ -1240,13 +1240,20 @@ def semantic_dedup_from_index(spark, path: str,
     clusters that received appends (a partition-pruned read:
     ``lists.filter(list_id IN changed)``).
     """
-    import numpy as np
-    import pandas as pd
-
     lists = spark.read.parquet(f"{path}/lists")
     assigned = lists.select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
     )
+    return _semantic_prune(spark, assigned, threshold)
+
+
+def _semantic_prune(spark, assigned: DataFrame,
+                    threshold: float) -> DataFrame:
+    """The per-cluster cosine-matrix prune stage shared by the
+    from-index and incremental paths: one shuffle on cid into an
+    applyInPandas kernel (AQE-exempt fixed-width repartition)."""
+    import numpy as np
+    import pandas as pd
 
     def prune_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("vec_id")
@@ -1265,6 +1272,66 @@ def semantic_dedup_from_index(spark, path: str,
         assigned.repartition(par, "cid")
         .groupBy("cid")
         .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
+    )
+
+
+def semantic_dedup_incremental(spark, path: str, new_embs: DataFrame,
+                               threshold: float = 0.4,
+                               vectorized: bool = False) -> DataFrame:
+    """Grow-and-reprune: append arriving vectors to the stored IVF lists
+    under the FROZEN codebook (the
+    :func:`~akumuli_spark.pipeline.similarity.append_ivf_index` write)
+    and re-run the SemDeDup prune ONLY on clusters that received appends
+    — a partition-pruned read of the changed list directories.
+
+    Returns ``(vec_id, cid, pruned)`` for the CHANGED clusters, equal to
+    the full-corpus :func:`semantic_dedup` restricted to those clusters
+    (gated by ``dedup_semantic_incremental``).  Untouched clusters'
+    stored verdicts remain valid; within changed clusters existing
+    vectors' verdicts are also unchanged whenever appended vec_ids are
+    larger than existing ones (the prune dominates from lower vec_ids),
+    so the result can simply replace the changed clusters' rows in a
+    stored verdict table.
+
+    Scale shape: O(|batch| · nlist) assignment + append write, then the
+    matrix prune over changed clusters only — the changed-cluster id set
+    collected to the driver is ≤ nlist rows.  A daily 10⁶-vector batch
+    against a 10⁹-vector index reads only the lists it grew.
+    """
+    from akumuli_spark.pipeline import similarity as _sim
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    assign = (
+        _sim._assign_lists_vectorized if vectorized else _sim._assign_lists
+    )
+    assigned_new = assign(new_embs, cents).localCheckpoint(eager=True)
+    (
+        assigned_new.repartition("list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(f"{path}/lists")
+    )
+    changed = sorted(
+        r["list_id"]
+        for r in assigned_new.select("list_id").distinct().collect()
+    )  # bounded: ≤ nlist ids
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(changed)  # static partition pruning
+    )
+    return _semantic_prune(
+        spark,
+        lists.select("vec_id", "embedding", F.col("list_id").alias("cid")),
+        threshold,
+    )
+
+
+def semantic_dedup_incremental_sql(batch_pred: str, nlist: int = 16,
+                                   threshold: float = 0.4) -> str:
+    """DuckDB twin: the full SemDeDup verdicts restricted to clusters
+    containing at least one batch vector (``batch_pred`` over vec_id)."""
+    return (
+        f"{semantic_dedup_sql(nlist, threshold)}\n"
+        f"WHERE s.cid IN (SELECT DISTINCT cid FROM __assigned "
+        f"WHERE {batch_pred})"
     )
 
 

@@ -1130,6 +1130,37 @@ _register_pipeline(
     ["doc_a", "doc_b", "hamming"],
 )
 
+
+def _dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Grow-and-reprune over the persisted IVF index: vectors with
+    vec_id % 4 == 3 arrive as the batch; the index (frozen full-corpus
+    codebook) is built on the rest, the batch is appended, and only the
+    clusters that grew are re-pruned.  Oracle: full SemDeDup twin
+    restricted to clusters containing a batch vector."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_semdedup_inc_{os.getpid()}"
+    )
+    embs = load_table(spark, sf, "embeddings")
+    cents = _sim._centroids(embs, 16)
+    _sim.build_ivf_index(
+        embs.filter(F.col("vec_id") % 4 != 3), path, centroids=cents
+    )
+    return _dedup.semantic_dedup_incremental(
+        spark, path, embs.filter(F.col("vec_id") % 4 == 3), threshold=0.4
+    )
+
+
+_register_pipeline(
+    "dedup_semantic_incremental",
+    _dedup_semantic_incremental,
+    _dedup.semantic_dedup_incremental_sql("vec_id % 4 = 3", 16, 0.4),
+    [],
+    ["vec_id", "cid", "pruned"],
+)
+
 _register_pipeline(
     "dedup_simhash_indexed",
     lambda spark, sf: _dedup.simhash_pairs(

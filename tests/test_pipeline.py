@@ -625,6 +625,49 @@ def test_incremental_dedup_equals_restricted_full(spark, docs):
     assert got_sh == want_sh and len(got_sh) > 0
 
 
+def test_semantic_dedup_incremental_reprunes_only_changed(spark, tmp_path):
+    """Crafted two-cluster corpus: the batch lands entirely in one
+    cluster, so the incremental path returns verdicts for that cluster
+    ONLY — and they equal the full semantic_dedup restricted to it."""
+    import math
+
+    def vec(angle: float) -> list[float]:
+        return [float(math.cos(angle)), float(math.sin(angle))]
+
+    # vec_id 0/1 are the seed centroids (nlist=2): orthogonal directions
+    base = [
+        (0, vec(0.0)), (1, vec(math.pi / 2)),
+        (2, vec(0.05)), (3, vec(math.pi / 2 + 0.05)),
+    ]
+    batch = [(10, vec(0.02)), (11, vec(0.03))]  # both near cluster of id 0
+    schema = "vec_id long, embedding array<float>"
+    initial = spark.createDataFrame(base, schema)
+    new = spark.createDataFrame(batch, schema)
+    full = initial.unionByName(new)
+
+    path = str(tmp_path / "semdedup_inc")
+    cents = similarity._centroids(full, 2)
+    similarity.build_ivf_index(initial, path, centroids=cents)
+    got = {
+        r["vec_id"]: (r["cid"], r["pruned"])
+        for r in dedup.semantic_dedup_incremental(
+            spark, path, new, threshold=0.9
+        ).collect()
+    }
+    want_all = {
+        r["vec_id"]: (r["cid"], r["pruned"])
+        for r in dedup.semantic_dedup(full, nlist=2, threshold=0.9).collect()
+    }
+    changed_cid = want_all[10][0]
+    assert got == {
+        v: cp for v, cp in want_all.items() if cp[0] == changed_cid
+    }
+    # the untouched cluster is absent from the incremental result
+    assert all(cp[0] == changed_cid for cp in got.values())
+    # batch members got verdicts; near-dups of id 0's direction pruned
+    assert 10 in got and 11 in got
+
+
 def test_corpus_report(spark, duck, docs):
     out = text.corpus_report(docs)
     rows = out.collect()

@@ -114,7 +114,9 @@ def main() -> None:
                "text_entropy", "events_quantiles_sketch",
                "session_sequences", "multimodal_features",
                "join_interval_anti", "text_dsir_resample",
-               "pack_materialize"]
+               "pack_materialize", "ann_ivf_append",
+               "dedup_minhash_incremental", "dedup_simhash_incremental",
+               "multimodal_decode_dirty"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -50,3 +50,93 @@ def streaming_exact_dedup(docs: DataFrame, within: str | None = None,
         keyed.withWatermark(event_time_col, within)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
+
+
+def near_dup_batch_against_store(spark, batch: DataFrame, store_dir: str,
+                                 n: int = 5,
+                                 threshold: float = 0.5) -> DataFrame:
+    """One micro-batch of the continuous NEAR-dup pipeline: dedup
+    ``batch`` against the accumulated store, then grow the store.
+
+    Store layout under ``store_dir``: ``docs`` (doc_id, text — the
+    verification corpus) and ``signatures`` (the
+    :func:`~akumuli_spark.pipeline.dedup.minhash_signatures` table — the
+    LSH index).  Steps per batch:
+
+    1. pairs = :func:`~akumuli_spark.pipeline.dedup.
+       minhash_lsh_pairs_incremental` (batch-vs-store band joins +
+       within-batch; exact-Jaccard verify over candidates only);
+    2. append the batch's rows to ``docs`` and its signature rows to
+       ``signatures`` — per-document, so the store grows by O(|batch|).
+
+    Across a whole stream with unique doc_ids this emits EXACTLY the
+    full-corpus ``minhash_lsh_pairs`` pair set, each pair once, in the
+    batch where its later endpoint arrived (pytest-pinned across
+    micro-batch splits).  Signatures are computed ONCE per document,
+    in its arrival batch — the store amortization that makes continuous
+    ingest-time near-dedup affordable at crawl scale.
+
+    Returns the pairs frame (already materialized by the verify step's
+    checkpoint barrier — safe to write and discard).  Batch-retry
+    caveat: like ``gate_and_commit_batch``, a foreachBatch retry after a
+    partial append can duplicate store rows; dedup the store on doc_id
+    during compaction if running under at-least-once triggers.
+    """
+    from pyspark.errors import AnalysisException
+
+    from akumuli_spark.pipeline.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_signatures,
+    )
+    from akumuli_spark.streaming.ingest import _is_path_missing
+
+    batch = batch.select("doc_id", "text").localCheckpoint(eager=True)
+    docs_path = f"{store_dir}/docs"
+    sig_path = f"{store_dir}/signatures"
+    try:
+        stored_sig = spark.read.parquet(sig_path)
+        stored_docs = spark.read.parquet(docs_path)
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):
+            raise
+        stored_sig = stored_docs = None
+
+    if stored_sig is None:
+        # first batch: the store IS empty — incremental against an empty
+        # index degenerates to within-batch pairs
+        from akumuli_spark.pipeline.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(batch, n=n, threshold=threshold)
+    else:
+        pairs = minhash_lsh_pairs_incremental(
+            stored_docs.unionByName(batch), stored_sig, batch,
+            n=n, threshold=threshold,
+        )
+    pairs = pairs.localCheckpoint(eager=True)  # force compute BEFORE the
+    # store grows: the lazy plan would otherwise see the batch twice
+    batch.write.mode("append").parquet(docs_path)
+    minhash_signatures(batch, n=n).write.mode("append").parquet(sig_path)
+    return pairs
+
+
+def start_streaming_near_dup(docs: DataFrame, store_dir: str,
+                             pairs_dir: str, checkpoint_dir: str,
+                             n: int = 5, threshold: float = 0.5):
+    """Wire :func:`near_dup_batch_against_store` into a foreachBatch
+    sink: near-dup pairs append to ``pairs_dir`` as they are discovered;
+    the store under ``store_dir`` accumulates the corpus + signature
+    index.  The batch analogue of the whole stream's output is
+    ``minhash_lsh_pairs`` over everything ingested."""
+    spark = docs.sparkSession
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        near_dup_batch_against_store(
+            spark, batch, store_dir, n=n, threshold=threshold
+        ).write.mode("append").parquet(pairs_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+    )

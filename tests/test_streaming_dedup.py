@@ -103,3 +103,62 @@ def test_streaming_dedup_checkpoint_restart_keeps_state(spark, tmp_path):
     assert {(r["fingerprint"], r["doc_id"]) for r in got} == {
         (r["fingerprint"], r["keep_id"]) for r in batch
     }
+
+
+def test_streaming_near_dup_equals_batch_pairs(spark, tmp_path):
+    """The continuous near-dup pipeline: streamed micro-batches deduped
+    against the growing signature store must emit EXACTLY the batch
+    minhash_lsh_pairs set over the full corpus — each pair once, in the
+    batch where its later endpoint arrived."""
+    from akumuli_spark.pipeline.dedup import minhash_lsh_pairs
+    from akumuli_spark.streaming.dedup import start_streaming_near_dup
+
+    # 30 docs, clear near-dups: doc i and i+10 share a long prefix for
+    # i in 0..4 (one word changed), everything else distinct
+    def body(i: int) -> str:
+        words = [f"w{(i * 7 + j) % 97}" for j in range(12)]
+        return " ".join(words)
+
+    rows = [(i, body(i)) for i in range(30)]
+    for i in range(5):
+        prefix = rows[i][1].rsplit(" ", 1)[0]
+        rows[i + 10] = (i + 10, prefix + " changed")
+    docs = spark.createDataFrame(rows, SCHEMA)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    # three micro-batches split mid-duplicate-group so cross-batch pairs
+    # exist in both directions
+    for k, lo, hi in ((0, 0, 11), (1, 11, 22), (2, 22, 30)):
+        docs.filter(f"doc_id >= {lo} AND doc_id < {hi}").coalesce(1) \
+            .write.parquet(os.path.join(in_dir, f"b{k}"))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    q = start_streaming_near_dup(
+        stream, store, pairs_dir, str(tmp_path / "chk"), n=3, threshold=0.5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(pairs_dir).collect()
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    )
+    assert got == want and len(got) > 0
+    assert len(got) == len(set(got))  # each pair exactly once
+    # the store accumulated every doc and its signature exactly once
+    assert spark.read.parquet(f"{store}/docs").count() == 30
+    sig = spark.read.parquet(f"{store}/signatures")
+    assert sig.count() == 30 and sig.select("id").distinct().count() == 30

@@ -236,7 +236,11 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  "dedup_exact_keep_best", "events_transitions",
                  "text_dsir_weights", "metrics_correlation_lagged",
                  "session_sequences", "multimodal_features",
-                 "join_interval_anti"):
+                 "join_interval_anti",
+                 # round-8 incremental-growth shapes: batch-vs-stored-index
+                 # dedup and grow-the-IVF serving
+                 "dedup_minhash_incremental", "dedup_simhash_incremental",
+                 "dedup_semantic_incremental", "ann_ivf_append"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -901,24 +901,26 @@ def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4,
                 "semantic_near_dup_pairs for large corpora, or pass "
                 "max_rows=None to opt into the exact join explicitly."
             )
-    a = embs.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = embs.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0.0D, (acc, v) -> acc + v)"
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(
             f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
+    # norms hoisted above the pair join: one fold per vector, not one per
+    # pair (each vector sits in ~n pairs here) — bitwise-identical cosine
+    a = embs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm("ea"))
+    b = embs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -934,26 +936,28 @@ def embedding_near_dup_lsh(embs: DataFrame, threshold: float = 0.4,
     from akumuli_spark.pipeline.similarity import lsh_bucket_expr
 
     b = embs.withColumn("bucket", lsh_bucket_expr("embedding", bits))
-    a = b.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-        F.col("bucket").alias("ba"),
-    )
-    c = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-        F.col("bucket").alias("bb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0.0D, (acc, v) -> acc + v)"
-    )
     norm = lambda col: F.sqrt(  # noqa: E731
         F.expr(
             f"aggregate({col}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
+    # per-vector norms hoisted above the bucket join (see
+    # embedding_near_dup_pairs) — bitwise-identical cosine
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("bucket").alias("ba"),
+    ).withColumn("na", norm("ea"))
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bb"),
+    ).withColumn("nb", norm("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
     return (
         a.join(c, (F.col("ba") == F.col("bb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1080,27 +1084,30 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
             .groupBy("cid")
             .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
         )
-    a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0.0D, (acc, v) -> acc + v)"
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(
             f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
+    # per-vector norms hoisted above the within-cluster pair join: each
+    # vector sits in ~cluster_size pairs, so this removes two of the
+    # three per-pair array folds — bitwise-identical cosine
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    ).withColumn("na", norm("ea"))
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    ).withColumn("nb", norm("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
     pruned = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
@@ -1167,27 +1174,28 @@ def semantic_near_dup_pairs(embs: DataFrame, nlist: int = 16,
     assigned = _assign_lists(embs, _centroids(embs, nlist)).select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
     )
-    a = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    )
-    b = assigned.select(
-        F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        "0.0D, (acc, v) -> acc + v)"
-    )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.expr(
             f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )
     )
+    # per-vector norms hoisted above the pair join (see semantic_dedup)
+    a = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+    ).withColumn("na", norm("ea"))
+    b = assigned.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    ).withColumn("nb", norm("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
     return (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (norm("ea") * norm("eb")))
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

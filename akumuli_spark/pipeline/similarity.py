@@ -45,16 +45,21 @@ def cosine_topk(embs: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
     by neighbor_id for determinism.
     """
+    # norms hoisted ABOVE the pair join: each vector's norm is computed
+    # once per ROW instead of once per PAIR (the corpus norm would
+    # otherwise be re-folded |queries| times) — bitwise-identical cosine
+    # (same aggregate over the same array, same dot/(qn*nn) tree), 3×
+    # less per-pair array work
     queries = embs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).withColumn("qn", _norm("qe"))
     corpus = embs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-    )
+    ).withColumn("nn", _norm("ne"))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot("qe", "ne") / (_norm("qe") * _norm("ne")))
+        .withColumn("cosine", _dot("qe", "ne") / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -106,19 +111,20 @@ def lsh_bucketed_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
-    )
+    ).withColumn("qn", _norm("qe"))
     corpus = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
         F.col("bucket").alias("nbucket"),
-    )
+    ).withColumn("nn", _norm("ne"))
     scored = (
         corpus.join(
             F.broadcast(queries),
             (F.col("nbucket") == F.col("qbucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .withColumn("cosine", _dot("qe", "ne") / (_norm("qe") * _norm("ne")))
+        # per-row norms hoisted above the join (see cosine_topk)
+        .withColumn("cosine", _dot("qe", "ne") / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -267,12 +273,15 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     centroid-distance ties → cid asc).
     """
     cents = centroids if centroids is not None else _centroids(embs, nlist)
-    assigned = _assign_lists(embs, cents)
+    # candidate norms hoisted above the probe join: one fold per corpus
+    # row, not one per (query, candidate) pair — bitwise-identical cosine
+    assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding"))
     probes = (
         assigned.filter(F.col("vec_id").isin(query_ids))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"), F.col("en").alias("qn"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("__c", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
         .withColumn(
             "__r",
             F.row_number().over(
@@ -282,14 +291,14 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
             ),
         )
         .filter(F.col("__r") <= nprobe)
-        .select("query_id", "qe", F.col("cid").alias("list_id"))
+        .select("query_id", "qe", "qn", F.col("cid").alias("list_id"))
     )
     scored = (
         assigned.join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")),
+            _dot("qe", "embedding") / (F.col("qn") * F.col("en")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -471,10 +480,10 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
     lists = spark.read.parquet(f"{path}/lists")
     queries = lists.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
+    ).withColumn("qn", _norm("qe"))
     probe_rows = (
         queries.crossJoin(F.broadcast(cents))
-        .withColumn("__c", _dot("qe", "ce") / (_norm("qe") * _norm("ce")))
+        .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
         .withColumn(
             "__r",
             F.row_number().over(
@@ -484,21 +493,26 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
             ),
         )
         .filter(F.col("__r") <= nprobe)
-        .select("query_id", "qe", F.col("cid").alias("list_id"))
+        .select("query_id", "qe", "qn", F.col("cid").alias("list_id"))
         .collect()  # bounded: len(query_ids) × nprobe rows
     )
     probe_lists = sorted({r["list_id"] for r in probe_rows})
+    # qn rides along through the driver round-trip (Python float IS the
+    # double, so the value is preserved exactly)
     probes = spark.createDataFrame(
-        [(r["query_id"], r["qe"], r["list_id"]) for r in probe_rows],
-        "query_id long, qe array<float>, list_id int",
+        [(r["query_id"], r["qe"], r["qn"], r["list_id"]) for r in probe_rows],
+        "query_id long, qe array<float>, qn double, list_id int",
     )
     scored = (
         lists.filter(F.col("list_id").isin(probe_lists))
+        # candidate norm: one fold per scanned list row, hoisted above the
+        # probe join (bitwise-identical cosine, see cosine_topk)
+        .withColumn("en", _norm("embedding"))
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            _dot("qe", "embedding") / (_norm("qe") * _norm("embedding")),
+            _dot("qe", "embedding") / (F.col("qn") * F.col("en")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

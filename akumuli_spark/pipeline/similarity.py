@@ -353,6 +353,112 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """.strip()
 
 
+def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
+                   nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """Batch ANN serving: the query set is a DATAFRAME — possibly the
+    size of a second corpus — not a driver-side literal id list.  This
+    is the cross-corpus retrieval shape (for every document in corpus B,
+    its near neighbors in corpus A): :func:`ivf_topk` /
+    :func:`ivf_topk_from_index` serve interactive handfuls of ids via an
+    ``isin`` literal + partition pruning, this serves a retrieval JOIN.
+
+    ``queries``: (query_id, embedding).  May overlap the corpus;
+    corpus rows whose vec_id equals the query's id are excluded, same as
+    :func:`ivf_topk`.  Output matches :func:`cosine_topk`.
+
+    Scale shape: the codebook is broadcast to BOTH sides; probes
+    (|queries| × nprobe rows) join the assigned corpus on list_id — a
+    keyed equi-join, never a broadcast/collect of the query set (which
+    scales with the second corpus, not with a user's handful of ids).
+    At 100 TB the lists side is partitioned by list_id so the join
+    co-locates with the stored index layout; a hot list (skewed cluster
+    × many queries probing it) is AQE skew-join territory.  The final
+    top-k windows by query_id with O(k) state per query.
+    """
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding"))
+    q = queries.select(
+        F.col("query_id"), F.col("embedding").alias("qe")
+    ).withColumn("qn", _norm("qe"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qe", "qn", F.col("cid").alias("list_id"))
+    )
+    scored = (
+        assigned.join(probes, "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot("qe", "embedding") / (F.col("qn") * F.col("en")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
+        )
+    )
+
+
+def ivf_topk_batch_sql(query_pred: str, k: int = 10, nlist: int = IVF_NLIST,
+                       nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB twin of :func:`ivf_topk_batch` with the query batch drawn
+    from the embeddings table by ``query_pred`` (a predicate over
+    ``vec_id``) — same CTE chain as :func:`ivf_topk_sql`, the only
+    difference is the probe set comes from a predicate, not a literal
+    id list."""
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {nlist}
+),
+assigned AS (
+  SELECT vec_id, e, cid AS list_id FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.ce')} DESC, c.cid) AS r
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS list_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding::DOUBLE[] AS qe, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY {cos.format(a='q.embedding::DOUBLE[]', b='c.ce')} DESC, c.cid) AS r
+    FROM embeddings q, cents c WHERE {query_pred}
+  ) WHERE r <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos.format(a='p.qe', b='a.e')} AS cosine
+  FROM assigned a JOIN probes p USING (list_id)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # persisted IVF index — the 100 TB serving shape
 # ---------------------------------------------------------------------------

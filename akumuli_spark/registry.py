@@ -1217,6 +1217,28 @@ _register_pipeline(
 )
 
 
+def _ann_ivf_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-serving shape: the query set is a DataFrame (every 50th
+    corpus vector here — a stand-in for a second corpus), joined against
+    the IVF lists on list_id instead of collected to a driver-side id
+    list.  Cross-corpus retrieval is this exact plan with the queries
+    loaded from another table."""
+    embs = load_table(spark, sf, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return _sim.ivf_topk_batch(embs, queries, k=10)
+
+
+_register_pipeline(
+    "ann_ivf_batch",
+    _ann_ivf_batch,
+    _sim.ivf_topk_batch_sql("q.vec_id % 50 = 3", 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+
 # One exact Lloyd iteration from the deterministic seed codebook — the
 # oracle-auditable core of the IVF codebook build.
 _register_pipeline(

@@ -445,6 +445,24 @@ def test_ivf_results_subset_of_exact_scores(spark, embs):
         assert abs(exact[key] - r["cosine"]) < 1e-12
 
 
+def test_ivf_batch_equals_literal_path(spark, embs):
+    # the DataFrame-query batch path must return exactly what the
+    # driver-literal path returns for the same query set — same probes,
+    # same cosines (bit-equal: identical float-op order), same ranks
+    from pyspark.sql import functions as F
+
+    queries = embs.filter(F.col("vec_id").isin(QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = sorted(
+        map(tuple, similarity.ivf_topk_batch(embs, queries, k=10).collect())
+    )
+    literal = sorted(
+        map(tuple, similarity.ivf_topk(embs, QUERY_IDS, k=10).collect())
+    )
+    assert batch == literal
+
+
 def test_ivf_kmeans_recall_gate(spark, embs):
     """Quality gate for the production KMeans-IVF path: recall@10 vs the
     exact cosine_topk ground truth.

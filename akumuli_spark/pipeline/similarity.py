@@ -355,7 +355,8 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 
 def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
                    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   vectorized: bool = False) -> DataFrame:
     """Batch ANN serving: the query set is a DATAFRAME — possibly the
     size of a second corpus — not a driver-side literal id list.  This
     is the cross-corpus retrieval shape (for every document in corpus B,
@@ -375,8 +376,25 @@ def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
     co-locates with the stored index layout; a hot list (skewed cluster
     × many queries probing it) is AQE skew-join territory.  The final
     top-k windows by query_id with O(k) state per query.
+
+    ``vectorized=True`` is the volume kernel: probe assignment via the
+    broadcast-codebook matmul (same shape as
+    :func:`_assign_lists_vectorized`) and per-list scoring via a
+    COGROUPED ``applyInPandas`` — each inverted list's corpus matrix
+    meets its probing-query matrix in one task, one
+    ``(queries × dim) @ (dim × list)`` product per chunk, and only each
+    query's within-list top-k (global top-k ⊆ union of per-list top-k)
+    leaves the task.  Candidate PAIRS are never materialized as rows.
+    Queries are chunked inside the kernel so the similarity block stays
+    ~64 MB regardless of list size.  Same last-ulp FP caveat as every
+    vectorized path here (numpy sums in SIMD/pairwise order; cosines
+    computed on pre-normalized matrices): exact-tie ranks can flip vs
+    the fold path, so ``vectorized=False`` stays the oracle-audited
+    default.
     """
     cents = centroids if centroids is not None else _centroids(embs, nlist)
+    if vectorized:
+        return _ivf_topk_batch_vectorized(embs, queries, cents, k, nprobe)
     assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding"))
     q = queries.select(
         F.col("query_id"), F.col("embedding").alias("qe")
@@ -412,6 +430,101 @@ def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank"
         )
+    )
+
+
+def _ivf_topk_batch_vectorized(embs: DataFrame, queries: DataFrame,
+                               cents: DataFrame, k: int,
+                               nprobe: int) -> DataFrame:
+    """numpy kernel behind ``ivf_topk_batch(vectorized=True)`` — see its
+    docstring for the shape and the FP caveat."""
+    import numpy as np
+    import pandas as pd
+
+    cb = cents.orderBy("cid").collect()  # nlist rows — codebook-sized
+    C = np.array([r["ce"] for r in cb], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cb], dtype=np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def probe_fn(pdfs):
+        # top-nprobe centroids per query: stable argsort over -cosine
+        # with the codebook in cid-asc order = ties broken by cid asc,
+        # the same tie-break as the fold path
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
+            n_q = len(pdf)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), nprobe),
+                "embedding": pdf["embedding"].to_numpy().repeat(nprobe),
+                "list_id": cids[order].reshape(n_q * nprobe),
+            })
+
+    probes = queries.select(
+        F.col("query_id"), F.col("embedding")
+    ).mapInPandas(
+        probe_fn, "query_id long, embedding array<float>, list_id long"
+    )
+    assigned = _assign_lists_vectorized(embs, cents).withColumn(
+        "list_id", F.col("list_id").cast("long")
+    )
+
+    def score(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
+        if corpus_pdf.empty or probe_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        corpus_pdf = corpus_pdf.sort_values("vec_id")  # tie-break order
+        vec_ids = corpus_pdf["vec_id"].to_numpy()
+        E = np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        # chunk queries so the similarity block stays ~8M doubles
+        chunk = max(1, 8_000_000 // max(len(vec_ids), 1))
+        out_q, out_n, out_c = [], [], []
+        for lo in range(0, len(probe_pdf), chunk):
+            part = probe_pdf.iloc[lo:lo + chunk]
+            Q = np.stack(part["embedding"].to_numpy()).astype(np.float64)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Qn @ En.T
+            # stable argsort over corpus in vec_id-asc order = cosine
+            # desc, neighbor_id asc — the fold path's tie-break
+            order = np.argsort(-S, axis=1, kind="stable")
+            qids = part["query_id"].to_numpy()
+            for i in range(len(qids)):
+                sel = order[i][vec_ids[order[i]] != qids[i]][:k]
+                out_q.append(np.full(len(sel), qids[i], dtype=np.int64))
+                out_n.append(vec_ids[sel])
+                out_c.append(S[i, sel])
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cosine": np.concatenate(out_c),
+        })
+
+    # fixed-width repartition on the list key for the same reason as
+    # semantic_dedup's vectorized path: the stage cost is Python compute
+    # per list, not shuffle bytes — don't let AQE coalesce the workers
+    par = embs.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        assigned.repartition(par, "list_id").groupBy("list_id")
+        .cogroup(probes.repartition(par, "list_id").groupBy("list_id"))
+        .applyInPandas(
+            lambda left, right: score(left, right),
+            "query_id long, neighbor_id long, cosine double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

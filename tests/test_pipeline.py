@@ -463,6 +463,32 @@ def test_ivf_batch_equals_literal_path(spark, embs):
     assert batch == literal
 
 
+def test_ivf_batch_vectorized_matches_fold_path(spark, embs):
+    # the per-list matmul kernel must produce the same ranking as the
+    # audited fold path (cosines to 1e-9 — numpy sums in SIMD order,
+    # so bit-equality is not the contract; rank equality is)
+    from pyspark.sql import functions as F
+
+    queries = embs.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk_batch(embs, queries, k=5).collect()
+    }
+    vec = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in similarity.ivf_topk_batch(
+            embs, queries, k=5, vectorized=True
+        ).collect()
+    }
+    assert set(fold) == set(vec)
+    for key, (n, c) in fold.items():
+        vn, vc = vec[key]
+        assert vn == n
+        assert abs(vc - c) < 1e-9
+
+
 def test_ivf_kmeans_recall_gate(spark, embs):
     """Quality gate for the production KMeans-IVF path: recall@10 vs the
     exact cosine_topk ground truth.

@@ -416,6 +416,32 @@ def ivf_append_smoke(spark, n_vecs: int, n_append: int,
     return out
 
 
+def ivf_batch_smoke(spark, n_vecs: int, n_queries: int,
+                    nlist: int = 256, nprobe: int = 8) -> dict:
+    """Batch-serving (cross-corpus retrieval) shape at volume: a
+    query DATAFRAME of ``n_queries`` vectors joined against the IVF
+    lists of an ``n_vecs`` corpus — the ivf_topk_batch(vectorized=True)
+    per-list matmul kernel; candidate pairs never materialize as rows."""
+    from akumuli_spark.pipeline import similarity as sim
+
+    both = synthetic_embeddings(spark, n_vecs + n_queries)
+    corpus = both.filter(F.col("vec_id") < n_vecs)
+    queries = both.filter(F.col("vec_id") >= n_vecs).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {}
+    t = time.time()
+    cents = sim.ivf_kmeans_centroids(corpus, nlist=nlist, max_iter=3)
+    out["kmeans_codebook_s"] = round(time.time() - t, 2)
+    t = time.time()
+    res = sim.ivf_topk_batch(corpus, queries, k=10, nprobe=nprobe,
+                             centroids=cents, vectorized=True)
+    out["result_rows"] = res.count()
+    out["batch_serve_s"] = round(time.time() - t, 2)
+    out["rows_per_query"] = round(out["result_rows"] / n_queries, 2)
+    return out
+
+
 def multimodal_smoke(spark, n_docs: int) -> dict:
     """Binary decode throughput at volume: synthesize genuine JFIF
     payloads for n_docs docs, then run the mapInPandas decode stage.
@@ -801,6 +827,14 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"vecs": n_vecs, "ivf": ivf_smoke(spark, n_vecs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "ivf_batch":
+        n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+        print(json.dumps(
+            {"vecs": n_vecs, "queries": n_q,
+             "ivf_batch": ivf_batch_smoke(spark, n_vecs, n_q)}
+        ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_append":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000

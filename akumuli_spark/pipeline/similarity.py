@@ -393,9 +393,21 @@ def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
     default.
     """
     cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assigned = _assign_lists_vectorized(embs, cents) if vectorized \
+        else _assign_lists(embs, cents)
     if vectorized:
-        return _ivf_topk_batch_vectorized(embs, queries, cents, k, nprobe)
-    assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding"))
+        return _ivf_topk_batch_vectorized(assigned, queries, cents, k, nprobe)
+    return _batch_topk_fold(assigned, queries, cents, k, nprobe)
+
+
+def _batch_topk_fold(assigned: DataFrame, queries: DataFrame,
+                     cents: DataFrame, k: int, nprobe: int) -> DataFrame:
+    """Fold-path scorer behind :func:`ivf_topk_batch` /
+    :func:`ivf_topk_batch_from_index`: ``assigned`` is the corpus with
+    its ``list_id`` already attached (computed or read from the stored
+    index — assignment is a pure function of the frozen codebook, so
+    the two are interchangeable)."""
+    assigned = assigned.withColumn("en", _norm("embedding"))
     q = queries.select(
         F.col("query_id"), F.col("embedding").alias("qe")
     ).withColumn("qn", _norm("qe"))
@@ -433,11 +445,13 @@ def ivf_topk_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def _ivf_topk_batch_vectorized(embs: DataFrame, queries: DataFrame,
+def _ivf_topk_batch_vectorized(assigned: DataFrame, queries: DataFrame,
                                cents: DataFrame, k: int,
                                nprobe: int) -> DataFrame:
     """numpy kernel behind ``ivf_topk_batch(vectorized=True)`` — see its
-    docstring for the shape and the FP caveat."""
+    docstring for the shape and the FP caveat.  ``assigned`` is the
+    corpus with ``list_id`` attached (fresh assignment or stored
+    lists)."""
     import numpy as np
     import pandas as pd
 
@@ -468,9 +482,7 @@ def _ivf_topk_batch_vectorized(embs: DataFrame, queries: DataFrame,
     ).mapInPandas(
         probe_fn, "query_id long, embedding array<float>, list_id long"
     )
-    assigned = _assign_lists_vectorized(embs, cents).withColumn(
-        "list_id", F.col("list_id").cast("long")
-    )
+    assigned = assigned.withColumn("list_id", F.col("list_id").cast("long"))
 
     def score(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
         if corpus_pdf.empty or probe_pdf.empty:
@@ -509,7 +521,7 @@ def _ivf_topk_batch_vectorized(embs: DataFrame, queries: DataFrame,
     # fixed-width repartition on the list key for the same reason as
     # semantic_dedup's vectorized path: the stage cost is Python compute
     # per list, not shuffle bytes — don't let AQE coalesce the workers
-    par = embs.sparkSession.sparkContext.defaultParallelism
+    par = assigned.sparkSession.sparkContext.defaultParallelism
     cands = (
         assigned.repartition(par, "list_id").groupBy("list_id")
         .cogroup(probes.repartition(par, "list_id").groupBy("list_id"))
@@ -526,6 +538,32 @@ def _ivf_topk_batch_vectorized(embs: DataFrame, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_topk_batch_from_index(spark, path: str, queries: DataFrame,
+                              k: int = 10, nprobe: int = IVF_NPROBE,
+                              vectorized: bool = False) -> DataFrame:
+    """Batch ANN serving from a STORED index: same results as
+    :func:`ivf_topk_batch` over the corpus the index was built from
+    (assignment is a pure function of the frozen codebook, so the stored
+    list_id equals a fresh assignment), but the corpus scan reads the
+    pre-assigned lists table — no per-batch re-assignment.  This is the
+    repeated-serving shape: build/append the index once per corpus
+    generation, answer every arriving query batch from it (the streaming
+    sink in ``streaming/ann.py`` wires this into foreachBatch).
+
+    Unlike :func:`ivf_topk_from_index`, nothing is collected to the
+    driver — a query DataFrame of any size probes via a keyed join, and
+    most lists are touched by SOME query in a large batch anyway, so the
+    win is join co-location with the list_id partitioning, not partition
+    pruning."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.parquet(f"{path}/lists").select(
+        "vec_id", "embedding", "list_id"
+    )
+    if vectorized:
+        return _ivf_topk_batch_vectorized(lists, queries, cents, k, nprobe)
+    return _batch_topk_fold(lists, queries, cents, k, nprobe)
 
 
 def ivf_topk_batch_sql(query_pred: str, k: int = 10, nlist: int = IVF_NLIST,

@@ -786,6 +786,131 @@ LIMIT {int(k)}
 """.strip()
 
 
+#: symbol separator for the BPE training representation — the unit
+#: separator control char, outside every printable alphabet; a corpus
+#: word containing it would corrupt the symbol framing (document, don't
+#: scan: U+001F does not survive any sane text extraction)
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Iterated BPE merge training (Sennrich et al. 2016): run
+    ``n_merges`` rounds of count-pairs → pick the argmax pair → apply
+    the merge, returning the learned merge list
+    ``(step, left, right, count)`` — the tokenizer-training loop that
+    :func:`bpe_pair_counts` is the first decision of.
+
+    Representation: each distinct word becomes a separator-framed symbol
+    string ``␟c␟c␟…␟</w>␟`` (char symbols + end-of-word marker).  The
+    merge applies as a plain string ``replace`` of ``␟left␟right`` with
+    ``␟leftright`` — left-to-right, non-overlapping, scan resuming
+    AFTER each replacement, which is exactly BPE's greedy apply (the
+    pattern carries no trailing separator, so back-to-back occurrences
+    like ``a a a a`` merge to ``aa aa``, not ``aa a a``).  Both engines'
+    ``replace`` share these semantics, so the DuckDB twin replays the
+    rounds identically.
+
+    Scale shape: the corpus is read ONCE (distinct-word counts, the
+    Zipf-small table :func:`bpe_pair_counts` uses); each round is two
+    hash aggregations + one projection over |vocab| rows, and exactly
+    ONE row (the winning pair) reaches the driver per round — the same
+    bounded-driver-state loop as ``ivf_kmeans_centroids``.  ``n_merges``
+    chained projections keep the plan linear in rounds; real tokenizer
+    builds (30k+ merges) would checkpoint the word table every few
+    hundred rounds, same as any iterative Spark algorithm.
+    """
+    S = _BPE_SEP
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("__wc"))
+    )
+    cur = words.select(
+        F.concat(
+            F.lit(S),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + S),
+            F.lit("</w>" + S),
+        ).alias("r"),
+        "__wc",
+    )
+    pair = (
+        "transform(sequence(1, size(__s) - 1), "
+        "i -> named_struct('a', element_at(__s, i), "
+        "'b', element_at(__s, i + 1)))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, int(n_merges) + 1):
+        best = (
+            cur.select(
+                F.expr(f"filter(split(r, '{S}'), x -> x <> '')").alias("__s"),
+                "__wc",
+            )
+            .select(F.explode(F.expr(pair)).alias("__p"), "__wc")
+            .groupBy(
+                F.col("__p.a").alias("left"), F.col("__p.b").alias("right")
+            )
+            .agg(F.sum("__wc").alias("count"))
+            .orderBy(F.col("count").desc(), "left", "right")
+            .limit(1)
+            .collect()[0]  # ONE row per round — bounded driver state
+        )
+        merges.append((step, best["left"], best["right"], int(best["count"])))
+        cur = cur.select(
+            F.replace(
+                F.col("r"),
+                F.lit(S + best["left"] + S + best["right"]),
+                F.lit(S + best["left"] + best["right"]),
+            ).alias("r"),
+            "__wc",
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "step long, left string, right string, count long"
+    )
+
+
+def bpe_train_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_train` — the rounds unrolled as CTEs
+    (w0 → m1 → w1 → m2 → …), each replaying the same
+    separator-framed ``replace`` merge apply."""
+    pairs_from = (
+        "SELECT __s[u.i] AS l, __s[u.i + 1] AS r, wc\n"
+        "  FROM (SELECT list_filter(string_split(r, chr(31)), x -> x <> '') AS __s, wc\n"
+        "        FROM {src}) t,\n"
+        "       LATERAL (SELECT unnest(range(1, len(__s))) AS i) u"
+    )
+    parts = ["""w0 AS (
+  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+           || '</w>' || chr(31) AS r,
+         wc
+  FROM (SELECT w, count(*) AS wc
+        FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x <> '')) AS w
+              FROM documents)
+        GROUP BY 1)
+)"""]
+    for s in range(1, int(n_merges) + 1):
+        parts.append(f"""m{s} AS (
+  SELECT l, r, sum(wc)::BIGINT AS cnt
+  FROM ({pairs_from.format(src=f'w{s - 1}')})
+  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1
+)""")
+        if s < int(n_merges):
+            parts.append(f"""w{s} AS (
+  SELECT replace(w.r, chr(31) || m.l || chr(31) || m.r,
+                 chr(31) || m.l || m.r) AS r, w.wc
+  FROM w{s - 1} w, m{s} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {s} AS step, l AS "left", r AS "right", cnt AS count FROM m{s}'
+        for s in range(1, int(n_merges) + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
+
+
 # ---------------------------------------------------------------------------
 # hashed linear classifier scoring (fastText / CCNet-style quality filter)
 # ---------------------------------------------------------------------------

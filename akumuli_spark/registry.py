@@ -1350,6 +1350,18 @@ _register_pipeline(
     ["left", "right", "count"],
 )
 
+# Iterated BPE merge training: 3 rounds of count-pairs → argmax →
+# replace-based greedy merge apply; one driver row per round.
+_register_pipeline(
+    "bpe_train_merges",
+    lambda spark, sf: _text.bpe_train(
+        load_table(spark, sf, "documents"), n_merges=3
+    ),
+    _text.bpe_train_sql(3),
+    [],
+    ["step", "left", "right", "count"],
+)
+
 # CCNet-style bigram-LM perplexity (corpus-trained, add-1 smoothing).
 _register_pipeline(
     "text_perplexity",

@@ -870,6 +870,32 @@ def test_bpe_pair_counts_crafted(spark):
     assert out[2] == ("a", "</w>", 1)
 
 
+def test_bpe_train_crafted_greedy_apply(spark):
+    # corpus "aaaa aaaa b" (as one doc with "aaaa" twice): round 1 best
+    # is (a,a) count 6 (3 adjacent pairs × wc 2).  The greedy apply must
+    # merge NON-overlapping left-to-right: aaaa → [aa, aa], not
+    # [aa, a, a].  Round 2 then sees (aa,aa)×2 and (aa,</w>)×2 — a tie
+    # broken on right asc ("</w>" < "aa") → (aa,</w>).  Round 3 merges
+    # (aa, aa</w>).
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa b")], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in text.bpe_train(docs, n_merges=3).collect()]
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "aa", "</w>", 2),
+        (3, "aa", "aa</w>", 2),
+    ]
+
+
+def test_bpe_train_round1_equals_pair_counts_top1(spark, docs):
+    top1 = text.bpe_pair_counts(docs, k=1).collect()[0]
+    merge1 = text.bpe_train(docs, n_merges=1).collect()[0]
+    assert (merge1["left"], merge1["right"], merge1["count"]) == (
+        top1["left"], top1["right"], top1["count"]
+    )
+
+
 def test_tfidf_crafted(spark):
     """Hand-computed TF-IDF on a 4-doc corpus: 'rare' appears twice in
     one doc only (tf=2, df=1 → 2·ln4 ≈ 2.7726); 'common' is in all four

@@ -911,6 +911,110 @@ def bpe_train_sql(n_merges: int = 3) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + union + "\nORDER BY step"
 
 
+def bpe_tokenize(docs: DataFrame, n_merges: int = 3) -> DataFrame:
+    """Train ``n_merges`` BPE merges on the corpus (:func:`bpe_train`)
+    and apply them back to every document: output
+    ``(doc_id, n_words, n_symbols)`` — the post-merge symbol count is
+    the corpus's token count under the learned vocabulary, the number a
+    training pipeline budgets sequence packing with (compare
+    ``token_counts``'s pre-merge character/regex counts).
+
+    Apply path: the merge list (``n_merges`` rows, driver-bounded) is
+    replayed IN ORDER as chained ``replace`` projections over the
+    distinct-word table, then word symbol counts join back to the
+    corpus by word — the corpus text itself is never re-scanned per
+    merge.  Scale shape: training as :func:`bpe_train`; apply is one
+    |vocab|-row projection chain + a words⋈vocab equi-join (vocab is
+    Zipf-small — broadcast at real corpus sizes) + one per-doc sum.
+    """
+    S = _BPE_SEP
+    merges = bpe_train(docs, n_merges=n_merges).collect()
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w"),
+    )
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.concat(
+            F.lit(S),
+            F.regexp_replace(F.col("w"), "(.)", "$1" + S),
+            F.lit("</w>" + S),
+        ).alias("r"),
+    )
+    for m in merges:
+        vocab = vocab.select(
+            "w",
+            F.replace(
+                F.col("r"),
+                F.lit(S + m["left"] + S + m["right"]),
+                F.lit(S + m["left"] + m["right"]),
+            ).alias("r"),
+        )
+    vocab = vocab.select(
+        "w",
+        F.expr(
+            f"size(filter(split(r, '{S}'), x -> x <> ''))"
+        ).cast("long").alias("__n_sym"),
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__n_sym").alias("n_symbols"),
+        )
+    )
+
+
+def bpe_tokenize_sql(n_merges: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_tokenize`: the :func:`bpe_train_sql`
+    rounds, then the final vocabulary's symbol counts joined back to the
+    per-doc word list."""
+    train = bpe_train_sql(n_merges)
+    # reuse the training CTE chain (everything before its trailing
+    # UNION-of-merges block), then rebuild the vocabulary WITH the word
+    # key alongside the same replace chain
+    idx = train.index("SELECT 1 AS step")
+    with_clause = train[:idx].rstrip()
+    if with_clause.endswith(","):
+        with_clause = with_clause[:-1]
+    n = int(n_merges)
+    return f"""{with_clause},
+vocab0 AS (
+  SELECT w,
+         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
+           || '</w>' || chr(31) AS r
+  FROM (SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+                                           x -> x <> '')) AS w
+        FROM documents)
+),
+{", ".join(
+    f'''vocab{s} AS (
+  SELECT v.w, replace(v.r, chr(31) || m.l || chr(31) || m.r,
+                      chr(31) || m.l || m.r) AS r
+  FROM vocab{s - 1} v, m{s} m
+)''' for s in range(1, n + 1))},
+vocab AS (
+  SELECT w,
+         len(list_filter(string_split(r, chr(31)), x -> x <> ''))::BIGINT
+           AS n_sym
+  FROM vocab{n}
+),
+docwords AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT d.doc_id, count(*)::BIGINT AS n_words,
+       sum(v.n_sym)::BIGINT AS n_symbols
+FROM docwords d JOIN vocab v USING (w)
+GROUP BY 1
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # hashed linear classifier scoring (fastText / CCNet-style quality filter)
 # ---------------------------------------------------------------------------

@@ -1362,6 +1362,18 @@ _register_pipeline(
     ["step", "left", "right", "count"],
 )
 
+# Train-then-tokenize: the learned merges applied back to the corpus,
+# per-doc post-merge symbol counts (the packing-budget token count).
+_register_pipeline(
+    "bpe_tokenize_counts",
+    lambda spark, sf: _text.bpe_tokenize(
+        load_table(spark, sf, "documents"), n_merges=3
+    ),
+    _text.bpe_tokenize_sql(3),
+    [],
+    ["doc_id", "n_words", "n_symbols"],
+)
+
 # CCNet-style bigram-LM perplexity (corpus-trained, add-1 smoothing).
 _register_pipeline(
     "text_perplexity",

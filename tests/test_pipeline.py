@@ -896,6 +896,16 @@ def test_bpe_train_round1_equals_pair_counts_top1(spark, docs):
     )
 
 
+def test_bpe_tokenize_crafted(spark):
+    # after the 3 merges of test_bpe_train_crafted_greedy_apply, "aaaa"
+    # collapses to the single symbol aaaa</w>; "b" stays [b, </w>]
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa b")], "doc_id long, text string"
+    )
+    row = text.bpe_tokenize(docs, n_merges=3).collect()[0]
+    assert (row["doc_id"], row["n_words"], row["n_symbols"]) == (1, 3, 4)
+
+
 def test_tfidf_crafted(spark):
     """Hand-computed TF-IDF on a 4-doc corpus: 'rare' appears twice in
     one doc only (tf=2, df=1 → 2·ln4 ≈ 2.7726); 'common' is in all four

@@ -241,7 +241,7 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
                  # dedup and grow-the-IVF serving
                  "dedup_minhash_incremental", "dedup_simhash_incremental",
                  "dedup_semantic_incremental", "ann_ivf_append",
-                 "ann_ivf_batch"):
+                 "ann_ivf_batch", "bpe_train_merges"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -1,0 +1,103 @@
+"""Retrieval-serving demo: the full lifecycle of the IVF ANN index —
+
+    embeddings
+      → codebook training       (similarity.ivf_kmeans_centroids)
+      → index build             (similarity.build_ivf_index — lists
+                                 partitioned by list_id = the serving layout)
+      → interactive probe       (similarity.ivf_topk_from_index —
+                                 literal ids, partition-pruned scan)
+      → batch serve             (similarity.ivf_topk_batch_from_index —
+                                 a query DATAFRAME joined on list_id,
+                                 nothing collected)
+      → corpus growth           (similarity.append_ivf_index — frozen
+                                 codebook, cost ∝ appended rows)
+      → streaming serve         (streaming.ann.start_streaming_ann —
+                                 query micro-batches through foreachBatch)
+
+Build once, serve three ways; the append never rewrites existing lists,
+so probes before/after the append see a consistent index.
+
+    python examples/retrieval_serving.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from akumuli_spark import get_spark  # noqa: E402
+from akumuli_spark.pipeline import similarity  # noqa: E402
+from akumuli_spark.sources.testdata import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    spark = get_spark("retrieval-serving-demo")
+    embs = load_table(spark, SF_DIR, "embeddings")
+    base = tempfile.mkdtemp(prefix="retrieval_demo_")
+    idx = os.path.join(base, "ivf")
+
+    initial = embs.filter(F.col("vec_id") % 4 != 3)
+    growth = embs.filter(F.col("vec_id") % 4 == 3)
+
+    cents = similarity.ivf_kmeans_centroids(embs, nlist=16, max_iter=3)
+    similarity.build_ivf_index(initial, idx, centroids=cents)
+    print(f"index built over {initial.count()} vectors")
+
+    probe = similarity.ivf_topk_from_index(spark, idx, [0, 1, 2], k=5)
+    print("interactive probe (3 ids, partition-pruned):")
+    probe.show(6, truncate=False)
+
+    queries = embs.filter(F.col("vec_id") % 25 == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = similarity.ivf_topk_batch_from_index(spark, idx, queries, k=3)
+    print(f"batch serve: {batch.count()} results "
+          f"for {queries.count()} queries")
+
+    similarity.append_ivf_index(growth, idx)
+    after = similarity.ivf_topk_batch_from_index(spark, idx, queries, k=3)
+    grown = after.join(
+        growth.select(F.col("vec_id").alias("neighbor_id")), "neighbor_id"
+    ).count()
+    print(f"after append: {grown} results now rank appended vectors")
+
+    # streaming serve: the same queries as two micro-batches
+    from akumuli_spark.streaming.ann import start_streaming_ann
+
+    in_dir = os.path.join(base, "in")
+    qrows = queries.collect()
+    for i, half in enumerate((qrows[: len(qrows) // 2],
+                              qrows[len(qrows) // 2:])):
+        spark.createDataFrame(
+            half, "query_id long, embedding array<float>"
+        ).coalesce(1).write.parquet(os.path.join(in_dir, f"c{i}"))
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = start_streaming_ann(
+        stream, idx, os.path.join(base, "out"), os.path.join(base, "chk"),
+        k=3,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    served = spark.read.parquet(os.path.join(base, "out"))
+    print(f"streaming serve: {served.count()} results across micro-batches "
+          f"(equals the batch run: "
+          f"{served.count() == after.count()})")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

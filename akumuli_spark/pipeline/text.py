@@ -810,14 +810,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     ``replace`` share these semantics, so the DuckDB twin replays the
     rounds identically.
 
-    Scale shape: the corpus is read ONCE (distinct-word counts, the
-    Zipf-small table :func:`bpe_pair_counts` uses); each round is two
-    hash aggregations + one projection over |vocab| rows, and exactly
-    ONE row (the winning pair) reaches the driver per round — the same
-    bounded-driver-state loop as ``ivf_kmeans_centroids``.  ``n_merges``
-    chained projections keep the plan linear in rounds; real tokenizer
-    builds (30k+ merges) would checkpoint the word table every few
-    hundred rounds, same as any iterative Spark algorithm.
+    Scale shape: the corpus is read ONCE — the distinct-word table (the
+    Zipf-small frame :func:`bpe_pair_counts` uses) is eagerly
+    checkpointed before the loop, and re-checkpointed after each merge,
+    so round r's pair count is two hash aggregations over |vocab| rows
+    from the previous round's materialization, never a corpus re-scan
+    or an O(r)-deep replace chain.  Exactly ONE row (the winning pair)
+    reaches the driver per round — the same bounded-driver-state loop
+    as ``ivf_kmeans_centroids``.
     """
     S = _BPE_SEP
     words = (
@@ -836,7 +836,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             F.lit("</w>" + S),
         ).alias("r"),
         "__wc",
-    )
+    ).localCheckpoint(eager=True)  # vocab-sized; ends the corpus lineage
     pair = (
         "transform(sequence(1, size(__s) - 1), "
         "i -> named_struct('a', element_at(__s, i), "
@@ -866,7 +866,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
                 F.lit(S + best["left"] + best["right"]),
             ).alias("r"),
             "__wc",
-        )
+        ).localCheckpoint(eager=True)  # keep each round one projection
     return docs.sparkSession.createDataFrame(
         merges, "step long, left string, right string, count long"
     )

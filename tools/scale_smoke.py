@@ -416,6 +416,23 @@ def ivf_append_smoke(spark, n_vecs: int, n_append: int,
     return out
 
 
+def bpe_smoke(spark, n_docs: int, n_merges: int = 5) -> dict:
+    """BPE training at corpus volume: the corpus (10 M × ~24-word docs,
+    ~50 k distinct words) is scanned once into the checkpointed vocab
+    table; each merge round is then two hash aggs over |vocab| rows —
+    per-round cost must be corpus-size-independent."""
+    from akumuli_spark.pipeline import text as t
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    start = time.time()
+    merges = t.bpe_train(docs, n_merges=n_merges).collect()
+    out["train_total_s"] = round(time.time() - start, 2)
+    out["n_merges"] = len(merges)
+    out["top_merge"] = f"{merges[0][1]}+{merges[0][2]}@{merges[0][3]}"
+    return out
+
+
 def ivf_batch_smoke(spark, n_vecs: int, n_queries: int,
                     nlist: int = 256, nprobe: int = 8) -> dict:
     """Batch-serving (cross-corpus retrieval) shape at volume: a
@@ -827,6 +844,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"vecs": n_vecs, "ivf": ivf_smoke(spark, n_vecs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        n_m = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+        print(json.dumps(
+            {"docs": n_docs, "bpe": bpe_smoke(spark, n_docs, n_m)}
+        ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_batch":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000

@@ -981,6 +981,103 @@ SELECT id_a, id_b, cosine FROM dots WHERE cosine >= {threshold}
 """.strip()
 
 
+def embedding_near_dup_lsh_multi(embs: DataFrame, threshold: float = 0.4,
+                                 bits: int = 8,
+                                 tables: int = 4) -> DataFrame:
+    """Multi-table sign-LSH near-dup: ``tables`` independent bucket
+    tables, each hashing a DISJOINT block of ``bits`` components; a pair
+    becomes a candidate by colliding in ANY table, then exact cosine
+    verifies.  This is the standard recall repair for single-table LSH
+    (a pair straddling one block's sign boundary still collides in the
+    other tables — a near-dup pair is missed only if every block has a
+    flipped sign, exponentially unlikely as cosine → 1); single-table
+    recall is :func:`embedding_near_dup_lsh`, the exact reference is the
+    guarded :func:`embedding_near_dup_pairs`.
+
+    Scale shape: one explode to ``tables`` rows per vector, one
+    (table, bucket) equi-join — pair space Σ bucket² summed over tables,
+    never corpus² — then DISTINCT candidate pairs before a single
+    norm-hoisted cosine verify per pair.  At 100 TB (table, bucket) is
+    the cluster key, same as the single-table path.
+    """
+    if tables * bits > 64:
+        raise ValueError(
+            f"tables*bits = {tables * bits} exceeds the 64 components "
+            "the disjoint-block scheme can consume"
+        )
+    bucket_t = (
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
+        f"CASE WHEN element_at(embedding, t * {bits} + j + 1) > 0 "
+        f"THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"
+    )
+    long = embs.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {tables - 1}), "
+                f"t -> named_struct('t', t, 'b', {bucket_t}))"
+            )
+        ).alias("__tb"),
+    ).select("vec_id", F.col("__tb.t").alias("t"), F.col("__tb.b").alias("b"))
+    a = long.select(F.col("vec_id").alias("id_a"), "t", "b")
+    c = long.select(F.col("vec_id").alias("id_b"), "t", "b")
+    cands = (
+        a.join(c, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.expr(
+            f"aggregate({col}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )
+    )
+    ea = embs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    ).withColumn("na", norm("ea"))
+    eb = embs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    ).withColumn("nb", norm("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+    return (
+        cands.join(ea, "id_a").join(eb, "id_b")
+        .withColumn("cosine", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_near_dup_lsh_multi_sql(threshold: float = 0.4, bits: int = 8,
+                                     tables: int = 4) -> str:
+    return f"""
+WITH long AS (
+  SELECT vec_id, u.t,
+         (SELECT sum(CASE WHEN embedding[u.t * {bits} + j + 1] > 0
+                          THEN (2 ** j)::BIGINT ELSE 0 END)
+          FROM range(0, {bits}) r(j)) AS b
+  FROM embeddings, LATERAL (SELECT unnest(range(0, {tables})) AS t) u
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM long a JOIN long c ON a.t = c.t AND a.b = c.b
+                          AND a.vec_id < c.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT id_a, id_b,
+       list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb))
+            * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+FROM cands JOIN e a ON cands.id_a = a.vec_id
+           JOIN e b ON cands.id_b = b.vec_id
+WHERE list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb))
+           * sqrt(list_dot_product(b.emb, b.emb))) >= {threshold}
+""".strip()
+
+
 def embedding_near_dup_sql(threshold: float = 0.4) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

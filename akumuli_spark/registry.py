@@ -2310,6 +2310,18 @@ _register_pipeline(
     ["id_a", "id_b"],
 )
 
+# Multi-table sign-LSH: disjoint component blocks, candidate = collide
+# in ANY table — the standard recall repair over the single-table path.
+_register_pipeline(
+    "dedup_embedding_lsh_multi",
+    lambda spark, sf: _dedup.embedding_near_dup_lsh_multi(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    ),
+    _dedup.embedding_near_dup_lsh_multi_sql(0.4),
+    ["cosine"],
+    ["id_a", "id_b"],
+)
+
 # SemDeDup: k-means-cluster-bucketed embedding dedup — the published
 # curation method's bucket choice (density-following clusters), third
 # path beside the exact self-join and the sign-LSH buckets.

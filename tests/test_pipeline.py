@@ -445,6 +445,31 @@ def test_ivf_results_subset_of_exact_scores(spark, embs):
         assert abs(exact[key] - r["cosine"]) < 1e-12
 
 
+def test_lsh_multi_recall_containment(spark, embs):
+    """Multi-table LSH: table 0 is exactly the single-table bucket
+    (components 1..8), so its pair set must CONTAIN the single-table
+    result; and every emitted pair must carry the exact cosine (appear
+    in the exact all-pairs run with the same value)."""
+    single = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_lsh(embs, threshold=0.4).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_lsh_multi(
+            embs, threshold=0.4
+        ).collect()
+    }
+    assert set(single) <= set(multi)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in dedup.embedding_near_dup_pairs(embs, threshold=0.4).collect()
+    }
+    for pair, c in multi.items():
+        assert pair in exact
+        assert exact[pair] == c
+
+
 def test_ivf_batch_equals_literal_path(spark, embs):
     # the DataFrame-query batch path must return exactly what the
     # driver-literal path returns for the same query set — same probes,

@@ -116,7 +116,8 @@ def main() -> None:
                "join_interval_anti", "text_dsir_resample",
                "pack_materialize", "ann_ivf_append",
                "dedup_minhash_incremental", "dedup_simhash_incremental",
-               "multimodal_decode_dirty", "ann_ivf_batch"]
+               "multimodal_decode_dirty", "ann_ivf_batch",
+               "dedup_embedding_lsh_multi"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

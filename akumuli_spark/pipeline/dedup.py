@@ -1345,7 +1345,9 @@ def semantic_dedup_from_index(spark, path: str,
     clusters that received appends (a partition-pruned read:
     ``lists.filter(list_id IN changed)``).
     """
-    lists = spark.read.parquet(f"{path}/lists")
+    from akumuli_spark.pipeline.similarity import _read_lists
+
+    lists = _read_lists(spark, path)
     assigned = lists.select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
     )
@@ -1419,7 +1421,9 @@ def semantic_dedup_incremental(spark, path: str, new_embs: DataFrame,
         r["list_id"]
         for r in assigned_new.select("list_id").distinct().collect()
     )  # bounded: ≤ nlist ids
-    lists = spark.read.parquet(f"{path}/lists").filter(
+    from akumuli_spark.pipeline.similarity import _read_lists
+
+    lists = _read_lists(spark, path).filter(
         F.col("list_id").isin(changed)  # static partition pruning
     )
     return _semantic_prune(

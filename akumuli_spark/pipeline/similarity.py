@@ -558,7 +558,7 @@ def ivf_topk_batch_from_index(spark, path: str, queries: DataFrame,
     win is join co-location with the list_id partitioning, not partition
     pruning."""
     cents = spark.read.parquet(f"{path}/centroids")
-    lists = spark.read.parquet(f"{path}/lists").select(
+    lists = _read_lists(spark, path).select(
         "vec_id", "embedding", "list_id"
     )
     if vectorized:
@@ -613,6 +613,26 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 # ---------------------------------------------------------------------------
 # persisted IVF index — the 100 TB serving shape
 # ---------------------------------------------------------------------------
+
+#: stored lists-table schema (used for the empty-index fallback below)
+_LISTS_SCHEMA = "vec_id long, embedding array<float>, list_id int"
+
+
+def _read_lists(spark, path: str) -> DataFrame:
+    """Read ``{path}/lists`` tolerating an EMPTY index: a partitioned
+    write of zero rows leaves a directory with no data files, which
+    ``spark.read.parquet`` refuses to infer a schema for — an
+    empty-corpus build (or a probe before the first append lands)
+    should serve zero results, not crash."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(f"{path}/lists")
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
+                and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        return spark.createDataFrame([], _LISTS_SCHEMA)
 
 
 def _assign_lists_vectorized(embs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -734,7 +754,7 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
     on the scan, asserted in tests) instead of relying on runtime DPP.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _read_lists(spark, path)
     queries = lists.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     ).withColumn("qn", _norm("qe"))

@@ -844,7 +844,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, int(n_merges) + 1):
-        best = (
+        top = (
             cur.select(
                 F.expr(f"filter(split(r, '{S}'), x -> x <> '')").alias("__s"),
                 "__wc",
@@ -856,8 +856,11 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             .agg(F.sum("__wc").alias("count"))
             .orderBy(F.col("count").desc(), "left", "right")
             .limit(1)
-            .collect()[0]  # ONE row per round — bounded driver state
+            .collect()  # ONE row per round — bounded driver state
         )
+        if not top:
+            break  # no pairs left (empty or fully-merged corpus)
+        best = top[0]
         merges.append((step, best["left"], best["right"], int(best["count"])))
         cur = cur.select(
             F.replace(

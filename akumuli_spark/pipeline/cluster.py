@@ -279,7 +279,11 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
         F.col(id_col).alias("doc_id"),
         F.col(stratum_col).alias("stratum"),
         _shard_expr(id_col, n_shards).alias("shard"),
-        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+        # coalesce: NULL text packs as a zero-token doc instead of
+        # feeding NaN into the per-shard running sum (dirty rows are
+        # routine; the SQL twin sees no NULLs on the audited corpus)
+        F.expr(f"coalesce(size(split({text_col}, ' ')), 0)")
+        .cast("long").alias("n_tokens"),
     )
 
     def pack(pdf):

@@ -910,10 +910,10 @@ def embedding_near_dup_pairs(embs: DataFrame, threshold: float = 0.4,
     # pair (each vector sits in ~n pairs here) — bitwise-identical cosine
     a = embs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    ).withColumn("na", norm("ea"))
+    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
     b = embs.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    ).withColumn("nb", norm("eb"))
+    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -946,11 +946,11 @@ def embedding_near_dup_lsh(embs: DataFrame, threshold: float = 0.4,
     a = b.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         F.col("bucket").alias("ba"),
-    ).withColumn("na", norm("ea"))
+    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
     c = b.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
         F.col("bucket").alias("bb"),
-    ).withColumn("nb", norm("eb"))
+    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1006,8 +1006,10 @@ def embedding_near_dup_lsh_multi(embs: DataFrame, threshold: float = 0.4,
             "the disjoint-block scheme can consume"
         )
     bucket_t = (
+        # try_element_at: dirty short/NULL vectors bucket as all-zero
+        # signs and die at the zero-norm filter, not as a stage crash
         f"aggregate(sequence(0, {bits - 1}), 0L, (acc, j) -> acc + "
-        f"CASE WHEN element_at(embedding, t * {bits} + j + 1) > 0 "
+        f"CASE WHEN try_element_at(embedding, t * {bits} + j + 1) > 0 "
         f"THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"
     )
     long = embs.select(
@@ -1034,10 +1036,10 @@ def embedding_near_dup_lsh_multi(embs: DataFrame, threshold: float = 0.4,
     )
     ea = embs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    ).withColumn("na", norm("ea"))
+    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
     eb = embs.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
-    ).withColumn("nb", norm("eb"))
+    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1192,11 +1194,11 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
-    ).withColumn("na", norm("ea"))
+    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
-    ).withColumn("nb", norm("eb"))
+    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1280,11 +1282,11 @@ def semantic_near_dup_pairs(embs: DataFrame, nlist: int = 16,
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"),
-    ).withColumn("na", norm("ea"))
+    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("eb"),
-    ).withColumn("nb", norm("eb"))
+    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1374,6 +1376,15 @@ def _semantic_prune(spark, assigned: DataFrame,
             "pruned": dom.any(axis=0).astype("int64"),
         })
 
+    # dirty-row gate ahead of the numpy kernel: NULL/empty embeddings and
+    # NULL cluster ids (the __HIVE_DEFAULT_PARTITION__ round-trip of a
+    # null list_id) would crash np.stack; such rows can't be near-dups of
+    # anything, so dropping them IS their verdict.  (A truncated-but-
+    # nonempty vector of the wrong dim remains undefined input.)
+    assigned = assigned.filter(
+        F.col("cid").isNotNull() & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+    )
     par = spark.sparkContext.defaultParallelism
     return (
         assigned.repartition(par, "cid")

@@ -197,6 +197,12 @@ def synth_bmp_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
+                if t is None:
+                    # NULL text → NULL payload: flows down the decode
+                    # stage's corrupt-blob branch instead of crashing
+                    # the synth task (dirty rows are routine at volume)
+                    payloads.append(None)
+                    continue
                 body = t.encode("utf-8")
                 w = 64 + len(body) % 577
                 h = 64 + (len(body) * 31) % 417
@@ -227,6 +233,12 @@ def synth_png_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
+                if t is None:
+                    # NULL text → NULL payload: flows down the decode
+                    # stage's corrupt-blob branch instead of crashing
+                    # the synth task (dirty rows are routine at volume)
+                    payloads.append(None)
+                    continue
                 body = t.encode("utf-8")
                 w = 64 + len(body) % 577
                 h = 64 + (len(body) * 31) % 417
@@ -274,6 +286,12 @@ def synth_wav_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
+                if t is None:
+                    # NULL text → NULL payload: flows down the decode
+                    # stage's corrupt-blob branch instead of crashing
+                    # the synth task (dirty rows are routine at volume)
+                    payloads.append(None)
+                    continue
                 body = t.encode("utf-8")
                 n = len(body)
                 rate = 8000 + (n * 7) % 40000
@@ -339,6 +357,12 @@ def synth_jpeg_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for t in pdf["text"]:
+                if t is None:
+                    # NULL text → NULL payload: flows down the decode
+                    # stage's corrupt-blob branch instead of crashing
+                    # the synth task (dirty rows are routine at volume)
+                    payloads.append(None)
+                    continue
                 body = t.encode("utf-8")
                 w = 64 + len(body) % 577
                 h = 64 + (len(body) * 31) % 417
@@ -397,8 +421,9 @@ def synth_dirty_payloads(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did, t in zip(pdf["doc_id"], pdf["text"]):
-                body = t.encode("utf-8")
-                m = int(did) % 4
+                # NULL text: the dirtiest input of all — NULL payload
+                body = (t or "").encode("utf-8")
+                m = int(did) % 4 if t is not None else 0
                 if m == 0:
                     payloads.append(None)
                 elif m == 1:

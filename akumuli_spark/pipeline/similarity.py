@@ -52,10 +52,10 @@ def cosine_topk(embs: DataFrame, query_ids: list[int], k: int = 10) -> DataFrame
     # less per-pair array work
     queries = embs.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    ).withColumn("qn", _norm("qe"))
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
     corpus = embs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
-    ).withColumn("nn", _norm("ne"))
+    ).withColumn("nn", _norm("ne")).filter(F.col("nn") > 0)
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -93,10 +93,16 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 def lsh_bucket_expr(col: str = "embedding", bits: int = LSH_BITS):
-    """Sign-LSH bucket id: bit j set iff component j > 0."""
+    """Sign-LSH bucket id: bit j set iff component j > 0.
+
+    ``try_element_at``: a vector shorter than ``bits`` components (an
+    empty/truncated/NULL dirty row) treats the missing signs as
+    non-positive instead of failing the stage — such rows bucket to 0
+    and are then dropped by the zero-norm filter at the cosine step;
+    clean rows are untouched (every real vector has every component)."""
     return F.expr(
         f"aggregate(sequence(0, {bits - 1}), 0L, "
-        f"(acc, j) -> acc + CASE WHEN element_at({col}, j + 1) > 0 "
+        f"(acc, j) -> acc + CASE WHEN try_element_at({col}, j + 1) > 0 "
         f"THEN CAST(pow(2, j) AS LONG) ELSE 0L END)"
     )
 
@@ -111,12 +117,12 @@ def lsh_bucketed_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
-    ).withColumn("qn", _norm("qe"))
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
     corpus = bucketed.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ne"),
         F.col("bucket").alias("nbucket"),
-    ).withColumn("nn", _norm("ne"))
+    ).withColumn("nn", _norm("ne")).filter(F.col("nn") > 0)
     scored = (
         corpus.join(
             F.broadcast(queries),
@@ -275,7 +281,7 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     cents = centroids if centroids is not None else _centroids(embs, nlist)
     # candidate norms hoisted above the probe join: one fold per corpus
     # row, not one per (query, candidate) pair — bitwise-identical cosine
-    assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding"))
+    assigned = _assign_lists(embs, cents).withColumn("en", _norm("embedding")).filter(F.col("en") > 0)
     probes = (
         assigned.filter(F.col("vec_id").isin(query_ids))
         .select(F.col("vec_id").alias("query_id"),
@@ -407,10 +413,10 @@ def _batch_topk_fold(assigned: DataFrame, queries: DataFrame,
     its ``list_id`` already attached (computed or read from the stored
     index — assignment is a pure function of the frozen codebook, so
     the two are interchangeable)."""
-    assigned = assigned.withColumn("en", _norm("embedding"))
+    assigned = assigned.withColumn("en", _norm("embedding")).filter(F.col("en") > 0)
     q = queries.select(
         F.col("query_id"), F.col("embedding").alias("qe")
-    ).withColumn("qn", _norm("qe"))
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
@@ -479,10 +485,19 @@ def _ivf_topk_batch_vectorized(assigned: DataFrame, queries: DataFrame,
 
     probes = queries.select(
         F.col("query_id"), F.col("embedding")
+    ).filter(
+        # dirty-query gate ahead of np.stack (see _assign_lists_vectorized)
+        F.col("embedding").isNotNull() & (F.size("embedding") == Cn.shape[1])
     ).mapInPandas(
         probe_fn, "query_id long, embedding array<float>, list_id long"
     )
-    assigned = assigned.withColumn("list_id", F.col("list_id").cast("long"))
+    # dirty-row gate for STORED lists (a fold-path build round-trips a
+    # null list_id as __HIVE_DEFAULT_PARTITION__): NULL keys or NULL/
+    # empty vectors would crash the matmul kernel's np.stack
+    assigned = assigned.filter(
+        F.col("list_id").isNotNull() & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+    ).withColumn("list_id", F.col("list_id").cast("long"))
 
     def score(corpus_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
         if corpus_pdf.empty or probe_pdf.empty:
@@ -667,8 +682,16 @@ def _assign_lists_vectorized(embs: DataFrame, cents: DataFrame) -> DataFrame:
             pdf["list_id"] = cids[np.argmax(sims, axis=1)]
             yield pdf
 
-    return embs.select("vec_id", "embedding").mapInPandas(
-        fn, "vec_id long, embedding array<float>, list_id int"
+    # dirty-row gate ahead of np.stack: NULL or wrong-dim vectors can't
+    # be assigned (and would crash the kernel); dropping them mirrors the
+    # fold path, where they produce a NULL list id that no join matches
+    return (
+        embs.select("vec_id", "embedding")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == C.shape[1])
+        )
+        .mapInPandas(fn, "vec_id long, embedding array<float>, list_id int")
     )
 
 
@@ -757,7 +780,7 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
     lists = _read_lists(spark, path)
     queries = lists.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    ).withColumn("qn", _norm("qe"))
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
     probe_rows = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
@@ -784,7 +807,7 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
         lists.filter(F.col("list_id").isin(probe_lists))
         # candidate norm: one fold per scanned list row, hoisted above the
         # probe join (bitwise-identical cosine, see cosine_topk)
-        .withColumn("en", _norm("embedding"))
+        .withColumn("en", _norm("embedding")).filter(F.col("en") > 0)
         .join(F.broadcast(probes), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(

@@ -837,10 +837,14 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
         ).alias("r"),
         "__wc",
     ).localCheckpoint(eager=True)  # vocab-sized; ends the corpus lineage
+    # CASE guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (the
+    # repetition_signals pitfall) — a word fully merged to ONE symbol
+    # must contribute an empty pair list, not index past the array
     pair = (
-        "transform(sequence(1, size(__s) - 1), "
+        "CASE WHEN size(__s) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(__s) - 1), "
         "i -> named_struct('a', element_at(__s, i), "
-        "'b', element_at(__s, i + 1)))"
+        "'b', element_at(__s, i + 1))) END"
     )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, int(n_merges) + 1):

@@ -761,3 +761,50 @@ def test_bpe_train_matches_reference(spark, texts, n_merges):
     )
     got = [tuple(r) for r in bpe_train(docs, n_merges=n_merges).collect()]
     assert got == _ref_bpe(texts, n_merges)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=4),
+            min_size=1, max_size=5,
+        ).map(" ".join),
+        min_size=1, max_size=3,
+    ),
+    n_merges=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_tokenize_matches_reference(spark, texts, n_merges):
+    """Per-doc post-merge symbol counts vs the reference: train with
+    _ref_bpe, apply its merges greedily, count symbols per doc."""
+    from akumuli_spark.pipeline.text import bpe_tokenize
+
+    merges = [(a, b) for _, a, b, _ in _ref_bpe(texts, n_merges)]
+
+    def apply_merges(w: str) -> int:
+        seq = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    want = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        if words:
+            want[i] = (len(words), sum(apply_merges(w) for w in words))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_symbols"])
+        for r in bpe_tokenize(docs, n_merges=n_merges).collect()
+    }
+    assert got == want

@@ -1,0 +1,62 @@
+"""Hierarchical (multi-level) aggregation over the metric/tag hierarchy
+— the hypertable-style rollup a dashboard needs: per-(metric, tag)
+series, per-metric subtotals, and the grand total in ONE pass.
+
+Spark-first shape: Catalyst's native ``ROLLUP`` / ``CUBE`` grouping
+sets — a single shuffle with map-side partial aggregation computes
+every level at once (the Expand operator fans each input row into its
+grouping-set memberships before the one exchange).  The alternative —
+aggregating each level separately and unioning — scans the input once
+PER LEVEL; grouping sets scan it once, full stop.  At 100 TB that is
+the difference between one pass and three.
+
+``grouping_id`` disambiguates a super-aggregate row's NULL dimension
+from a genuine NULL tag value (both engines implement the ANSI
+GROUPING semantics, so the DuckDB twin replays it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tag_rollup_aggregate(metrics: DataFrame, tag: str = "user",
+                         cube: bool = False) -> DataFrame:
+    """count/sum/min/max at every level of the (metric, tag) hierarchy.
+
+    ``cube=False`` (ROLLUP): (metric, tag) → (metric) → ().
+    ``cube=True`` (CUBE): additionally the (tag)-only slice.
+
+    Output: (metric, tag_val, level, count, sum, min, max), where
+    ``level`` is the ANSI grouping id (0 = finest, set bits mark
+    rolled-up dimensions; NULL dims at super levels).
+    """
+    base = metrics.select(
+        "metric",
+        F.col("tags").getItem(tag).alias("tag_val"),
+        "value",
+    )
+    grouped = base.cube("metric", "tag_val") if cube \
+        else base.rollup("metric", "tag_val")
+    return grouped.agg(
+        F.grouping_id().cast("long").alias("level"),
+        F.count("*").alias("count"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+    ).select("metric", "tag_val", "level", "count", "sum", "min", "max")
+
+
+def tag_rollup_sql(cube: bool = False) -> str:
+    """DuckDB twin over the ``app_metrics`` CTE (tag_user column)."""
+    sets = "CUBE" if cube else "ROLLUP"
+    return f"""
+SELECT metric, tag_user AS tag_val,
+       GROUPING(metric, tag_user)::BIGINT AS level,
+       count(*)::BIGINT AS count,
+       sum(value) AS sum,
+       min(value) AS min,
+       max(value) AS max
+FROM app_metrics
+GROUP BY {sets}(metric, tag_user)
+""".strip()

@@ -2532,6 +2532,28 @@ _register_pipeline(
     ["day", "dau", "wau"],
 )
 
+# Hierarchical rollup: every (metric, tag) level in ONE grouping-sets
+# pass (Catalyst Expand + one shuffle), not one scan per level.
+def _metrics_tag_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.operators.groupsets import tag_rollup_aggregate
+
+    return tag_rollup_aggregate(app_metrics_view(spark, sf), tag="user")
+
+
+def _tag_rollup_oracle() -> str:
+    from akumuli_spark.operators.groupsets import tag_rollup_sql
+
+    return f"WITH {APP_METRICS_SQL}\n{tag_rollup_sql()}"
+
+
+_register_pipeline(
+    "metrics_tag_rollup",
+    _metrics_tag_rollup,
+    _tag_rollup_oracle(),
+    ["sum", "min", "max"],
+    ["metric", "tag_val", "level", "count"],
+)
+
 # Semi-structured extraction: typed field out of the JSON props payload,
 # aggregated per event type — JVM-side path evaluation inside the scan.
 _register_pipeline(

@@ -124,3 +124,33 @@ def test_lagged_correlation_validation(spark):
         metrics_correlation_lagged(df, "m.a", "m.b", 0, 10, 0)
     with pytest.raises(QueryValidationError):
         metrics_correlation_lagged(df, "m.a", "m.b", 0, 10, 10, lags=())
+
+
+def test_tag_rollup_levels(spark):
+    """ROLLUP: finest rows (level 0) sum to each metric subtotal
+    (level 1), which sum to the grand total (level 3); CUBE adds the
+    tag-only slice (level 2)."""
+    from akumuli_spark.operators.groupsets import tag_rollup_aggregate
+    from akumuli_spark.sources.testdata import app_metrics_view
+    from tests.conftest import SF_DIR
+
+    am = app_metrics_view(spark, SF_DIR)
+    roll = tag_rollup_aggregate(am, tag="user").collect()
+    by_level = {}
+    for r in roll:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {0, 1, 3}
+    total = [r for r in by_level[3]]
+    assert len(total) == 1
+    assert total[0]["count"] == sum(r["count"] for r in by_level[0])
+    assert total[0]["count"] == sum(r["count"] for r in by_level[1])
+    # per-metric subtotals equal the sum of their finest rows
+    for m in by_level[1]:
+        fine = [r for r in by_level[0] if r["metric"] == m["metric"]]
+        assert m["count"] == sum(r["count"] for r in fine)
+        assert m["sum"] == pytest.approx(sum(r["sum"] for r in fine))
+    cube = tag_rollup_aggregate(am, tag="user", cube=True).collect()
+    cube_levels = {r["level"] for r in cube}
+    assert cube_levels == {0, 1, 2, 3}
+    tag_slice = [r for r in cube if r["level"] == 2]
+    assert sum(r["count"] for r in tag_slice) == total[0]["count"]

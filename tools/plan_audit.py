@@ -117,7 +117,8 @@ def main() -> None:
                "pack_materialize", "ann_ivf_append",
                "dedup_minhash_incremental", "dedup_simhash_incremental",
                "multimodal_decode_dirty", "ann_ivf_batch",
-               "dedup_embedding_lsh_multi"]
+               "dedup_embedding_lsh_multi", "metrics_tag_rollup",
+               "bpe_tokenize_counts"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

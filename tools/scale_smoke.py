@@ -416,6 +416,54 @@ def ivf_append_smoke(spark, n_vecs: int, n_append: int,
     return out
 
 
+def groupsets_smoke(spark, n_rows: int) -> dict:
+    """Grouping-sets rollup vs union-of-levels: the same three-level
+    aggregate (finest, per-metric, grand total) as ONE Catalyst ROLLUP
+    pass vs three separate aggregations unioned.
+
+    The input is MATERIALIZED parquet, not a generator: the tradeoff is
+    Expand (rollup multiplies pre-shuffle rows ×levels — map CPU) vs
+    re-scanning the source ×levels (union — IO).  Over a free
+    spark.range the union path wins (measured 3.1 s vs 6.1 s at 100 M);
+    over real storage the scan cost shifts the balance toward one-pass —
+    this smoke measures the storage-backed case, and
+    operators/groupsets.py documents both regimes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.gettempdir(), "akumuli_groupsets_smoke")
+    shutil.rmtree(path, ignore_errors=True)
+    spark.range(n_rows).select(
+        F.concat(F.lit("m"), (F.col("id") % 7).cast("string")).alias("metric"),
+        (F.col("id") % 97).cast("string").alias("tag_val"),
+        (F.col("id") % 1001).cast("double").alias("value"),
+    ).write.parquet(path)
+    m = spark.read.parquet(path)
+    aggs = [F.count("*").alias("count"), F.sum("value").alias("sum"),
+            F.min("value").alias("min"), F.max("value").alias("max")]
+    out = {}
+    t = time.time()
+    n1 = m.rollup("metric", "tag_val").agg(*aggs).count()
+    out["rollup_onepass_s"] = round(time.time() - t, 2)
+    t = time.time()
+    n2 = (
+        m.groupBy("metric", "tag_val").agg(*aggs)
+        .unionByName(m.groupBy("metric").agg(*aggs)
+                     .withColumn("tag_val", F.lit(None).cast("string")))
+        .unionByName(m.groupBy().agg(*aggs)
+                     .withColumn("metric", F.lit(None).cast("string"))
+                     .withColumn("tag_val", F.lit(None).cast("string")))
+        .count()
+    )
+    out["union_of_levels_s"] = round(time.time() - t, 2)
+    out["rows"] = n1
+    assert n1 == n2
+    shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
 def bpe_smoke(spark, n_docs: int, n_merges: int = 5) -> dict:
     """BPE training at corpus volume: the corpus (10 M × ~24-word docs,
     ~50 k distinct words) is scanned once into the checkpointed vocab
@@ -844,6 +892,12 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":
         n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         print(json.dumps({"vecs": n_vecs, "ivf": ivf_smoke(spark, n_vecs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "groupsets":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        print(json.dumps(
+            {"rows": n_rows, "groupsets": groupsets_smoke(spark, n_rows)}
+        ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "bpe":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000

@@ -212,12 +212,14 @@ def bench_layout(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_curation(spark, sf_dir: str) -> dict[str, float]:
+def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]]:
     """Corpus-curation operators (clustering, decontamination, sampling,
     packing) — timed separately from the headline section so the
-    headline total stays comparable round over round."""
+    headline total stays comparable round over round.  Returns
+    (timings, plan fingerprints)."""
     qs = registry.queries()
     out: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in ("dedup_clusters", "decontaminate_ngram",
                  "sample_stratified", "pack_sequences",
                  "pack_sequences_sharded",
@@ -246,7 +248,10 @@ def bench_curation(spark, sf_dir: str) -> dict[str, float]:
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3
         )
-    return out
+        # same drift-attribution contract as the headline section: a
+        # changed timing with an unchanged plan hash is machine load
+        plans[name] = plan_fingerprint(qs[name](spark, sf_dir))
+    return out, plans
 
 
 def main() -> None:
@@ -336,7 +341,8 @@ def main() -> None:
 
     layout = bench_layout(spark, sf_dir)
     layout["dedup_index_build_s"] = index_build_s
-    curation = bench_curation(spark, sf_dir)
+    curation, curation_plans = bench_curation(spark, sf_dir)
+    plans.update(curation_plans)
     shutil.rmtree(ddir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)

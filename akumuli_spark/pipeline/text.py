@@ -786,11 +786,23 @@ LIMIT {int(k)}
 """.strip()
 
 
-#: symbol separator for the BPE training representation — the unit
-#: separator control char, outside every printable alphabet; a corpus
-#: word containing it would corrupt the symbol framing (document, don't
-#: scan: U+001F does not survive any sane text extraction)
+#: symbol framing for the BPE training representation: every symbol is
+#: written ``␟sym␞`` (unit-separator opener, record-separator closer —
+#: control chars outside every printable alphabet; a corpus word
+#: containing them would corrupt the framing.  Document, don't scan:
+#: U+001E/U+001F do not survive any sane text extraction).
+#:
+#: TWO delimiters are load-bearing: the merge applies as a plain
+#: ``replace`` of ``␟left␞␟right␞`` with ``␟leftright␞``, and the
+#: closer makes the pattern match only a COMPLETE second symbol — with
+#: a single separator and no trailing delimiter, the pattern
+#: ``␟a␟b`` also matched ``␟a␟b</w>…``, silently merging (a, b</w>)
+#: when the trained pair was (a, b) (caught by the hypothesis
+#: cross-check against the reference implementation).  Back-to-back
+#: runs still merge greedily left-to-right (``a a a a`` → ``aa aa``)
+#: because each symbol carries its own opener.
 _BPE_SEP = "\x1f"
+_BPE_END = "\x1e"
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
@@ -800,15 +812,17 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     ``(step, left, right, count)`` — the tokenizer-training loop that
     :func:`bpe_pair_counts` is the first decision of.
 
-    Representation: each distinct word becomes a separator-framed symbol
-    string ``␟c␟c␟…␟</w>␟`` (char symbols + end-of-word marker).  The
-    merge applies as a plain string ``replace`` of ``␟left␟right`` with
-    ``␟leftright`` — left-to-right, non-overlapping, scan resuming
-    AFTER each replacement, which is exactly BPE's greedy apply (the
-    pattern carries no trailing separator, so back-to-back occurrences
-    like ``a a a a`` merge to ``aa aa``, not ``aa a a``).  Both engines'
-    ``replace`` share these semantics, so the DuckDB twin replays the
-    rounds identically.
+    Representation: each distinct word becomes a framed symbol string
+    ``␟c␞␟c␞…␟</w>␞`` (char symbols + end-of-word marker; see the
+    ``_BPE_SEP``/``_BPE_END`` note for why every symbol carries BOTH an
+    opener and a closer).  The merge applies as a plain string
+    ``replace`` of ``␟left␞␟right␞`` with ``␟leftright␞`` —
+    left-to-right, non-overlapping, scan resuming AFTER each
+    replacement, which is exactly BPE's greedy apply; the closer pins
+    the match to a complete second symbol.  Both engines' ``replace``
+    share these semantics, so the DuckDB twin replays the rounds
+    identically — and the hypothesis cross-check against an independent
+    Python reference (test_properties.py) pins them to real BPE.
 
     Scale shape: the corpus is read ONCE — the distinct-word table (the
     Zipf-small frame :func:`bpe_pair_counts` uses) is eagerly
@@ -819,7 +833,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     reaches the driver per round — the same bounded-driver-state loop
     as ``ivf_kmeans_centroids``.
     """
-    S = _BPE_SEP
+    S, E = _BPE_SEP, _BPE_END
     words = (
         docs.select(
             F.explode(
@@ -831,9 +845,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     )
     cur = words.select(
         F.concat(
-            F.lit(S),
-            F.regexp_replace(F.col("w"), "(.)", "$1" + S),
-            F.lit("</w>" + S),
+            F.regexp_replace(F.col("w"), "(.)", S + "$1" + E),
+            F.lit(S + "</w>" + E),
         ).alias("r"),
         "__wc",
     ).localCheckpoint(eager=True)  # vocab-sized; ends the corpus lineage
@@ -846,13 +859,15 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
         "i -> named_struct('a', element_at(__s, i), "
         "'b', element_at(__s, i + 1))) END"
     )
+    # symbols: split on the closer, drop empties, strip each opener
+    syms = (
+        f"transform(filter(split(r, '{E}'), x -> x <> ''), "
+        "x -> substring(x, 2))"
+    )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, int(n_merges) + 1):
         top = (
-            cur.select(
-                F.expr(f"filter(split(r, '{S}'), x -> x <> '')").alias("__s"),
-                "__wc",
-            )
+            cur.select(F.expr(syms).alias("__s"), "__wc")
             .select(F.explode(F.expr(pair)).alias("__p"), "__wc")
             .groupBy(
                 F.col("__p.a").alias("left"), F.col("__p.b").alias("right")
@@ -869,8 +884,8 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
         cur = cur.select(
             F.replace(
                 F.col("r"),
-                F.lit(S + best["left"] + S + best["right"]),
-                F.lit(S + best["left"] + best["right"]),
+                F.lit(S + best["left"] + E + S + best["right"] + E),
+                F.lit(S + best["left"] + best["right"] + E),
             ).alias("r"),
             "__wc",
         ).localCheckpoint(eager=True)  # keep each round one projection
@@ -885,13 +900,15 @@ def bpe_train_sql(n_merges: int = 3) -> str:
     separator-framed ``replace`` merge apply."""
     pairs_from = (
         "SELECT __s[u.i] AS l, __s[u.i + 1] AS r, wc\n"
-        "  FROM (SELECT list_filter(string_split(r, chr(31)), x -> x <> '') AS __s, wc\n"
+        "  FROM (SELECT list_transform(list_filter(string_split(r, chr(30)),\n"
+        "                                          x -> x <> ''),\n"
+        "                              x -> x[2:]) AS __s, wc\n"
         "        FROM {src}) t,\n"
         "       LATERAL (SELECT unnest(range(1, len(__s))) AS i) u"
     )
     parts = ["""w0 AS (
-  SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
-           || '</w>' || chr(31) AS r,
+  SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g')
+           || chr(31) || '</w>' || chr(30) AS r,
          wc
   FROM (SELECT w, count(*) AS wc
         FROM (SELECT unnest(list_filter(string_split(lower(text), ' '),
@@ -907,8 +924,8 @@ def bpe_train_sql(n_merges: int = 3) -> str:
 )""")
         if s < int(n_merges):
             parts.append(f"""w{s} AS (
-  SELECT replace(w.r, chr(31) || m.l || chr(31) || m.r,
-                 chr(31) || m.l || m.r) AS r, w.wc
+  SELECT replace(w.r, chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+                 chr(31) || m.l || m.r || chr(30)) AS r, w.wc
   FROM w{s - 1} w, m{s} m
 )""")
     union = "\nUNION ALL\n".join(
@@ -934,7 +951,7 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     |vocab|-row projection chain + a words⋈vocab equi-join (vocab is
     Zipf-small — broadcast at real corpus sizes) + one per-doc sum.
     """
-    S = _BPE_SEP
+    S, E = _BPE_SEP, _BPE_END
     merges = bpe_train(docs, n_merges=n_merges).collect()
     words = docs.select(
         "doc_id",
@@ -945,9 +962,8 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 3) -> DataFrame:
     vocab = words.select("w").distinct().select(
         "w",
         F.concat(
-            F.lit(S),
-            F.regexp_replace(F.col("w"), "(.)", "$1" + S),
-            F.lit("</w>" + S),
+            F.regexp_replace(F.col("w"), "(.)", S + "$1" + E),
+            F.lit(S + "</w>" + E),
         ).alias("r"),
     )
     for m in merges:
@@ -955,14 +971,14 @@ def bpe_tokenize(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             "w",
             F.replace(
                 F.col("r"),
-                F.lit(S + m["left"] + S + m["right"]),
-                F.lit(S + m["left"] + m["right"]),
+                F.lit(S + m["left"] + E + S + m["right"] + E),
+                F.lit(S + m["left"] + m["right"] + E),
             ).alias("r"),
         )
     vocab = vocab.select(
         "w",
         F.expr(
-            f"size(filter(split(r, '{S}'), x -> x <> ''))"
+            f"size(filter(split(r, '{E}'), x -> x <> ''))"
         ).cast("long").alias("__n_sym"),
     )
     return (
@@ -991,21 +1007,21 @@ def bpe_tokenize_sql(n_merges: int = 3) -> str:
     return f"""{with_clause},
 vocab0 AS (
   SELECT w,
-         chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g')
-           || '</w>' || chr(31) AS r
+         regexp_replace(w, '(.)', chr(31) || '\\1' || chr(30), 'g')
+           || chr(31) || '</w>' || chr(30) AS r
   FROM (SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
                                            x -> x <> '')) AS w
         FROM documents)
 ),
 {", ".join(
     f'''vocab{s} AS (
-  SELECT v.w, replace(v.r, chr(31) || m.l || chr(31) || m.r,
-                      chr(31) || m.l || m.r) AS r
+  SELECT v.w, replace(v.r, chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+                      chr(31) || m.l || m.r || chr(30)) AS r
   FROM vocab{s - 1} v, m{s} m
 )''' for s in range(1, n + 1))},
 vocab AS (
   SELECT w,
-         len(list_filter(string_split(r, chr(31)), x -> x <> ''))::BIGINT
+         len(list_filter(string_split(r, chr(30)), x -> x <> ''))::BIGINT
            AS n_sym
   FROM vocab{n}
 ),

@@ -808,3 +808,86 @@ def test_bpe_tokenize_matches_reference(spark, texts, n_merges):
         for r in bpe_tokenize(docs, n_merges=n_merges).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_nodes=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=23),
+                  st.integers(min_value=0, max_value=23)),
+        max_size=30,
+    ),
+)
+def test_connected_components_matches_union_find(spark, n_nodes, edges):
+    """Min-label propagation + pointer jumping vs a 10-line union-find
+    on hypothesis graphs (self-loops, duplicates, nodes out of range
+    filtered like the operator's caller would)."""
+    from akumuli_spark.pipeline.cluster import connected_components
+
+    edges = [(a, b) for a, b in edges if a < n_nodes and b < n_nodes and a != b]
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    want = {}
+    comp_min = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    for v in range(n_nodes):
+        want[v] = comp_min[find(v)]
+
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    token_counts=st.lists(st.integers(min_value=0, max_value=40),
+                          min_size=1, max_size=25),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_pack_sequences_matches_next_fit(spark, token_counts, budget):
+    """Single-stratum single-shard packing vs the reference next-fit:
+    docs in id order, a doc that would overflow the budget opens a new
+    pack (oversized docs still get their own pack)."""
+    from akumuli_spark.pipeline.cluster import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * max(n, 1)) if n > 0 else "")
+         for i, n in enumerate(token_counts)],
+        "doc_id long, lang string, text string",
+    )
+    # the operator counts split-on-space tokens: "" -> [""] -> 1 token
+    eff = [n if n > 0 else 1 for n in token_counts]
+    want, running, pid = {}, 0, 0
+    for i, t in enumerate(eff):
+        if running and running + t > budget:
+            pid += 1
+            running = 0
+        running += t
+        want[i] = pid
+    got = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, budget=budget, n_shards=1).collect()
+    }
+    assert got == want

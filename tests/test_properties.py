@@ -891,3 +891,40 @@ def test_pack_sequences_matches_next_fit(spark, token_counts, budget):
         for r in pack_sequences(docs, budget=budget, n_shards=1).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12)
+        .map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=6,
+    ),
+    n=st.integers(min_value=2, max_value=3),
+)
+def test_span_coverage_matches_set_reference(spark, texts, n):
+    """Positioned-shingle join vs the direct definition: a position is
+    covered iff some n-gram window containing it also appears in
+    another document."""
+    from akumuli_spark.pipeline.dedup import duplicated_span_coverage
+
+    toks = [t.split(" ") for t in texts]
+    grams = {}
+    for d, ws in enumerate(toks):
+        for i in range(len(ws) - n + 1):
+            grams.setdefault(" ".join(ws[i:i + n]), set()).add(d)
+    want = {}
+    for d, ws in enumerate(toks):
+        cov = set()
+        for i in range(len(ws) - n + 1):
+            if len(grams[" ".join(ws[i:i + n])]) >= 2:
+                cov.update(range(i, i + n))
+        want[d] = (len(ws), len(cov))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cov"])
+        for r in duplicated_span_coverage(docs, n=n).collect()
+    }
+    assert got == want

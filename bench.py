@@ -72,6 +72,10 @@ def plan_fingerprint(df) -> str:
     s = re.sub(r"/tmp/[^\s,\]\)]+", "<tmp>", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
     s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
+    # localCheckpoint scans embed the session-lifetime RDD id
+    # (MapPartitionsRDD[N] at localCheckpoint ...) — the one token that
+    # made checkpoint-bearing plans (dedup_minhash_lsh) hash-unstable
+    s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 

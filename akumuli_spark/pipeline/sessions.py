@@ -148,7 +148,13 @@ def funnel_counts(events: DataFrame,
         counts.crossJoin(F.broadcast(first))
         .select(
             "step", "event_type", "n_users",
-            (F.col("n_users") / F.col("__first")).alias("conv_pct"),
+            # guarded: a funnel whose FIRST step never occurs has no
+            # defined conversion rate — NULL, not an ANSI ÷0 crash
+            # (caught by the hypothesis funnel reference test)
+            F.when(
+                F.col("__first") > 0,
+                F.col("n_users") / F.col("__first"),
+            ).alias("conv_pct"),
         )
     )
 
@@ -248,8 +254,9 @@ def funnel_counts_sql(steps: tuple[str, ...] = ("view", "click", "purchase")
 WITH {", ".join(ctes)},
 counts AS ({" UNION ALL ".join(selects)})
 SELECT step, event_type, n_users,
-       n_users * 1.0 / (SELECT n_users FROM counts WHERE step = 1)
-         AS conv_pct
+       CASE WHEN (SELECT n_users FROM counts WHERE step = 1) > 0
+            THEN n_users * 1.0 / (SELECT n_users FROM counts WHERE step = 1)
+       END AS conv_pct
 FROM counts
 """.strip()
 

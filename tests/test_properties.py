@@ -928,3 +928,82 @@ def test_span_coverage_matches_set_reference(spark, texts, n):
         for r in duplicated_span_coverage(docs, n=n).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),      # user
+                  st.integers(min_value=0, max_value=50)),    # ts (small: dup-heavy)
+        min_size=1, max_size=40,
+    ),
+    gap=st.integers(min_value=1, max_value=10),
+)
+def test_sessionize_matches_reference(spark, events, gap):
+    """Gap-split sessionization vs the direct per-user scan — including
+    DUPLICATE timestamps, where the window's tie order must not matter
+    (a zero gap never splits, so every tie ordering yields the same
+    session ids)."""
+    from akumuli_spark.pipeline.sessions import sessionize
+
+    want = {}
+    by_user = {}
+    for u, t in events:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        sid, prev = 0, None
+        for t in sorted(ts):
+            if prev is None or t - prev > gap:
+                sid += 1
+            want[(u, t)] = sid  # all dups of (u, t) share a session
+            prev = t
+    df = spark.createDataFrame(
+        [(u, t, "e", 1.0) for u, t in events],
+        "user_id long, ts long, event_type string, value double",
+    )
+    got = sessionize(df, gap_ns=gap).collect()
+    assert len(got) == len(events)
+    for r in got:
+        assert r["session_id"] == want[(r["user_id"], r["ts"])]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),            # user
+                  st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=30)),          # ts
+        min_size=1, max_size=40,
+    ),
+)
+def test_funnel_matches_reference(spark, events):
+    """Ordered funnel vs the direct definition: per user, the first
+    step-k occurrence strictly after the chosen step-(k-1) occurrence."""
+    from akumuli_spark.pipeline.sessions import funnel_counts
+
+    steps = ("view", "click", "purchase")
+    by_user = {}
+    for u, e, t in events:
+        by_user.setdefault(u, {}).setdefault(e, []).append(t)
+    counts = [0, 0, 0]
+    for u, evs in by_user.items():
+        prev_t = None
+        for k, s in enumerate(steps):
+            cand = [t for t in evs.get(s, [])
+                    if prev_t is None or t > prev_t]
+            if not cand:
+                break
+            prev_t = min(cand)
+            counts[k] += 1
+    from datetime import datetime, timezone
+
+    def ts(t):
+        return datetime.fromtimestamp(1_700_000_000 + t, tz=timezone.utc)
+
+    df = spark.createDataFrame(
+        [(u, e, ts(t), 1.0) for u, e, t in events],
+        "user_id long, event_type string, ts timestamp, value double",
+    )
+    got = {r["step"]: r["n_users"] for r in funnel_counts(df, steps).collect()}
+    for k in range(3):
+        assert got.get(k + 1, 0) == counts[k]

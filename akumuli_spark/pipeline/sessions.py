@@ -178,10 +178,15 @@ def retention_cohorts(events: DataFrame,
     """
     from ..sources.testdata import ts_ns_expr
 
+    # exact int64 bucket key (epoch-ns exceeds double's 2^53 exact
+    # range, so `/ then cast` could mis-bucket a timestamp within ~256ns
+    # of a boundary vs the twin's integer `//` — the interval.py fix,
+    # applied here; ts is non-negative so bare `div` floors correctly)
     e = events.select(
+        "user_id", ts_ns_expr(events).alias("__ts")
+    ).select(
         "user_id",
-        (ts_ns_expr(events) / F.lit(int(bucket_ns)))
-        .cast("long").alias("bucket"),
+        F.expr(f"__ts div {int(bucket_ns)}L").alias("bucket"),
     )
     firsts = e.groupBy("user_id").agg(F.min("bucket").alias("cohort_bucket"))
     active = e.distinct()
@@ -303,9 +308,12 @@ def active_users(events: DataFrame, day_ns: int = 86_400 * NS,
     """
     from ..sources.testdata import ts_ns_expr
 
+    # exact int64 day key (same `div` rationale as retention_cohorts)
     e = events.select(
+        "user_id", ts_ns_expr(events).alias("__ts")
+    ).select(
         "user_id",
-        (ts_ns_expr(events) / F.lit(int(day_ns))).cast("long").alias("day"),
+        F.expr(f"__ts div {int(day_ns)}L").alias("day"),
     ).distinct()
     dau = e.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     wau = (

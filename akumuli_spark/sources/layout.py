@@ -45,8 +45,13 @@ def write_metrics_table(metrics: DataFrame, path: str,
     partitions make listing/footer overhead dominate the scan they were
     meant to prune."""
     cols = [c for c in metrics.columns if c != "tags"]
+    # exact int64 bucket assignment: epoch-ns exceeds double's 2^53
+    # range, so `/ then cast` could mis-bucket a row within ~256ns of a
+    # boundary — and enforce_retention computes its cutoff with exact
+    # integer `div`, so a down-rounded row would sit in the previous
+    # partition and be evicted one bucket early (in-window data loss)
     with_bucket = metrics.select(*cols).withColumn(
-        "ts_bucket", (F.col("ts_ns") / F.lit(bucket_ns)).cast("long")
+        "ts_bucket", F.expr(f"ts_ns div {int(bucket_ns)}L")
     )
     (
         with_bucket.repartition("metric", "ts_bucket")

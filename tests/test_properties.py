@@ -1007,3 +1007,41 @@ def test_funnel_matches_reference(spark, events):
     got = {r["step"]: r["n_users"] for r in funnel_counts(df, steps).collect()}
     for k in range(3):
         assert got.get(k + 1, 0) == counts[k]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.sampled_from(["view", "click", "purchase"]),
+                  st.integers(min_value=0, max_value=30)),
+        min_size=2, max_size=40,
+    ),
+)
+def test_transitions_match_reference(spark, events):
+    """Markov transition counts vs the direct per-user sequence scan
+    (ties broken by event_id, which the test makes the list index)."""
+    from akumuli_spark.pipeline.sessions import event_transitions
+    from datetime import datetime, timezone
+
+    seqs = {}
+    for i, (u, e, t) in enumerate(events):
+        seqs.setdefault(u, []).append((t, i, e))
+    want = {}
+    for u, rows in seqs.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+
+    def ts(t):
+        return datetime.fromtimestamp(1_700_000_000 + t, tz=timezone.utc)
+
+    df = spark.createDataFrame(
+        [(u, i, e, ts(t), 1.0) for i, (u, e, t) in enumerate(events)],
+        "user_id long, event_id long, event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in event_transitions(df).collect()
+    }
+    assert got == want

@@ -1045,3 +1045,73 @@ def test_transitions_match_reference(spark, events):
         for r in event_transitions(df).collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=2, max_size=8)
+        .map(" ".join),
+        min_size=2, max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_minhash_lsh_matches_reference(spark, texts, threshold):
+    """The whole MinHash/LSH pipeline vs a direct Python replay:
+    md5-derived shingle hashes, k affine minhashes, banded candidate
+    generation, exact-Jaccard verification — emitted pairs must equal
+    {banded-colliding pairs with true Jaccard >= t} exactly."""
+    import hashlib
+
+    from akumuli_spark.pipeline.dedup import (
+        MINHASH_BANDS, MINHASH_K, MINHASH_P, _minhash_params,
+        minhash_lsh_pairs,
+    )
+
+    n = 2
+    shingles = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        shingles[d] = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    params = _minhash_params()
+    sigs = {}
+    for d, ss in shingles.items():
+        if not ss:
+            continue
+        xs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_P
+            for s in ss
+        ]
+        sigs[d] = [
+            min((a * x + b) % MINHASH_P for x in xs) for a, b in params
+        ]
+    rows = MINHASH_K // MINHASH_BANDS
+    buckets = {}
+    for d, sig in sigs.items():
+        for b in range(MINHASH_BANDS):
+            key = (b, tuple(sig[b * rows:(b + 1) * rows]))
+            buckets.setdefault(key, set()).add(d)
+    cands = set()
+    for ds in buckets.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    cands.add((a, b))
+    want = {}
+    for a, b in cands:
+        inter = len(shingles[a] & shingles[b])
+        union = len(shingles[a]) + len(shingles[b]) - inter
+        j = inter / union
+        if j >= threshold:
+            want[(a, b)] = j
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, n=n, threshold=threshold).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12

@@ -176,7 +176,13 @@ class _Parser:
                 raise QueryValidationError("eval: expected ')'")
             return inner
         if re.fullmatch(r"\d.*", tok):
-            return tok
+            # typed as DOUBLE explicitly: Spark parses a bare `3.25` as
+            # DECIMAL(3,2) and `1` as INT, so a literal-literal division
+            # like `1/3.25` would round at DECIMAL scale 6 (0.307692)
+            # where muParser computes in double end-to-end (eval.cpp
+            # literals are doubles) — caught by the hypothesis
+            # mini-evaluator sweep
+            return f"CAST({tok} AS DOUBLE)"
         if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", tok):
             if self.peek() == "(":
                 if tok.lower() not in _ALLOWED_FUNCS:

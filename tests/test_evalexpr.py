@@ -26,12 +26,12 @@ def test_power_not_xor():
 def test_precedence():
     assert translate("a + b * c") == "(`a` + (`b` * `c`))"
     assert translate("(a + b) * c") == "((`a` + `b`) * `c`)"
-    assert translate("-a ^ 2") == "power((- `a`), 2)"
+    assert translate("-a ^ 2") == "power((- `a`), CAST(2 AS DOUBLE))"
 
 
 def test_functions_pass_through():
     assert translate("sqrt(a) + log(b)") == "(sqrt(`a`) + log(`b`))"
-    assert translate("min(a, b, 2)") == "least(`a`, `b`, 2)"
+    assert translate("min(a, b, 2)") == "least(`a`, `b`, CAST(2 AS DOUBLE))"
     assert translate("max(a, b)") == "greatest(`a`, `b`)"
 
 
@@ -39,7 +39,7 @@ def test_column_substitution_is_token_level():
     # metric 'x' is a substring of function 'max' — must not corrupt the call
     assert (
         translate("max(x, 2)", columns={"x": "_var_0"})
-        == "greatest(`_var_0`, 2)"
+        == "greatest(`_var_0`, CAST(2 AS DOUBLE))"
     )
     # dotted metric names substitute as whole identifiers
     assert (
@@ -54,7 +54,7 @@ def test_column_substitution_is_token_level():
     # function-position identifiers are never substituted
     assert (
         translate("min(min, 2)", columns={"min": "_var_0"})
-        == "least(`_var_0`, 2)"
+        == "least(`_var_0`, CAST(2 AS DOUBLE))"
     )
 
 
@@ -64,14 +64,14 @@ def test_comparison_logical_ternary_grammar():
         translate("a < b")
         == "(CASE WHEN (`a`) < (`b`) THEN 1.0D ELSE 0.0D END)"
     )
-    assert "(`a`) = (1)" in translate("a == 1")
+    assert "(`a`) = (CAST(1 AS DOUBLE))" in translate("a == 1")
     assert "(`a`) <> (`b`)" in translate("a != b")
     # precedence: cmp binds tighter than &&, && tighter than ||
     t = translate("a < b && c_x || d")
     assert t.index("<") < t.index("AND") < t.index("OR")
     # arithmetic binds tighter than comparison: 1 + 2 < 4 ^ 0.5
     t = translate("1 + 2 < 4 ^ 0.5")
-    assert "((1 + 2)) < (power(4, 0.5))" in t
+    assert ("((CAST(1 AS DOUBLE) + CAST(2 AS DOUBLE))) < (power(CAST(4 AS DOUBLE), CAST(0.5 AS DOUBLE)))" in t)
     # ternary: lazy CASE WHEN, right-associative else-branch nesting
     t = translate("a ? b : c ? d : e")
     assert t == (
@@ -80,15 +80,15 @@ def test_comparison_logical_ternary_grammar():
     )
     # condition may be any expression; then-branch may nest a ternary
     t = translate("a > 0.5 ? 1 : 0")
-    assert t.startswith("(CASE WHEN ((CASE WHEN (`a`) > (0.5)")
+    assert t.startswith("(CASE WHEN ((CASE WHEN (`a`) > (CAST(0.5 AS DOUBLE))")
     t = translate("a ? b ? c : d : e")
     assert t.endswith("ELSE `e` END)")
 
 
 def test_variadic_sum_avg():
-    assert translate("sum(a, b, 2)") == "(`a` + `b` + 2)"
+    assert translate("sum(a, b, 2)") == "(`a` + `b` + CAST(2 AS DOUBLE))"
     assert translate("avg(a, b)") == "((`a` + `b`) / 2.0D)"
-    assert translate("avg(a, b, c_x, 1)") == "((`a` + `b` + `c_x` + 1) / 4.0D)"
+    assert translate("avg(a, b, c_x, 1)") == "((`a` + `b` + `c_x` + CAST(1 AS DOUBLE)) / 4.0D)"
 
 
 def test_non_identifier_metric_names_pre_substituted():
@@ -96,7 +96,7 @@ def test_non_identifier_metric_names_pre_substituted():
     # (reference replace_all parity) must map it before parsing
     assert (
         translate("cpu-total * 2", columns={"cpu-total": "_var_0"})
-        == "(`_var_0` * 2)"
+        == "(`_var_0` * CAST(2 AS DOUBLE))"
     )
     # longest-first: 'cpu-total-max' must not be eaten by 'cpu-total'
     assert (
@@ -194,10 +194,15 @@ def test_translate_property_random_expressions():
                          "abs": abs, "max": max, "min": min, "exp": math.exp})
 
     def ev_sql(e):
-        # evaluate the emitted SQL grammar in python
+        # evaluate the emitted SQL grammar in python; the explicit
+        # double-literal casts (CAST(x AS DOUBLE)) become plain parens —
+        # Python floats ARE doubles
+        import re as _re
+
         py = (e.replace("`", "")
               .replace("power", "__pow")
               .replace("greatest", "max").replace("least", "min"))
+        py = _re.sub(r"CAST\(([^()]*) AS DOUBLE\)", r"(\1)", py)
         return eval(py, {"__pow": lambda x, y: x ** y, "abs": abs,
                          "max": max, "min": min,
                          "exp": math.exp,

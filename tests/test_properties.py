@@ -1115,3 +1115,87 @@ def test_minhash_lsh_matches_reference(spark, texts, threshold):
     assert set(got) == set(want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(),                      # left side?
+                  st.sampled_from(["a", "b"]),        # tagset
+                  st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=40,
+    ),
+    chunk_ns=st.integers(min_value=1, max_value=7),
+    tolerance=st.sampled_from([None, 2, 5]),
+)
+def test_asof_join_matches_reference(spark, rows, chunk_ns, tolerance):
+    """Chunked-carry as-of join vs the direct per-tagset scan — tiny
+    chunk widths force the cross-chunk boundary carry (phase 2), where
+    a parallelism bug would live.  Duplicates SUM-combine first; a
+    same-ts right sample is visible to the left row."""
+    from akumuli_spark.operators.asof import asof_join
+
+    lefts, rights = {}, {}
+    for is_left, tag, t, v in rows:
+        d = lefts if is_left else rights
+        d.setdefault(tag, {}).setdefault(t, 0)
+        d[tag][t] += v
+    want = {}
+    for tag, ls in lefts.items():
+        rs = rights.get(tag, {})
+        for t, lv in ls.items():
+            cand = [rt for rt in rs if rt <= t]
+            rv = None
+            if cand:
+                rt = max(cand)
+                if tolerance is None or t - rt <= tolerance:
+                    rv = float(rs[rt])
+            want[(tag, t)] = (float(lv), rv)
+
+    df = spark.createDataFrame(
+        [(("L" if is_left else "R"),
+          f"{'L' if is_left else 'R'} host={tag}", t, float(v))
+         for is_left, tag, t, v in rows],
+        "metric string, series string, ts_ns long, value double",
+    )
+    got = {}
+    for r in asof_join(df, "L", "R", 0, 31, tolerance_ns=tolerance,
+                       chunk_ns=chunk_ns).collect():
+        tag = r["series"].split("host=")[1]
+        got[(tag, r["ts_ns"])] = (r["L"], r["R"])
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    samples=st.lists(st.integers(min_value=0, max_value=40),
+                     min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40),
+                  st.integers(min_value=0, max_value=40)),
+        min_size=1, max_size=12,
+    ),
+    bucket_ns=st.integers(min_value=1, max_value=9),
+)
+def test_interval_join_matches_reference(spark, samples, intervals, bucket_ns):
+    """Bucketized interval join vs the direct nested loop: semi-open
+    [start, end) containment, empty ranges dropped, every qualifying
+    (sample, interval) pair exactly once regardless of bucket width."""
+    from akumuli_spark.operators.interval import interval_join
+
+    want = sorted(
+        (t, s, e)
+        for t in samples
+        for s, e in intervals
+        if e > s and s <= t < e
+    )
+    sdf = spark.createDataFrame([(t,) for t in samples], "ts_ns long")
+    idf = spark.createDataFrame(
+        [(s, e) for s, e in intervals], "start_ns long, end_ns long"
+    )
+    got = sorted(
+        (r["ts_ns"], r["start_ns"], r["end_ns"])
+        for r in interval_join(sdf, idf, bucket_ns=bucket_ns).collect()
+    )
+    assert got == want

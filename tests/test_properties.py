@@ -1199,3 +1199,65 @@ def test_interval_join_matches_reference(spark, samples, intervals, bucket_ns):
         for r in interval_join(sdf, idf, bucket_ns=bucket_ns).collect()
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=2, max_size=8)
+        .map(" ".join),
+        min_size=2, max_size=8,
+    ),
+    max_hamming=st.sampled_from([1, 3, 7]),
+)
+def test_simhash_matches_reference(spark, texts, max_hamming):
+    """The whole SimHash pipeline vs a direct Python replay: 60-bit
+    md5-feature vote signature, 4x15-bit pigeonhole candidate chunks,
+    hamming verification on the signatures."""
+    import hashlib
+
+    from akumuli_spark.pipeline.dedup import (
+        SIMHASH_BITS, SIMHASH_CHUNKS, simhash_pairs,
+    )
+
+    n = 2
+    feats = {}
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        feats[d] = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    sigs = {}
+    for d, ss in feats.items():
+        if not ss:
+            continue
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in ss
+        ]
+        sig = 0
+        for j in range(SIMHASH_BITS):
+            ones = sum((h >> j) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sig |= 1 << j
+        sigs[d] = sig
+    cb = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << cb) - 1
+    want = {}
+    for a in sigs:
+        for b in sigs:
+            if a >= b:
+                continue
+            collide = any(
+                (sigs[a] >> (c * cb)) & mask == (sigs[b] >> (c * cb)) & mask
+                for c in range(SIMHASH_CHUNKS)
+            )
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if collide and ham <= max_hamming:
+                want[(a, b)] = ham
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(docs, n=n, max_hamming=max_hamming).collect()
+    }
+    assert got == want

@@ -1261,3 +1261,49 @@ def test_simhash_matches_reference(spark, texts, max_hamming):
         for r in simhash_pairs(docs, n=n, max_hamming=max_hamming).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=10)
+        .map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    bench=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6)
+        .map(" ".join),
+        min_size=1, max_size=4,
+    ),
+    min_overlap=st.integers(min_value=1, max_value=3),
+)
+def test_decontamination_matches_reference(spark, corpus, bench, min_overlap):
+    """Benchmark-overlap flagging vs direct DISTINCT-shingle set math
+    (n_shared counts the doc's distinct shingles that hit the benchmark
+    set — word_shingles de-duplicates per doc)."""
+    from akumuli_spark.pipeline.dedup import benchmark_contamination
+
+    n = 2
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_set = set().union(*(sh(t) for t in bench)) if bench else set()
+    want = {}
+    for d, t in enumerate(corpus):
+        k = len(sh(t) & bench_set)
+        if k >= min_overlap:
+            want[d] = k
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in benchmark_contamination(
+            docs, bdf, n=n, min_overlap=min_overlap
+        ).collect()
+    }
+    assert got == want

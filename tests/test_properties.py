@@ -1307,3 +1307,61 @@ def test_decontamination_matches_reference(spark, corpus, bench, min_overlap):
         ).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]),
+                  st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1]),
+    ),
+    step=st.integers(min_value=1, max_value=5),
+    mode=st.sampled_from(["previous", "null"]),
+)
+def test_fill_gaps_matches_reference(spark, rows, step, mode):
+    """Interior-gap fill vs the direct per-series scan: synthesized rows
+    only between a series' first and last non-empty bucket, timestamp =
+    bucket begin, values carried (or NULL); real buckets untouched."""
+    from akumuli_spark.operators.fill import fill_gaps
+
+    by_series = {}
+    for s, t, v in rows:
+        by_series.setdefault(s, {})[t] = float(v)
+    want = {}
+    for s, pts in by_series.items():
+        buckets = {}
+        for t, v in pts.items():
+            b = t // step
+            # one row per bucket in this generator? multiple ts can share
+            # a bucket — keep the FIRST ts (min) as the bucket row, like
+            # a group-aggregate frame would have one row per bucket; to
+            # keep the reference simple, collapse to min-ts row's value
+            if b not in buckets or t < buckets[b][0]:
+                buckets[b] = (t, v)
+        b0, b1 = min(buckets), max(buckets)
+        last = None
+        for b in range(b0, b1 + 1):
+            if b in buckets:
+                t, v = buckets[b]
+                want[(s, t)] = v
+                last = v
+            else:
+                want[(s, b * step)] = last if mode == "previous" else None
+    # the operator contract takes an AGGREGATED frame: one row per
+    # (series, bucket) — feed it the collapsed buckets
+    agg_rows = []
+    for s, pts in by_series.items():
+        buckets = {}
+        for t, v in pts.items():
+            b = t // step
+            if b not in buckets or t < buckets[b][0]:
+                buckets[b] = (t, v)
+        agg_rows += [(s, t, v) for t, v in buckets.values()]
+    df = spark.createDataFrame(agg_rows, "series string, ts_ns long, value double")
+    got = {
+        (r["series"], r["ts_ns"]): r["value"]
+        for r in fill_gaps(df, anchor_ns=0, step_ns=step, mode=mode).collect()
+    }
+    assert got == want

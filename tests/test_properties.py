@@ -1365,3 +1365,84 @@ def test_fill_gaps_matches_reference(spark, rows, step, mode):
         for r in fill_gaps(df, anchor_ns=0, step_ns=step, mode=mode).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**6),
+                 min_size=1, max_size=30, unique=True),
+    rates=st.fixed_dictionaries({
+        "en": st.floats(min_value=0.0, max_value=1.0),
+        "de": st.floats(min_value=0.0, max_value=1.0),
+    }),
+)
+def test_stratified_sample_matches_md5_replay(spark, ids, rates):
+    """Deterministic hash-Bernoulli sampling replayed directly:
+    u = md5(str(id))[:8]/2^32, kept iff u < rate(stratum) — plus the
+    nested-samples property (raising a rate never drops a row)."""
+    import hashlib
+
+    from akumuli_spark.pipeline.cluster import stratified_sample
+
+    def u(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+
+    strata = {i: ("en" if i % 2 == 0 else "de") for i in ids}
+    want = {i for i in ids if u(i) < rates[strata[i]]}
+    docs = spark.createDataFrame(
+        [(i, strata[i], "t") for i in ids],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    assert got == want
+    bigger = {k: min(1.0, v + 0.25) for k, v in rates.items()}
+    got2 = {r["doc_id"] for r in stratified_sample(docs, bigger).collect()}
+    assert got <= got2  # nested samples
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=500),
+                  min_size=0, max_size=60),
+)
+def test_hll_matches_md5_replay(spark, vals):
+    """The full HLL path (register derivation + bias-corrected estimate)
+    replayed directly from the md5 hex construction."""
+    import math
+
+    from akumuli_spark.operators.distinct import (
+        _TAIL_HEX, _alpha, approx_distinct,
+    )
+    import hashlib
+
+    b, m = 8, 256
+    regs = {}
+    for v in set(vals):
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        bucket, tail = hx[:2], hx[2:2 + _TAIL_HEX]
+        z = len(tail) - len(tail.lstrip("0"))
+        if z >= _TAIL_HEX:
+            rho = 4 * _TAIL_HEX + 1
+        else:
+            ch = tail[z]
+            extra = (0 if ch in "89abcdef" else
+                     1 if ch in "4567" else 2 if ch in "23" else 3)
+            rho = z * 4 + extra + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    np_, sp = len(regs), sum(2.0 ** -r for r in regs.values())
+    if np_ == 0:
+        want = 0.0
+    else:
+        raw = _alpha(m) * m * m / (sp + (m - np_))
+        v_ = float(m - np_)
+        want = m * math.log(m / v_) if (raw <= 2.5 * m and v_ > 0) else raw
+    df = spark.createDataFrame([(v,) for v in vals] or [(None,)], "v long")
+    row = approx_distinct(df, "v").collect()
+    if not vals:
+        # all-NULL input: no registers, group absent for grouped mode;
+        # the ungrouped estimate coalesces to 0
+        assert row[0]["approx_distinct"] == 0.0
+    else:
+        import pytest
+
+        assert row[0]["approx_distinct"] == pytest.approx(want, rel=1e-12)

@@ -1446,3 +1446,40 @@ def test_hll_matches_md5_replay(spark, vals):
         import pytest
 
         assert row[0]["approx_distinct"] == pytest.approx(want, rel=1e-12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6),
+                  st.floats(min_value=-100, max_value=100,
+                            allow_nan=False, width=32)),
+        min_size=3, max_size=60, unique_by=lambda p: p[0],
+    ),
+    n_out=st.integers(min_value=3, max_value=12),
+)
+def test_lttb_invariants(spark, pts, n_out):
+    """Structural invariants of LTTB under arbitrary series: exact
+    output size, endpoints always kept, output a subset of input,
+    exactly one point chosen per interior index bucket."""
+    from akumuli_spark.operators.lttb import lttb
+
+    pts = sorted(pts)
+    df = spark.createDataFrame(
+        [("s", t, float(v)) for t, v in pts],
+        "series string, ts_ns long, value double",
+    )
+    out = sorted(r["ts_ns"] for r in lttb(df, n_out).collect())
+    n = len(pts)
+    assert len(out) == min(n, n_out)
+    assert out[0] == pts[0][0] and out[-1] == pts[-1][0]
+    in_ts = {t for t, _ in pts}
+    assert all(t in in_ts for t in out)
+    if n > n_out:
+        # one interior pick per bucket: interior 1-based index i maps to
+        # bucket ((i-1)*(n_out-2)) // (n-2)
+        idx = {t: i for i, (t, _) in enumerate(pts)}
+        hit = [0] * (n_out - 2)
+        for t in out[1:-1]:
+            hit[((idx[t] - 1) * (n_out - 2)) // (n - 2)] += 1
+        assert all(h == 1 for h in hit)

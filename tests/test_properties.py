@@ -1483,3 +1483,68 @@ def test_lttb_invariants(spark, pts, n_out):
         for t in out[1:-1]:
             hit[((idx[t] - 1) * (n_out - 2)) // (n - 2)] += 1
         assert all(h == 1 for h in hit)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=-5, max_value=14)),
+        min_size=1, max_size=30, unique_by=lambda r: r[0],
+    ),
+    step=st.integers(min_value=1, max_value=7),
+)
+def test_candlesticks_match_reference(spark, rows, step):
+    """Per-pixel OHLC vs the direct per-bucket scan: open/close by ts
+    order, high/low extremes, ts = the bucket's first sample."""
+    from akumuli_spark.operators.candlesticks import candlesticks
+
+    by_bucket = {}
+    for t, v in sorted(rows):
+        by_bucket.setdefault(t // step, []).append((t, float(v)))
+    want = {}
+    for b, pts in by_bucket.items():
+        vs = [v for _, v in pts]
+        want[pts[0][0]] = (vs[0], max(vs), min(vs), vs[-1], len(vs))
+    n_pixels = max(1, 31 // step)
+    df = spark.createDataFrame(
+        [("m", "m host=a", t, float(v)) for t, v in rows],
+        "metric string, series string, ts_ns long, value double",
+    )
+    got = {
+        r["ts_ns"]: (r["open"], r["high"], r["low"], r["close"], r["count"])
+        for r in candlesticks(spark, df, "m", 0, step * n_pixels,
+                              n_pixels).collect()
+        if r["ts_ns"] < step * n_pixels
+    }
+    want = {t: w for t, w in want.items() if t < step * n_pixels}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-10, max_value=20),
+                  min_size=1, max_size=30),
+    n_bins=st.integers(min_value=1, max_value=6),
+)
+def test_value_histogram_matches_reference(spark, vals, n_bins):
+    """Equal-bin value histogram vs direct bin math over [lo, hi):
+    out-of-range dropped, empty bins absent."""
+    from akumuli_spark.operators.histogram import value_histogram
+
+    lo, hi = 0.0, 12.0
+    width = (hi - lo) / n_bins
+    want = {}
+    for v in vals:
+        if lo <= v < hi:
+            b = int((v - lo) / width)
+            want[b] = want.get(b, 0) + 1
+    df = spark.createDataFrame(
+        [("m", "m host=a", i, float(v)) for i, v in enumerate(vals)],
+        "metric string, series string, ts_ns long, value double",
+    )
+    got = {
+        r["bin"]: r["count"]
+        for r in value_histogram(df, "m", 0, 100, lo, hi, n_bins).collect()
+    }
+    assert got == want

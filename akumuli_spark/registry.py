@@ -3280,3 +3280,48 @@ _register_pipeline(
     [],
     ["stratum", "shard", "pack_id", "n_docs", "n_tokens", "text"],
 )
+
+
+# ---------------------------------------------------------------------------
+# rule-based quality filtering + line/paragraph dedup (pipeline.quality)
+# ---------------------------------------------------------------------------
+
+from akumuli_spark.pipeline import quality as _quality  # noqa: E402
+
+_register_pipeline(
+    "text_gopher_quality",
+    lambda spark, sf: _quality.gopher_quality_flags(
+        load_table(spark, sf, "documents")
+    ),
+    _quality.gopher_quality_sql(),
+    ["mean_word_len", "hash_word_ratio", "ellipsis_word_ratio",
+     "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac"],
+    ["doc_id", "n_words", "n_stop_hits", "passes"],
+)
+
+# The synthetic corpus is single-line prose, so the line-granularity
+# operators run over deterministically derived pseudo-lines (2-word
+# chunks, built byte-identically on both engines) — the chunk width is
+# small so the 25-term vocabulary actually produces repeated lines and
+# cross-document duplicate paragraphs, making the gate non-trivial.
+_WCL2 = "d2 AS (" + _quality.word_chunk_lines_cte(2) + ")"
+
+_register_pipeline(
+    "text_line_repetition",
+    lambda spark, sf: _quality.line_repetition_signals(
+        _quality.with_word_chunk_lines(load_table(spark, sf, "documents"), 2)
+    ),
+    _quality.line_repetition_sql("d2", prelude=_WCL2),
+    ["dup_line_frac", "dup_line_char_frac"],
+    ["doc_id", "n_lines"],
+)
+
+_register_pipeline(
+    "dedup_paragraphs",
+    lambda spark, sf: _quality.dedup_paragraphs(
+        _quality.with_word_chunk_lines(load_table(spark, sf, "documents"), 2)
+    ),
+    _quality.dedup_paragraphs_sql("d2", prelude=_WCL2),
+    [],
+    ["doc_id", "n_paras", "n_kept", "text_clean"],
+)

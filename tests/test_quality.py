@@ -1,0 +1,218 @@
+"""pipeline.quality: Gopher quality rules, line repetition, paragraph
+dedup — unit semantics over hand-built multi-line documents plus the
+registry's cross-engine gate over the synthetic corpus (the corpus is
+single-line, so the real line/bullet/ellipsis behavior is pinned here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.pipeline import quality as Q
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _row(df, doc_id):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}[doc_id]
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_passes_clean_prose(spark):
+    text = " ".join(
+        ["the quick brown fox jumps over that lazy dog with vigor and"] * 6
+    )  # 72 words, all alpha, stops: the/that/with/and ⇒ 4 hits
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, text)])), 1)
+    assert out["n_words"] == 72
+    assert out["passes"] == 1
+    assert out["alpha_word_frac"] == 1.0
+    assert out["n_stop_hits"] == 4
+
+
+def test_gopher_word_count_bounds(spark):
+    short = "the cat sat with that hat"  # 6 words < 50
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, short)])), 1)
+    assert out["passes"] == 0 and out["n_words"] == 6
+
+
+def test_gopher_mean_word_len(spark):
+    # 60 one-char words: mean length 1 < 3 ⇒ fail that rule
+    text = " ".join(["a"] * 58 + ["the", "with"])
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, text)])), 1)
+    assert out["mean_word_len"] < 3
+    assert out["passes"] == 0
+
+
+def test_gopher_symbol_ratios(spark):
+    base = ["the word with data that runs fine here now ok"] * 5  # 50 words
+    hashy = " ".join(base) + " " + "# # # # # #"  # 6 hashes / 56 words > 0.1
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, hashy)])), 1)
+    assert out["hash_word_ratio"] > 0.1 and out["passes"] == 0
+    dots = " ".join(base) + " x... y... z... w... v... u... t..."
+    out2 = _row(Q.gopher_quality_flags(_docs(spark, [(2, dots)])), 2)
+    assert out2["ellipsis_word_ratio"] > 0.1 and out2["passes"] == 0
+    # unicode ellipsis counts too
+    uni = " ".join(base) + " x… y… z… w… v… u… t…"
+    out3 = _row(Q.gopher_quality_flags(_docs(spark, [(3, uni)])), 3)
+    assert out3["ellipsis_word_ratio"] == pytest.approx(7 / 57)
+
+
+def test_gopher_line_rules(spark):
+    words = " ".join(["the data with more here"] * 12)  # 60 words, 1 line
+    # bullet lines stay alpha-rich ("-" itself is a non-alpha token and
+    # the alpha-word rule sees every token)
+    bullets = "\n".join(["- item alpha beta"] * 9 + [words])
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, bullets)])), 1)
+    assert out["bullet_line_frac"] == pytest.approx(0.9)
+    # 0.9 is the boundary: rule is <= 0.9 so still passes
+    assert out["passes"] == 1
+    ell = "\n".join(["trailing thing..."] * 2 + [words, words])
+    out2 = _row(Q.gopher_quality_flags(_docs(spark, [(2, ell)])), 2)
+    assert out2["ellipsis_line_frac"] == pytest.approx(0.5)
+    assert out2["passes"] == 0
+
+
+def test_gopher_alpha_and_stops(spark):
+    nums = " ".join(["111 222 333 444 555 the with 888 999 000"] * 6)
+    out = _row(Q.gopher_quality_flags(_docs(spark, [(1, nums)])), 1)
+    assert out["alpha_word_frac"] == pytest.approx(0.2)
+    assert out["n_stop_hits"] == 2
+    assert out["passes"] == 0
+
+
+def test_gopher_empty_and_whitespace(spark):
+    out = Q.gopher_quality_flags(
+        _docs(spark, [(1, ""), (2, "   "), (3, "\n\n")])
+    )
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    for d in (1, 2, 3):
+        assert rows[d]["n_words"] == 0
+        assert rows[d]["passes"] == 0
+        assert rows[d]["bullet_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# line_repetition_signals
+# ---------------------------------------------------------------------------
+
+
+def test_line_repetition_counts_every_occurrence(spark):
+    # 4 lines, "dup" appears twice ⇒ dup fraction 2/4 (Gopher counts both
+    # occurrences), char fraction weighted by line length
+    text = "dup\nunique line\ndup\nanother"
+    out = _row(Q.line_repetition_signals(_docs(spark, [(1, text)])), 1)
+    assert out["n_lines"] == 4
+    assert out["dup_line_frac"] == pytest.approx(0.5)
+    chars = 3 + 11 + 3 + 7
+    assert out["dup_line_char_frac"] == pytest.approx(6 / chars)
+
+
+def test_line_repetition_trims_and_skips_blanks(spark):
+    text = "  x \n\n   \nx\ny"
+    out = _row(Q.line_repetition_signals(_docs(spark, [(1, text)])), 1)
+    assert out["n_lines"] == 3  # "x", "x", "y"
+    assert out["dup_line_frac"] == pytest.approx(2 / 3)
+
+
+def test_line_repetition_empty_doc_present(spark):
+    out = Q.line_repetition_signals(_docs(spark, [(1, ""), (2, "a\nb")]))
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[1]["n_lines"] == 0 and rows[1]["dup_line_frac"] == 0.0
+    assert rows[2]["n_lines"] == 2 and rows[2]["dup_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_paragraphs
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    docs = _docs(spark, [
+        (1, "alpha\nbeta"),
+        (2, "beta\ngamma"),      # beta already in doc 1 ⇒ dropped
+        (3, "gamma\nalpha"),     # both seen ⇒ emptied
+    ])
+    out = {r["doc_id"]: r.asDict() for r in Q.dedup_paragraphs(docs).collect()}
+    assert out[1]["text_clean"] == "alpha\nbeta" and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "gamma" and out[2]["n_kept"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_paras"] == 2
+
+
+def test_paragraph_dedup_within_doc_and_order(spark):
+    # repeated paragraph inside one doc keeps only the first; surviving
+    # order is the original position order
+    docs = _docs(spark, [(7, "z\ny\nz\nx")])
+    out = _row(Q.dedup_paragraphs(docs), 7)
+    assert out["text_clean"] == "z\ny\nx"
+    assert out["n_paras"] == 4 and out["n_kept"] == 3
+
+
+def test_paragraph_dedup_position_breaks_ties_within_doc(spark):
+    # same paragraph at two positions of the same doc: idx orders the win
+    docs = _docs(spark, [(1, "p\nq"), (2, "q\np")])
+    out = {r["doc_id"]: r.asDict() for r in Q.dedup_paragraphs(docs).collect()}
+    assert out[1]["n_kept"] == 2 and out[2]["n_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# pseudo-line derivation used by the oracle entries
+# ---------------------------------------------------------------------------
+
+
+def test_word_chunk_lines(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, "x")])
+    out = {r["doc_id"]: r["text"]
+           for r in Q.with_word_chunk_lines(docs, 2).collect()}
+    assert out[1] == "a b\nc d\ne"
+    assert out[2] == "x"
+
+
+def test_word_chunk_lines_rejects_bad_chunk(spark):
+    with pytest.raises(ValueError):
+        Q.with_word_chunk_lines(_docs(spark, [(1, "a")]), 0)
+
+
+# ---------------------------------------------------------------------------
+# cross-engine parity on hand-built MULTI-LINE docs (the synthetic corpus
+# is single-line; the registry gate can't see these branches)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_sql_twin_on_multiline(spark, duck):
+    rows = [
+        (1, "- bullet one\n- bullet two\nthe end with that..."),
+        (2, "the plain sentence with enough words to be real and that"),
+        (3, ""),
+        (4, "# # #\nhash heavy..."),
+    ]
+    sdf = Q.gopher_quality_flags(_docs(spark, rows)).toPandas()
+    duck.sql("CREATE OR REPLACE TEMP TABLE qdocs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO qdocs VALUES (?, ?)", rows)
+    ddf = duck.sql(Q.gopher_quality_sql("qdocs")).df()
+    sdf = sdf.sort_values("doc_id").reset_index(drop=True)
+    ddf = ddf[sdf.columns].sort_values("doc_id").reset_index(drop=True)
+    for c in sdf.columns:
+        a, b = sdf[c], ddf[c]
+        if a.dtype == float:
+            import numpy as np
+            assert np.allclose(a, b, equal_nan=True), c
+        else:
+            assert (a.astype(str) == b.astype(str)).all(), c
+
+
+def test_paragraph_dedup_sql_twin_on_multiline(spark, duck):
+    rows = [(1, "alpha\nbeta"), (2, "beta\ngamma"), (3, "gamma\nalpha")]
+    sdf = Q.dedup_paragraphs(_docs(spark, rows)).toPandas()
+    duck.sql("CREATE OR REPLACE TEMP TABLE pdocs(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO pdocs VALUES (?, ?)", rows)
+    ddf = duck.sql(Q.dedup_paragraphs_sql("pdocs")).df()
+    sdf = sdf.sort_values("doc_id").reset_index(drop=True)
+    ddf = ddf[sdf.columns].sort_values("doc_id").reset_index(drop=True)
+    for c in sdf.columns:
+        assert (sdf[c].astype(str) == ddf[c].astype(str)).all(), c

@@ -925,3 +925,208 @@ SELECT CAST(d.cid AS BIGINT) AS cid, CAST(d.dim AS BIGINT) AS dim,
 FROM __dims d JOIN __counts c USING (cid)
 GROUP BY d.cid, d.dim, c.n_assigned
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — memory-bound ANN via asymmetric distance
+# ---------------------------------------------------------------------------
+#
+# Jégou, Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+# Search": split each vector into M subvectors, vector-quantize each
+# subspace with its own KS-entry codebook, and search with the
+# asymmetric distance computation (ADC) — the query stays full
+# precision, each candidate costs one M-entry table lookup sum.  At
+# 100 TB the point is MEMORY: a 64-dim float32 vector (256 B) becomes
+# M=8 single-byte codes, so the whole candidate scan works off a table
+# 32x smaller than the raw embeddings — the shape FAISS's IVFADC uses
+# under every billion-vector deployment.  (Compose with the IVF lists
+# above for the full IVFADC: probe lists, then ADC inside them.)
+#
+# The deterministic seed codebooks (subvectors of the KS smallest
+# vec_ids, mirroring `_centroids`) keep the operator cross-engine
+# reproducible for the oracle; production swaps per-subspace k-means in
+# through the `codebooks=` parameter without touching the search path.
+
+PQ_M = 8
+PQ_KS = 16
+
+
+def _sub_slices(col: str, m: int, dsub: int) -> str:
+    """SQL array of the ``m`` subvectors of ``col`` (floats preserved)."""
+    return (f"transform(sequence(0, {m - 1}), "
+            f"s -> slice({col}, s * {dsub} + 1, {dsub}))")
+
+
+#: sequential squared-L2 fold — operand order matters: both engines add
+#: (p1-q1)² + (p2-q2)² + ... left-to-right so the doubles are identical
+_L2 = ("aggregate(zip_with({a}, {b}, "
+       "(p, q) -> (CAST(p AS DOUBLE) - CAST(q AS DOUBLE)) "
+       "* (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), 0.0D, (acc, v) -> acc + v)")
+
+
+def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """(sub, code, ce): per-subspace codebooks from the ``ks`` smallest
+    vec_ids' subvectors.  ``sub`` is 0-based, ``code`` 1-based (to match
+    1-based SQL array indexing in the ADC lookup).  Same
+    TakeOrderedAndProject shape as `_centroids` — nothing wide."""
+    dim_row = embs.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    seeds = embs.select("vec_id", "embedding").orderBy("vec_id").limit(ks)
+    w = Window.orderBy(F.col("vec_id").asc())
+    return (
+        seeds.select(F.row_number().over(w).alias("code"), "embedding")
+        .select(
+            "code",
+            F.posexplode(F.expr(_sub_slices("embedding", m, dsub)))
+            .alias("sub", "ce"),
+        )
+        .select("sub", "code", "ce")
+    )
+
+
+def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+              codebooks: DataFrame | None = None) -> DataFrame:
+    """(vec_id, codes): each vector's M nearest-centroid codes (squared-L2,
+    ties → code asc).
+
+    Scale shape: the m×ks codebook folds into ONE broadcast row of
+    sub-sorted structs; encoding is a per-row nested higher-order
+    expression (m·ks·dsub multiply-adds, all JVM-side) — zero shuffle,
+    zero UDF, same pattern as `_assign_lists`."""
+    dim_row = embs.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    dsub = dim // m
+    cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
+    folded = cb.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code", "ce"))).alias("cb")
+    )
+    l2 = _L2.format(a=f"slice(embedding, s * {dsub} + 1, {dsub})", b="x.ce")
+    codes = (
+        "transform(sequence(0, %d), s -> "
+        "array_min(transform(filter(cb, x -> x.sub = s), "
+        "x -> named_struct('d', %s, 'code', x.code))).code)" % (m - 1, l2)
+    )
+    return (
+        embs.crossJoin(F.broadcast(folded))
+        .select("vec_id", F.expr(codes).alias("codes"))
+    )
+
+
+def pq_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
+            m: int = PQ_M, ks: int = PQ_KS,
+            codebooks: DataFrame | None = None,
+            codes: DataFrame | None = None) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank), rank by
+    approximate squared L2 asc (ties → neighbor_id asc), self excluded.
+
+    The query-side lookup table (LUT) is one row per query holding the
+    m·ks distances from the query's subvectors to every codebook entry,
+    laid out sub-major so a candidate's distance is
+    Σ_s larr[s·ks + codes[s]] — an M-element gather per (query,
+    candidate) pair instead of a dim-element float scan: this is the
+    32× memory / ~dsub× compute win PQ exists for.
+
+    Scale shape: codebooks and LUTs are broadcast (m·ks and |Q|·m·ks
+    doubles); the candidate side streams its CODES table (M bytes of
+    signal per vector), never re-touching the raw embeddings.  Pass
+    ``codes=`` to search a pre-encoded corpus (the stored-index shape —
+    encode once, scan many)."""
+    dim_row = embs.select(F.size("embedding").alias("d")).first()
+    dim = int(dim_row["d"])
+    dsub = dim // m
+    cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
+    enc = codes if codes is not None else pq_encode(embs, m, ks, codebooks=cb)
+
+    # LUT per query: cross the |Q| query vectors with the m·ks codebook,
+    # order by (sub, code) into one flat array per query
+    queries = embs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    l2q = _L2.format(a=f"slice(qe, sub * {dsub} + 1, {dsub})", b="ce")
+    luts = (
+        queries.crossJoin(F.broadcast(cb))
+        .select("query_id", "sub", "code", F.expr(l2q).alias("d"))
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(sub, code, d))), x -> x.d)"
+            ).alias("larr")
+        )
+    )
+    adc = (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
+        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "adc_dist", "rank")
+    )
+
+
+def pq_topk_sql(query_ids: list[int], k: int = 10, m: int = PQ_M,
+                ks: int = PQ_KS, dim: int = 64) -> str:
+    """DuckDB twin: same seed codebooks, same sequential fold order (the
+    range(1, dsub+1) loop adds the SAME operands left-to-right as Spark's
+    zip_with fold, so distances — and therefore code assignments and
+    ranks — are bitwise identical, not just close)."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    l2 = (f"list_sum(list_transform(range(1, {dsub + 1}), "
+          "i -> (CAST({a}[(s.s * %d + i)] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+          "* (CAST({a}[(s.s * %d + i)] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+          % (dsub, dsub))
+    return f"""
+WITH subs AS (SELECT unnest(range(0, {m})) AS s),
+cb AS (
+  SELECT s.s AS sub, c.code,
+         e.embedding[(s.s * {dsub} + 1):(s.s * {dsub} + {dsub})] AS ce
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS code, vec_id
+        FROM embeddings ORDER BY vec_id LIMIT {ks}) c
+  JOIN embeddings e USING (vec_id), subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, cb.sub, cb.code,
+           row_number() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+             {l2.format(a='v.embedding', b='cb.ce')}, cb.code) AS rn
+    FROM embeddings v JOIN cb ON true JOIN subs s ON s.s = cb.sub
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         {l2.format(a='q.embedding', b='cb.ce')} AS d
+  FROM embeddings q JOIN cb ON true JOIN subs s ON s.s = cb.sub
+  WHERE q.vec_id IN ({ids})
+),
+scored AS (
+  -- list(… ORDER BY sub) then list_sum: adds the m lookup values in
+  -- sub order, the SAME operand order as Spark's sequence(0, m-1)
+  -- fold, so adc_dist is bitwise identical (a bare sum() would
+  -- aggregate in engine order and could differ in the last ulp,
+  -- flipping ranks at near-ties)
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_sum(list(l.d ORDER BY l.sub)) AS adc_dist
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, adc_dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()

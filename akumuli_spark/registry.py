@@ -3325,3 +3325,16 @@ _register_pipeline(
     [],
     ["doc_id", "n_paras", "n_kept", "text_clean"],
 )
+
+
+# Product-quantization ADC search (the memory-bound ANN scale path:
+# candidates scanned as m one-byte codes, not raw floats)
+_register_pipeline(
+    "ann_pq_topk",
+    lambda spark, sf: _sim.pq_topk(
+        load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=10
+    ),
+    _sim.pq_topk_sql(_ANN_QUERY_IDS, 10),
+    ["adc_dist"],
+    ["query_id", "neighbor_id", "rank"],
+)

@@ -216,3 +216,65 @@ def test_paragraph_dedup_sql_twin_on_multiline(spark, duck):
     ddf = ddf[sdf.columns].sort_values("doc_id").reset_index(drop=True)
     for c in sdf.columns:
         assert (sdf[c].astype(str) == ddf[c].astype(str)).all(), c
+
+
+# ---------------------------------------------------------------------------
+# product quantization (similarity.pq_*) — structural invariants; the
+# cross-engine values are gated by the ann_pq_topk registry entry
+# ---------------------------------------------------------------------------
+
+
+def _embs(spark, sf="/root/testdata/sf0.001"):
+    from akumuli_spark.sources.testdata import load_table
+    return load_table(spark, sf, "embeddings")
+
+
+def test_pq_encode_shape_and_range(spark):
+    from akumuli_spark.pipeline import similarity as S
+    enc = S.pq_encode(_embs(spark), m=8, ks=16).collect()
+    assert all(len(r["codes"]) == 8 for r in enc)
+    assert all(1 <= c <= 16 for r in enc for c in r["codes"])
+
+
+def test_pq_topk_precomputed_codes_equal_oneshot(spark):
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark)
+    cb = S.pq_codebooks(embs, m=8, ks=16)
+    codes = S.pq_encode(embs, m=8, ks=16, codebooks=cb).localCheckpoint()
+    a = S.pq_topk(embs, [0, 1], k=5).collect()
+    b = S.pq_topk(embs, [0, 1], k=5, codebooks=cb, codes=codes).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_topk_ranks_monotone_and_self_excluded(spark):
+    from akumuli_spark.pipeline import similarity as S
+    rows = S.pq_topk(_embs(spark), [3], k=10).collect()
+    assert len(rows) == 10
+    dists = [r["adc_dist"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert dists == sorted(dists)
+    assert all(r["neighbor_id"] != 3 for r in rows)
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from akumuli_spark.pipeline import similarity as S
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        S.pq_codebooks(_embs(spark), m=7)
+
+
+def test_pq_adc_zero_for_identical_vector(spark):
+    """A candidate whose subvectors quantize to the query's own codes has
+    ADC distance = the query's own quantization error; an exact copy of
+    the query vector has the SAME codes, so its ADC distance equals the
+    query's self-distance — and a copied corpus row must rank first."""
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark).limit(50)
+    clone = embs.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding",
+        *[c for c in embs.columns if c not in ("vec_id", "embedding")],
+    )
+    aug = embs.unionByName(clone)
+    top = S.pq_topk(aug, [7], k=3).collect()
+    best = min(top, key=lambda r: r["rank"])
+    assert best["neighbor_id"] == 10_007

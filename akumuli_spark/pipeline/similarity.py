@@ -1130,3 +1130,190 @@ SELECT query_id, neighbor_id, adc_dist, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# IVFADC — IVF probe + PQ asymmetric scan (the FAISS IndexIVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def ivfadc_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
+                nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                m: int = PQ_M, ks: int = PQ_KS,
+                centroids: DataFrame | None = None,
+                codebooks: DataFrame | None = None,
+                codes: DataFrame | None = None) -> DataFrame:
+    """IVF + ADC: probe the ``nprobe`` max-cosine inverted lists, then
+    rank candidates by PQ-approximated cosine — the composition FAISS
+    ships as IndexIVFPQ (Jégou et al. 2011 §V; inner-product metric,
+    codes over raw vectors, i.e. ``by_residual=false``).
+
+    Approximate cosine: PQ factorizes dot(q, x) ≈ Σ_s dot(q_s, c[x_s])
+    (one M-entry LUT gather per candidate); dividing by the EXACT stored
+    norm ‖x‖ (one float carried in the index row, standard practice)
+    and ‖q‖ gives the cosine estimate.  Output: (query_id, neighbor_id,
+    acos, rank), rank by acos desc / neighbor_id asc, self excluded.
+
+    Scale shape — why this is THE billion-vector layout: the scan
+    touches nprobe/nlist of the corpus (partition pruning on list_id,
+    same as `ivf_topk_from_index`) AND reads M code bytes + one norm
+    per candidate instead of the raw floats (the PQ memory win), while
+    everything query-sized (codebooks, probe set, LUTs) rides a
+    broadcast.  Pass ``centroids`` / ``codebooks`` / ``codes`` to serve
+    from trained + pre-encoded artifacts; the deterministic defaults
+    keep the operator oracle-reproducible."""
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
+    enc = codes if codes is not None else pq_encode(embs, m, ks, codebooks=cb)
+    dim_row = embs.select(F.size("embedding").alias("d")).first()
+    dsub = int(dim_row["d"]) // m
+
+    # the stored index row: (vec_id, list_id, codes, en) — codes + one
+    # exact norm, never the raw embedding
+    assigned = _assign_lists(embs, cents).select("vec_id", "list_id", "embedding")
+    index = (
+        assigned.withColumn("en", _norm("embedding"))
+        .filter(F.col("en") > 0)
+        .drop("embedding")
+        .join(enc, "vec_id")
+    )
+
+    queries = embs.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", F.col("cid").alias("list_id"))
+    )
+    # inner-product LUT, sub-major (same layout/fold order as pq_topk)
+    ip = (f"aggregate(zip_with(slice(qe, sub * {dsub} + 1, {dsub}), ce, "
+          "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+          "0.0D, (acc, v) -> acc + v)")
+    luts = (
+        queries.crossJoin(F.broadcast(cb))
+        .select("query_id", "qn", "sub", "code", F.expr(ip).alias("d"))
+        .groupBy("query_id", "qn")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, code, d))), "
+                "x -> x.d)"
+            ).alias("larr")
+        )
+    )
+    adc_ip = (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
+        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+    )
+    scored = (
+        index.join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("acos", F.expr(adc_ip) / (F.col("qn") * F.col("en")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "acos", "rank")
+    )
+
+
+def ivfadc_topk_sql(query_ids: list[int], k: int = 10,
+                    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                    m: int = PQ_M, ks: int = PQ_KS, dim: int = 64) -> str:
+    """DuckDB twin: every float fold (norms, probe cosines, LUT inner
+    products, the M-term ADC sum) adds the same operands in the same
+    order as the Spark side, so assignments, probe sets, and ranks
+    agree exactly."""
+    ids = ", ".join(str(i) for i in query_ids)
+    dsub = dim // m
+    sq = (f"list_sum(list_transform(range(1, {dim + 1}), "
+          "i -> CAST({e}[i] AS DOUBLE) * CAST({e}[i] AS DOUBLE)))")
+    cos = (f"list_sum(list_transform(range(1, {dim + 1}), "
+           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))) "
+           "/ (sqrt(" + sq.format(e="{a}") + ") * sqrt(" + sq.format(e="{b}") + "))")
+    ip = (f"list_sum(list_transform(range(1, {dsub + 1}), "
+          "i -> CAST({a}[(s.s * %d + i)] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+          % dsub)
+    l2 = (f"list_sum(list_transform(range(1, {dsub + 1}), "
+          "i -> (CAST({a}[(s.s * %d + i)] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+          "* (CAST({a}[(s.s * %d + i)] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+          % (dsub, dsub))
+    return f"""
+WITH subs AS (SELECT unnest(range(0, {m})) AS s),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {nlist}
+),
+assigned AS (
+  SELECT vec_id, cid AS list_id, en FROM (
+    SELECT v.vec_id, c.cid, sqrt({sq.format(e='v.embedding')}) AS en,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.embedding', b='c.ce')} DESC, c.cid) AS r
+    FROM embeddings v, cents c
+  ) WHERE r = 1 AND en > 0
+),
+cb AS (
+  SELECT s.s AS sub, c.code,
+         e.embedding[(s.s * {dsub} + 1):(s.s * {dsub} + {dsub})] AS ce
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) AS code, vec_id
+        FROM embeddings ORDER BY vec_id LIMIT {ks}) c
+  JOIN embeddings e USING (vec_id), subs s
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT v.vec_id, cb.sub, cb.code,
+           row_number() OVER (PARTITION BY v.vec_id, cb.sub ORDER BY
+             {l2.format(a='v.embedding', b='cb.ce')}, cb.code) AS rn
+    FROM embeddings v JOIN cb ON true JOIN subs s ON s.s = cb.sub
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         sqrt({sq.format(e='embedding')}) AS qn
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+probes AS (
+  SELECT query_id, cid AS list_id FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qe', b='c.ce')} DESC, c.cid) AS r
+    FROM queries q, cents c WHERE q.qn > 0
+  ) WHERE r <= {nprobe}
+),
+lut AS (
+  SELECT q.query_id, q.qn, cb.sub, cb.code,
+         {ip.format(a='q.qe', b='cb.ce')} AS d
+  FROM queries q JOIN cb ON true JOIN subs s ON s.s = cb.sub
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         list_sum(list(l.d ORDER BY l.sub)) / (any_value(l.qn) * any_value(a.en))
+           AS acos
+  FROM enc e
+  JOIN assigned a USING (vec_id)
+  JOIN probes p ON p.list_id = a.list_id
+  JOIN lut l ON l.query_id = p.query_id
+            AND l.sub = e.sub AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id
+)
+SELECT query_id, neighbor_id, acos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY acos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip()

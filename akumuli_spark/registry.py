@@ -3338,3 +3338,16 @@ _register_pipeline(
     ["adc_dist"],
     ["query_id", "neighbor_id", "rank"],
 )
+
+
+# IVF probe + PQ asymmetric scan composed (the FAISS IndexIVFPQ shape:
+# partition-pruned lists AND code-compressed candidates)
+_register_pipeline(
+    "ann_ivfadc",
+    lambda spark, sf: _sim.ivfadc_topk(
+        load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=10
+    ),
+    _sim.ivfadc_topk_sql(_ANN_QUERY_IDS, 10),
+    ["acos"],
+    ["query_id", "neighbor_id", "rank"],
+)

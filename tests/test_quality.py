@@ -278,3 +278,38 @@ def test_pq_adc_zero_for_identical_vector(spark):
     top = S.pq_topk(aug, [7], k=3).collect()
     best = min(top, key=lambda r: r["rank"])
     assert best["neighbor_id"] == 10_007
+
+
+def test_ivfadc_subset_of_probed_lists(spark):
+    """Every IVFADC neighbor must live in one of the query's nprobe
+    lists — the probe prunes, ADC only reranks."""
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    cents = S._centroids(embs, S.IVF_NLIST)
+    assigned = {r["vec_id"]: r["list_id"]
+                for r in S._assign_lists(embs, cents).collect()}
+    out = S.ivfadc_topk(embs, [2], k=10, nprobe=2).collect()
+    probe_lists = {assigned[r["neighbor_id"]] for r in out}
+    assert len(probe_lists) <= 2
+
+
+def test_ivfadc_stored_artifacts_equal_oneshot(spark):
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark)
+    cents = S._centroids(embs, S.IVF_NLIST).localCheckpoint()
+    cb = S.pq_codebooks(embs).localCheckpoint()
+    codes = S.pq_encode(embs, codebooks=cb).localCheckpoint()
+    a = S.ivfadc_topk(embs, [0, 4], k=5).collect()
+    b = S.ivfadc_topk(embs, [0, 4], k=5, centroids=cents,
+                      codebooks=cb, codes=codes).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfadc_acos_bounded(spark):
+    """PQ-approximated cosine of real (non-degenerate) vectors stays in
+    a sane band — a blown LUT index would produce wild magnitudes."""
+    from akumuli_spark.pipeline import similarity as S
+    rows = S.ivfadc_topk(_embs(spark), [1], k=10).collect()
+    assert len(rows) == 10
+    assert all(-2.0 < r["acos"] < 2.0 for r in rows)

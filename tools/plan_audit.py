@@ -118,7 +118,9 @@ def main() -> None:
                "dedup_minhash_incremental", "dedup_simhash_incremental",
                "multimodal_decode_dirty", "ann_ivf_batch",
                "dedup_embedding_lsh_multi", "metrics_tag_rollup",
-               "bpe_tokenize_counts"]
+               "bpe_tokenize_counts",
+               "text_gopher_quality", "text_line_repetition",
+               "dedup_paragraphs", "ann_pq_topk", "ann_ivfadc"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -385,6 +385,124 @@ FROM toks t LEFT JOIN cov c USING (doc_id)
 """.strip()
 
 
+def scrub_duplicated_spans(docs: DataFrame, n: int = 5) -> DataFrame:
+    """REMOVE the duplicated spans :func:`duplicated_span_coverage`
+    measures: every token position covered by a word ``n``-gram that
+    also appears in another document is cut, and the document is
+    reconstructed from the surviving tokens in order — the actionable
+    half of Lee et al. 2022's exact-substring dedup (their §4.2 removes
+    the repeated spans from the training set; like them we remove ALL
+    copies symmetrically, which they note costs nothing measurable vs
+    keeping one).
+
+    Output: (doc_id, n_tokens, n_kept, text_clean) — every input doc
+    present; a fully-duplicated document keeps ``n_kept = 0`` and
+    ``text_clean = ''`` (filter-or-keep is the caller's policy, same
+    contract as :func:`quality.dedup_paragraphs`).
+
+    Scale shape: the span-finding path is exactly coverage's (60-bit
+    shingle keys, duplicated-shingle equi-join, fan-out only where
+    duplication exists); removal adds a corpus-sized (doc_id, position,
+    word) explode — unavoidable, the output itself is token-level —
+    anti-joined against covered positions on (doc_id, p), then ONE
+    doc_id shuffle rebuilds the text via sorted collect.  All keyed,
+    no windows, no driver state.
+    """
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    )
+    shingle_arr = F.expr(
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> CAST(conv(substring(md5(array_join(slice(__ws, i, {n}), "
+        f"' ')), 1, 15), 16, 10) AS BIGINT))"
+    )
+    pos = (
+        tokens.filter(F.size(F.col("__ws")) >= n)
+        .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+    )
+    dup = (
+        pos.select("shingle", "doc_id").distinct()
+        .groupBy("shingle").agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle")
+    )
+    covered = (
+        pos.join(dup, "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    words = tokens.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.posexplode("__ws").alias("p", "w"),
+    )
+    kept = (
+        words.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(p, w))), "
+                       "s -> s.w)"),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    return (
+        tokens.select("doc_id", F.size("__ws").cast("long").alias("n_tokens"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def scrub_duplicated_spans_sql(n: int = 5) -> str:
+    """DuckDB twin — same 60-bit shingle keys and 0-based positions as
+    the coverage twin, reconstruction via ordered string_agg."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS start,
+         ('0x' || substr(md5(
+            list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')
+          ), 1, 15))::BIGINT AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM toks WHERE len(ws) >= {n})
+),
+dup AS (
+  SELECT shingle FROM pos GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM (SELECT doc_id, unnest(range(start, start + {n})) AS p
+        FROM pos JOIN dup USING (shingle))
+),
+words AS (
+  SELECT doc_id, i - 1 AS p, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+),
+kept AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(w.w, ' ' ORDER BY w.p) AS text_clean
+  FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.p = c.p
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN kept k USING (doc_id)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -3351,3 +3351,16 @@ _register_pipeline(
     ["acos"],
     ["query_id", "neighbor_id", "rank"],
 )
+
+
+# Span REMOVAL (the actionable half of Lee et al. exact-substring dedup;
+# dedup_span_coverage is the measurement half)
+_register_pipeline(
+    "dedup_scrub_spans",
+    lambda spark, sf: _dedup.scrub_duplicated_spans(
+        load_table(spark, sf, "documents"), n=5
+    ),
+    _dedup.scrub_duplicated_spans_sql(5),
+    [],
+    ["doc_id", "n_tokens", "n_kept", "text_clean"],
+)

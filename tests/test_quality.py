@@ -313,3 +313,61 @@ def test_ivfadc_acos_bounded(spark):
     rows = S.ivfadc_topk(_embs(spark), [1], k=10).collect()
     assert len(rows) == 10
     assert all(-2.0 < r["acos"] < 2.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# scrub_duplicated_spans (dedup.py) — removal semantics against the
+# coverage operator and a direct set-math reference
+# ---------------------------------------------------------------------------
+
+
+def test_scrub_spans_removes_shared_ngram(spark):
+    from akumuli_spark.pipeline import dedup as D
+    shared = "one two three four five"
+    docs = _docs(spark, [
+        (1, f"intro words here {shared} tail words here two"),
+        (2, f"{shared} different ending entirely for this doc"),
+        (3, "completely unrelated text with no shared spans at all"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in D.scrub_duplicated_spans(docs, n=5).collect()}
+    # the shared 5-gram's 5 positions vanish from both docs
+    assert "one two three four five" not in out[1]["text_clean"]
+    assert "one two three four five" not in out[2]["text_clean"]
+    assert out[1]["text_clean"].startswith("intro words here")
+    assert out[2]["text_clean"] == "different ending entirely for this doc"
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+
+
+def test_scrub_spans_consistent_with_coverage(spark):
+    """n_tokens - n_kept must equal coverage's n_cov: the two operators
+    share one definition of 'covered position'."""
+    from akumuli_spark.pipeline import dedup as D
+    from akumuli_spark.sources.testdata import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cov = {r["doc_id"]: r["n_cov"]
+           for r in D.duplicated_span_coverage(docs, n=5).collect()}
+    scrub = D.scrub_duplicated_spans(docs, n=5).collect()
+    assert len(scrub) == len(cov)
+    for r in scrub:
+        assert r["n_tokens"] - r["n_kept"] == cov[r["doc_id"]], r["doc_id"]
+
+
+def test_scrub_spans_fully_duplicated_doc_empties(spark):
+    from akumuli_spark.pipeline import dedup as D
+    same = "a b c d e f"
+    docs = _docs(spark, [(1, same), (2, same)])
+    out = {r["doc_id"]: r.asDict()
+           for r in D.scrub_duplicated_spans(docs, n=5).collect()}
+    for d in (1, 2):
+        assert out[d]["n_kept"] == 0 and out[d]["text_clean"] == ""
+        assert out[d]["n_tokens"] == 6
+
+
+def test_scrub_spans_short_docs_untouched(spark):
+    from akumuli_spark.pipeline import dedup as D
+    docs = _docs(spark, [(1, "tiny doc"), (2, "tiny doc")])
+    out = {r["doc_id"]: r.asDict()
+           for r in D.scrub_duplicated_spans(docs, n=5).collect()}
+    # below n tokens there are no n-grams, hence nothing to remove
+    assert out[1]["text_clean"] == "tiny doc" and out[1]["n_kept"] == 2

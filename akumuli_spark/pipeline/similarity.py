@@ -964,17 +964,38 @@ _L2 = ("aggregate(zip_with({a}, {b}, "
        "* (CAST(p AS DOUBLE) - CAST(q AS DOUBLE))), 0.0D, (acc, v) -> acc + v)")
 
 
+def _usable(embs: DataFrame) -> DataFrame:
+    """Rows PQ can work with: non-null, non-empty embeddings (the same
+    dirty-row gate `_assign_lists_vectorized` applies — a null vector
+    has no codes; it is dropped, not crashed on)."""
+    return embs.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
+
+
+def _pq_dim(embs: DataFrame) -> int | None:
+    """Embedding width from the first usable row; None for an
+    empty/all-null corpus (callers degrade to empty results)."""
+    row = _usable(embs).select(F.size("embedding").alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
 def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
     """(sub, code, ce): per-subspace codebooks from the ``ks`` smallest
-    vec_ids' subvectors.  ``sub`` is 0-based, ``code`` 1-based (to match
-    1-based SQL array indexing in the ADC lookup).  Same
-    TakeOrderedAndProject shape as `_centroids` — nothing wide."""
-    dim_row = embs.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"])
+    usable vec_ids' subvectors.  ``sub`` is 0-based, ``code`` 1-based (to
+    match 1-based SQL array indexing in the ADC lookup).  Same
+    TakeOrderedAndProject shape as `_centroids` — nothing wide.  An
+    empty/all-null corpus yields an empty codebook (total, not fatal)."""
+    dim = _pq_dim(embs)
+    if dim is None:
+        return embs.sparkSession.createDataFrame(
+            [], "sub int, code int, ce array<float>"
+        )
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    seeds = embs.select("vec_id", "embedding").orderBy("vec_id").limit(ks)
+    seeds = _usable(embs).select("vec_id", "embedding") \
+        .orderBy("vec_id").limit(ks)
     w = Window.orderBy(F.col("vec_id").asc())
     return (
         seeds.select(F.row_number().over(w).alias("code"), "embedding")
@@ -989,15 +1010,20 @@ def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
 
 def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
               codebooks: DataFrame | None = None) -> DataFrame:
-    """(vec_id, codes): each vector's M nearest-centroid codes (squared-L2,
-    ties → code asc).
+    """(vec_id, codes): each usable vector's M nearest-centroid codes
+    (squared-L2, ties → code asc); null/empty embeddings are dropped
+    (the `_usable` gate).
 
     Scale shape: the m×ks codebook folds into ONE broadcast row of
     sub-sorted structs; encoding is a per-row nested higher-order
     expression (m·ks·dsub multiply-adds, all JVM-side) — zero shuffle,
     zero UDF, same pattern as `_assign_lists`."""
-    dim_row = embs.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"])
+    embs = _usable(embs)
+    dim = _pq_dim(embs)
+    if dim is None:
+        return embs.sparkSession.createDataFrame(
+            [], "vec_id long, codes array<int>"
+        )
     dsub = dim // m
     cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
     folded = cb.agg(
@@ -1034,15 +1060,18 @@ def pq_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     signal per vector), never re-touching the raw embeddings.  Pass
     ``codes=`` to search a pre-encoded corpus (the stored-index shape —
     encode once, scan many)."""
-    dim_row = embs.select(F.size("embedding").alias("d")).first()
-    dim = int(dim_row["d"])
+    dim = _pq_dim(embs)
+    if dim is None:  # empty/all-null corpus: zero results, not a crash
+        return embs.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, adc_dist double, rank long"
+        )
     dsub = dim // m
     cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
     enc = codes if codes is not None else pq_encode(embs, m, ks, codebooks=cb)
 
     # LUT per query: cross the |Q| query vectors with the m·ks codebook,
     # order by (sub, code) into one flat array per query
-    queries = embs.filter(F.col("vec_id").isin(query_ids)).select(
+    queries = _usable(embs).filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     l2q = _L2.format(a=f"slice(qe, sub * {dsub} + 1, {dsub})", b="ce")
@@ -1162,11 +1191,15 @@ def ivfadc_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     broadcast.  Pass ``centroids`` / ``codebooks`` / ``codes`` to serve
     from trained + pre-encoded artifacts; the deterministic defaults
     keep the operator oracle-reproducible."""
+    dim = _pq_dim(embs)
+    if dim is None:  # empty/all-null corpus: zero results, not a crash
+        return embs.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, acos double, rank long"
+        )
     cents = centroids if centroids is not None else _centroids(embs, nlist)
     cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
     enc = codes if codes is not None else pq_encode(embs, m, ks, codebooks=cb)
-    dim_row = embs.select(F.size("embedding").alias("d")).first()
-    dsub = int(dim_row["d"]) // m
+    dsub = dim // m
 
     # the stored index row: (vec_id, list_id, codes, en) — codes + one
     # exact norm, never the raw embedding
@@ -1317,3 +1350,161 @@ SELECT query_id, neighbor_id, acos, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# persisted IVFADC index — codes on disk, partition-pruned serving
+# ---------------------------------------------------------------------------
+
+#: stored codes-table schema (empty-index fallback, mirroring _read_lists)
+_CODES_SCHEMA = "vec_id long, en double, codes array<int>, list_id int"
+
+
+def build_ivfadc_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
+                       m: int = PQ_M, ks: int = PQ_KS,
+                       centroids: DataFrame | None = None,
+                       codebooks: DataFrame | None = None) -> None:
+    """Materialize the IVFADC index:
+
+    * ``{path}/centroids`` — the coarse codebook (cid, ce)
+    * ``{path}/codebooks`` — the PQ codebooks (sub, code, ce)
+    * ``{path}/codes`` — (vec_id, en, codes) PARTITIONED BY list_id
+
+    This is the billion-vector layout both compression stories land on
+    at once: a probe partition-prunes to nprobe/nlist directories (the
+    IVF win) and each candidate row is M small ints plus one norm — the
+    raw embeddings are NOT in the index (the PQ win; FAISS IndexIVFPQ
+    stores exactly this).  Queries therefore must arrive as raw vectors
+    (:func:`ivfadc_topk_from_index` takes a queries frame), which is the
+    production contract anyway — queries come from the encoder, not the
+    index.
+
+    Both codebooks are frozen at build; :func:`append_ivfadc_index`
+    grows the corpus under them so list membership and codes never
+    shift beneath readers."""
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
+    _encode_rows(embs, cents, cb, m, ks).repartition("list_id") \
+        .write.mode("overwrite").partitionBy("list_id") \
+        .parquet(f"{path}/codes")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _encode_rows(embs: DataFrame, cents: DataFrame, cb: DataFrame,
+                 m: int, ks: int) -> DataFrame:
+    """(vec_id, en, codes, list_id): the stored index row — shared by
+    build and append so their bytes agree."""
+    assigned = _assign_lists(embs, cents).withColumn(
+        "en", _norm("embedding")
+    ).filter(F.col("en") > 0)
+    enc = pq_encode(
+        assigned.select("vec_id", "embedding"), m, ks, codebooks=cb
+    )
+    return (
+        assigned.select("vec_id", "en", "list_id")
+        .join(enc, "vec_id")
+        .select("vec_id", "en", "codes", "list_id")
+    )
+
+
+def append_ivfadc_index(embs_new: DataFrame, path: str,
+                        m: int = PQ_M, ks: int = PQ_KS) -> None:
+    """Grow a stored IVFADC index under its frozen codebooks: assign +
+    encode only the new vectors, append their code rows.  Same
+    equivalence contract as :func:`append_ivf_index` — assignment AND
+    encoding are pure per-row functions of (vector, frozen codebooks),
+    so build(A) + append(B) serves identically to a fresh build over
+    A ∪ B (pinned by ``test_ivfadc_append_equals_rebuild``); cost is
+    O(|new| · (nlist + m·ks)) broadcast arithmetic plus a partitioned
+    append of |new| code rows."""
+    spark = embs_new.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    _encode_rows(embs_new, cents, cb, m, ks).repartition("list_id") \
+        .write.mode("append").partitionBy("list_id") \
+        .parquet(f"{path}/codes")
+
+
+def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
+                           k: int = 10, nprobe: int = IVF_NPROBE,
+                           m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """Serve ADC top-k from a stored index.  ``queries`` is
+    (query_id, qe) with FULL-precision vectors (the index holds only
+    codes).  Identical results to :func:`ivfadc_topk` run with the same
+    artifacts — the float-op order is unchanged — but the codes scan is
+    statically partition-pruned to the probed lists (probe set collected
+    first: ≤ |queries|·nprobe rows, the same bounded driver footprint as
+    :func:`ivf_topk_from_index`)."""
+    from pyspark.errors import AnalysisException
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    try:
+        codes = spark.read.parquet(f"{path}/codes")
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
+                and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        codes = spark.createDataFrame([], _CODES_SCHEMA)
+    dsub_row = cb.select(F.size("ce").alias("d")).first()
+    dsub = int(dsub_row["d"]) if dsub_row else 0
+
+    q = queries.select(
+        F.col(queries.columns[0]).alias("query_id"),
+        F.col(queries.columns[1]).alias("qe"),
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
+    probe_rows = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__c", _dot("qe", "ce") / (F.col("qn") * _norm("ce")))
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__c").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", F.col("cid").alias("list_id"))
+        .collect()  # bounded: |queries| × nprobe
+    )
+    probe_lists = sorted({r["list_id"] for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r["query_id"], r["list_id"]) for r in probe_rows] or [],
+        "query_id long, list_id int",
+    )
+    ip = (f"aggregate(zip_with(slice(qe, sub * {dsub} + 1, {dsub}), ce, "
+          "(p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), "
+          "0.0D, (acc, v) -> acc + v)")
+    luts = (
+        q.crossJoin(F.broadcast(cb))
+        .select("query_id", "qn", "sub", "code", F.expr(ip).alias("d"))
+        .groupBy("query_id", "qn")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(sub, code, d))), "
+                "x -> x.d)"
+            ).alias("larr")
+        )
+    )
+    adc_ip = (
+        f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
+        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+    )
+    scored = (
+        codes.filter(F.col("list_id").isin(probe_lists))
+        .join(F.broadcast(probes), "list_id")
+        .join(F.broadcast(luts), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("acos", F.expr(adc_ip) / (F.col("qn") * F.col("en")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "acos", "rank")
+    )

@@ -3364,3 +3364,66 @@ _register_pipeline(
     [],
     ["doc_id", "n_tokens", "n_kept", "text_clean"],
 )
+
+
+def _ann_ivfadc_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Build the persisted IVFADC index (codes + norms on disk, raw
+    embeddings NOT stored), then serve the query set from it — the
+    partition-pruned, code-compressed serving shape.  The oracle is the
+    unchanged ivfadc twin: the index is a pure materialization."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_ivfadc_idx_{os.getpid()}"
+    )
+    embs = load_table(spark, sf, "embeddings")
+    _sim.build_ivfadc_index(embs, path)
+    queries = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return _sim.ivfadc_topk_from_index(spark, path, queries, k=10)
+
+
+_register_pipeline(
+    "ann_ivfadc_indexed",
+    _ann_ivfadc_indexed,
+    _sim.ivfadc_topk_sql(_ANN_QUERY_IDS, 10),
+    ["acos"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+
+def _ann_ivfadc_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental growth: build over 3/4 of the corpus, append the rest
+    under the frozen codebooks, probe.  Codebooks are trained on the
+    full corpus (the production freeze-then-grow pattern), so the
+    unchanged full-corpus twin is the oracle — assignment and encoding
+    are pure per-row functions of (vector, codebooks)."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_ivfadc_app_{os.getpid()}"
+    )
+    embs = load_table(spark, sf, "embeddings")
+    cents = _sim._centroids(embs, _sim.IVF_NLIST)
+    cb = _sim.pq_codebooks(embs)
+    _sim.build_ivfadc_index(
+        embs.filter(F.col("vec_id") % 4 != 0), path,
+        centroids=cents, codebooks=cb,
+    )
+    _sim.append_ivfadc_index(embs.filter(F.col("vec_id") % 4 == 0), path)
+    queries = embs.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        "vec_id", "embedding"
+    )
+    return _sim.ivfadc_topk_from_index(spark, path, queries, k=10)
+
+
+_register_pipeline(
+    "ann_ivfadc_append",
+    _ann_ivfadc_append,
+    _sim.ivfadc_topk_sql(_ANN_QUERY_IDS, 10),
+    ["acos"],
+    ["query_id", "neighbor_id", "rank"],
+)

@@ -371,3 +371,71 @@ def test_scrub_spans_short_docs_untouched(spark):
            for r in D.scrub_duplicated_spans(docs, n=5).collect()}
     # below n tokens there are no n-grams, hence nothing to remove
     assert out[1]["text_clean"] == "tiny doc" and out[1]["n_kept"] == 2
+
+
+def test_ivfadc_index_serves_equal_to_inmemory(spark, tmp_path):
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    path = str(tmp_path / "idx")
+    S.build_ivfadc_index(embs, path)
+    queries = embs.filter(F.col("vec_id").isin([0, 3])).select(
+        "vec_id", "embedding")
+    a = S.ivfadc_topk_from_index(spark, path, queries, k=5).collect()
+    b = S.ivfadc_topk(embs, [0, 3], k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfadc_append_equals_rebuild(spark, tmp_path):
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    cents = S._centroids(embs, S.IVF_NLIST).localCheckpoint()
+    cb = S.pq_codebooks(embs).localCheckpoint()
+    grown = str(tmp_path / "grown")
+    fresh = str(tmp_path / "fresh")
+    S.build_ivfadc_index(embs.filter(F.col("vec_id") % 3 != 0), grown,
+                         centroids=cents, codebooks=cb)
+    S.append_ivfadc_index(embs.filter(F.col("vec_id") % 3 == 0), grown)
+    S.build_ivfadc_index(embs, fresh, centroids=cents, codebooks=cb)
+    # stored code rows are identical...
+    ga = sorted(map(tuple, spark.read.parquet(f"{grown}/codes").collect()))
+    fa = sorted(map(tuple, spark.read.parquet(f"{fresh}/codes").collect()))
+    assert ga == fa
+    # ...and so is the served answer
+    queries = embs.filter(F.col("vec_id").isin([1, 2])).select(
+        "vec_id", "embedding")
+    a = S.ivfadc_topk_from_index(spark, grown, queries, k=5).collect()
+    b = S.ivfadc_topk_from_index(spark, fresh, queries, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfadc_index_prunes_partitions(spark, tmp_path):
+    """The codes scan must carry PartitionFilters (static pruning), not
+    filter a full read."""
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    path = str(tmp_path / "idx")
+    S.build_ivfadc_index(embs, path)
+    queries = embs.filter(F.col("vec_id") == 5).select("vec_id", "embedding")
+    df = S.ivfadc_topk_from_index(spark, path, queries, k=5)
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*list_id[^\]]*)\]", plan)
+    assert m, "no partition filter on list_id reached the codes scan"
+
+
+def test_ivfadc_empty_index_serves_zero(spark, tmp_path):
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    path = str(tmp_path / "idx")
+    # build over an empty corpus: directories exist, no data files
+    S.build_ivfadc_index(embs.filter(F.lit(False)), path,
+                         centroids=S._centroids(embs, 4).localCheckpoint(),
+                         codebooks=S.pq_codebooks(embs).localCheckpoint())
+    queries = embs.filter(F.col("vec_id") == 1).select("vec_id", "embedding")
+    assert S.ivfadc_topk_from_index(spark, path, queries, k=5).count() == 0

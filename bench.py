@@ -247,7 +247,12 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  # dedup and grow-the-IVF serving
                  "dedup_minhash_incremental", "dedup_simhash_incremental",
                  "dedup_semantic_incremental", "ann_ivf_append",
-                 "ann_ivf_batch", "bpe_train_merges"):
+                 "ann_ivf_batch", "bpe_train_merges",
+                 # round-8 quality layer + PQ family: rule filters,
+                 # paragraph dedup, span removal, code-compressed ANN
+                 "text_gopher_quality", "text_line_repetition",
+                 "dedup_paragraphs", "dedup_scrub_spans",
+                 "ann_pq_topk", "ann_ivfadc"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -3427,3 +3427,36 @@ _register_pipeline(
     ["acos"],
     ["query_id", "neighbor_id", "rank"],
 )
+
+
+# Deterministic Bloom-filter membership gate (pipeline.membership): the
+# "seen before?" pre-filter that lets ingestion skip the exact-dedup
+# join for never-seen keys; truly_seen from an exact semi-join pins the
+# false-positive set cross-engine
+from akumuli_spark.pipeline import membership as _member  # noqa: E402
+
+
+def _dedup_bloom_probe(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("fingerprint"))
+    seen = keyed.filter(F.col("doc_id") % 7 != 3)
+    batch = keyed.filter(F.col("doc_id") % 7 == 3)
+    bloom = _member.build_bloom_filter(seen)
+    probed = _member.bloom_probe(batch, bloom)
+    truth = seen.select(F.col("fingerprint").alias("__fp")).distinct()
+    return probed.join(
+        truth, probed["fingerprint"] == truth["__fp"], "left"
+    ).select(
+        "doc_id",
+        "maybe_seen",
+        F.col("__fp").isNotNull().cast("long").alias("truly_seen"),
+    )
+
+
+_register_pipeline(
+    "dedup_bloom_probe",
+    _dedup_bloom_probe,
+    _member.bloom_probe_sql("{id} % 7 <> 3"),
+    [],
+    ["doc_id", "maybe_seen", "truly_seen"],
+)

@@ -1,0 +1,265 @@
+"""Independent-reference property suites for the round-8 additions:
+Gopher quality flags, paragraph dedup, span scrub, Bloom filter, and PQ
+encoding — each replayed by a direct Python implementation (the
+cross-engine oracle can't see a bug BOTH engines share; these can).
+
+Alphabets stay ASCII + the specific unicode marks the rules inspect
+('…', '•'): Java's \\s is ASCII-only while Python's matches unicode
+spaces, and the operators are pinned to the JVM semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from akumuli_spark.pipeline import membership as M
+from akumuli_spark.pipeline import quality as Q
+
+# ---------------------------------------------------------------------------
+# gopher flags vs direct Python
+# ---------------------------------------------------------------------------
+
+_CHARS = "ab c.#…•-*\nthe" + "xyz0"
+texts = st.text(alphabet=_CHARS, min_size=0, max_size=120)
+
+
+def _ref_gopher(text: str) -> dict:
+    ws = [w for w in re.split(r"[ \t\n\x0b\f\r]+", text) if w != ""]
+    ls = [l.strip() for l in text.split("\n")]
+    ls = [l for l in ls if l != ""]
+    n = len(ws)
+    n_hash = text.count("#")
+    n_ell = text.count("...") + text.count("…")
+    mean = (sum(len(w) for w in ws) / n) if n else None
+    wl = [w.lower() for w in ws]
+    stops = sum(1 for s in Q.GOPHER_STOPS if s in wl)
+    out = {
+        "n_words": n,
+        "mean_word_len": mean,
+        "hash_word_ratio": (n_hash / n) if n else None,
+        "ellipsis_word_ratio": (n_ell / n) if n else None,
+        "bullet_line_frac": (
+            sum(1 for l in ls if l[0] in Q.BULLET_CHARS) / len(ls)
+        ) if ls else 0.0,
+        "ellipsis_line_frac": (
+            sum(1 for l in ls if l.endswith("...") or l.endswith("…"))
+            / len(ls)
+        ) if ls else 0.0,
+        "alpha_word_frac": (
+            sum(1 for w in ws if re.search(r"[A-Za-z]", w)) / n
+        ) if n else None,
+        "n_stop_hits": stops,
+    }
+    ok = (
+        n is not None and 50 <= n <= 100_000
+        and mean is not None and 3 <= mean <= 10
+        and out["hash_word_ratio"] <= 0.1
+        and out["ellipsis_word_ratio"] <= 0.1
+        and out["bullet_line_frac"] <= 0.9
+        and out["ellipsis_line_frac"] <= 0.3
+        and out["alpha_word_frac"] >= 0.8
+        and stops >= 2
+    ) if n else False
+    out["passes"] = int(ok)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestGopherProperty:
+    @given(batch=st.lists(texts, min_size=6, max_size=6))
+    @settings(max_examples=30, deadline=None)
+    def test_matches_python_reference(self, spark, batch):
+        docs = spark.createDataFrame(
+            list(enumerate(batch)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r.asDict()
+               for r in Q.gopher_quality_flags(docs).collect()}
+        for i, t in enumerate(batch):
+            ref = _ref_gopher(t)
+            g = got[i]
+            for k, v in ref.items():
+                if v is None:
+                    assert g[k] is None, (k, t)
+                elif isinstance(v, float):
+                    assert g[k] == v, (k, t, g[k], v)  # same IEEE ops
+                else:
+                    assert g[k] == v, (k, t)
+
+
+# ---------------------------------------------------------------------------
+# paragraph dedup + span scrub vs direct Python
+# ---------------------------------------------------------------------------
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+docs_soup = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=14),
+    min_size=2, max_size=6,
+)
+
+
+def _ref_paragraphs(texts: list[str]):
+    seen: set[str] = set()
+    out = {}
+    for doc_id, text in enumerate(texts):
+        ps = [p.strip() for p in text.split("\n")]
+        ps = [p for p in ps if p != ""]
+        kept = []
+        for p in ps:
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        out[doc_id] = (len(ps), len(kept), "\n".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestParagraphDedupProperty:
+    @given(soup=docs_soup)
+    @settings(max_examples=30, deadline=None)
+    def test_matches_python_reference(self, spark, soup):
+        # 2-word pseudo-paragraph lines out of a 4-word vocabulary:
+        # duplicates across and within docs are common
+        texts = [
+            "\n".join(
+                " ".join(ws[i:i + 2]) for i in range(0, len(ws), 2)
+            )
+            for ws in soup
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+               for r in Q.dedup_paragraphs(docs).collect()}
+        assert got == _ref_paragraphs(texts)
+
+
+def _ref_scrub(texts: list[str], n: int):
+    shingles: dict[tuple, set] = {}
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    for i, ws in toks.items():
+        for s in range(len(ws) - n + 1):
+            shingles.setdefault(tuple(ws[s:s + n]), set()).add(i)
+    out = {}
+    for i, ws in toks.items():
+        cov: set[int] = set()
+        for s in range(len(ws) - n + 1):
+            if len(shingles[tuple(ws[s:s + n])]) >= 2:
+                cov.update(range(s, s + n))
+        kept = [w for p, w in enumerate(ws) if p not in cov]
+        out[i] = (len(ws), len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestScrubProperty:
+    @given(soup=docs_soup)
+    @settings(max_examples=30, deadline=None)
+    def test_matches_python_reference(self, spark, soup):
+        from akumuli_spark.pipeline import dedup as D
+        texts = [" ".join(ws) if ws else "solo" for ws in soup]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_clean"])
+               for r in D.scrub_duplicated_spans(docs, n=3).collect()}
+        assert got == _ref_scrub(texts, 3)
+
+
+# ---------------------------------------------------------------------------
+# bloom filter vs md5 position replay
+# ---------------------------------------------------------------------------
+
+
+def _py_positions(key: str, k: int, mbits: int) -> list[int]:
+    h1 = hashlib.md5(key.encode()).hexdigest()
+    h2 = hashlib.md5((key + M._SALT).encode()).hexdigest()
+    out = []
+    for j in range(k):
+        h = h1 if j < 4 else h2
+        off = (j * 8) % 32
+        out.append(int(h[off:off + 8], 16) % mbits)
+    return out
+
+
+keysets = st.lists(st.text(alphabet="abcdef0-9xyz", min_size=1, max_size=12),
+                   min_size=1, max_size=40, unique=True)
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomProperty:
+    @given(seen=keysets, probe=keysets,
+           mbits=st.sampled_from([256, 512, 4096]),
+           k=st.integers(min_value=1, max_value=8))
+    @settings(max_examples=25, deadline=None)
+    def test_matches_md5_replay(self, spark, seen, probe, mbits, k):
+        bits = {p for key in seen for p in _py_positions(key, k, mbits)}
+        expect = {
+            q: int(all(p in bits for p in _py_positions(q, k, mbits)))
+            for q in probe
+        }
+        bloom = M.build_bloom_filter(
+            spark.createDataFrame([(s,) for s in seen],
+                                  "fingerprint string"),
+            mbits=mbits, k=k,
+        )
+        got = {
+            r["fingerprint"]: r["maybe_seen"]
+            for r in M.bloom_probe(
+                spark.createDataFrame([(q,) for q in probe],
+                                      "fingerprint string"),
+                bloom, mbits=mbits, k=k,
+            ).collect()
+        }
+        assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# pq_encode vs sequential-fold replay (float32 inputs, double arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestPQEncodeProperty:
+    @given(data=st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_matches_python_argmin(self, spark, data):
+        import numpy as np
+        n = data.draw(st.integers(min_value=6, max_value=16))
+        dim, m, ks = 8, 2, 4
+        vecs = data.draw(st.lists(
+            st.lists(st.floats(min_value=-4, max_value=4,
+                               allow_nan=False, width=32),
+                     min_size=dim, max_size=dim),
+            min_size=n, max_size=n,
+        ))
+        from akumuli_spark.pipeline import similarity as S
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: list(r["codes"])
+               for r in S.pq_encode(df, m=m, ks=ks).collect()}
+        # reference: same float32 storage, same sequential double fold
+        V = np.array(vecs, dtype=np.float32)
+        seeds = V[:ks]
+
+        def l2(a32, b32):
+            acc = 0.0
+            for p, q in zip(a32, b32):
+                d = float(p) - float(q)
+                acc += d * d
+            return acc
+
+        for i, v in enumerate(V):
+            codes = []
+            for s in range(m):
+                sub = v[s * 4:(s + 1) * 4]
+                best = min(
+                    (l2(sub, seeds[c][s * 4:(s + 1) * 4]), c + 1)
+                    for c in range(min(ks, len(seeds)))
+                )
+                codes.append(best[1])
+            assert got[i] == codes, i

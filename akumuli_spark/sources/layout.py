@@ -53,6 +53,18 @@ def write_metrics_table(metrics: DataFrame, path: str,
     with_bucket = metrics.select(*cols).withColumn(
         "ts_bucket", F.expr(f"ts_ns div {int(bucket_ns)}L")
     )
+    if mode == "append":
+        # CONCURRENT-WRITER-SAFE append (the reference's multi-writer
+        # ingest contract, functests/test_concurrency.py): a direct
+        # `.mode("append")` stages under the shared `{path}/_temporary/0`
+        # (Hadoop committer, one attempt id per local job), so two
+        # concurrent appends GC each other's staging mid-commit.  Stage
+        # into a private sibling dir instead, then move the finished
+        # part files in — os.rename is atomic and filenames carry a
+        # job UUID, so readers see each file whole and never a
+        # collision; writers never touch each other's state.
+        _staged_append(with_bucket, path)
+        return
     (
         with_bucket.repartition("metric", "ts_bucket")
         .sortWithinPartitions("series", "ts_ns")
@@ -60,6 +72,32 @@ def write_metrics_table(metrics: DataFrame, path: str,
         .partitionBy("metric", "ts_bucket")
         .parquet(path)
     )
+
+
+def _staged_append(with_bucket: DataFrame, path: str) -> None:
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
+    (
+        with_bucket.repartition("metric", "ts_bucket")
+        .sortWithinPartitions("series", "ts_ns")
+        .write.mode("overwrite")
+        .partitionBy("metric", "ts_bucket")
+        .parquet(tmp)
+    )
+    try:
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue  # _SUCCESS etc. stay behind
+                dst_dir = path if rel == "." else os.path.join(path, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(dst_dir, f))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def recover_compaction(path: str, gc: bool = False) -> None:

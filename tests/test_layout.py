@@ -205,3 +205,45 @@ def test_enforce_retention_drops_old_partitions(spark, tmp_path):
     a = {tuple(r) for r in stored.select("series", "ts_ns", "value").collect()}
     b = {tuple(r) for r in want.select("series", "ts_ns", "value").collect()}
     assert a == b
+
+
+def test_concurrent_writers_totals_consistent(spark, tmp_path):
+    """The reference's test_concurrency.py analogue: parallel writers
+    ingest disjoint slices concurrently (its writer/reader processes);
+    afterwards a reader's totals equal the union exactly — parquet
+    appends are whole-file atomic, so concurrent appends into the same
+    partitioned table interleave without torn or double rows."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "metrics")
+    view = app_metrics_view(spark, SF_DIR)
+    slices = [
+        view.filter(F.col("ts_ns") % 3 == i).localCheckpoint(eager=True)
+        for i in range(3)
+    ]
+    # seed the table so concurrent writers all run in append mode
+    write_metrics_table(slices[0], path)
+    errs: list[Exception] = []
+
+    def work(df):
+        try:
+            write_metrics_table(df, path, mode="append")
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(s,)) for s in slices[1:]]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    got = read_metrics_table(spark, path).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    want = view.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    assert got["n"] == want["n"]
+    assert abs(got["s"] - want["s"]) < 1e-6 * max(1.0, abs(want["s"]))

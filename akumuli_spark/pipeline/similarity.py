@@ -1008,8 +1008,56 @@ def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
     )
 
 
+def _pq_encode_vectorized(embs: DataFrame, cb: DataFrame,
+                          m: int, dsub: int) -> DataFrame:
+    """numpy PQ encoding: per Arrow batch and subspace, one
+    ``(batch × dsub) @ (dsub × ks)`` distance matrix + argmin — the
+    production path for encoding 10⁹ vectors (the higher-order-function
+    fold interprets its lambda per element; same 20×+ gap measured for
+    IVF assignment, tools/scale_smoke.py pq).  Same argmin under the
+    same tie-break (distance asc, code asc — np.argmin takes the first
+    minimum over code-ascending columns); numpy's SIMD/pairwise sums can
+    differ from the sequential fold in the last ulp, flipping a code
+    ONLY on exact distance ties — why this is the ``vectorized=True``
+    path and not the oracle-audited default."""
+    import numpy as np
+
+    rows = cb.orderBy("sub", "code").collect()  # m·ks rows — codebook-sized
+    if not rows:
+        return embs.sparkSession.createDataFrame(
+            [], "vec_id long, codes array<int>"
+        )
+    C = {
+        s: np.stack([np.asarray(r["ce"], dtype=np.float64)
+                     for r in rows if r["sub"] == s])
+        for s in range(m)
+    }
+
+    def fn(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = E[:, s * dsub:(s + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per
+                # row, irrelevant to the argmin
+                d = -2.0 * (sub @ C[s].T) + (C[s] * C[s]).sum(axis=1)
+                codes[:, s] = np.argmin(d, axis=1) + 1
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return embs.select("vec_id", "embedding").mapInPandas(
+        fn, "vec_id long, codes array<int>"
+    )
+
+
 def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
-              codebooks: DataFrame | None = None) -> DataFrame:
+              codebooks: DataFrame | None = None,
+              vectorized: bool = False) -> DataFrame:
     """(vec_id, codes): each usable vector's M nearest-centroid codes
     (squared-L2, ties → code asc); null/empty embeddings are dropped
     (the `_usable` gate).
@@ -1017,7 +1065,9 @@ def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     Scale shape: the m×ks codebook folds into ONE broadcast row of
     sub-sorted structs; encoding is a per-row nested higher-order
     expression (m·ks·dsub multiply-adds, all JVM-side) — zero shuffle,
-    zero UDF, same pattern as `_assign_lists`."""
+    zero UDF, same pattern as `_assign_lists`.  ``vectorized=True``
+    swaps in the numpy matmul kernel (:func:`_pq_encode_vectorized`) for
+    production volume, with the usual last-ulp tie caveat."""
     embs = _usable(embs)
     dim = _pq_dim(embs)
     if dim is None:
@@ -1026,6 +1076,8 @@ def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
         )
     dsub = dim // m
     cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
+    if vectorized:
+        return _pq_encode_vectorized(embs, cb, m, dsub)
     folded = cb.agg(
         F.array_sort(F.collect_list(F.struct("sub", "code", "ce"))).alias("cb")
     )
@@ -1363,7 +1415,8 @@ _CODES_SCHEMA = "vec_id long, en double, codes array<int>, list_id int"
 def build_ivfadc_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
                        m: int = PQ_M, ks: int = PQ_KS,
                        centroids: DataFrame | None = None,
-                       codebooks: DataFrame | None = None) -> None:
+                       codebooks: DataFrame | None = None,
+                       vectorized: bool = False) -> None:
     """Materialize the IVFADC index:
 
     * ``{path}/centroids`` — the coarse codebook (cid, ce)
@@ -1381,10 +1434,13 @@ def build_ivfadc_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
 
     Both codebooks are frozen at build; :func:`append_ivfadc_index`
     grows the corpus under them so list membership and codes never
-    shift beneath readers."""
+    shift beneath readers.  ``vectorized=True`` routes BOTH the list
+    assignment and the PQ encoding through the numpy matmul kernels —
+    the production build path (tools/scale_smoke.py pq), last-ulp tie
+    caveat as usual."""
     cents = centroids if centroids is not None else _centroids(embs, nlist)
     cb = codebooks if codebooks is not None else pq_codebooks(embs, m, ks)
-    _encode_rows(embs, cents, cb, m, ks).repartition("list_id") \
+    _encode_rows(embs, cents, cb, m, ks, vectorized).repartition("list_id") \
         .write.mode("overwrite").partitionBy("list_id") \
         .parquet(f"{path}/codes")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -1392,14 +1448,21 @@ def build_ivfadc_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
 
 
 def _encode_rows(embs: DataFrame, cents: DataFrame, cb: DataFrame,
-                 m: int, ks: int) -> DataFrame:
+                 m: int, ks: int, vectorized: bool = False) -> DataFrame:
     """(vec_id, en, codes, list_id): the stored index row — shared by
-    build and append so their bytes agree."""
+    build and append so their bytes agree.
+
+    The vectorized path computes assignment + norm + codes in ONE numpy
+    kernel pass (no join, the corpus is read once); the fold path keeps
+    the join shape — it is the small-data oracle-audited route, and its
+    two branches share one scan under Catalyst anyway."""
+    if vectorized:
+        return _index_rows_vectorized(embs, cents, cb, m)
     assigned = _assign_lists(embs, cents).withColumn(
         "en", _norm("embedding")
     ).filter(F.col("en") > 0)
     enc = pq_encode(
-        assigned.select("vec_id", "embedding"), m, ks, codebooks=cb
+        assigned.select("vec_id", "embedding"), m, ks, codebooks=cb,
     )
     return (
         assigned.select("vec_id", "en", "list_id")
@@ -1408,8 +1471,69 @@ def _encode_rows(embs: DataFrame, cents: DataFrame, cb: DataFrame,
     )
 
 
+def _index_rows_vectorized(embs: DataFrame, cents: DataFrame,
+                           cb: DataFrame, m: int) -> DataFrame:
+    """One-pass numpy kernel for the production IVFADC build: per Arrow
+    batch, one matmul against the coarse codebook (max-cosine list), one
+    norm, and one distance-matrix argmin per subspace — the corpus
+    streams through exactly once (measured 110.8 → 17.4 s at 500 k
+    vectors vs the two-kernel + join shape, tools/scale_smoke.py pq)."""
+    import numpy as np
+
+    crows = cents.orderBy("cid").collect()
+    brows = cb.orderBy("sub", "code").collect()
+    spark = embs.sparkSession
+    if not crows or not brows:
+        return spark.createDataFrame(
+            [], "vec_id long, en double, codes array<int>, list_id int"
+        )
+    C = np.array([r["ce"] for r in crows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in crows], dtype=np.int32)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    dim = C.shape[1]
+    dsub = dim // m
+    B = {
+        s: np.stack([np.asarray(r["ce"], dtype=np.float64)
+                     for r in brows if r["sub"] == s])
+        for s in range(m)
+    }
+
+    def fn(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            en = np.linalg.norm(E, axis=1)
+            # zero-norm rows are filtered AFTER the kernel; avoid the 0/0
+            # here so they don't raise a numpy warning on the way out
+            den = np.where(en > 0, en, 1.0)
+            sims = (E / den[:, None]) @ Cn.T
+            lists = cids[np.argmax(sims, axis=1)]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = E[:, s * dsub:(s + 1) * dsub]
+                d = -2.0 * (sub @ B[s].T) + (B[s] * B[s]).sum(axis=1)
+                codes[:, s] = np.argmin(d, axis=1) + 1
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "en": en,
+                "codes": list(codes),
+                "list_id": lists,
+            })
+
+    return (
+        embs.select("vec_id", "embedding")
+        .filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        )
+        .mapInPandas(fn, "vec_id long, en double, codes array<int>, list_id int")
+        .filter(F.col("en") > 0)
+    )
+
+
 def append_ivfadc_index(embs_new: DataFrame, path: str,
-                        m: int = PQ_M, ks: int = PQ_KS) -> None:
+                        m: int = PQ_M, ks: int = PQ_KS,
+                        vectorized: bool = False) -> None:
     """Grow a stored IVFADC index under its frozen codebooks: assign +
     encode only the new vectors, append their code rows.  Same
     equivalence contract as :func:`append_ivf_index` — assignment AND
@@ -1421,7 +1545,8 @@ def append_ivfadc_index(embs_new: DataFrame, path: str,
     spark = embs_new.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    _encode_rows(embs_new, cents, cb, m, ks).repartition("list_id") \
+    _encode_rows(embs_new, cents, cb, m, ks, vectorized) \
+        .repartition("list_id") \
         .write.mode("append").partitionBy("list_id") \
         .parquet(f"{path}/codes")
 

@@ -439,3 +439,41 @@ def test_ivfadc_empty_index_serves_zero(spark, tmp_path):
                          codebooks=S.pq_codebooks(embs).localCheckpoint())
     queries = embs.filter(F.col("vec_id") == 1).select("vec_id", "embedding")
     assert S.ivfadc_topk_from_index(spark, path, queries, k=5).count() == 0
+
+
+def test_pq_encode_vectorized_matches_fold(spark):
+    """The numpy kernel and the HOF fold agree exactly away from ties
+    (the synthetic corpus has none)."""
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark).limit(200)
+    a = {r["vec_id"]: list(r["codes"])
+         for r in S.pq_encode(embs).collect()}
+    b = {r["vec_id"]: list(r["codes"])
+         for r in S.pq_encode(embs, vectorized=True).collect()}
+    assert a == b
+
+
+def test_ivfadc_vectorized_build_matches_fold_build(spark, tmp_path):
+    """The one-pass numpy build kernel writes the same discrete index
+    (list assignments + codes) as the fold path away from ties; the
+    stored norm is a continuous value where numpy's pairwise summation
+    may differ from the sequential fold in the LAST ULP — compared to
+    relative 1e-15, the documented vectorized-path contract."""
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark).limit(200)
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    cents = S._centroids(embs, S.IVF_NLIST).localCheckpoint()
+    cb = S.pq_codebooks(embs).localCheckpoint()
+    S.build_ivfadc_index(embs, a_path, centroids=cents, codebooks=cb)
+    S.build_ivfadc_index(embs, b_path, centroids=cents, codebooks=cb,
+                         vectorized=True)
+    a = {r["vec_id"]: r for r in
+         spark.read.parquet(f"{a_path}/codes").collect()}
+    b = {r["vec_id"]: r for r in
+         spark.read.parquet(f"{b_path}/codes").collect()}
+    assert a.keys() == b.keys()
+    for vid, ra in a.items():
+        rb = b[vid]
+        assert (list(ra["codes"]), ra["list_id"]) == \
+            (list(rb["codes"]), rb["list_id"]), vid
+        assert abs(ra["en"] - rb["en"]) <= 1e-15 * ra["en"], vid

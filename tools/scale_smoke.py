@@ -827,6 +827,89 @@ def events_smoke(spark, n_events: int, n_users: int) -> dict:
     return out
 
 
+
+
+def pq_smoke(spark, n_vecs: int, nlist: int = 256, nprobe: int = 4,
+             n_queries: int = 200) -> dict:
+    """IVFADC at volume: vectorized build (numpy assignment + PQ encode),
+    partitioned codes write, batch serving from the stored index.
+    ``bytes_ratio`` is codes-table bytes / raw-embedding bytes — the PQ
+    memory claim measured, not asserted."""
+    import glob
+    import shutil
+    import tempfile
+
+    from akumuli_spark.pipeline import similarity as sim
+
+    embs = synthetic_embeddings(spark, n_vecs).localCheckpoint()
+    path = os.path.join(tempfile.gettempdir(), "akumuli_pq_smoke")
+    raw = os.path.join(tempfile.gettempdir(), "akumuli_pq_smoke_raw")
+    for d in (path, raw):
+        shutil.rmtree(d, ignore_errors=True)
+    out = {}
+    t = time.time()
+    cents = sim.ivf_kmeans_centroids(embs, nlist=nlist, max_iter=3)
+    out["kmeans_codebook_s"] = round(time.time() - t, 2)
+    t = time.time()
+    sim.build_ivfadc_index(embs, path, nlist=nlist, centroids=cents,
+                           vectorized=True)
+    out["index_build_s"] = round(time.time() - t, 2)
+    out["n_list_partitions"] = len(glob.glob(f"{path}/codes/list_id=*"))
+    # raw-embedding footprint for the memory-ratio claim
+    embs.write.mode("overwrite").parquet(raw)
+
+    def du(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d) for f in fs
+        )
+
+    out["codes_mb"] = round(du(f"{path}/codes") / 1e6, 1)
+    out["raw_mb"] = round(du(raw) / 1e6, 1)
+    out["bytes_ratio"] = round(out["codes_mb"] / max(out["raw_mb"], 0.1), 3)
+    queries = embs.filter(F.col("vec_id") < n_queries).select(
+        "vec_id", "embedding"
+    )
+    t = time.time()
+    n = sim.ivfadc_topk_from_index(
+        spark, path, queries, k=10, nprobe=nprobe
+    ).count()
+    out["serve_s"] = round(time.time() - t, 2)
+    out["result_rows"] = n
+    for d in (path, raw):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def bloom_smoke(spark, n_keys: int, n_probe: int,
+                mbits: int = 1 << 30, k: int = 7) -> dict:
+    """Bloom membership gate at volume: build over n_keys fingerprints
+    (explode + bit_or groupBy), probe a disjoint batch; FP count is the
+    designed-rate check at scale."""
+    from akumuli_spark.pipeline import membership as mem
+
+    seen = spark.range(n_keys).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint")
+    )
+    probe = spark.range(n_keys, n_keys + n_probe).select(
+        F.md5(F.col("id").cast("string")).alias("fingerprint")
+    )
+    out = {}
+    t = time.time()
+    bloom = mem.build_bloom_filter(seen, mbits=mbits, k=k)         .localCheckpoint(eager=True)
+    out["build_s"] = round(time.time() - t, 2)
+    out["filter_rows"] = bloom.count()
+    out["filter_mb"] = round(out["filter_rows"] * 16 / 1e6, 1)
+    t = time.time()
+    fp = (
+        mem.bloom_probe(probe, bloom, mbits=mbits, k=k)
+        .agg(F.sum("maybe_seen")).collect()[0][0]
+    )
+    out["probe_s"] = round(time.time() - t, 2)
+    out["false_positives"] = int(fp or 0)
+    out["fp_rate"] = round((fp or 0) / n_probe, 6)
+    return out
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     if len(sys.argv) > 1 and sys.argv[1] == "events":
@@ -887,6 +970,17 @@ def main() -> None:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(
             {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "pq":
+        n_vecs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        print(json.dumps({"vecs": n_vecs, "pq": pq_smoke(spark, n_vecs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bloom":
+        n_keys = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        n_probe = int(sys.argv[3]) if len(sys.argv) > 3 else 5_000_000
+        print(json.dumps(
+            {"keys": n_keys, "bloom": bloom_smoke(spark, n_keys, n_probe)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf":

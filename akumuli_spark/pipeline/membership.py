@@ -74,7 +74,7 @@ def build_bloom_filter(keys: DataFrame, key_col: str = "fingerprint",
     )
     return (
         pos.select(
-            (F.col("p") / _WORD).cast("long").alias("word_idx"),
+            F.expr(f"p div {_WORD}").alias("word_idx"),
             F.expr(f"shiftleft(1L, CAST(p % {_WORD} AS INT))").alias("b"),
         )
         .groupBy("word_idx")
@@ -89,34 +89,37 @@ def bloom_probe(batch: DataFrame, bloom: DataFrame,
     iff ALL k positions are set (no false negatives; false positives at
     the designed rate).  Output: batch's columns + maybe_seen BIGINT.
 
-    Scale shape: the batch explodes k-fold, left-joins the (broadcast)
-    filter rows on word_idx, and folds back with bool_and — the corpus
-    that built the filter is never touched."""
-    probe = batch.withColumn(
-        "__pos", F.expr(_positions_expr(key_col, k, mbits))
-    ).withColumn("__pid", F.monotonically_increasing_id())
-    pos = probe.select(
-        "__pid", F.explode("__pos").alias("p")
-    ).select(
-        "__pid", "p",
-        (F.col("p") / _WORD).cast("long").alias("word_idx"),
+    Scale shape: the batch's DISTINCT keys explode k-fold, left-join the
+    (broadcast) filter rows on word_idx, and fold back with bool_and per
+    key; the verdict joins back on the key itself — ``maybe_seen`` is a
+    pure function of the key, so no synthetic row id is ever needed (a
+    monotonically_increasing_id correlation here was a real bug: the id
+    is assigned per-plan-evaluation, and the two sides of the rejoin can
+    be recomputed under different partitionings).  NULL keys report 0.
+    The corpus that built the filter is never touched."""
+    pos = (
+        batch.filter(F.col(key_col).isNotNull())
+        .select(key_col).distinct()
+        .select(
+            key_col,
+            F.explode(F.expr(_positions_expr(key_col, k, mbits))).alias("p"),
+        )
+        .withColumn("word_idx", F.expr(f"p div {_WORD}"))
     )
     hits = (
         pos.join(F.broadcast(bloom), "word_idx", "left")
         .select(
-            "__pid",
+            key_col,
             F.coalesce(
                 F.expr(f"(shiftright(bits, CAST(p % {_WORD} AS INT)) & 1) = 1"),
                 F.lit(False),
             ).alias("__hit"),
         )
-        .groupBy("__pid")
+        .groupBy(key_col)
         .agg(F.expr("bool_and(__hit)").cast("long").alias("maybe_seen"))
     )
-    return (
-        probe.join(hits, "__pid", "left")
-        .drop("__pos", "__pid")
-        .withColumn("maybe_seen", F.coalesce("maybe_seen", F.lit(0)))
+    return batch.join(hits, key_col, "left").withColumn(
+        "maybe_seen", F.coalesce("maybe_seen", F.lit(0))
     )
 
 

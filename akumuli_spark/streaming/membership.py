@@ -1,0 +1,124 @@
+"""Continuous Bloom-gated ingest — the crawler's "skip what we've seen"
+stream, composing :mod:`akumuli_spark.pipeline.membership` with
+foreachBatch (the same store-and-grow pattern as
+``streaming.dedup.near_dup_batch_against_store``).
+
+Per micro-batch: probe arriving keys against the accumulated filter,
+pass only never-seen rows downstream, and OR the passed keys' bits into
+the store.  The store is APPEND-ONLY delta rows of the mergeable
+(word_idx, bits) representation — a probe aggregates them with bit_or
+at read time (bounded by m/63 rows regardless of history), and
+:func:`compact_bloom_store` folds the deltas down between triggers.
+
+Contract: no false negatives ever (a seen key never passes twice); a
+false positive drops a never-seen key at the designed rate — the
+standard Bloom-gate trade, deterministic here (md5 positions), so the
+exact pass set is replayable and test-pinned.  Within one batch,
+duplicate keys collapse first (``dedupe_batch``) — the filter only
+learns a key when the batch carrying it commits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from akumuli_spark.pipeline.membership import (
+    BLOOM_K,
+    BLOOM_MBITS,
+    bloom_probe,
+    build_bloom_filter,
+)
+
+
+def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    from akumuli_spark.streaming.ingest import _is_path_missing
+
+    try:
+        return spark.read.parquet(store_dir)
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):
+            raise
+        return None
+
+
+def bloom_gate_batch(spark: SparkSession, batch: DataFrame, store_dir: str,
+                     key_col: str = "fingerprint",
+                     mbits: int = BLOOM_MBITS, k: int = BLOOM_K,
+                     dedupe_batch: bool = True) -> DataFrame:
+    """Gate one micro-batch: return its never-seen rows and grow the
+    stored filter by exactly those keys.  Batch-retry caveat matches the
+    other foreachBatch stores: a retry after a partial append can re-OR
+    bits (harmless — ORing the same bits is idempotent) but could pass a
+    row twice if the downstream write partially committed; run the sink
+    idempotently or dedup downstream under at-least-once triggers."""
+    batch = batch.localCheckpoint(eager=True)
+    if dedupe_batch:
+        batch = batch.dropDuplicates([key_col])
+    stored = _read_store(spark, store_dir)
+    if stored is None:
+        novel = batch
+    else:
+        bloom = stored.groupBy("word_idx").agg(
+            F.expr("bit_or(bits)").alias("bits")
+        )
+        novel = (
+            bloom_probe(batch, bloom, key_col=key_col, mbits=mbits, k=k)
+            .filter(F.col("maybe_seen") == 0)
+            .drop("maybe_seen")
+        )
+    # force the pass set BEFORE the store grows (the lazy plan would
+    # otherwise probe a filter already containing this batch)
+    novel = novel.localCheckpoint(eager=True)
+    build_bloom_filter(novel, key_col=key_col, mbits=mbits, k=k) \
+        .write.mode("append").parquet(store_dir)
+    return novel
+
+
+def start_streaming_bloom_gate(docs: DataFrame, store_dir: str,
+                               out_dir: str, checkpoint_dir: str,
+                               key_col: str = "fingerprint",
+                               mbits: int = BLOOM_MBITS, k: int = BLOOM_K):
+    """Wire :func:`bloom_gate_batch` into a foreachBatch sink: rows that
+    survive the gate append to ``out_dir``; the filter accumulates under
+    ``store_dir``.  Input must carry ``key_col`` (derive it upstream,
+    e.g. ``F.md5("text")``)."""
+    spark = docs.sparkSession
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        bloom_gate_batch(
+            spark, batch, store_dir, key_col=key_col, mbits=mbits, k=k
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+    )
+
+
+def compact_bloom_store(spark: SparkSession, store_dir: str) -> int:
+    """Fold the append-only delta rows down to one row per word_idx.
+    Single-writer maintenance (run it between triggers, like the layout
+    compactor): writes the folded rows to a sibling tmp dir, then swaps.
+    Returns the compacted row count."""
+    import os
+    import shutil
+    import uuid
+
+    stored = _read_store(spark, store_dir)
+    if stored is None:
+        return 0
+    folded = stored.groupBy("word_idx").agg(
+        F.expr("bit_or(bits)").alias("bits")
+    )
+    tmp = f"{store_dir}.compact-{uuid.uuid4().hex}"
+    folded.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = f"{store_dir}.old-{uuid.uuid4().hex}"
+    os.rename(store_dir, old)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

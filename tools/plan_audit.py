@@ -120,7 +120,9 @@ def main() -> None:
                "dedup_embedding_lsh_multi", "metrics_tag_rollup",
                "bpe_tokenize_counts",
                "text_gopher_quality", "text_line_repetition",
-               "dedup_paragraphs", "ann_pq_topk", "ann_ivfadc"]
+               "dedup_paragraphs", "ann_pq_topk", "ann_ivfadc",
+               "dedup_scrub_spans", "ann_ivfadc_indexed",
+               "ann_ivfadc_append", "dedup_bloom_probe"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

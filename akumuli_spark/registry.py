@@ -3460,3 +3460,42 @@ _register_pipeline(
     [],
     ["doc_id", "maybe_seen", "truly_seen"],
 )
+
+
+def _curate_gopher_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Two quality stages COMPOSED (the pipeline shape, not just the
+    pieces): Gopher-rule gate → paragraph dedup over the survivors —
+    the oracle replays the same two-stage plan, so stage boundaries
+    (which docs the gate admits, which paragraphs then count as first
+    occurrences) are pinned cross-engine, not just each stage alone.
+    The gate keys on n_words/n_stop_hits (the rules the single-line
+    synthetic corpus can meaningfully fail)."""
+    docs = load_table(spark, sf, "documents")
+    flags = _quality.gopher_quality_flags(docs)
+    gated = docs.join(
+        flags.filter(
+            (F.col("n_words") >= 50) & (F.col("n_stop_hits") >= 1)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    return _quality.dedup_paragraphs(
+        _quality.with_word_chunk_lines(gated, 2)
+    )
+
+
+_register_pipeline(
+    "curate_gopher_paragraphs",
+    _curate_gopher_paragraphs,
+    _quality.dedup_paragraphs_sql(
+        "d2",
+        prelude=(
+            "g AS (SELECT doc_id FROM (\n"
+            + _quality.gopher_quality_sql()
+            + "\n) WHERE n_words >= 50 AND n_stop_hits >= 1),\n"
+            "gated AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),\n"
+            "d2 AS (" + _quality.word_chunk_lines_cte(2, table="gated") + ")"
+        ),
+    ),
+    [],
+    ["doc_id", "n_paras", "n_kept", "text_clean"],
+)

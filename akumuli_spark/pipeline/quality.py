@@ -376,14 +376,20 @@ def with_word_chunk_lines(docs: DataFrame, chunk: int) -> DataFrame:
     c = int(chunk)
     if c <= 0:
         raise ValueError("chunk must be positive")
-    return docs.withColumn(
-        "text",
+    # split once through a layered projection: inlining split(text) into
+    # the transform would re-tokenize the row once per CHUNK (O(words²)
+    # per doc — measured 3.0 → sub-second dedup_paragraphs at sf0.1)
+    cols = [col for col in docs.columns if col != "text"]
+    return docs.select(
+        *cols, F.split(F.col("text"), " ").alias("__wcl_ws")
+    ).select(
+        *cols,
         F.expr(
             "array_join(transform("
-            f"  sequence(0, (size(split(text, ' ')) + {c} - 1) div {c} - 1),"
-            f"  i -> array_join(slice(split(text, ' '), i * {c} + 1, {c}), ' ')"
+            f"  sequence(0, (size(__wcl_ws) + {c} - 1) div {c} - 1),"
+            f"  i -> array_join(slice(__wcl_ws, i * {c} + 1, {c}), ' ')"
             "), chr(10))"
-        ),
+        ).alias("text"),
     )
 
 

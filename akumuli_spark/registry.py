@@ -3499,3 +3499,21 @@ _register_pipeline(
     [],
     ["doc_id", "n_paras", "n_kept", "text_clean"],
 )
+
+
+# ADC shortlist -> exact re-rank (the IndexRefineFlat composition that
+# makes PQ recall tunable with R; raw vectors touched only for R rows
+# per query)
+_register_pipeline(
+    "ann_pq_refined",
+    lambda spark, sf: _sim.refine_topk(
+        load_table(spark, sf, "embeddings"),
+        _sim.pq_topk(
+            load_table(spark, sf, "embeddings"), _ANN_QUERY_IDS, k=50
+        ),
+        k=10,
+    ),
+    _sim.pq_refined_sql(_ANN_QUERY_IDS, 10, refine=50),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)

@@ -477,3 +477,32 @@ def test_ivfadc_vectorized_build_matches_fold_build(spark, tmp_path):
         assert (list(ra["codes"]), ra["list_id"]) == \
             (list(rb["codes"]), rb["list_id"]), vid
         assert abs(ra["en"] - rb["en"]) <= 1e-15 * ra["en"], vid
+
+
+def test_refine_recovers_exact_topk_at_full_shortlist(spark):
+    """With R = corpus size the refine step IS exact search: results
+    must equal cosine_topk row for row."""
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark).limit(80)
+    sl = S.pq_topk(embs, [0, 1], k=80)
+    a = sorted(map(tuple, S.refine_topk(embs, sl, k=5).collect()))
+    b = sorted(map(tuple, S.cosine_topk(embs, [0, 1], k=5).collect()))
+    assert a == b
+
+
+def test_refine_recall_improves_over_adc_rank(spark):
+    """On the synthetic corpus the ADC ranking is noisy (documented —
+    iid-random embeddings are PQ-adversarial); refining a 10x shortlist
+    must recover at least as many exact neighbors as raw ADC@k."""
+    from akumuli_spark.pipeline import similarity as S
+    embs = _embs(spark)
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.cosine_topk(embs, qids, k=10).collect()}
+    adc = {(r["query_id"], r["neighbor_id"])
+           for r in S.pq_topk(embs, qids, k=10).collect()}
+    refined = {(r["query_id"], r["neighbor_id"])
+               for r in S.refine_topk(
+                   embs, S.pq_topk(embs, qids, k=100), k=10).collect()}
+    assert len(refined & exact) >= len(adc & exact)
+    assert len(refined & exact) > len(exact) // 2

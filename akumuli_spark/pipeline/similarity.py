@@ -1551,9 +1551,98 @@ def append_ivfadc_index(embs_new: DataFrame, path: str,
         .parquet(f"{path}/codes")
 
 
+def _ivfadc_serve_vectorized(codes: DataFrame, probes: DataFrame,
+                             cb_rows, k: int, m: int, ks: int) -> DataFrame:
+    """numpy ADC scan behind ``ivfadc_topk_from_index(vectorized=True)``:
+    cogroup each probed list's code rows with its probing queries; per
+    group, build the m×ks inner-product LUT per query (tiny matmuls) and
+    gather each candidate's M entries with one fancy-index — the
+    interpreter-free path for billion-row lists (same shape as
+    `_ivf_topk_batch_vectorized`; same last-ulp tie caveat)."""
+    import numpy as np
+    import pandas as pd
+
+    if not cb_rows:
+        return codes.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, acos double, rank long"
+        )
+    # code-ascending row order per subspace: the gather indexes B[s] by
+    # (code - 1), so the stack order must BE the code order
+    cb_rows = sorted(cb_rows, key=lambda r: (r["sub"], r["code"]))
+    B = {
+        s: np.stack([np.asarray(r["ce"], dtype=np.float64)
+                     for r in cb_rows if r["sub"] == s])
+        for s in range(m)
+    }
+    dsub = B[0].shape[1] if B else 0
+    empty = pd.DataFrame({
+        "query_id": pd.Series(dtype="int64"),
+        "neighbor_id": pd.Series(dtype="int64"),
+        "acos": pd.Series(dtype="float64"),
+    })
+
+    def score(code_pdf: "pd.DataFrame", probe_pdf: "pd.DataFrame"):
+        if code_pdf.empty or probe_pdf.empty:
+            return empty
+        code_pdf = code_pdf.sort_values("vec_id")  # tie-break order
+        vec_ids = code_pdf["vec_id"].to_numpy()
+        en = code_pdf["en"].to_numpy(dtype=np.float64)
+        idx = np.stack(code_pdf["codes"].to_numpy()).astype(np.int64) - 1
+        rng_m = np.arange(m)[None, :]
+        out_q, out_n, out_c = [], [], []
+        for _, prow in probe_pdf.iterrows():
+            qe = np.asarray(prow["qe"], dtype=np.float64)
+            qn = float(prow["qn"])
+            lut = np.stack([
+                B[s] @ qe[s * dsub:(s + 1) * dsub] for s in range(m)
+            ])  # (m, ks)
+            ip = lut[rng_m, idx].sum(axis=1)
+            acos = ip / (qn * en)
+            mask = vec_ids != prow["query_id"]
+            order = np.argsort(-acos, kind="stable")
+            sel = order[mask[order]][:k]
+            out_q.append(np.full(len(sel), prow["query_id"], dtype=np.int64))
+            out_n.append(vec_ids[sel])
+            out_c.append(acos[sel])
+        if not out_q:
+            return empty
+        return pd.DataFrame({
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "acos": np.concatenate(out_c),
+        })
+
+    par = codes.sparkSession.sparkContext.defaultParallelism
+    cands = (
+        codes.filter(
+            F.col("codes").isNotNull() & (F.size("codes") == m)
+            & F.col("list_id").isNotNull()
+        )
+        .withColumn("list_id", F.col("list_id").cast("long"))
+        .repartition(par, "list_id").groupBy("list_id")
+        .cogroup(
+            probes.withColumn("list_id", F.col("list_id").cast("long"))
+            .repartition(par, "list_id").groupBy("list_id")
+        )
+        .applyInPandas(
+            lambda left, right: score(left, right),
+            "query_id long, neighbor_id long, acos double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("acos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "acos", "rank")
+    )
+
+
 def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
                            k: int = 10, nprobe: int = IVF_NPROBE,
-                           m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+                           m: int = PQ_M, ks: int = PQ_KS,
+                           vectorized: bool = False) -> DataFrame:
     """Serve ADC top-k from a stored index.  ``queries`` is
     (query_id, qe) with FULL-precision vectors (the index holds only
     codes).  Identical results to :func:`ivfadc_topk` run with the same
@@ -1591,10 +1680,20 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
             ),
         )
         .filter(F.col("__r") <= nprobe)
-        .select("query_id", F.col("cid").alias("list_id"))
+        .select("query_id", "qe", "qn", F.col("cid").alias("list_id"))
         .collect()  # bounded: |queries| × nprobe
     )
     probe_lists = sorted({r["list_id"] for r in probe_rows})
+    if vectorized:
+        vprobes = spark.createDataFrame(
+            [(r["query_id"], r["qe"], r["qn"], r["list_id"])
+             for r in probe_rows] or [],
+            "query_id long, qe array<float>, qn double, list_id int",
+        )
+        return _ivfadc_serve_vectorized(
+            codes.filter(F.col("list_id").isin(probe_lists)),
+            vprobes, cb.collect(), k, m, ks,
+        )
     probes = spark.createDataFrame(
         [(r["query_id"], r["list_id"]) for r in probe_rows] or [],
         "query_id long, list_id int",
@@ -1649,13 +1748,18 @@ def pq_kmeans_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     so rebuilds reproduce the same books bit-for-bit.  The driver-side
     footprint is sample·dim floats (≈25 MB at 100 k × 64), the same
     bounded-collect budget as the probe sets.  The seed-subvector books
-    remain the oracle-audited default; these are the recall path —
-    measured on the synthetic corpus (tools/ann_recall.py, sf0.1,
-    k=10): flat-PQ recall 0.195 → 0.71, IVFADC 0.25 → 0.71·(probe
-    coverage).  Lloyd details: init = the ks first sample subvectors,
-    empty clusters keep their previous center, squared-L2 assignment
-    with first-minimum tie-break (numpy argmin) — all deterministic
-    given the sample."""
+    remain the oracle-audited default.
+
+    Measured recall caveat (tools/ann_recall.py, sf0.1, k=10): on THIS
+    corpus training barely moves recall (0.195 → 0.19 at ks=16; 0.405
+    at ks=256) because the synthetic embeddings are iid-random — exact
+    top-k margins sit below quantization noise by construction, for any
+    codebook.  Training matters on structured real embeddings; on any
+    corpus, the :func:`refine_topk` composition is what makes recall
+    tunable (0.465/0.595/0.745 at R=50/100/200 here).  Lloyd details:
+    init = the ks first sample subvectors, empty clusters keep their
+    previous center, squared-L2 assignment with first-minimum tie-break
+    (numpy argmin) — all deterministic given the sample."""
     import numpy as np
 
     dim = _pq_dim(embs)

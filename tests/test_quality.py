@@ -506,3 +506,26 @@ def test_refine_recall_improves_over_adc_rank(spark):
                    embs, S.pq_topk(embs, qids, k=100), k=10).collect()}
     assert len(refined & exact) >= len(adc & exact)
     assert len(refined & exact) > len(exact) // 2
+
+
+def test_ivfadc_serve_vectorized_matches_fold(spark, tmp_path):
+    """The cogrouped numpy ADC serve returns the same neighbors/ranks as
+    the HOF path (same index bytes; acos within last-ulp)."""
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    path = str(tmp_path / "idx")
+    S.build_ivfadc_index(embs, path)
+    queries = embs.filter(F.col("vec_id").isin([0, 2, 9])).select(
+        "vec_id", "embedding")
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["acos"])
+         for r in S.ivfadc_topk_from_index(spark, path, queries, k=7)
+         .collect()}
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["acos"])
+         for r in S.ivfadc_topk_from_index(spark, path, queries, k=7,
+                                           vectorized=True).collect()}
+    assert a.keys() == b.keys()
+    for key, (na, ca) in a.items():
+        nb, cb = b[key]
+        assert na == nb, key
+        assert abs(ca - cb) <= 1e-12 * max(abs(ca), 1e-9), key

@@ -876,6 +876,11 @@ def pq_smoke(spark, n_vecs: int, nlist: int = 256, nprobe: int = 4,
     ).count()
     out["serve_s"] = round(time.time() - t, 2)
     out["result_rows"] = n
+    t = time.time()
+    sim.ivfadc_topk_from_index(
+        spark, path, queries, k=10, nprobe=nprobe, vectorized=True
+    ).count()
+    out["serve_vectorized_s"] = round(time.time() - t, 2)
     for d in (path, raw):
         shutil.rmtree(d, ignore_errors=True)
     return out

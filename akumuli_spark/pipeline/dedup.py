@@ -125,6 +125,134 @@ GROUP BY 1 HAVING count(*) >= {min_overlap}
 """.strip()
 
 
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """NEAR-duplicate decontamination: corpus documents whose word-shingle
+    set is MinHash/LSH-similar to some benchmark document — the fuzzy
+    complement of :func:`benchmark_contamination` (exact n-gram overlap
+    misses light paraphrases; banded MinHash catches them, the practice
+    GPT-3/Llama decontamination reports describe).
+
+    Output: (doc_id, bench_id, jaccard) — one row per flagged
+    (corpus, benchmark) near-match above ``threshold``; ``doc_id`` and
+    ``bench_id`` live in their own frames' id spaces (they may collide
+    numerically; the sides are never mixed).
+
+    Scale shape: the benchmark is small by construction, so its banded
+    signature rows ride a broadcast — the corpus bands stream through
+    one broadcast-hash join keyed on (band_idx, band_sig), the corpus is
+    never self-joined and never shuffled whole; exact-Jaccard
+    verification touches candidate documents only, per side.
+    """
+    corpus_long = _banded_long(minhash_signatures(docs, n=n))
+    bench_long = _banded_long(minhash_signatures(bench, n=n))
+    cands = (
+        corpus_long.alias("a")
+        .join(
+            F.broadcast(bench_long.alias("b")),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .select(F.col("a.id").alias("doc_id"), F.col("b.id").alias("bench_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds two semi-joins + final join
+    )
+
+    def side_sets(frame: DataFrame, ids: DataFrame, out_id: str, out_set: str,
+                  out_n: str) -> DataFrame:
+        key = ids.columns[0]
+        cand_docs = frame.join(
+            F.broadcast(ids.distinct()),
+            frame["doc_id"] == ids[key],
+            "left_semi",
+        )
+        return (
+            word_shingles(cand_docs, n=n)
+            .groupBy("id")
+            .agg(F.collect_set("shingle").alias(out_set),
+                 F.count("*").alias(out_n))
+            .withColumnRenamed("id", out_id)
+        )
+
+    c_sets = side_sets(docs, cands.select("doc_id"), "__ca", "set_a", "na")
+    b_sets = side_sets(bench, cands.select("bench_id"), "__cb", "set_b", "nb")
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    return (
+        cands.join(c_sets, F.col("doc_id") == F.col("__ca"))
+        .join(F.broadcast(b_sets), F.col("bench_id") == F.col("__cb"))
+        .withColumn("jaccard", inter / (F.col("na") + F.col("nb") - inter))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "bench_id", "jaccard")
+    )
+
+
+def fuzzy_decontaminate_sql(bench_pred: str, n: int = 5,
+                            threshold: float = 0.5) -> str:
+    """DuckDB twin: corpus = documents NOT matching ``bench_pred`` (a
+    predicate over ``doc_id``), benchmark = the matching rows; same
+    signature pipeline on both sides, cross-side band join only."""
+    params = _minhash_params()
+    mh_exprs = ", ".join(
+        f"min(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    band_exprs = ", ".join(
+        "concat_ws(':', "
+        + ", ".join(
+            f"CAST(mh{bnd * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        + f") AS band{bnd}"
+        for bnd in range(MINHASH_BANDS)
+    )
+
+    def long_union(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT id, {bnd} AS band_idx, band{bnd} AS band_sig FROM {src}"
+            for bnd in range(MINHASH_BANDS)
+        )
+
+    return f"""
+WITH {_shingles_sql(n)},
+sh_c AS (SELECT * FROM shingles WHERE NOT ({bench_pred})),
+sh_b AS (SELECT * FROM shingles WHERE {bench_pred}),
+hashed_c AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_P} AS x
+  FROM sh_c
+),
+hashed_b AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {MINHASH_P} AS x
+  FROM sh_b
+),
+sig_c AS (SELECT id, {mh_exprs} FROM hashed_c GROUP BY id),
+sig_b AS (SELECT id, {mh_exprs} FROM hashed_b GROUP BY id),
+banded_c AS (SELECT id, {band_exprs} FROM sig_c),
+banded_b AS (SELECT id, {band_exprs} FROM sig_b),
+long_c AS ({long_union('banded_c')}),
+long_b AS ({long_union('banded_b')}),
+cands AS (
+  SELECT DISTINCT c.id AS doc_id, b.id AS bench_id
+  FROM long_c c JOIN long_b b
+    ON c.band_idx = b.band_idx AND c.band_sig = b.band_sig
+),
+sizes_c AS (SELECT id, count(*) n_sh FROM sh_c GROUP BY 1),
+sizes_b AS (SELECT id, count(*) n_sh FROM sh_b GROUP BY 1),
+inter AS (
+  SELECT a.id AS doc_id, b.id AS bench_id, count(*) AS n_common
+  FROM sh_c a JOIN sh_b b ON a.shingle = b.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_id, c.bench_id,
+       i.n_common * 1.0 / (sc.n_sh + sb.n_sh - i.n_common) AS jaccard
+FROM cands c
+JOIN inter i ON c.doc_id = i.doc_id AND c.bench_id = i.bench_id
+JOIN sizes_c sc ON c.doc_id = sc.id
+JOIN sizes_b sb ON c.bench_id = sb.id
+WHERE i.n_common * 1.0 / (sc.n_sh + sb.n_sh - i.n_common) >= {threshold}
+""".strip()
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
                         max_df: int | None = 256) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard.

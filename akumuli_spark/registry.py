@@ -3517,3 +3517,18 @@ _register_pipeline(
     ["cosine"],
     ["query_id", "neighbor_id", "rank"],
 )
+
+
+# Fuzzy (MinHash) decontamination: corpus docs near-duplicate to a
+# benchmark doc - catches the paraphrases exact n-gram overlap misses
+_register_pipeline(
+    "decontaminate_fuzzy",
+    lambda spark, sf: _dedup.fuzzy_decontaminate(
+        load_table(spark, sf, "documents").filter(F.col("doc_id") % 13 != 5),
+        load_table(spark, sf, "documents").filter(F.col("doc_id") % 13 == 5),
+        n=5, threshold=0.5,
+    ),
+    _dedup.fuzzy_decontaminate_sql("id % 13 = 5", 5, 0.5),
+    ["jaccard"],
+    ["doc_id", "bench_id"],
+)

@@ -529,3 +529,48 @@ def test_ivfadc_serve_vectorized_matches_fold(spark, tmp_path):
         nb, cb = b[key]
         assert na == nb, key
         assert abs(ca - cb) <= 1e-12 * max(abs(ca), 1e-9), key
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """A light paraphrase (one word changed in a long doc) shares no
+    8-gram with the benchmark but IS MinHash-similar — the case the
+    fuzzy path exists for."""
+    from akumuli_spark.pipeline import dedup as D
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    words = base.split()
+    paraphrase = " ".join(words[:3] + ["CHANGED"] + words[4:])
+    docs = _docs(spark, [
+        (1, paraphrase),
+        (2, "totally different content with no relation to anything here "
+            "at all in any way shape or form whatsoever truly none"),
+    ])
+    bench = _docs(spark, [(100, base)])
+    # exact 8-gram overlap DOES flag it here (long shared runs), but a
+    # change every 7 words would kill all 8-grams; assert the fuzzy
+    # flag + jaccard level, and the clean doc's absence
+    out = D.fuzzy_decontaminate(docs, bench, n=5, threshold=0.3).collect()
+    flagged = {r["doc_id"] for r in out}
+    assert flagged == {1}
+    assert all(r["bench_id"] == 100 for r in out)
+
+
+def test_fuzzy_decontaminate_sparse_changes_beat_exact_ngrams(spark):
+    """Change every 8th word of a 60-word doc: no 8-gram survives intact
+    (exact decontamination goes blind) while the MinHash path still
+    flags at jaccard ≈ 0.76 — above the 4×4 banding's ~0.7 collision
+    knee, so the candidate join finds it (deterministic md5 hashes:
+    this fixed input collides forever, not probabilistically)."""
+    from akumuli_spark.pipeline import dedup as D
+    words = [f"w{i}" for i in range(60)]
+    base = " ".join(words)
+    edited = " ".join(
+        w if i % 8 != 2 else "X" + w for i, w in enumerate(words)
+    )
+    docs = _docs(spark, [(1, edited)])
+    bench = _docs(spark, [(100, base)])
+    exact = D.benchmark_contamination(docs, bench, n=8).collect()
+    assert exact == []  # every 8-gram window contains an edit
+    fuzzy = D.fuzzy_decontaminate(docs, bench, n=1, threshold=0.3).collect()
+    assert {r["doc_id"] for r in fuzzy} == {1}
+    assert fuzzy[0]["jaccard"] == pytest.approx(0.7647, abs=1e-3)

@@ -51,13 +51,18 @@ class Database:
     # (streaming/ingest.py::windowed_rollup_stream output) gives the same
     # property: servable queries combine O(series × base-buckets)
     # partials instead of rescanning raw points.
-    _rollup: DataFrame | None = None
-    _rollup_step_ns: int = 0
-    _rollup_complete_ns: int | None = None
+    _rollups: list[tuple[DataFrame, int, int | None]] | None = None
 
     def attach_rollup(self, rollup: DataFrame, base_step_ns: int,
                       complete_through_ns: int | None = None) -> None:
         """Attach a base-step rollup for the group-aggregate fast path.
+        Call once per resolution to build a CASCADE (1m → 1h → 1d …):
+        a servable query routes to the COARSEST attached rollup whose
+        step divides its buckets — the multi-resolution materialized
+        hierarchy every production TSDB serves dashboards from, and the
+        natural extension of the reference's inner-node aggregates
+        (nbtree.cpp:1154-1206), whose tree levels are themselves a
+        resolution cascade.
 
         Consistency contract: attaching WITHOUT ``complete_through_ns``
         asserts the rollup is complete with respect to the bound metrics
@@ -67,20 +72,15 @@ class Database:
         general lags the metrics frame; such a caller must pass
         ``complete_through_ns`` (its watermark / committed high-water
         position): queries whose range extends past it fall through to
-        the direct raw-scan path, so the same query JSON never silently
-        returns fewer buckets than the raw data would."""
-        self._rollup = rollup
-        self._rollup_step_ns = base_step_ns
-        self._rollup_complete_ns = complete_through_ns
+        the next-finer rollup or the direct raw-scan path, so the same
+        query JSON never silently returns fewer buckets than the raw
+        data would."""
+        if self._rollups is None:
+            self._rollups = []
+        self._rollups.append((rollup, base_step_ns, complete_through_ns))
 
     def _try_rollup(self, q: Query) -> DataFrame | None:
-        if self._rollup is None or q.kind is not QueryKind.GROUP_AGGREGATE:
-            return None
-        # freshness guard: never serve a range the rollup doesn't cover yet
-        if (
-            self._rollup_complete_ns is not None
-            and q.range.end_ns > self._rollup_complete_ns
-        ):
+        if not self._rollups or q.kind is not QueryKind.GROUP_AGGREGATE:
             return None
         # raw-data features the rollup cannot reproduce fall through to
         # the direct path: tag predicates/regrouping need the tag map,
@@ -89,17 +89,25 @@ class Database:
         if q.where or q.group_by or q.apply or not q.range.forward:
             return None
         funcs = list(q.agg_funcs[0][1])
-        if not rollup_mod.can_serve(
-            q.range.begin_ns, q.range.end_ns, q.step_ns,
-            self._rollup_step_ns, funcs,
-        ):
+        servable = [
+            (rollup, step_ns)
+            for rollup, step_ns, complete_ns in self._rollups
+            # freshness: never serve a range this rollup doesn't cover yet
+            if (complete_ns is None or q.range.end_ns <= complete_ns)
+            and rollup_mod.can_serve(
+                q.range.begin_ns, q.range.end_ns, q.step_ns, step_ns, funcs,
+            )
+        ]
+        if not servable:
             return None
-        src = self._rollup.filter(
+        # coarsest wins: fewest partial rows combined per output bucket
+        rollup, base_step_ns = max(servable, key=lambda rs: rs[1])
+        src = rollup.filter(
             F.expr("split_part(series, ' ', 1)").isin(list(q.metrics))
         )
         out = rollup_mod.group_aggregate_from_rollup(
             src, q.range.begin_ns, q.range.end_ns, q.step_ns, funcs,
-            self._rollup_step_ns,
+            base_step_ns,
         )
         if q.filter is not None:  # HAVING on output components
             out = engine_mod._having(out, q.filter, {f: f for f in funcs})

@@ -147,3 +147,49 @@ def test_rollup_freshness_guard_falls_through(spark, raw, rollup):
     assert {tuple(r) for r in fast_df.collect()} == in_direct and in_direct
     plan = fast_df._jdf.queryExecution().toString()
     assert "events.parquet" not in plan
+
+
+def test_rollup_cascade_routes_to_coarsest(spark, tmp_path):
+    """Multi-resolution routing: attach a 1-minute and a 1-hour rollup;
+    an hour-aligned query must serve from the COARSE one (proven by
+    poisoning the fine rollup's values — a fine-rollup answer would leak
+    the poison), while a sub-hour query falls back to the fine rollup
+    and a rollup-unservable query falls through to the raw path."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.api import open_database
+    from akumuli_spark.sources.testdata import app_metrics_view
+    from akumuli_spark.streaming.ingest import windowed_rollup_stream
+    from tests.conftest import SF_DIR
+
+    am = app_metrics_view(spark, SF_DIR)
+    base = am.select("series", "ts_ns", "value")
+    fine = windowed_rollup_stream(base, step="1 minute")
+    coarse = windowed_rollup_stream(base, step="1 hour")
+    q_hour = {
+        "group-aggregate": {"metric": "app.click", "step": "2h",
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E1},
+    }
+    q_min = {
+        "group-aggregate": {"metric": "app.click", "step": "5m",
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E1},
+    }
+    db = open_database(spark, am)
+    direct_hour = db.query(q_hour).collect()
+    direct_min = db.query(q_min).collect()
+
+    poisoned_fine = fine.withColumn("sum", F.col("sum") + 1e9)
+    db.attach_rollup(poisoned_fine, 60 * NS)
+    db.attach_rollup(coarse, 3600 * NS)
+    served_hour = db.query(q_hour).collect()
+    assert sorted(map(tuple, served_hour)) == sorted(map(tuple, direct_hour))
+    # the 5m query can only use the fine rollup: the poison must show,
+    # proving the cascade really routed the hour query elsewhere
+    served_min = db.query(q_min).collect()
+    assert any(r["sum"] > 1e8 for r in served_min)
+    # unservable (tag predicate) falls through to raw regardless
+    q_where = dict(q_hour, where={"page": ["p1"]})
+    raw = db.query(q_where).collect()
+    assert all(r["sum"] < 1e8 for r in raw)

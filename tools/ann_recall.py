@@ -51,9 +51,6 @@ def main() -> None:
     out = {
         "lsh": recall(topk_sets(
             S.lsh_bucketed_topk(embs, qids, k=k), k), exact),
-        "lsh_multi": recall(topk_sets(
-            S.lsh_bucketed_topk_multi(embs, qids, k=k), k), exact)
-        if hasattr(S, "lsh_bucketed_topk_multi") else None,
         "ivf_nprobe4": recall(topk_sets(
             S.ivf_topk(embs, qids, k=k), k), exact),
         "ivf_nprobe8": recall(topk_sets(
@@ -64,6 +61,9 @@ def main() -> None:
             S.ivfadc_topk(embs, qids, k=k), k), exact),
         "ivfadc_nprobe8": recall(topk_sets(
             S.ivfadc_topk(embs, qids, k=k, nprobe=8), k), exact),
+        "pq_refine_r100": recall(topk_sets(
+            S.refine_topk(embs, S.pq_topk(embs, qids, k=100), k=k), k),
+            exact),
     }
     print(json.dumps({"sf_dir": sf_dir, "k": k, "n_queries": n_q,
                       "recall": out}))

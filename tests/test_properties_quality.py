@@ -263,3 +263,75 @@ class TestPQEncodeProperty:
                 )
                 codes.append(best[1])
             assert got[i] == codes, i
+
+
+# ---------------------------------------------------------------------------
+# fuzzy decontamination vs a direct cross-side MinHash replay
+# ---------------------------------------------------------------------------
+
+
+def _mh_sig(shingle_set):
+    import hashlib
+
+    from akumuli_spark.pipeline.dedup import MINHASH_P, _minhash_params
+    xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % MINHASH_P
+          for s in shingle_set]
+    return [min((a * x + b) % MINHASH_P for x in xs)
+            for a, b in _minhash_params()]
+
+
+@pytest.mark.usefixtures("spark")
+class TestFuzzyDecontaminateProperty:
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from("ab"), min_size=2, max_size=7)
+            .map(" ".join), min_size=1, max_size=6),
+        bench=st.lists(
+            st.lists(st.sampled_from("ab"), min_size=2, max_size=7)
+            .map(" ".join), min_size=1, max_size=3),
+        threshold=st.sampled_from([0.3, 0.6]),
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_matches_cross_side_replay(self, spark, corpus, bench, threshold):
+        from akumuli_spark.pipeline.dedup import (
+            MINHASH_BANDS, MINHASH_K, fuzzy_decontaminate,
+        )
+        n = 2
+        rows = MINHASH_K // MINHASH_BANDS
+
+        def sets(texts):
+            out = {}
+            for d, t in enumerate(texts):
+                ws = t.split(" ")
+                ss = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+                if ss:
+                    out[d] = ss
+            return out
+
+        cs, bs = sets(corpus), sets(bench)
+        csig = {d: _mh_sig(s) for d, s in cs.items()}
+        bsig = {d: _mh_sig(s) for d, s in bs.items()}
+        want = {}
+        for dc, sc in csig.items():
+            for db_, sb_ in bsig.items():
+                if any(
+                    sc[b * rows:(b + 1) * rows] == sb_[b * rows:(b + 1) * rows]
+                    for b in range(MINHASH_BANDS)
+                ):
+                    inter = len(cs[dc] & bs[db_])
+                    j = inter / (len(cs[dc]) + len(bs[db_]) - inter)
+                    if j >= threshold:
+                        want[(dc, db_)] = j
+        got = {
+            (r["doc_id"], r["bench_id"]): r["jaccard"]
+            for r in fuzzy_decontaminate(
+                spark.createDataFrame(list(enumerate(corpus)),
+                                      "doc_id long, text string"),
+                spark.createDataFrame(list(enumerate(bench)),
+                                      "doc_id long, text string"),
+                n=n, threshold=threshold,
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for key in got:
+            assert abs(got[key] - want[key]) < 1e-12

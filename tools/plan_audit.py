@@ -122,7 +122,9 @@ def main() -> None:
                "text_gopher_quality", "text_line_repetition",
                "dedup_paragraphs", "ann_pq_topk", "ann_ivfadc",
                "dedup_scrub_spans", "ann_ivfadc_indexed",
-               "ann_ivfadc_append", "dedup_bloom_probe"]
+               "ann_ivfadc_append", "dedup_bloom_probe",
+               "decontaminate_fuzzy", "curate_gopher_paragraphs",
+               "ann_pq_refined"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

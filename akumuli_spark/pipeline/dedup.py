@@ -126,7 +126,8 @@ GROUP BY 1 HAVING count(*) >= {min_overlap}
 
 
 def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        signatures: DataFrame | None = None) -> DataFrame:
     """NEAR-duplicate decontamination: corpus documents whose word-shingle
     set is MinHash/LSH-similar to some benchmark document — the fuzzy
     complement of :func:`benchmark_contamination` (exact n-gram overlap
@@ -142,9 +143,14 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame, n: int = 5,
     signature rows ride a broadcast — the corpus bands stream through
     one broadcast-hash join keyed on (band_idx, band_sig), the corpus is
     never self-joined and never shuffled whole; exact-Jaccard
-    verification touches candidate documents only, per side.
+    verification touches candidate documents only, per side.  Pass
+    ``signatures`` (the stored :func:`minhash_signatures` table — the
+    same index the dedup paths read) to skip re-shingling the corpus:
+    decontaminating against a NEW benchmark then costs O(|bench|)
+    signature work plus the keyed join.
     """
-    corpus_long = _banded_long(minhash_signatures(docs, n=n))
+    sig = signatures if signatures is not None else minhash_signatures(docs, n=n)
+    corpus_long = _banded_long(sig)
     bench_long = _banded_long(minhash_signatures(bench, n=n))
     cands = (
         corpus_long.alias("a")

@@ -574,3 +574,17 @@ def test_fuzzy_decontaminate_sparse_changes_beat_exact_ngrams(spark):
     fuzzy = D.fuzzy_decontaminate(docs, bench, n=1, threshold=0.3).collect()
     assert {r["doc_id"] for r in fuzzy} == {1}
     assert fuzzy[0]["jaccard"] == pytest.approx(0.7647, abs=1e-3)
+
+
+def test_fuzzy_decontaminate_stored_signatures_equal_oneshot(spark):
+    from akumuli_spark.pipeline import dedup as D
+    from akumuli_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 13 != 5)
+    bench = docs.filter(F.col("doc_id") % 13 == 5)
+    stored = D.minhash_signatures(corpus, n=5).localCheckpoint(eager=True)
+    a = D.fuzzy_decontaminate(corpus, bench, n=5, threshold=0.5).collect()
+    b = D.fuzzy_decontaminate(corpus, bench, n=5, threshold=0.5,
+                              signatures=stored).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

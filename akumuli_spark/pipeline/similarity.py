@@ -111,7 +111,15 @@ def lsh_bucketed_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
                       bits: int = LSH_BITS) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign-LSH
     bucket.  Same output shape as :func:`cosine_topk`; recall depends on
-    the bucket structure (the judge-facing exact baseline is above)."""
+    the bucket structure (the judge-facing exact baseline is above).
+
+    Measured honesty note (tools/ann_recall.py, sf0.1, k=10): a single
+    8-bit table recalls only 0.035 on the synthetic corpus — exact
+    neighbors of iid-random vectors rarely share all 8 signs.  This is
+    the demonstration-baseline bucketing; for real serving use
+    :func:`ivf_topk` (0.90+ measured) or the multi-table banding idea
+    (`dedup.embedding_near_dup_lsh_multi` shows it on the dedup side).
+    """
     bucketed = embs.withColumn("bucket", lsh_bucket_expr("embedding", bits))
     queries = bucketed.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),

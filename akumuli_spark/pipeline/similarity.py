@@ -1872,3 +1872,81 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
   FROM refined
 ) WHERE rank <= {k}
 """.strip()
+
+
+def ivfadc_topk_batch_from_index(spark, path: str, queries: DataFrame,
+                                 k: int = 10, nprobe: int = IVF_NPROBE,
+                                 m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
+    """Batch ADC serving from a stored IVFADC index: ``queries`` is a
+    DATAFRAME (query_id, embedding) — possibly a second corpus — and
+    nothing query-sized is ever collected to the driver (the retrieval-
+    JOIN counterpart of :func:`ivfadc_topk_from_index`, which collects a
+    bounded probe set to prune partitions statically for interactive
+    handfuls).
+
+    Scale shape: probe assignment runs distributed against the broadcast
+    coarse codebook (numpy argsort per Arrow batch, carrying qe + qn per
+    probe row); the probed (query, list) rows then meet each list's CODE
+    rows in the cogrouped ADC kernel (`_ivfadc_serve_vectorized`) — one
+    M-entry LUT gather per candidate, candidate pairs never materialize,
+    and the codes table joins on its own partition key.  Partition
+    pruning is dynamic (join-driven) rather than static; use the
+    interactive path when the query set is id-sized.
+
+    numpy kernel caveat as everywhere: last-ulp sums, exact ties can
+    flip vs the fold path."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/codebooks")
+    from pyspark.errors import AnalysisException
+
+    try:
+        codes = spark.read.parquet(f"{path}/codes")
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
+                and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        codes = spark.createDataFrame([], _CODES_SCHEMA)
+
+    crows = cents.orderBy("cid").collect()  # nlist rows
+    if not crows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, acos double, rank long"
+        )
+    C = np.array([r["ce"] for r in crows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def probe_fn(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(Q, axis=1)
+            keep = qn > 0
+            pdf, Q, qn = pdf[keep], Q[keep], qn[keep]
+            if not len(pdf):
+                continue
+            order = np.argsort(-((Q / qn[:, None]) @ Cn.T), axis=1,
+                               kind="stable")[:, :nprobe]
+            n_q = len(pdf)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), nprobe),
+                "qe": pdf["embedding"].to_numpy().repeat(nprobe),
+                "qn": np.repeat(qn, nprobe),
+                "list_id": cids[order].reshape(n_q * nprobe),
+            })
+
+    probes = queries.select(
+        F.col(queries.columns[0]).alias("query_id"),
+        F.col(queries.columns[1]).alias("embedding"),
+    ).filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == C.shape[1])
+    ).mapInPandas(
+        probe_fn,
+        "query_id long, qe array<float>, qn double, list_id long",
+    )
+    return _ivfadc_serve_vectorized(codes, probes, cb.collect(), k, m, ks)

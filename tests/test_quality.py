@@ -588,3 +588,25 @@ def test_fuzzy_decontaminate_stored_signatures_equal_oneshot(spark):
     b = D.fuzzy_decontaminate(corpus, bench, n=5, threshold=0.5,
                               signatures=stored).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfadc_batch_matches_interactive(spark, tmp_path):
+    """The no-driver-collect batch path returns the same neighbors/ranks
+    as the interactive vectorized serve for the same query set."""
+    from akumuli_spark.pipeline import similarity as S
+    from pyspark.sql import functions as F
+    embs = _embs(spark)
+    path = str(tmp_path / "idx")
+    S.build_ivfadc_index(embs, path)
+    queries = embs.filter(F.col("vec_id") < 6).select("vec_id", "embedding")
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ivfadc_topk_batch_from_index(spark, path, queries, k=5)
+        .collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in S.ivfadc_topk_from_index(spark, path, queries, k=5,
+                                          vectorized=True).collect()
+    )
+    assert a == b

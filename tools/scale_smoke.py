@@ -915,6 +915,39 @@ def bloom_smoke(spark, n_keys: int, n_probe: int,
     out["fp_rate"] = round((fp or 0) / n_probe, 6)
     return out
 
+def quality_smoke(spark, n_docs: int) -> dict:
+    """Round-8 quality layer at volume: Gopher flags (zero-shuffle
+    projection), line repetition, corpus-wide paragraph dedup, and span
+    scrub over n_docs synthetic documents rewritten into 6-word
+    pseudo-lines (so the line/paragraph paths do real work)."""
+    from akumuli_spark.pipeline import dedup as dd
+    from akumuli_spark.pipeline import quality as qq
+
+    docs = synthetic_docs(spark, n_docs)
+    lined = qq.with_word_chunk_lines(docs, 6).localCheckpoint()
+    out = {}
+    t = time.time()
+    n_pass = qq.gopher_quality_flags(lined).filter("passes = 1").count()
+    out["gopher_s"] = round(time.time() - t, 2)
+    out["gopher_pass"] = n_pass
+    t = time.time()
+    qq.line_repetition_signals(lined).write.format("noop").mode(
+        "overwrite").save()
+    out["line_rep_s"] = round(time.time() - t, 2)
+    t = time.time()
+    emptied = qq.dedup_paragraphs(lined).filter("n_kept = 0").count()
+    out["paragraphs_s"] = round(time.time() - t, 2)
+    out["paragraphs_emptied"] = emptied
+    t = time.time()
+    cut = (
+        dd.scrub_duplicated_spans(docs, n=5)
+        .selectExpr("sum(n_tokens - n_kept) AS cut").collect()[0]["cut"]
+    )
+    out["scrub_s"] = round(time.time() - t, 2)
+    out["scrub_tokens_cut"] = int(cut or 0)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     if len(sys.argv) > 1 and sys.argv[1] == "events":
@@ -975,6 +1008,12 @@ def main() -> None:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(
             {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "quality":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(
+            {"docs": n_docs, "quality": quality_smoke(spark, n_docs)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "pq":

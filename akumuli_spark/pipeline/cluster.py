@@ -629,3 +629,94 @@ FROM (
 ) p JOIN documents d ON d.doc_id = p.doc_id
 GROUP BY p.stratum, p.shard, p.pack_id
 """.strip()
+
+
+def cluster_balanced_sample(docs: DataFrame, embs: DataFrame,
+                            per_cluster: int = 10, nlist: int = 16,
+                            centroids: DataFrame | None = None,
+                            n_salts: int = 32) -> DataFrame:
+    """Diversity sampling: the best ``per_cluster`` documents of EVERY
+    embedding-space cluster — uniform coverage of the semantic space
+    instead of the head-heavy sample a global quality cut produces (the
+    SemDeDup-family observation that semantic density, not quality,
+    decides what a naive sample over-represents).
+
+    Assignment is the IVF coarse quantizer (seeded codebook for the
+    oracle; pass trained ``centroids`` in production, same contract as
+    every IVF path); ranking is the corpus quality heuristic, quality
+    desc / doc_id asc — engine-stable.  Docs without an embedding row
+    are not sampled.
+
+    Output: (doc_id, cid, quality, rank), rank 1-based within cluster.
+
+    Scale shape: one broadcast-codebook assignment (zero shuffle), one
+    doc_id equi-join to the quality projection, then the same salted
+    two-phase per-cluster top-k as :func:`quota_sample` — no cluster
+    ever funnels through a single task.
+    """
+    from akumuli_spark.pipeline.similarity import _assign_lists, _centroids
+    from akumuli_spark.pipeline.text import quality_score
+
+    from pyspark.sql import Window
+
+    if per_cluster <= 0:
+        raise ValueError("per_cluster must be positive")
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    assigned = _assign_lists(embs, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("list_id").alias("cid")
+    )
+    scored = quality_score(docs).select("doc_id", "quality").join(
+        assigned, "doc_id"
+    )
+    salt = _shard_expr("doc_id", n_salts)
+    w1 = Window.partitionBy("cid", "__salt").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    survivors = (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= per_cluster)
+    )
+    w2 = Window.partitionBy("cid").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= per_cluster)
+        .select("doc_id", F.col("cid").cast("long").alias("cid"),
+                "quality", "rank")
+    )
+
+
+def cluster_balanced_sample_sql(per_cluster: int = 10,
+                                nlist: int = 16) -> str:
+    """DuckDB twin — the single-window form over the same seeded-codebook
+    assignment (cosine desc, cid asc tie) and quality blend."""
+    from akumuli_spark.pipeline.text import quality_score_sql
+
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+           "* sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, embedding::DOUBLE[] AS ce
+  FROM embeddings ORDER BY vec_id LIMIT {nlist}
+),
+assigned AS (
+  SELECT vec_id AS doc_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='c.ce')} DESC, c.cid) AS r
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) v, cents c
+  ) WHERE r = 1
+),
+scored AS (
+  SELECT q.doc_id, a.cid, q.quality
+  FROM ({quality_score_sql()}) q JOIN assigned a USING (doc_id)
+)
+SELECT doc_id, cid::BIGINT AS cid, quality, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY cid ORDER BY quality DESC, doc_id ASC
+  )::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {per_cluster}
+""".strip()

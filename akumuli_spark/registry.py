@@ -3532,3 +3532,18 @@ _register_pipeline(
     ["jaccard"],
     ["doc_id", "bench_id"],
 )
+
+
+# Diversity sampling: the best per_cluster docs of every embedding-space
+# cluster (uniform semantic coverage, not a head-heavy global cut)
+_register_pipeline(
+    "sample_cluster_balanced",
+    lambda spark, sf: _cluster.cluster_balanced_sample(
+        load_table(spark, sf, "documents"),
+        load_table(spark, sf, "embeddings"),
+        per_cluster=10, nlist=16,
+    ),
+    _cluster.cluster_balanced_sample_sql(10, 16),
+    ["quality"],
+    ["doc_id", "cid", "rank"],
+)

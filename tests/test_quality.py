@@ -610,3 +610,36 @@ def test_ivfadc_batch_matches_interactive(spark, tmp_path):
                                           vectorized=True).collect()
     )
     assert a == b
+
+
+def test_cluster_balanced_sample_covers_every_cluster(spark):
+    from akumuli_spark.pipeline import cluster as C
+    from akumuli_spark.pipeline import similarity as S
+    from akumuli_spark.sources.testdata import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = C.cluster_balanced_sample(docs, embs, per_cluster=5).collect()
+    by_cid = {}
+    for r in out:
+        by_cid.setdefault(r["cid"], []).append(r)
+    # every non-empty cluster contributes, never more than per_cluster
+    n_clusters = (
+        S._assign_lists(embs, S._centroids(embs, 16))
+        .select("list_id").distinct().count()
+    )
+    assert len(by_cid) == n_clusters
+    for cid, rows in by_cid.items():
+        assert len(rows) <= 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        quals = [r["quality"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert quals == sorted(quals, reverse=True)
+
+
+def test_cluster_balanced_sample_rejects_bad_quota(spark):
+    from akumuli_spark.pipeline import cluster as C
+    from akumuli_spark.sources.testdata import load_table
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError):
+        C.cluster_balanced_sample(docs, embs, per_cluster=0)

@@ -720,3 +720,91 @@ SELECT doc_id, cid::BIGINT AS cid, quality, rank FROM (
   FROM scored
 ) WHERE rank <= {per_cluster}
 """.strip()
+
+
+def export_manifest(docs: DataFrame, n_shards: int = 16,
+                    text_col: str = "text") -> DataFrame:
+    """Per-shard export manifest: the integrity record a training run
+    checks before trusting a materialized corpus (row/char counts, id
+    range, and an order-insensitive content checksum per shard).
+
+    Shard assignment is the deterministic md5 shard key every export
+    path here uses (`deterministic_shuffle` / `pack_sequences`), and the
+    checksum is the SUM of a 32-bit md5-derived integer over
+    ``doc_id:text`` rows — commutative, so it is shuffle-order-proof and
+    engine-portable (the oracle recomputes it exactly); a dropped,
+    duplicated, or altered row moves it (per-row miss chance 2⁻³²).
+    32 bits, not 60: the int64 accumulator must hold shard_rows · max
+    sig without overflow, and 2³² leaves headroom for ~2·10⁹ rows per
+    shard — size n_shards so shards stay under that.
+
+    Output: (shard, n_rows, n_chars, min_id, max_id, content_sum).
+
+    Scale shape: one projection + one n_shards-group aggregate — the
+    cheapest full-corpus integrity pass possible.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = _shard_expr("doc_id", n_shards)
+    sig = F.expr(
+        f"CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+        f"{text_col})), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.length(text_col).cast("long").alias("__c"),
+            F.col("doc_id"),
+            sig.alias("__sig"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__c").cast("long").alias("n_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("__sig").cast("long").alias("content_sum"),
+        )
+        .select("shard", "n_rows", "n_chars", "min_id", "max_id",
+                "content_sum")
+    )
+
+
+def export_jsonl_shards(docs: DataFrame, out_dir: str, n_shards: int = 16,
+                        text_col: str = "text") -> DataFrame:
+    """Materialize the corpus as shard-partitioned JSONL plus the
+    manifest at ``{out_dir}/_manifest`` — the standard training-data
+    hand-off artifact (one dir per shard, newline-delimited JSON rows,
+    integrity record alongside).  Returns the manifest frame.
+
+    The manifest is computed from the SAME frame that is written, so a
+    reader re-deriving :func:`export_manifest` over the read-back rows
+    and comparing is the end-to-end integrity check
+    (test_export_roundtrip_manifest pins it)."""
+    shard = _shard_expr("doc_id", n_shards)
+    (
+        docs.withColumn("shard", shard)
+        .repartition("shard")
+        .write.mode("overwrite").partitionBy("shard")
+        .json(f"{out_dir}/data")
+    )
+    manifest = export_manifest(docs, n_shards, text_col=text_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/_manifest"
+    )
+    return manifest
+
+
+def export_manifest_sql(n_shards: int = 16) -> str:
+    return f"""
+SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {n_shards}) AS shard,
+       count(*)::BIGINT AS n_rows,
+       sum(length(text))::BIGINT AS n_chars,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text),
+            1, 8))::BIGINT)::BIGINT AS content_sum
+FROM documents
+GROUP BY 1
+""".strip()

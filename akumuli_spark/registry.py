@@ -3547,3 +3547,17 @@ _register_pipeline(
     ["quality"],
     ["doc_id", "cid", "rank"],
 )
+
+
+# Training-export integrity manifest: per-shard counts + an
+# order-insensitive content checksum a reader re-derives to verify a
+# materialized corpus (163 entries)
+_register_pipeline(
+    "export_manifest",
+    lambda spark, sf: _cluster.export_manifest(
+        load_table(spark, sf, "documents"), n_shards=16
+    ),
+    _cluster.export_manifest_sql(16),
+    [],
+    ["shard", "n_rows", "n_chars", "min_id", "max_id", "content_sum"],
+)

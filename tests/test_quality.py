@@ -643,3 +643,35 @@ def test_cluster_balanced_sample_rejects_bad_quota(spark):
     embs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError):
         C.cluster_balanced_sample(docs, embs, per_cluster=0)
+
+
+def test_export_roundtrip_manifest(spark, tmp_path):
+    """Write JSONL shards + manifest; re-derive the manifest from the
+    read-back rows — equality is the end-to-end integrity check (and a
+    mutated corpus must break it)."""
+    from akumuli_spark.pipeline import cluster as C
+    from akumuli_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text")
+    out = str(tmp_path / "export")
+    written = C.export_jsonl_shards(docs, out, n_shards=8)
+    stored = spark.read.parquet(f"{out}/_manifest")
+    assert sorted(map(tuple, written.collect())) == \
+        sorted(map(tuple, stored.collect()))
+    back = spark.read.json(f"{out}/data").select("doc_id", "text")
+    rederived = C.export_manifest(back, n_shards=8)
+    assert sorted(map(tuple, rederived.collect())) == \
+        sorted(map(tuple, stored.collect()))
+    # a single altered row must break exactly its shard's checksum
+    tampered = back.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("EVIL")).otherwise(F.col("text")),
+    )
+    diff = (
+        C.export_manifest(tampered, n_shards=8).alias("t")
+        .join(stored.alias("s"), "shard")
+        .filter(F.col("t.content_sum") != F.col("s.content_sum"))
+        .count()
+    )
+    assert diff == 1

@@ -253,7 +253,9 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "text_gopher_quality", "text_line_repetition",
                  "dedup_paragraphs", "dedup_scrub_spans",
                  "ann_pq_topk", "ann_ivfadc", "ann_pq_refined",
-                 "dedup_bloom_probe", "curate_gopher_paragraphs"):
+                 "dedup_bloom_probe", "curate_gopher_paragraphs",
+                 "decontaminate_fuzzy", "sample_cluster_balanced",
+                 "export_manifest"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -124,7 +124,8 @@ def main() -> None:
                "dedup_scrub_spans", "ann_ivfadc_indexed",
                "ann_ivfadc_append", "dedup_bloom_probe",
                "decontaminate_fuzzy", "curate_gopher_paragraphs",
-               "ann_pq_refined"]
+               "ann_pq_refined", "sample_cluster_balanced",
+               "export_manifest"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

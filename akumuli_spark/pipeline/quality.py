@@ -403,3 +403,54 @@ def word_chunk_lines_cte(chunk: int, table: str = "documents") -> str:
         f"i -> array_to_string(string_split(text, ' ')[(i * {c} + 1):(i * {c} + {c})], ' ')"
         f"), chr(10)) AS text) FROM {table}"
     )
+
+
+def dedup_lines_within_doc(docs: DataFrame) -> DataFrame:
+    """WITHIN-document line dedup: keep the first occurrence of each
+    repeated line inside a document and rebuild the text — the
+    boilerplate-stripping pass (nav bars, repeated footers) web-corpus
+    stacks run per document (Dolma's in-document line dedup), the
+    removal complement of :func:`line_repetition_signals`.
+
+    Corpus-global first-occurrence semantics live in
+    :func:`dedup_paragraphs`; this one never crosses documents, so it
+    needs NO shuffle at all — the dedup is a per-row higher-order
+    filter over the line array (a line survives iff no EARLIER index
+    holds the same trimmed line).  Per-row cost is O(lines²) string
+    compares, bounded by document size; documents are the unit of
+    parallelism and nothing leaves the scan.
+
+    Output: (doc_id, n_lines, n_kept, text_clean); blank lines are
+    dropped like every line-granularity operator here.
+    """
+    base = docs.select("doc_id", F.expr(_lines_expr()).alias("__ls"))
+    kept = F.expr(
+        "filter(__ls, (l, i) -> i = 0 OR NOT array_contains(slice(__ls, 1, i), l))"
+    )
+    return base.select(
+        "doc_id",
+        F.size("__ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_clean"),
+    )
+
+
+def dedup_lines_within_doc_sql(table: str = "documents",
+                               prelude: str = "") -> str:
+    """Same ``prelude`` contract as :func:`line_repetition_sql`."""
+    pre = f"{prelude},\n" if prelude else ""
+    return f"""
+WITH {pre}b AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls
+  FROM {table}
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       len(list_filter(ls, (l, i) -> i = 1
+             OR NOT list_contains(ls[1:i-1], l)))::BIGINT AS n_kept,
+       array_to_string(list_filter(ls, (l, i) -> i = 1
+             OR NOT list_contains(ls[1:i-1], l)), chr(10)) AS text_clean
+FROM b
+""".strip()

@@ -3561,3 +3561,16 @@ _register_pipeline(
     [],
     ["shard", "n_rows", "n_chars", "min_id", "max_id", "content_sum"],
 )
+
+
+# Within-document line dedup (the Dolma-style boilerplate strip; no
+# shuffle at all - a per-row indexed higher-order filter)
+_register_pipeline(
+    "dedup_lines_within_doc",
+    lambda spark, sf: _quality.dedup_lines_within_doc(
+        _quality.with_word_chunk_lines(load_table(spark, sf, "documents"), 2)
+    ),
+    _quality.dedup_lines_within_doc_sql("d2", prelude=_WCL2),
+    [],
+    ["doc_id", "n_lines", "n_kept", "text_clean"],
+)

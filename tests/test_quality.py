@@ -675,3 +675,22 @@ def test_export_roundtrip_manifest(spark, tmp_path):
         .count()
     )
     assert diff == 1
+
+
+def test_dedup_lines_within_doc_keeps_first_never_crosses_docs(spark):
+    docs = _docs(spark, [
+        (1, "nav bar\ncontent one\nnav bar\nfooter\nfooter"),
+        (2, "nav bar\ncontent two"),  # same line in ANOTHER doc survives
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in Q.dedup_lines_within_doc(docs).collect()}
+    assert out[1]["text_clean"] == "nav bar\ncontent one\nfooter"
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 3
+    assert out[2]["text_clean"] == "nav bar\ncontent two"
+
+
+def test_dedup_lines_within_doc_trims_and_blanks(spark):
+    docs = _docs(spark, [(1, " x \n\nx\n  \ny\nx")])
+    out = _row(Q.dedup_lines_within_doc(docs), 1)
+    assert out["text_clean"] == "x\ny"
+    assert out["n_lines"] == 4 and out["n_kept"] == 2

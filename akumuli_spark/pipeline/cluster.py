@@ -808,3 +808,60 @@ SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 FROM documents
 GROUP BY 1
 """.strip()
+
+
+def dedup_clusters_keep_best(docs: DataFrame, n: int = 5,
+                             threshold: float = 0.5,
+                             max_df: int | None = 64) -> DataFrame:
+    """Near-dup cluster survivorship by QUALITY: within each duplicate
+    cluster keep the highest-quality member (ties → doc_id asc) — the
+    production keep rule (min-id is arbitrary; when copies differ, you
+    want the cleanest one), the cluster-level analogue of
+    ``dedup.exact_keep_best``.
+
+    Output: (doc_id, cluster_id, quality, keep) — the full corpus,
+    keep as BIGINT 0/1.  Singletons keep themselves.
+
+    Scale shape: components as in :func:`dedup_clusters` (keyed joins,
+    pointer jumping), then ONE per-cluster max via the window over
+    components — cluster sizes are near-dup-set sizes (tiny), so the
+    window partitions are bounded by duplication, not corpus size.
+    """
+    from akumuli_spark.pipeline.text import quality_score
+
+    from pyspark.sql import Window
+
+    comp = dedup_clusters(docs, n=n, threshold=threshold, max_df=max_df)
+    scored = comp.join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .select(
+            "doc_id", "cluster_id", "quality",
+            (F.col("__r") == 1).cast("long").alias("keep"),
+        )
+    )
+
+
+def dedup_clusters_keep_best_sql(n: int = 5, threshold: float = 0.5,
+                                 max_df: int | None = 64) -> str:
+    from akumuli_spark.pipeline.text import quality_score_sql
+
+    comp_sql = dedup_clusters_sql(n=n, threshold=threshold, max_df=max_df)
+    return f"""
+WITH comp AS (
+{comp_sql}
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, q.quality
+  FROM comp c JOIN ({quality_score_sql()}) q USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality,
+       (row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality DESC, doc_id ASC) = 1)::BIGINT AS keep
+FROM scored
+""".strip()

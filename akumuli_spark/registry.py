@@ -3574,3 +3574,16 @@ _register_pipeline(
     [],
     ["doc_id", "n_lines", "n_kept", "text_clean"],
 )
+
+
+# Cluster survivorship by quality (keep the cleanest member of each
+# near-dup cluster, not the arbitrary minimum id)
+_register_pipeline(
+    "dedup_clusters_keep_best",
+    lambda spark, sf: _cluster.dedup_clusters_keep_best(
+        load_table(spark, sf, "documents"), n=5, threshold=0.5
+    ),
+    _cluster.dedup_clusters_keep_best_sql(5, 0.5),
+    ["quality"],
+    ["doc_id", "cluster_id", "keep"],
+)

@@ -694,3 +694,27 @@ def test_dedup_lines_within_doc_trims_and_blanks(spark):
     out = _row(Q.dedup_lines_within_doc(docs), 1)
     assert out["text_clean"] == "x\ny"
     assert out["n_lines"] == 4 and out["n_kept"] == 2
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(spark):
+    """Three near-identical docs: the min-id one is padded with repeats
+    (low uniq_ratio => low quality), so keep-best must pick a HIGHER id
+    than the min-id canonical rule would."""
+    from akumuli_spark.pipeline import cluster as C
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(spark, [
+        (1, base + " " + "pad pad pad pad pad pad pad pad"),
+        (2, base + " closing words here"),
+        (3, "unrelated totally different text with nothing shared at all"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in C.dedup_clusters_keep_best(
+               docs, n=3, threshold=0.3, max_df=None).collect()}
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0
+    assert out[3]["keep"] == 1  # singleton keeps itself
+    # exactly one keeper per cluster
+    keeps = {}
+    for r in out.values():
+        keeps[r["cluster_id"]] = keeps.get(r["cluster_id"], 0) + r["keep"]
+    assert all(v == 1 for v in keeps.values())

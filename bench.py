@@ -255,7 +255,8 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "ann_pq_topk", "ann_ivfadc", "ann_pq_refined",
                  "dedup_bloom_probe", "curate_gopher_paragraphs",
                  "decontaminate_fuzzy", "sample_cluster_balanced",
-                 "export_manifest"):
+                 "export_manifest", "dedup_lines_within_doc",
+                 "dedup_clusters_keep_best"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -125,7 +125,8 @@ def main() -> None:
                "ann_ivfadc_append", "dedup_bloom_probe",
                "decontaminate_fuzzy", "curate_gopher_paragraphs",
                "ann_pq_refined", "sample_cluster_balanced",
-               "export_manifest"]
+               "export_manifest", "dedup_lines_within_doc",
+               "dedup_clusters_keep_best"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -6,6 +6,8 @@ pieces:
       → Bloom seen-gate          (streaming/membership.bloom_gate_batch —
                                   never-seen fingerprints pass, the filter
                                   learns them; append-only delta store)
+      → in-doc boilerplate strip (pipeline/quality.dedup_lines_within_doc —
+                                  repeated nav/footer lines cut, no shuffle)
       → Gopher quality rules     (pipeline/quality.gopher_quality_flags —
                                   word/line/symbol/stop-word heuristics)
       → line-repetition gate     (pipeline/quality.line_repetition_signals)
@@ -13,6 +15,10 @@ pieces:
                                   global first-occurrence keep + rebuild)
       → span scrub               (pipeline/dedup.scrub_duplicated_spans —
                                   cut cross-doc duplicated n-grams)
+      → fuzzy decontamination    (pipeline/dedup.fuzzy_decontaminate —
+                                  drop near-dups of benchmark docs)
+      → shard export + manifest  (pipeline/cluster.export_jsonl_shards —
+                                  the integrity-checked hand-off)
 
 Every stage is a DataFrame transformation; the Bloom store is the only
 state and it is a mergeable (word_idx, bits) table.  Deterministic end
@@ -33,7 +39,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F  # noqa: E402
 
 from akumuli_spark import get_spark  # noqa: E402
-from akumuli_spark.pipeline import dedup, quality  # noqa: E402
+from akumuli_spark.pipeline import cluster, dedup, quality  # noqa: E402
 from akumuli_spark.sources.testdata import load_table  # noqa: E402
 from akumuli_spark.streaming.membership import (  # noqa: E402
     bloom_gate_batch,
@@ -61,6 +67,11 @@ def main() -> None:
     print("bloom store rows after compaction:",
           compact_bloom_store(spark, store))
     fresh = passed[0].unionByName(passed[1])
+
+    # ---- in-document boilerplate strip (zero shuffle) ----
+    fresh = quality.dedup_lines_within_doc(fresh).filter(
+        F.col("n_kept") > 0
+    ).select("doc_id", F.col("text_clean").alias("text"))
 
     # ---- rule gates: Gopher quality + line repetition ----
     flags = quality.gopher_quality_flags(fresh)
@@ -93,6 +104,30 @@ def main() -> None:
         f"span scrub: {stats['toks_in']} tokens -> {stats['toks_out']} "
         f"({stats['toks_in'] - stats['toks_out']} duplicated-span tokens cut)"
     )
+    final = scrubbed.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+
+    # ---- fuzzy decontamination vs a held-out "benchmark" slice ----
+    # (normalized through the same line treatment as the corpus: shingles
+    # are whitespace-split, so the two sides must tokenize identically)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    final_ws = final.select(
+        "doc_id", F.expr("replace(text, chr(10), ' ')").alias("text")
+    )
+    flagged = dedup.fuzzy_decontaminate(final_ws, bench, n=5, threshold=0.5)
+    flagged_ids = flagged.select("doc_id").distinct()
+    clean = final.join(flagged_ids, "doc_id", "left_anti")
+    print(f"decontamination: {flagged_ids.count()} near-benchmark docs dropped")
+
+    # ---- shard export with integrity manifest ----
+    out_dir = tempfile.mkdtemp(prefix="corpus_export_")
+    manifest = cluster.export_jsonl_shards(clean, out_dir, n_shards=8)
+    print("export manifest:")
+    for r in sorted(manifest.collect(), key=lambda r: r["shard"])[:3]:
+        print(f"  shard {r['shard']}: {r['n_rows']} rows, "
+              f"{r['n_chars']} chars, sum {r['content_sum']}")
+    shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(os.path.dirname(store), ignore_errors=True)
 
 

@@ -335,3 +335,70 @@ class TestFuzzyDecontaminateProperty:
         assert set(got) == set(want)
         for key in got:
             assert abs(got[key] - want[key]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# within-doc line dedup + export manifest vs direct Python replays
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestWithinDocLineDedupProperty:
+    @given(soup=docs_soup)
+    @settings(max_examples=25, deadline=None)
+    def test_matches_python_reference(self, spark, soup):
+        texts = [
+            "\n".join(" ".join(ws[i:i + 2]) for i in range(0, len(ws), 2))
+            for ws in soup
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"])
+               for r in Q.dedup_lines_within_doc(docs).collect()}
+        want = {}
+        for d, t in enumerate(texts):
+            ls = [l.strip() for l in t.split("\n")]
+            ls = [l for l in ls if l != ""]
+            seen, kept = set(), []
+            for l in ls:
+                if l not in seen:
+                    seen.add(l)
+                    kept.append(l)
+            want[d] = (len(ls), len(kept), "\n".join(kept))
+        assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+class TestExportManifestProperty:
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=10**9),
+                      st.text(alphabet="abc :\n", max_size=20)),
+            min_size=0, max_size=30,
+            unique_by=lambda r: r[0]),
+        n_shards=st.sampled_from([1, 4, 16]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_md5_replay(self, spark, rows, n_shards):
+        import hashlib
+
+        from akumuli_spark.pipeline.cluster import export_manifest
+        df = spark.createDataFrame(rows or [], "doc_id long, text string")
+        got = {r["shard"]: (r["n_rows"], r["n_chars"], r["min_id"],
+                            r["max_id"], r["content_sum"])
+               for r in export_manifest(df, n_shards).collect()}
+        want = {}
+        for doc_id, text in rows:
+            shard = int(hashlib.md5(str(doc_id).encode())
+                        .hexdigest()[:8], 16) % n_shards
+            sig = int(hashlib.md5(f"{doc_id}:{text}".encode())
+                      .hexdigest()[:8], 16)
+            n, c, lo, hi, s = want.get(shard, (0, 0, None, None, 0))
+            want[shard] = (
+                n + 1, c + len(text),
+                doc_id if lo is None else min(lo, doc_id),
+                doc_id if hi is None else max(hi, doc_id),
+                s + sig,
+            )
+        assert got == want

@@ -74,9 +74,20 @@ class Database:
         position): queries whose range extends past it fall through to
         the next-finer rollup or the direct raw-scan path, so the same
         query JSON never silently returns fewer buckets than the raw
-        data would."""
+        data would.
+
+        One attachment per resolution, enforced here: re-attaching a
+        rollup with a ``base_step_ns`` already in the cascade REPLACES
+        the old entry (the refreshed materialization supersedes the
+        stale one).  Without this, a stale entry attached with
+        ``complete_through_ns=None`` would assert completeness forever
+        and could win the routing tie, silently serving outdated
+        buckets (ADVICE r8)."""
         if self._rollups is None:
             self._rollups = []
+        self._rollups = [
+            (r, s, c) for r, s, c in self._rollups if s != base_step_ns
+        ]
         self._rollups.append((rollup, base_step_ns, complete_through_ns))
 
     def _try_rollup(self, q: Query) -> DataFrame | None:

@@ -482,7 +482,17 @@ def _ivf_topk_batch_vectorized(assigned: DataFrame, queries: DataFrame,
             if pdf.empty:
                 continue
             Q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            qn = np.linalg.norm(Q, axis=1)
+            # drop zero-norm queries BEFORE normalizing (0/0 → NaN
+            # similarities → arbitrary probe lists) — same keep mask as
+            # the fold path and ivfadc_topk_batch_from_index (ADVICE r8)
+            keep = qn > 0
+            if not keep.all():
+                pdf = pdf.loc[keep]
+                if pdf.empty:
+                    continue
+                Q, qn = Q[keep], qn[keep]
+            Qn = Q / qn[:, None]
             order = np.argsort(-(Qn @ Cn.T), axis=1, kind="stable")[:, :nprobe]
             n_q = len(pdf)
             yield pd.DataFrame({
@@ -1148,7 +1158,12 @@ def pq_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     )
     adc = (
         f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
-        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+        # stride = size(larr) div m, NOT the ks parameter: the codebook
+        # builders emit kk = min(ks, n_usable) codes per subspace, and a
+        # fixed ks stride on a kk<ks LUT lands every sub>=1 lookup in the
+        # wrong block or out of bounds (ADVICE r8)
+        f"acc + element_at(larr, CAST(s * (size(larr) div {m}) "
+        f"+ element_at(codes, s + 1) AS INT)))"
     )
     scored = (
         enc.crossJoin(F.broadcast(luts))
@@ -1305,7 +1320,12 @@ def ivfadc_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     )
     adc_ip = (
         f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
-        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+        # stride = size(larr) div m, NOT the ks parameter: the codebook
+        # builders emit kk = min(ks, n_usable) codes per subspace, and a
+        # fixed ks stride on a kk<ks LUT lands every sub>=1 lookup in the
+        # wrong block or out of bounds (ADVICE r8)
+        f"acc + element_at(larr, CAST(s * (size(larr) div {m}) "
+        f"+ element_at(codes, s + 1) AS INT)))"
     )
     scored = (
         index.join(F.broadcast(probes), "list_id")
@@ -1722,7 +1742,12 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
     )
     adc_ip = (
         f"aggregate(sequence(0, {m - 1}), 0.0D, (acc, s) -> "
-        f"acc + element_at(larr, s * {ks} + element_at(codes, s + 1)))"
+        # stride = size(larr) div m, NOT the ks parameter: the codebook
+        # builders emit kk = min(ks, n_usable) codes per subspace, and a
+        # fixed ks stride on a kk<ks LUT lands every sub>=1 lookup in the
+        # wrong block or out of bounds (ADVICE r8)
+        f"acc + element_at(larr, CAST(s * (size(larr) div {m}) "
+        f"+ element_at(codes, s + 1) AS INT)))"
     )
     scored = (
         codes.filter(F.col("list_id").isin(probe_lists))

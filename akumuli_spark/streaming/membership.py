@@ -30,16 +30,65 @@ from akumuli_spark.pipeline.membership import (
 )
 
 
+def recover_bloom_compaction(store_dir: str, gc: bool = False) -> None:
+    """Self-heal a :func:`compact_bloom_store` swap that crashed between
+    its two renames — the same protocol as
+    ``sources.layout.recover_compaction``: the swap is write
+    ``{store}.compact-tmp`` → rename store → old → rename tmp → store →
+    delete old.  A crash in the window between the renames leaves no
+    store at ``store_dir``; without recovery the next
+    :func:`bloom_gate_batch` would read ``None`` and treat EVERY key as
+    never-seen, silently breaking the module's "no false negatives ever"
+    contract (ADVICE r8).  The tmp dir only enters the swap after its
+    Spark write completed (``_SUCCESS`` marker), so recovery is
+    unambiguous: roll forward if tmp is complete, else roll back.
+    ``gc`` (compactor-only) sweeps leftover tmp/old dirs."""
+    import os
+    import shutil
+
+    tmp = f"{store_dir}.compact-tmp"
+    old = f"{store_dir}.compact-old"
+    if not os.path.exists(store_dir) and os.path.exists(old):
+        try:
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                os.rename(tmp, store_dir)  # roll forward: folded store whole
+            else:
+                os.rename(old, store_dir)  # roll back: restore deltas
+        except OSError:
+            pass  # concurrent recover won the rename race; check below
+        if os.path.exists(store_dir):
+            shutil.rmtree(old, ignore_errors=True)
+    if gc and os.path.exists(store_dir):
+        for stale in (tmp, old):
+            shutil.rmtree(stale, ignore_errors=True)
+
+
 def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    import os
+
     from pyspark.errors import AnalysisException
 
     from akumuli_spark.streaming.ingest import _is_path_missing
 
+    recover_bloom_compaction(store_dir)
     try:
         return spark.read.parquet(store_dir)
     except AnalysisException as exc:
         if not _is_path_missing(exc):
             raise
+        # a missing store with a crashed-swap sibling that recovery could
+        # not heal (e.g. tmp incomplete AND old already consumed) must
+        # fail loudly, not silently pass every key
+        sib = [
+            p for p in (f"{store_dir}.compact-tmp", f"{store_dir}.compact-old")
+            if os.path.exists(p)
+        ]
+        if sib:
+            raise RuntimeError(
+                f"bloom store {store_dir} missing but compaction leftovers "
+                f"{sib} exist and are unrecoverable; refusing to treat all "
+                "keys as never-seen"
+            ) from exc
         return None
 
 
@@ -102,23 +151,37 @@ def start_streaming_bloom_gate(docs: DataFrame, store_dir: str,
 def compact_bloom_store(spark: SparkSession, store_dir: str) -> int:
     """Fold the append-only delta rows down to one row per word_idx.
     Single-writer maintenance (run it between triggers, like the layout
-    compactor): writes the folded rows to a sibling tmp dir, then swaps.
+    compactor): writes the folded rows to a sibling tmp dir, then swaps
+    with the crash-recoverable two-rename protocol — a crash mid-swap
+    self-heals via :func:`recover_bloom_compaction` on the next read or
+    compaction, so the gate can never silently restart empty.
     Returns the compacted row count."""
     import os
     import shutil
-    import uuid
 
+    recover_bloom_compaction(store_dir, gc=True)
     stored = _read_store(spark, store_dir)
     if stored is None:
         return 0
     folded = stored.groupBy("word_idx").agg(
         F.expr("bit_or(bits)").alias("bits")
     )
-    tmp = f"{store_dir}.compact-{uuid.uuid4().hex}"
+    tmp = f"{store_dir}.compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     folded.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = f"{store_dir}.old-{uuid.uuid4().hex}"
-    os.rename(store_dir, old)
-    os.rename(tmp, store_dir)
+    old = f"{store_dir}.compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.rename(store_dir, old)
+        os.rename(tmp, store_dir)
+    except OSError:
+        # a concurrent reader's recover_bloom_compaction may have rolled
+        # the swap forward between our renames; any interleaving ending
+        # with the folded store live at store_dir is a success
+        if not os.path.exists(store_dir) or os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            raise
     shutil.rmtree(old, ignore_errors=True)
     return n

@@ -359,6 +359,55 @@ def main() -> None:
     shutil.rmtree(ddir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # amortized dedup index build, surfaced at top level so a
+        # reader comparing the headline total against pre-index
+        # rounds (BENCH_r02's one-shot figures) sees the cost the
+        # indexed dedup rows exclude (ADVICE r4)
+        "dedup_index_build_s": index_build_s,
+        "dedup_index_build_cold_s": index_build_cold_s,
+        # normalized physical-plan hash per headline query: a
+        # timing drift with an UNCHANGED hash is machine load, a
+        # CHANGED hash is a plan regression — attribution is a
+        # diff, not a judgment call
+        "plans": plans,
+        "layout": layout,
+        "curation": curation,
+        "sf": sf,
+    }
+    # Full detail goes to a committed file: the driver keeps only the
+    # TAIL of stdout, and by round 8 the single-line JSON (19 headline +
+    # 58 curation timings + plan hashes + layout section) had grown past
+    # that window, truncating the headline total that is printed first —
+    # BENCH_r08.json came back `parsed: null` (VERDICT r8 Next #1).
+    import hashlib
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "logs", "bench_last_full.json"),
+    )
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+        full_ref = out_path
+    except OSError:
+        # read-only checkout: fall back to printing the full object
+        # FIRST so the compact line below still lands in the tail
+        print(json.dumps(full))
+        full_ref = None
+    # Compact headline summary printed LAST so the driver's tail capture
+    # always contains it: total, the 19 headline timings, and a single
+    # digest of all plan hashes (a changed digest ⇒ some plan changed ⇒
+    # diff the committed full file to find which).
+    plan_digest = hashlib.md5(
+        "".join(f"{k}:{plans[k]}" for k in sorted(plans)).encode()
+    ).hexdigest()[:12]
     print(
         json.dumps(
             {
@@ -366,19 +415,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # amortized dedup index build, surfaced at top level so a
-                # reader comparing the headline total against pre-index
-                # rounds (BENCH_r02's one-shot figures) sees the cost the
-                # indexed dedup rows exclude (ADVICE r4)
                 "dedup_index_build_s": index_build_s,
-                "dedup_index_build_cold_s": index_build_cold_s,
-                # normalized physical-plan hash per headline query: a
-                # timing drift with an UNCHANGED hash is machine load, a
-                # CHANGED hash is a plan regression — attribution is a
-                # diff, not a judgment call
-                "plans": plans,
-                "layout": layout,
-                "curation": curation,
+                "plan_digest": plan_digest,
+                "full_json": full_ref,
                 "sf": sf,
             }
         )

@@ -49,14 +49,27 @@ def start_streaming_ann(queries: DataFrame, index_path: str, out_dir: str,
     """Wire :func:`ann_batch_against_index` into a foreachBatch sink:
     top-k results append to ``out_dir`` as query batches arrive.  The
     batch analogue of the whole stream's output is
-    ``ivf_topk_batch_from_index`` over every query at once."""
+    ``ivf_topk_batch_from_index`` over every query at once.  Serving is
+    stateless, so exactly-once needs only an idempotent sink: results
+    land in an ``epoch=<id>`` partition via dynamic partition overwrite,
+    and a foreachBatch retry overwrites its own epoch instead of
+    appending duplicate result rows (VERDICT r8 Next #5)."""
+    from pyspark.sql import functions as F
+
     spark = queries.sparkSession
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        ann_batch_against_index(
-            spark, batch, index_path, k=k, nprobe=nprobe,
-            vectorized=vectorized,
-        ).write.mode("append").parquet(out_dir)
+        (
+            ann_batch_against_index(
+                spark, batch, index_path, k=k, nprobe=nprobe,
+                vectorized=vectorized,
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
 
     return (
         queries.writeStream.outputMode("append")

@@ -53,8 +53,8 @@ def streaming_exact_dedup(docs: DataFrame, within: str | None = None,
 
 
 def near_dup_batch_against_store(spark, batch: DataFrame, store_dir: str,
-                                 n: int = 5,
-                                 threshold: float = 0.5) -> DataFrame:
+                                 n: int = 5, threshold: float = 0.5,
+                                 epoch_id: int | None = None) -> DataFrame:
     """One micro-batch of the continuous NEAR-dup pipeline: dedup
     ``batch`` against the accumulated store, then grow the store.
 
@@ -77,10 +77,19 @@ def near_dup_batch_against_store(spark, batch: DataFrame, store_dir: str,
     ingest-time near-dedup affordable at crawl scale.
 
     Returns the pairs frame (already materialized by the verify step's
-    checkpoint barrier — safe to write and discard).  Batch-retry
-    caveat: like ``gate_and_commit_batch``, a foreachBatch retry after a
-    partial append can duplicate store rows; dedup the store on doc_id
-    during compaction if running under at-least-once triggers.
+    checkpoint barrier — safe to write and discard).
+
+    Retry semantics: pass ``epoch_id`` (foreachBatch provides it) for
+    EXACTLY-ONCE store growth — docs and signature rows land in an
+    ``epoch=<id>`` partition via dynamic partition overwrite, and the
+    incremental pair computation EXCLUDES the in-flight epoch's stored
+    rows, so a retry after a partial append recomputes the identical
+    pair set against exactly the pre-epoch store and overwrites its own
+    partition (VERDICT r8 Next #5).  Without ``epoch_id`` the store is
+    append-only and a retry can duplicate rows (dedup the store on
+    doc_id during compaction) — the legacy at-least-once mode; don't mix
+    the two layouts in one ``store_dir`` (flat files and epoch partition
+    directories can't share a parquet root).
     """
     from pyspark.errors import AnalysisException
 
@@ -101,6 +110,14 @@ def near_dup_batch_against_store(spark, batch: DataFrame, store_dir: str,
             raise
         stored_sig = stored_docs = None
 
+    if stored_sig is not None and epoch_id is not None:
+        # drop any partial commit from a failed attempt at THIS epoch:
+        # the retry must see exactly the pre-epoch store state
+        stored_sig = stored_sig.filter(F.col("epoch") != epoch_id) \
+            .drop("epoch")
+        stored_docs = stored_docs.filter(F.col("epoch") != epoch_id) \
+            .drop("epoch")
+
     if stored_sig is None:
         # first batch: the store IS empty — incremental against an empty
         # index degenerates to within-batch pairs
@@ -114,8 +131,19 @@ def near_dup_batch_against_store(spark, batch: DataFrame, store_dir: str,
         )
     pairs = pairs.localCheckpoint(eager=True)  # force compute BEFORE the
     # store grows: the lazy plan would otherwise see the batch twice
-    batch.write.mode("append").parquet(docs_path)
-    minhash_signatures(batch, n=n).write.mode("append").parquet(sig_path)
+    sigs = minhash_signatures(batch, n=n)
+    if epoch_id is None:
+        batch.write.mode("append").parquet(docs_path)
+        sigs.write.mode("append").parquet(sig_path)
+    else:
+        for frame, path in ((batch, docs_path), (sigs, sig_path)):
+            (
+                frame.withColumn("epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(path)
+            )
     return pairs
 
 
@@ -126,13 +154,24 @@ def start_streaming_near_dup(docs: DataFrame, store_dir: str,
     sink: near-dup pairs append to ``pairs_dir`` as they are discovered;
     the store under ``store_dir`` accumulates the corpus + signature
     index.  The batch analogue of the whole stream's output is
-    ``minhash_lsh_pairs`` over everything ingested."""
+    ``minhash_lsh_pairs`` over everything ingested.  Epoch-keyed end to
+    end (store partitions AND the pairs sink), so a foreachBatch retry
+    overwrites its own epoch's output instead of duplicating it —
+    exactly-once under at-least-once triggers."""
     spark = docs.sparkSession
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        near_dup_batch_against_store(
-            spark, batch, store_dir, n=n, threshold=threshold
-        ).write.mode("append").parquet(pairs_dir)
+        (
+            near_dup_batch_against_store(
+                spark, batch, store_dir, n=n, threshold=threshold,
+                epoch_id=epoch_id,
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(pairs_dir)
+        )
 
     return (
         docs.writeStream.outputMode("append")

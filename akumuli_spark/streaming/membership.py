@@ -63,6 +63,15 @@ def recover_bloom_compaction(store_dir: str, gc: bool = False) -> None:
             shutil.rmtree(stale, ignore_errors=True)
 
 
+def _with_epoch(stored: DataFrame) -> DataFrame:
+    """Normalize a store frame to carry an ``epoch`` column (legacy
+    append-mode stores have none — their rows are all long-committed, so
+    they get the sentinel ``-1``, which no real foreachBatch epoch uses)."""
+    if "epoch" in stored.columns:
+        return stored.withColumn("epoch", F.col("epoch").cast("long"))
+    return stored.withColumn("epoch", F.lit(-1).cast("long"))
+
+
 def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     import os
 
@@ -95,17 +104,27 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
 def bloom_gate_batch(spark: SparkSession, batch: DataFrame, store_dir: str,
                      key_col: str = "fingerprint",
                      mbits: int = BLOOM_MBITS, k: int = BLOOM_K,
-                     dedupe_batch: bool = True) -> DataFrame:
+                     dedupe_batch: bool = True,
+                     epoch_id: int | None = None) -> DataFrame:
     """Gate one micro-batch: return its never-seen rows and grow the
-    stored filter by exactly those keys.  Batch-retry caveat matches the
-    other foreachBatch stores: a retry after a partial append can re-OR
-    bits (harmless — ORing the same bits is idempotent) but could pass a
-    row twice if the downstream write partially committed; run the sink
-    idempotently or dedup downstream under at-least-once triggers."""
+    stored filter by exactly those keys.
+
+    Pass ``epoch_id`` (foreachBatch provides it) for EXACTLY-ONCE retry
+    semantics: the delta rows land in an ``epoch=<id>`` partition via
+    dynamic partition overwrite, and the probe EXCLUDES the in-flight
+    epoch's rows — so a retry after a partial commit recomputes the
+    identical pass set against exactly the pre-epoch filter state and
+    overwrites its own partition instead of appending on top of it.
+    Without it a retry is only at-least-once: the re-OR of bits is
+    harmless, but keys committed by the failed attempt would probe as
+    seen and the retry would pass ZERO of them — dropping rows the
+    downstream sink never received (VERDICT r8 Next #5)."""
     batch = batch.localCheckpoint(eager=True)
     if dedupe_batch:
         batch = batch.dropDuplicates([key_col])
     stored = _read_store(spark, store_dir)
+    if stored is not None and epoch_id is not None:
+        stored = _with_epoch(stored).filter(F.col("epoch") != epoch_id)
     if stored is None:
         novel = batch
     else:
@@ -120,8 +139,17 @@ def bloom_gate_batch(spark: SparkSession, batch: DataFrame, store_dir: str,
     # force the pass set BEFORE the store grows (the lazy plan would
     # otherwise probe a filter already containing this batch)
     novel = novel.localCheckpoint(eager=True)
-    build_bloom_filter(novel, key_col=key_col, mbits=mbits, k=k) \
-        .write.mode("append").parquet(store_dir)
+    delta = build_bloom_filter(novel, key_col=key_col, mbits=mbits, k=k)
+    if epoch_id is None:
+        delta.write.mode("append").parquet(store_dir)
+    else:
+        (
+            delta.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(store_dir)
+        )
     return novel
 
 
@@ -136,9 +164,22 @@ def start_streaming_bloom_gate(docs: DataFrame, store_dir: str,
     spark = docs.sparkSession
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
-        bloom_gate_batch(
-            spark, batch, store_dir, key_col=key_col, mbits=mbits, k=k
-        ).write.mode("append").parquet(out_dir)
+        # epoch-keyed end to end: the store grows under epoch partitions
+        # (retry recomputes against pre-epoch state, overwrites its own
+        # partition) and the pass-set sink is partitioned the same way,
+        # so a replayed epoch overwrites rather than duplicates — the
+        # whole gate is exactly-once under foreachBatch retries
+        (
+            bloom_gate_batch(
+                spark, batch, store_dir, key_col=key_col, mbits=mbits, k=k,
+                epoch_id=epoch_id,
+            )
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_dir)
+        )
 
     return (
         docs.writeStream.outputMode("append")
@@ -163,12 +204,32 @@ def compact_bloom_store(spark: SparkSession, store_dir: str) -> int:
     stored = _read_store(spark, store_dir)
     if stored is None:
         return 0
-    folded = stored.groupBy("word_idx").agg(
-        F.expr("bit_or(bits)").alias("bits")
-    )
+    epoch_mode = "epoch" in stored.columns
+    if epoch_mode:
+        # keep the NEWEST epoch's delta rows out of the fold: the stream
+        # checkpoint can only ever retry the last epoch, and that
+        # retry's exactly-once recompute needs "store minus my epoch" to
+        # still be expressible after compaction.  Everything older folds
+        # into the epoch=-1 (long-committed) partition.
+        mx = stored.agg(F.max("epoch")).collect()[0][0]
+        newest = stored.filter(F.col("epoch") == mx)
+        folded = (
+            stored.filter(F.col("epoch") != mx)
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(bits)").alias("bits"))
+            .withColumn("epoch", F.lit(-1).cast("long"))
+            .unionByName(newest.select("word_idx", "bits", "epoch"))
+        )
+    else:
+        folded = stored.groupBy("word_idx").agg(
+            F.expr("bit_or(bits)").alias("bits")
+        )
     tmp = f"{store_dir}.compact-tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    folded.write.mode("overwrite").parquet(tmp)
+    writer = folded.write.mode("overwrite")
+    if epoch_mode:
+        writer = writer.partitionBy("epoch")
+    writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = f"{store_dir}.compact-old"
     shutil.rmtree(old, ignore_errors=True)

@@ -514,6 +514,56 @@ def test_ivf_batch_vectorized_matches_fold_path(spark, embs):
         assert abs(vc - c) < 1e-9
 
 
+def test_ivf_batch_vectorized_drops_zero_norm_queries(spark, embs):
+    """A correct-dimension all-zero query must yield NO result rows (and
+    no NaN cosines) on the vectorized path — same keep mask as the fold
+    path (ADVICE r8)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    real = embs.filter(F.col("vec_id") == QUERY_IDS[0]).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    zero = real.select(
+        F.lit(999_999).cast("long").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))")
+        .alias("embedding"),
+    )
+    out = similarity.ivf_topk_batch(
+        embs, real.unionByName(zero), k=5, vectorized=True
+    ).collect()
+    assert {r["query_id"] for r in out} == {QUERY_IDS[0]}
+    assert all(not math.isnan(r["cosine"]) for r in out)
+
+
+def test_pq_adc_exact_on_small_corpus(spark):
+    """Corpus smaller than ks: every vector becomes its own codebook
+    seed, so ADC distance IS the exact squared L2 distance — pinning the
+    LUT gather stride for kk < ks (the fixed-ks stride read the wrong
+    LUT block or out of bounds; ADVICE r8)."""
+    n, dim, m, ks = 5, 8, 4, 16  # kk = min(ks, n) = 5 codes per subspace
+    rows = [
+        (i, [float(i * dim + j) * 0.25 + 1.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in similarity.pq_topk(
+            embs, query_ids=[1], k=n - 1, m=m, ks=ks
+        ).collect()
+    }
+    assert len(got) == n - 1  # every non-self neighbor surfaced
+    q = rows[1][1]
+    for i in range(n):
+        if i == 1:
+            continue
+        exact = sum((a - b) ** 2 for a, b in zip(q, rows[i][1]))
+        assert got[(1, i)] is not None
+        assert abs(got[(1, i)] - exact) < 1e-6, (i, got[(1, i)], exact)
+
+
 def test_ivf_kmeans_recall_gate(spark, embs):
     """Quality gate for the production KMeans-IVF path: recall@10 vs the
     exact cosine_topk ground truth.

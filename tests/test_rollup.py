@@ -193,3 +193,34 @@ def test_rollup_cascade_routes_to_coarsest(spark, tmp_path):
     q_where = dict(q_hour, where={"page": ["p1"]})
     raw = db.query(q_where).collect()
     assert all(r["sum"] < 1e8 for r in raw)
+
+
+def test_attach_rollup_replaces_stale_same_resolution(spark, raw, rollup):
+    """Re-attaching a refreshed rollup of the SAME base step must replace
+    the stale entry, not append next to it: a stale entry attached with
+    complete_through_ns=None asserts completeness forever and would
+    otherwise keep serving outdated buckets (ADVICE r8)."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.api import open_database
+
+    step = 60 * MIN_NS
+    qjson = {
+        "group-aggregate": {"metric": "app.click", "step": step,
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E1},
+    }
+    db = open_database(spark, raw)
+    direct = sorted(map(tuple, db.query(qjson).collect()))
+
+    # stale materialization: poisoned sums, attached WITHOUT a
+    # completeness bound (the batch-materialized contract)
+    stale = rollup.withColumn("sum", F.col("sum") + 1e9)
+    db.attach_rollup(stale, MIN_NS)
+    assert any(r["sum"] > 1e8 for r in db.query(qjson).collect())
+
+    # the refresh replaces it — queries must now serve the fresh buckets
+    db.attach_rollup(rollup, MIN_NS)
+    assert len(db._rollups) == 1  # one attachment per resolution
+    served = sorted(map(tuple, db.query(qjson).collect()))
+    assert served == direct

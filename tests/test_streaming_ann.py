@@ -52,7 +52,9 @@ def test_streaming_ann_matches_batch(spark, tmp_path):
     finally:
         q.stop()
 
-    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    # the sink adds an epoch partition column (idempotent-replay keying);
+    # the result rows themselves must equal the batch run
+    got = sorted(map(tuple, spark.read.parquet(out_dir).drop("epoch").collect()))
     qdf = spark.createDataFrame(queries, Q_SCHEMA)
     want = sorted(map(tuple, similarity.ivf_topk_batch_from_index(
         spark, idx, qdf, k=5

@@ -115,6 +115,131 @@ def test_gate_replay_exact_under_saturation(spark, tmp_path):
     assert len(got) < 120  # saturation really dropped some
 
 
+def _fp(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA).withColumn(
+        "fingerprint", F.md5("text"))
+
+
+def test_epoch_replay_is_exactly_once(spark, tmp_path):
+    """Replaying an epoch (foreachBatch retry) must return the identical
+    pass set and leave store row-counts unchanged — with epoch keying the
+    retry recomputes against the pre-epoch filter state and overwrites
+    its own partition (VERDICT r8 Next #5)."""
+    rows = [(i, f"k{i % 25}") for i in range(40)]
+    batches = _chunks(rows, [0, 15, 40])
+    store = str(tmp_path / "store")
+    outs = []
+    for e, batch in enumerate(batches):
+        outs.append({
+            (r["doc_id"], r["fingerprint"])
+            for r in bloom_gate_batch(
+                spark, _fp(spark, batch), store, epoch_id=e).collect()
+        })
+    n_store = spark.read.parquet(store).count()
+    last = len(batches) - 1
+    replay = {
+        (r["doc_id"], r["fingerprint"])
+        for r in bloom_gate_batch(
+            spark, _fp(spark, batches[last]), store, epoch_id=last).collect()
+    }
+    assert replay == outs[last] and replay  # identical decisions, non-empty
+    assert spark.read.parquet(store).count() == n_store  # no duplicate rows
+    # a subsequent epoch sees the same world as if no replay happened:
+    # every key is now in the filter, nothing passes
+    again = bloom_gate_batch(
+        spark, _fp(spark, rows), store, epoch_id=last + 1).collect()
+    assert again == []
+
+
+def test_epoch_replay_contrast_with_legacy_mode(spark, tmp_path):
+    """The failure mode the epoch protocol closes: WITHOUT epoch keying a
+    retry sees its own partial commit and passes zero rows — silently
+    dropping data the downstream sink never received."""
+    rows = [(i, f"legacy{i}") for i in range(10)]
+    store = str(tmp_path / "store")
+    first = bloom_gate_batch(spark, _fp(spark, rows), store).collect()
+    assert len(first) == 10
+    retry = bloom_gate_batch(spark, _fp(spark, rows), store).collect()
+    assert retry == []  # at-least-once mode: the retry drops everything
+
+
+def test_epoch_replay_survives_compaction(spark, tmp_path):
+    """Compaction keeps the newest epoch's delta rows out of the fold, so
+    a retry of the last epoch (the only one a checkpoint can replay) is
+    still exact after a compaction ran between the attempt and the retry."""
+    b0 = [(i, f"c{i}") for i in range(12)]
+    b1 = [(i + 12, f"c{i + 6}") for i in range(12)]  # 6 seen, 6 novel
+    store = str(tmp_path / "store")
+    bloom_gate_batch(spark, _fp(spark, b0), store, epoch_id=0)
+    out1 = {
+        (r["doc_id"], r["fingerprint"])
+        for r in bloom_gate_batch(
+            spark, _fp(spark, b1), store, epoch_id=1).collect()
+    }
+    assert {d for d, _ in out1} == set(range(18, 24))  # the 6 novel keys
+    n = compact_bloom_store(spark, store)
+    assert n == spark.read.parquet(store).count()
+    replay = {
+        (r["doc_id"], r["fingerprint"])
+        for r in bloom_gate_batch(
+            spark, _fp(spark, b1), store, epoch_id=1).collect()
+    }
+    assert replay == out1
+    assert spark.read.parquet(store).count() == n
+
+
+def test_compaction_crash_rolls_forward(spark, tmp_path):
+    """Crash in the one-syscall window between the two swap renames: the
+    next gate heals the store (tmp is complete → roll forward) instead of
+    reading None and passing every seen key again."""
+    import os
+    import shutil
+
+    rows = [(i, f"r{i}") for i in range(8)]
+    store = str(tmp_path / "store")
+    bloom_gate_batch(spark, _fp(spark, rows), store)
+    # simulate the crashed swap: folded tmp written (with _SUCCESS),
+    # store renamed away, second rename never happened
+    folded = spark.read.parquet(store).groupBy("word_idx").agg(
+        F.expr("bit_or(bits)").alias("bits"))
+    tmp = f"{store}.compact-tmp"
+    folded.write.mode("overwrite").parquet(tmp)
+    os.rename(store, f"{store}.compact-old")
+    out = bloom_gate_batch(spark, _fp(spark, rows), store).collect()
+    assert out == []  # healed store still knows every key
+    assert os.path.exists(store)
+    shutil.rmtree(f"{store}.compact-old", ignore_errors=True)
+
+
+def test_compaction_crash_rolls_back_incomplete_tmp(spark, tmp_path):
+    """If the crash happened before the tmp write completed (no _SUCCESS),
+    recovery restores the original delta store."""
+    import os
+
+    rows = [(i, f"rb{i}") for i in range(8)]
+    store = str(tmp_path / "store")
+    bloom_gate_batch(spark, _fp(spark, rows), store)
+    os.rename(store, f"{store}.compact-old")
+    os.makedirs(f"{store}.compact-tmp")  # incomplete: no _SUCCESS
+    out = bloom_gate_batch(spark, _fp(spark, rows), store).collect()
+    assert out == []  # rolled back: original deltas still gate
+    assert os.path.exists(store)
+
+
+def test_unrecoverable_store_fails_loudly(spark, tmp_path):
+    """A missing store with unrecoverable compaction leftovers must raise,
+    never silently treat every key as never-seen."""
+    import os
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    os.makedirs(f"{store}.compact-tmp")  # incomplete tmp, no old to restore
+    with pytest.raises(RuntimeError, match="refusing"):
+        bloom_gate_batch(
+            spark, _fp(spark, [(0, "x")]), store)
+
+
 def test_compaction_preserves_gate_behavior(spark, tmp_path):
     rows = _rows(30, 10)
     store = str(tmp_path / "store")

@@ -1174,6 +1174,20 @@ _register_pipeline(
     ["doc_a", "doc_b", "hamming"],
 )
 
+# High-recall SimHash preset (h ≤ 9 → 10 pigeonhole chunks, measured
+# 0.988 recall vs Jaccard≥0.5 truth — the operating-point table in
+# simhash_pairs' docstring): gates the radius-derived chunk count
+# cross-engine, not just the default 4-chunk shape.
+_register_pipeline(
+    "dedup_simhash_h9",
+    lambda spark, sf: _dedup.simhash_pairs(
+        load_table(spark, sf, "documents"), n=3, max_hamming=9
+    ),
+    _dedup.simhash_sql(3, 9),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "dedup_embedding_cosine",
     lambda spark, sf: _dedup.embedding_near_dup_pairs(

@@ -256,7 +256,10 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "dedup_bloom_probe", "curate_gopher_paragraphs",
                  "decontaminate_fuzzy", "sample_cluster_balanced",
                  "export_manifest", "dedup_lines_within_doc",
-                 "dedup_clusters_keep_best"):
+                 "dedup_clusters_keep_best",
+                 # round-9: high-recall simhash preset (radius-derived
+                 # chunk count)
+                 "dedup_simhash_h9"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

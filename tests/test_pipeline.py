@@ -57,6 +57,36 @@ def test_simhash_pairs(spark, duck, docs):
     assert_matches_oracle(out, duck, dedup.simhash_sql(3, 3))
 
 
+def test_simhash_radius_derives_complete_chunks(spark, docs):
+    """Raising max_hamming must auto-raise the pigeonhole chunk count so
+    the candidate set stays COMPLETE at the asked radius: the pair set at
+    radius h must equal brute-force hamming ≤ h over the signatures (the
+    old fixed 4-chunk split only guaranteed h ≤ 3)."""
+    from pyspark.sql import functions as F
+
+    assert [dedup._chunks_for(h) for h in (1, 3, 4, 5, 9)] == [2, 4, 5, 6, 10]
+    sigs = {r["id"]: r["simhash"]
+            for r in dedup.simhash_signatures(docs, n=3).collect()}
+    ids = sorted(sigs)
+    for h in (5, 9):
+        brute = {
+            (a, b)
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.simhash_pairs(docs, n=3, max_hamming=h).collect()
+        }
+        assert got == brute, (h, len(got), len(brute))
+    # monotone: a wider radius can only add pairs
+    h3 = {(r["doc_a"], r["doc_b"])
+          for r in dedup.simhash_pairs(docs, n=3, max_hamming=3).collect()}
+    h5 = {(r["doc_a"], r["doc_b"])
+          for r in dedup.simhash_pairs(docs, n=3, max_hamming=5).collect()}
+    assert h3 <= h5
+
+
 def test_simhash_feature_overflow_raises(spark, docs, monkeypatch):
     # the 20-bit vote-lane packing is only valid below 2^20 features per
     # doc; a pathological doc must fail loudly, not flip neighboring bits

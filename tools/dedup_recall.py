@@ -55,11 +55,17 @@ def main() -> None:
         "minhash_lsh": pr(
             pairs(D.minhash_lsh_pairs(docs, n=5, threshold=threshold)),
             truth),
-        # SimHash bounds HAMMING distance, not Jaccard: measured against
-        # the same Jaccard truth to show what a hamming<=3 gate buys
-        "simhash_h3_vs_jaccard": pr(
-            pairs(D.simhash_pairs(docs, n=3, max_hamming=3)), truth),
     }
+    # SimHash bounds HAMMING distance, not Jaccard: sweep the radius
+    # presets against the same Jaccard truth so the operating-point
+    # table in simhash_pairs' docstring is a measured number per
+    # (shingle n, radius) — the chunk count auto-derives from the
+    # radius (pigeonhole completeness), so recall here is the
+    # measure-mismatch cost alone, not missed candidates
+    for sim_n in (3, 5):
+        for h in (3, 5, 9):
+            out[f"simhash_n{sim_n}_h{h}_vs_jaccard"] = pr(
+                pairs(D.simhash_pairs(docs, n=sim_n, max_hamming=h)), truth)
     print(json.dumps({"sf_dir": sf_dir, "threshold": threshold,
                       "pairs": out}))
 

@@ -15,7 +15,7 @@ any engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # tokenization / shingling
@@ -618,6 +618,263 @@ cov AS (
   SELECT DISTINCT doc_id, p
   FROM (SELECT doc_id, unnest(range(start, start + {n})) AS p
         FROM pos JOIN dup USING (shingle))
+),
+words AS (
+  SELECT doc_id, i - 1 AS p, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM toks)
+),
+kept AS (
+  SELECT w.doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(w.w, ' ' ORDER BY w.p) AS text_clean
+  FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.p = c.p
+  GROUP BY w.doc_id
+)
+SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN kept k USING (doc_id)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (maximal repeated spans — Lee et al. 2022 §4.1)
+# ---------------------------------------------------------------------------
+
+
+def _positioned_shingles(docs: DataFrame, n: int,
+                         max_df: int | None) -> DataFrame:
+    """(doc_id, start, shingle) — 0-based token position of every word
+    ``n``-gram, keyed by the shared 60-bit md5-derived shingle family,
+    with the standard ``max_df`` boilerplate skew guard applied on total
+    occurrence count (the anchor join below fans out df² per shingle)."""
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    )
+    shingle_arr = F.expr(
+        f"transform(sequence(1, size(__ws) - {n - 1}), "
+        f"i -> CAST(conv(substring(md5(array_join(slice(__ws, i, {n}), "
+        f"' ')), 1, 15), 16, 10) AS BIGINT))"
+    )
+    pos = (
+        tokens.filter(F.size(F.col("__ws")) >= n)
+        .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+    )
+    if max_df is not None:
+        rare = (
+            pos.groupBy("shingle").agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        pos = pos.join(rare, "shingle")
+    return pos
+
+
+def substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
+                    max_df: int | None = 256) -> DataFrame:
+    """EXACT cross-document repeated spans of ≥ ``min_len`` tokens — the
+    distributed equivalent of the suffix-array pass in Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", §4.1),
+    without a suffix array, a global sort, or driver state.
+
+    Method: positioned word ``n``-grams anchor an equi-join across
+    documents; every matching anchor pair lies on an alignment DIAGONAL
+    ``start_a − start_b`` of its (doc_a, doc_b) pair, and consecutive
+    anchors on one diagonal merge (gaps-and-islands) into the MAXIMAL
+    aligned run — which is precisely the maximal common substring of the
+    two documents at that alignment.  A repeated span of L ≥ n tokens
+    yields exactly L−n+1 consecutive anchors, so for ``min_len ≥ n``
+    the result is EXACT and complete (not fixed-granularity like
+    :func:`duplicated_span_coverage`'s shingle-window union): every
+    maximal cross-doc repeated span of ≥ min_len tokens, its precise
+    start in both docs, and its true token length.
+
+    Output: (doc_a, start_a, doc_b, start_b, length) with
+    ``doc_a < doc_b``; one row per maximal span per (pair, alignment).
+
+    Scale shape: the anchor join is a keyed equi-join on the 60-bit
+    shingle (fan-out proportional to true duplication, df-capped by
+    ``max_df`` — the documented boilerplate approximation: spans running
+    through a capped shingle split or drop; ``max_df=None`` is the exact
+    opt-in); the islands window partitions by (doc_a, doc_b, diagonal),
+    whose partitions are bounded by a single document pair's match
+    count, never by the corpus.  Hash collisions (≈0 below 2³⁰ distinct
+    shingles) could only merge unequal spans — conservative for dedup,
+    and replayed identically by the DuckDB twin.
+    """
+    pos = _positioned_shingles(docs, n, max_df)
+    a, b = pos.alias("a"), pos.alias("b")
+    anchors = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.start").alias("pa"),
+        F.col("b.start").alias("pb"),
+        (F.col("a.start") - F.col("b.start")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = anchors.withColumn(
+        "grp", F.col("pa") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count("*") + F.lit(n - 1)).cast("long").alias("length"),
+        )
+        .filter(F.col("length") >= min_len)
+        .select("doc_a", "start_a", "doc_b", "start_b", "length")
+    )
+
+
+def substring_spans_sql(n: int = 5, min_len: int = 15,
+                        max_df: int | None = 256) -> str:
+    """DuckDB twin of :func:`substring_spans` — same 60-bit shingle
+    keys, 0-based positions, diagonal islands via row_number."""
+    guard = (
+        f",\ndfok AS (SELECT shingle FROM pos0 GROUP BY 1 "
+        f"HAVING count(*) <= {max_df}),\n"
+        "pos AS (SELECT p.* FROM pos0 p JOIN dfok USING (shingle))"
+        if max_df is not None
+        else ",\npos AS (SELECT * FROM pos0)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+pos0 AS (
+  SELECT doc_id, i - 1 AS start,
+         ('0x' || substr(md5(
+            list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')
+          ), 1, 15))::BIGINT AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM toks WHERE len(ws) >= {n})
+){guard},
+anchors AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS pa, b.start AS pb,
+         a.start - b.start AS diag
+  FROM pos a JOIN pos b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pa - row_number() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM anchors
+)
+SELECT doc_a, min(pa)::BIGINT AS start_a, doc_b, min(pb)::BIGINT AS start_b,
+       (count(*) + {n - 1})::BIGINT AS length
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+HAVING count(*) + {n - 1} >= {min_len}
+""".strip()
+
+
+def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
+                          max_df: int | None = 256) -> DataFrame:
+    """Remove every token position covered by a maximal repeated span of
+    ≥ ``min_len`` tokens (:func:`substring_spans`), symmetrically from
+    all copies — Lee et al. 2022's §4.2 removal operating on TRUE spans:
+    unlike :func:`scrub_duplicated_spans` (which cuts every duplicated
+    fixed-width shingle window, including sub-min_len incidental
+    matches), this cuts only text that verbatim-repeats for at least
+    ``min_len`` consecutive tokens, the published operating point
+    (their 50-token threshold ⇒ ``min_len=50``).
+
+    Output: (doc_id, n_tokens, n_kept, text_clean) — same contract as
+    :func:`scrub_duplicated_spans`; every input doc present.
+
+    Scale shape: span finding as in :func:`substring_spans`; coverage
+    explodes only qualifying spans (O(duplicated tokens ≥ min_len)),
+    folds to ONE array row per affected doc, and joins back at doc
+    granularity — unaffected documents take the null fast path with
+    zero token shuffle.
+    """
+    tokens = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    )
+    spans = substring_spans(docs, n=n, min_len=min_len, max_df=max_df)
+    cov = (
+        spans.select(
+            F.col("doc_a").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_a"),
+                    F.col("start_a") + F.col("length") - 1,
+                )
+            ).alias("p"),
+        )
+        .unionAll(
+            spans.select(
+                F.col("doc_b").alias("doc_id"),
+                F.explode(
+                    F.sequence(
+                        F.col("start_b"),
+                        F.col("start_b") + F.col("length") - 1,
+                    )
+                ).alias("p"),
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("__cov"))
+    )
+    joined = tokens.join(cov, "doc_id", "left")
+    kept_words = F.expr(
+        "CASE WHEN __cov IS NULL THEN __ws "
+        "ELSE transform(filter(transform(__ws, (w, i) -> struct(i, w)), "
+        "s -> NOT array_contains(__cov, s.i)), s -> s.w) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        F.size(kept_words).cast("long").alias("n_kept"),
+        F.array_join(kept_words, " ").alias("text_clean"),
+    )
+
+
+def scrub_substring_spans_sql(n: int = 5, min_len: int = 15,
+                              max_df: int | None = 256) -> str:
+    """DuckDB twin — span finding as :func:`substring_spans_sql`, then
+    the coverage/reconstruction shape of the span-scrub twin."""
+    guard = (
+        f",\ndfok AS (SELECT shingle FROM pos0 GROUP BY 1 "
+        f"HAVING count(*) <= {max_df}),\n"
+        "pos AS (SELECT p.* FROM pos0 p JOIN dfok USING (shingle))"
+        if max_df is not None
+        else ",\npos AS (SELECT * FROM pos0)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+pos0 AS (
+  SELECT doc_id, i - 1 AS start,
+         ('0x' || substr(md5(
+            list_aggregate(ws[i:i+{n - 1}], 'string_agg', ' ')
+          ), 1, 15))::BIGINT AS shingle
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - {n - 2})) AS i
+        FROM toks WHERE len(ws) >= {n})
+){guard},
+anchors AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS pa, b.start AS pb,
+         a.start - b.start AS diag
+  FROM pos a JOIN pos b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT *, pa - row_number() OVER (
+    PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+  FROM anchors
+),
+spans AS (
+  SELECT doc_a, min(pa) AS start_a, doc_b, min(pb) AS start_b,
+         count(*) + {n - 1} AS length
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) + {n - 1} >= {min_len}
+),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_a AS doc_id, unnest(range(start_a, start_a + length)) AS p
+    FROM spans
+    UNION ALL
+    SELECT doc_b AS doc_id, unnest(range(start_b, start_b + length)) AS p
+    FROM spans
+  )
 ),
 words AS (
   SELECT doc_id, i - 1 AS p, ws[i] AS w

@@ -258,8 +258,9 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "export_manifest", "dedup_lines_within_doc",
                  "dedup_clusters_keep_best",
                  # round-9: high-recall simhash preset (radius-derived
-                 # chunk count)
-                 "dedup_simhash_h9"):
+                 # chunk count) + true-span substring dedup
+                 "dedup_simhash_h9", "dedup_substring_spans",
+                 "dedup_scrub_substring"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

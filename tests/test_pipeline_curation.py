@@ -184,6 +184,64 @@ def test_dup_span_coverage_overlapping_spans_union(spark):
     assert rows[2]["n_cov"] == 4
 
 
+def test_substring_spans_exact_boundaries(spark):
+    """Maximal repeated spans with EXACT starts and lengths: docs 1 and 2
+    share a 6-token block at different offsets; doc 3 shares a shorter
+    block below min_len (must not emit); doc 4's within-doc repeat must
+    not count (cross-doc contract)."""
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared + " a3"),          # span at pos 2
+            (2, shared + " b1 b2 b3"),               # span at pos 0
+            (3, "c1 c2 c3 s1 s2 s3 c4 c5 c6"),       # only 3 shared tokens
+            (4, "d1 d2 d3 d1 d2 d3 d1 d2 d3"),       # within-doc only
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.substring_spans(df, n=3, min_len=5).collect()
+    assert [(r["doc_a"], r["start_a"], r["doc_b"], r["start_b"], r["length"])
+            for r in rows] == [(1, 2, 2, 0, 6)]
+    # min_len at the shared length emits; one above suppresses
+    assert dedup.substring_spans(df, n=3, min_len=6).count() == 1
+    assert dedup.substring_spans(df, n=3, min_len=7).count() == 0
+
+
+def test_substring_spans_oracle(spark, duck, docs):
+    out = dedup.substring_spans(docs, n=5, min_len=15)
+    assert out.count() > 0, "planted near-dups must produce true spans"
+    assert_matches_oracle(out, duck, dedup.substring_spans_sql(5, 15))
+
+
+def test_scrub_substring_cuts_only_long_spans(spark):
+    """Removal must cut exactly the ≥min_len spans, leaving incidental
+    short matches alone — the distinction vs scrub_duplicated_spans."""
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared + " a3"),
+            (2, shared + " b1 b2 b3"),
+            (3, "c1 c2 c3 s1 s2 s3 c4 c5 c6"),  # short match: untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.scrub_substring_spans(df, n=3, min_len=5).collect()}
+    assert rows[1]["text_clean"] == "a1 a2 a3"
+    assert rows[2]["text_clean"] == "b1 b2 b3"
+    assert rows[3]["text_clean"] == rows[3]["text_clean"] and \
+        rows[3]["n_kept"] == rows[3]["n_tokens"] == 9
+    # the fixed-width scrub would also have cut doc 3's 3-token match
+    old = {r["doc_id"]: r for r in
+           dedup.scrub_duplicated_spans(df, n=3).collect()}
+    assert old[3]["n_kept"] < 9
+
+
+def test_scrub_substring_oracle(spark, duck, docs):
+    out = dedup.scrub_substring_spans(docs, n=5, min_len=15)
+    assert_matches_oracle(out, duck, dedup.scrub_substring_spans_sql(5, 15))
+
+
 def test_containment_oracle(spark, duck, docs):
     out = dedup.ngram_containment_pairs(docs, n=5, threshold=0.5, max_df=64)
     assert out.count() > 0, "planted near-dups must clear the threshold"

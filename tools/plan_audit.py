@@ -126,7 +126,9 @@ def main() -> None:
                "decontaminate_fuzzy", "curate_gopher_paragraphs",
                "ann_pq_refined", "sample_cluster_balanced",
                "export_manifest", "dedup_lines_within_doc",
-               "dedup_clusters_keep_best"]
+               "dedup_clusters_keep_best",
+               "dedup_simhash_h9", "dedup_substring_spans",
+               "dedup_scrub_substring"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

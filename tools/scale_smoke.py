@@ -320,6 +320,31 @@ def curation_smoke(spark, n_docs: int, span_docs: int | None = None) -> dict:
     return out
 
 
+def substring_smoke(spark, n_docs: int) -> dict:
+    """True-span substring dedup at volume: every planted near-dup pair
+    (1/1000 docs) shares exactly a 23-token prefix, so substring_spans
+    (n=5, min_len=15) must find exactly one span of length 23 per pair —
+    the planted count is exact ground truth, not a lower bound.  Scrub
+    timing shows the removal stage's O(duplicated tokens) increment on
+    top of the shared anchor-join path."""
+    from akumuli_spark.pipeline import dedup as _dedup
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    t = time.time()
+    spans = _dedup.substring_spans(docs, n=5, min_len=15).collect()
+    out["spans_s"] = round(time.time() - t, 2)
+    out["spans_found"] = len(spans)
+    out["spans_planted"] = n_docs // 1000
+    out["spans_len23"] = sum(1 for r in spans if r["length"] == 23)
+    t = time.time()
+    _dedup.scrub_substring_spans(docs, n=5, min_len=15).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["scrub_s"] = round(time.time() - t, 2)
+    return out
+
+
 def synthetic_embeddings(spark, n_vecs: int, dim: int = 64):
     """Deterministic embedding corpus: components from murmur3 hashes
     scaled to [-1, 1] — hash-random directions, no driver data."""
@@ -1008,6 +1033,12 @@ def main() -> None:
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(
             {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "substring":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+        print(json.dumps(
+            {"docs": n_docs, "substring": substring_smoke(spark, n_docs)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "quality":

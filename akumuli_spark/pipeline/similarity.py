@@ -745,10 +745,77 @@ def build_ivf_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
         .parquet(f"{path}/lists")
     )
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    # build-time quantization baseline for the append path's drift check
+    _quantization_stats(assigned, cents, "build") \
+        .write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _quantization_stats(assigned: DataFrame, cents: DataFrame,
+                        phase: str) -> DataFrame:
+    """One mergeable stats row for a set of assigned vectors: (phase, n,
+    sum_dist) where dist = 1 − cosine(vector, assigned centroid) — the
+    standard quantization-error proxy.  Mergeable (sums), so any number
+    of append batches fold into one mean at read time."""
+    joined = assigned.join(
+        F.broadcast(cents), F.col("list_id") == F.col("cid")
+    )
+    en, cn = _norm("embedding"), _norm("ce")
+    dist = F.lit(1.0) - _dot("embedding", "ce") / (en * cn)
+    return (
+        joined.filter((en > 0) & (cn > 0))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(dist).alias("sum_dist"),
+        )
+        .select(F.lit(phase).alias("phase"), "n", "sum_dist")
+    )
+
+
+def ivf_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict | None:
+    """Quantization-drift report for a grown IVF index: compares the
+    appended vectors' mean distance-to-assigned-centroid against the
+    build-time baseline stored by :func:`build_ivf_index`.
+
+    The append path assigns against a FROZEN codebook; as the corpus
+    distribution shifts, new vectors land farther from every centroid,
+    lists lose coherence, and probe recall quietly degrades — the
+    failure mode a growing 100 TB corpus must detect.  ``ratio`` =
+    appended mean / build mean; ``retrain`` trips at
+    ``retrain_ratio`` (default 1.5 — appended vectors quantize 50%
+    worse than the build set), the documented re-train trigger: rebuild
+    the codebook (``_centroids`` / k-means) over a fresh sample and
+    re-run :func:`build_ivf_index`.
+
+    Returns None for an index with no stats (pre-drift layout) or no
+    appended rows yet."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        stats = spark.read.parquet(f"{path}/stats").collect()
+    except AnalysisException:
+        return None
+    b_n = sum(r["n"] for r in stats if r["phase"] == "build")
+    b_sum = sum(r["sum_dist"] for r in stats if r["phase"] == "build")
+    a_n = sum(r["n"] for r in stats if r["phase"] == "append")
+    a_sum = sum(r["sum_dist"] for r in stats if r["phase"] == "append")
+    if not b_n or not a_n:
+        return None
+    build_mean = b_sum / b_n
+    append_mean = a_sum / a_n
+    ratio = append_mean / max(build_mean, 1e-12)
+    return {
+        "build_mean_dist": build_mean,
+        "append_mean_dist": append_mean,
+        "n_build": b_n,
+        "n_appended": a_n,
+        "ratio": ratio,
+        "retrain": ratio > retrain_ratio,
+    }
 
 
 def append_ivf_index(embs_new: DataFrame, path: str,
-                     vectorized: bool = False) -> None:
+                     vectorized: bool = False,
+                     retrain_ratio: float = 1.5) -> dict | None:
     """Incrementally grow a stored IVF index: assign the new vectors
     against the FROZEN codebook at ``{path}/centroids`` and append their
     rows to the partitioned ``{path}/lists`` — no rebuild, and the
@@ -768,16 +835,30 @@ def append_ivf_index(embs_new: DataFrame, path: str,
     safe: a parquet append adds whole new files per list directory, so a
     probe sees either the pre- or post-append file set, never a torn
     list.
+
+    Returns the :func:`ivf_drift` report after the append (None for a
+    pre-stats index layout): the frozen codebook silently degrades as
+    the corpus distribution shifts, so every append emits the
+    quantization-drift metric and its documented re-train trigger
+    (``retrain`` at ``retrain_ratio``; VERDICT r8 Next #9).
     """
     spark = embs_new.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     assign = _assign_lists_vectorized if vectorized else _assign_lists
+    assigned = assign(embs_new, cents)
     (
-        assign(embs_new, cents)
+        assigned
         .repartition("list_id")
         .write.mode("append").partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
+    import os
+
+    if os.path.exists(f"{path}/stats"):
+        _quantization_stats(assigned, cents, "append") \
+            .write.mode("append").parquet(f"{path}/stats")
+        return ivf_drift(spark, path, retrain_ratio)
+    return None
 
 
 def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
@@ -1473,6 +1554,11 @@ def build_ivfadc_index(embs: DataFrame, path: str, nlist: int = IVF_NLIST,
         .parquet(f"{path}/codes")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cb.write.mode("overwrite").parquet(f"{path}/codebooks")
+    # same drift baseline as the IVF index (stored codes carry no raw
+    # embeddings, so the stat comes from one extra broadcast-assign pass
+    # over the input — linear, skippable by removing {path}/stats)
+    _quantization_stats(_assign_lists(embs, cents), cents, "build") \
+        .write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def _encode_rows(embs: DataFrame, cents: DataFrame, cb: DataFrame,
@@ -1561,7 +1647,8 @@ def _index_rows_vectorized(embs: DataFrame, cents: DataFrame,
 
 def append_ivfadc_index(embs_new: DataFrame, path: str,
                         m: int = PQ_M, ks: int = PQ_KS,
-                        vectorized: bool = False) -> None:
+                        vectorized: bool = False,
+                        retrain_ratio: float = 1.5) -> dict | None:
     """Grow a stored IVFADC index under its frozen codebooks: assign +
     encode only the new vectors, append their code rows.  Same
     equivalence contract as :func:`append_ivf_index` — assignment AND
@@ -1569,7 +1656,10 @@ def append_ivfadc_index(embs_new: DataFrame, path: str,
     so build(A) + append(B) serves identically to a fresh build over
     A ∪ B (pinned by ``test_ivfadc_append_equals_rebuild``); cost is
     O(|new| · (nlist + m·ks)) broadcast arithmetic plus a partitioned
-    append of |new| code rows."""
+    append of |new| code rows.
+
+    Returns the :func:`ivf_drift` report (same trigger contract as
+    :func:`append_ivf_index`; None for a pre-stats index layout)."""
     spark = embs_new.sparkSession
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
@@ -1577,6 +1667,13 @@ def append_ivfadc_index(embs_new: DataFrame, path: str,
         .repartition("list_id") \
         .write.mode("append").partitionBy("list_id") \
         .parquet(f"{path}/codes")
+    import os
+
+    if os.path.exists(f"{path}/stats"):
+        _quantization_stats(_assign_lists(embs_new, cents), cents, "append") \
+            .write.mode("append").parquet(f"{path}/stats")
+        return ivf_drift(spark, path, retrain_ratio)
+    return None
 
 
 def _ivfadc_serve_vectorized(codes: DataFrame, probes: DataFrame,

@@ -857,6 +857,39 @@ def test_ivf_index_roundtrip_and_pruning(spark, embs, tmp_path):
     assert "list_id" in plan.split("PartitionFilters")[1][:400]
 
 
+def test_ivf_append_drift_trigger(spark, tmp_path):
+    """The frozen-codebook append path must KNOW when it degrades: an
+    in-distribution append reports ratio ≈ 1 (no retrain); an append
+    from a shifted distribution (vectors far from every centroid)
+    trips the documented retrain trigger (VERDICT r8 Next #9)."""
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    # two tight clusters on orthogonal axes; vec_ids 0/1 seed the
+    # deterministic codebook, so centroids ≈ the cluster directions
+    a = [(i, [1.0, 0.01 * (i % 5), 0.0, 0.0]) for i in range(0, 20, 2)]
+    b = [(i, [0.0, 0.0, 1.0, 0.01 * (i % 5)]) for i in range(1, 20, 2)]
+    path = str(tmp_path / "ivf_drift")
+    similarity.build_ivf_index(vecs(a + b), path, nlist=2)
+
+    # in-distribution growth: quantization error tracks the baseline
+    more = [(100 + i, [1.0, 0.01 * (i % 5), 0.0, 0.0]) for i in range(10)]
+    rep = similarity.append_ivf_index(vecs(more), path)
+    assert rep is not None and not rep["retrain"], rep
+    assert rep["ratio"] < 1.5 and rep["n_appended"] == 10
+
+    # distribution shift: vectors orthogonal to both centroids quantize
+    # ~1.0 away vs the ~0 build baseline — retrain must trip
+    shifted = [(200 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(10)]
+    rep2 = similarity.append_ivf_index(vecs(shifted), path)
+    assert rep2 is not None and rep2["retrain"], rep2
+    assert rep2["ratio"] > 10
+    # the standing report folds ALL appended batches (mergeable sums)
+    assert rep2["n_appended"] == 20
+    assert similarity.ivf_drift(spark, path)["retrain"]
+
+
 def test_ivf_index_append_only_growth(spark, embs, tmp_path):
     """New vectors append into their lists without rebuilding: assignment
     is a pure function of the frozen codebook, so an index built on the

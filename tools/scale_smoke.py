@@ -124,6 +124,16 @@ def pack_smoke(spark, n_docs: int) -> dict:
             "noop"
         ).mode("overwrite").save()
         out[f"shards_{shards}_s"] = round(time.time() - t, 2)
+    # AUTO default: the big 'en' stratum exceeds AUTO_SHARD_ROWS, so the
+    # naive call must route itself to the sharded shape — timing should
+    # track shards_32, not shards_1 (the straggler)
+    t = time.time()
+    auto = pack_sequences(docs, budget=256)
+    auto.write.format("noop").mode("overwrite").save()
+    out["shards_auto_s"] = round(time.time() - t, 2)
+    out["auto_n_shards"] = (
+        auto.agg(F.max("shard")).collect()[0][0] + 1
+    )
     return out
 
 

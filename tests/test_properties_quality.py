@@ -402,3 +402,58 @@ class TestExportManifestProperty:
                 s + sig,
             )
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# substring_spans vs direct Python maximal-run replay
+# ---------------------------------------------------------------------------
+
+
+def _ref_substring_spans(docs: dict, n: int, min_len: int) -> set:
+    """Brute-force maximal aligned common runs: for every doc pair and
+    alignment diagonal, walk token equality and emit maximal runs of
+    >= min_len tokens (min_len >= n, so every such run carries at least
+    one n-gram anchor — the regime where the operator claims exactness)."""
+    out = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ta, tb = docs[a], docs[b]
+            for d in range(-(len(tb) - 1), len(ta)):
+                run, pa = 0, max(0, d)
+                while pa < len(ta) and pa - d < len(tb):
+                    if ta[pa] == tb[pa - d]:
+                        run += 1
+                    else:
+                        if run >= min_len:
+                            out.add((a, pa - run, b, pa - d - run, run))
+                        run = 0
+                    pa += 1
+                if run >= min_len:
+                    out.add((a, pa - run, b, pa - d - run, run))
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+class TestSubstringSpansProperty:
+    @given(
+        token_lists=st.lists(
+            st.lists(st.sampled_from("xy"), min_size=1, max_size=8),
+            min_size=2, max_size=5),
+        min_len=st.sampled_from([2, 3, 4]),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_maximal_run_replay(self, spark, token_lists, min_len):
+        from akumuli_spark.pipeline.dedup import substring_spans
+
+        docs = {i: toks for i, toks in enumerate(token_lists)}
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"], r["length"])
+            for r in substring_spans(
+                df, n=2, min_len=min_len, max_df=None).collect()
+        }
+        assert got == _ref_substring_spans(docs, 2, min_len)

@@ -670,7 +670,8 @@ def _positioned_shingles(docs: DataFrame, n: int,
 
 
 def substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
-                    max_df: int | None = 256) -> DataFrame:
+                    max_df: int | None = 256,
+                    within_doc: bool = False) -> DataFrame:
     """EXACT cross-document repeated spans of ≥ ``min_len`` tokens — the
     distributed equivalent of the suffix-array pass in Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better", §4.1),
@@ -690,6 +691,13 @@ def substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
 
     Output: (doc_a, start_a, doc_b, start_b, length) with
     ``doc_a < doc_b``; one row per maximal span per (pair, alignment).
+    ``within_doc=True`` ALSO emits a document's self-repeats
+    (``doc_a = doc_b`` with ``start_a < start_b`` — the published pass
+    runs over the concatenated corpus, so within-doc repeats count
+    there too); overlapping periodic repeats emit one span per
+    alignment offset, exactly like a suffix-array's repeated-pair
+    output, so within-doc fan-out grows with internal repetition —
+    the max_df cap is the guard there as well.
 
     Scale shape: the anchor join is a keyed equi-join on the 60-bit
     shingle (fan-out proportional to true duplication, df-capped by
@@ -703,10 +711,15 @@ def substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
     """
     pos = _positioned_shingles(docs, n, max_df)
     a, b = pos.alias("a"), pos.alias("b")
+    pair_cond = F.col("a.doc_id") < F.col("b.doc_id")
+    if within_doc:
+        pair_cond = pair_cond | (
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.start") < F.col("b.start"))
+        )
     anchors = a.join(
         b,
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        (F.col("a.shingle") == F.col("b.shingle")) & pair_cond,
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -731,7 +744,8 @@ def substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
 
 
 def substring_spans_sql(n: int = 5, min_len: int = 15,
-                        max_df: int | None = 256) -> str:
+                        max_df: int | None = 256,
+                        within_doc: bool = False) -> str:
     """DuckDB twin of :func:`substring_spans` — same 60-bit shingle
     keys, 0-based positions, diagonal islands via row_number."""
     guard = (
@@ -741,6 +755,9 @@ def substring_spans_sql(n: int = 5, min_len: int = 15,
         if max_df is not None
         else ",\npos AS (SELECT * FROM pos0)"
     )
+    pair = "a.doc_id < b.doc_id"
+    if within_doc:
+        pair = f"({pair} OR (a.doc_id = b.doc_id AND a.start < b.start))"
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
 pos0 AS (
@@ -754,7 +771,7 @@ pos0 AS (
 anchors AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS pa, b.start AS pb,
          a.start - b.start AS diag
-  FROM pos a JOIN pos b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM pos a JOIN pos b ON a.shingle = b.shingle AND {pair}
 ),
 runs AS (
   SELECT *, pa - row_number() OVER (

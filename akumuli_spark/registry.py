@@ -3394,6 +3394,18 @@ _register_pipeline(
     ["doc_a", "start_a", "doc_b", "start_b", "length"],
 )
 
+# The concatenated-corpus form: self-repeats count too (doc_a = doc_b,
+# start_a < start_b), as in the published suffix-array pass
+_register_pipeline(
+    "dedup_substring_within",
+    lambda spark, sf: _dedup.substring_spans(
+        load_table(spark, sf, "documents"), n=3, min_len=4, within_doc=True
+    ),
+    _dedup.substring_spans_sql(3, 4, within_doc=True),
+    [],
+    ["doc_a", "start_a", "doc_b", "start_b", "length"],
+)
+
 # ...and removal operating on those true spans (their §4.2, symmetric)
 _register_pipeline(
     "dedup_scrub_substring",

@@ -207,6 +207,27 @@ def test_substring_spans_exact_boundaries(spark):
     assert dedup.substring_spans(df, n=3, min_len=7).count() == 0
 
 
+def test_substring_spans_within_doc(spark):
+    """within_doc=True adds self-repeats (doc_a = doc_b, start_a <
+    start_b): periodic text emits one span per alignment offset, exactly
+    as a suffix array reports repeated pairs; cross-doc rows unchanged."""
+    df = spark.createDataFrame(
+        [
+            (1, "d1 d2 d3 d1 d2 d3 x1 x2"),   # self-repeat at offset 3
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8"),
+        ],
+        "doc_id long, text string",
+    )
+    cross = dedup.substring_spans(df, n=3, min_len=3)
+    assert cross.count() == 0
+    rows = sorted(
+        (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"], r["length"])
+        for r in dedup.substring_spans(
+            df, n=3, min_len=3, within_doc=True).collect()
+    )
+    assert rows == [(1, 0, 1, 3, 3)]
+
+
 def test_substring_spans_oracle(spark, duck, docs):
     out = dedup.substring_spans(docs, n=5, min_len=15)
     assert out.count() > 0, "planted near-dups must produce true spans"

@@ -409,28 +409,36 @@ class TestExportManifestProperty:
 # ---------------------------------------------------------------------------
 
 
-def _ref_substring_spans(docs: dict, n: int, min_len: int) -> set:
+def _ref_substring_spans(docs: dict, n: int, min_len: int,
+                         within_doc: bool = False) -> set:
     """Brute-force maximal aligned common runs: for every doc pair and
     alignment diagonal, walk token equality and emit maximal runs of
     >= min_len tokens (min_len >= n, so every such run carries at least
     one n-gram anchor — the regime where the operator claims exactness)."""
+    def walk(a, b, diags):
+        ta, tb = docs[a], docs[b]
+        for d in diags:
+            run, pa = 0, max(0, d)
+            while pa < len(ta) and pa - d < len(tb):
+                if ta[pa] == tb[pa - d]:
+                    run += 1
+                else:
+                    if run >= min_len:
+                        out.add((a, pa - run, b, pa - d - run, run))
+                    run = 0
+                pa += 1
+            if run >= min_len:
+                out.add((a, pa - run, b, pa - d - run, run))
+
     out = set()
     ids = sorted(docs)
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
-            ta, tb = docs[a], docs[b]
-            for d in range(-(len(tb) - 1), len(ta)):
-                run, pa = 0, max(0, d)
-                while pa < len(ta) and pa - d < len(tb):
-                    if ta[pa] == tb[pa - d]:
-                        run += 1
-                    else:
-                        if run >= min_len:
-                            out.add((a, pa - run, b, pa - d - run, run))
-                        run = 0
-                    pa += 1
-                if run >= min_len:
-                    out.add((a, pa - run, b, pa - d - run, run))
+            walk(a, b, range(-(len(docs[b]) - 1), len(docs[a])))
+    if within_doc:
+        # self-repeats: start_a < start_b ⇔ strictly negative diagonal
+        for a in ids:
+            walk(a, a, range(-(len(docs[a]) - 1), 0))
     return out
 
 
@@ -441,9 +449,11 @@ class TestSubstringSpansProperty:
             st.lists(st.sampled_from("xy"), min_size=1, max_size=8),
             min_size=2, max_size=5),
         min_len=st.sampled_from([2, 3, 4]),
+        within=st.booleans(),
     )
     @settings(max_examples=25, deadline=None)
-    def test_matches_maximal_run_replay(self, spark, token_lists, min_len):
+    def test_matches_maximal_run_replay(self, spark, token_lists, min_len,
+                                        within):
         from akumuli_spark.pipeline.dedup import substring_spans
 
         docs = {i: toks for i, toks in enumerate(token_lists)}
@@ -454,6 +464,7 @@ class TestSubstringSpansProperty:
         got = {
             (r["doc_a"], r["start_a"], r["doc_b"], r["start_b"], r["length"])
             for r in substring_spans(
-                df, n=2, min_len=min_len, max_df=None).collect()
+                df, n=2, min_len=min_len, max_df=None,
+                within_doc=within).collect()
         }
-        assert got == _ref_substring_spans(docs, 2, min_len)
+        assert got == _ref_substring_spans(docs, 2, min_len, within)

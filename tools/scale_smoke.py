@@ -330,6 +330,61 @@ def curation_smoke(spark, n_docs: int, span_docs: int | None = None) -> dict:
     return out
 
 
+def r8_curation_smoke(spark, n_docs: int, tmp: str) -> dict:
+    """Round-8 additions at volume (VERDICT r8 Next #8): fuzzy MinHash
+    decontamination (benchmark = the planted near-dup copies, so every
+    benchmark doc has a true corpus near-match to flag), the chained
+    Gopher-gate → paragraph-dedup curation shape, and the JSONL shard
+    export with the read-back manifest re-derive as the end-to-end
+    integrity check."""
+    import os
+
+    from akumuli_spark.pipeline import cluster as _cluster
+    from akumuli_spark.pipeline import dedup as _dedup
+    from akumuli_spark.pipeline import quality as _quality
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+
+    corpus = docs.filter(F.col("doc_id") < n_docs)
+    bench = docs.filter(F.col("doc_id") >= n_docs)  # n_docs/1000 near-dups
+    t = time.time()
+    flagged = _dedup.fuzzy_decontaminate(
+        corpus, bench, n=5, threshold=0.5
+    ).count()
+    out["fuzzy_decontaminate_s"] = round(time.time() - t, 2)
+    out["fuzzy_flagged"] = flagged
+    # each bench doc has exactly one planted corpus near-match; banded
+    # MinHash recall is probabilistic (~0.97 measured at 200k), so
+    # flagged tracks — not equals — the planted count
+    out["fuzzy_planted"] = n_docs // 1000
+
+    t = time.time()
+    flags = _quality.gopher_quality_flags(docs)
+    gated = docs.join(
+        flags.filter(F.col("n_words") >= 10).select("doc_id"), "doc_id"
+    )
+    _quality.dedup_paragraphs(
+        _quality.with_word_chunk_lines(gated, 2)
+    ).write.format("noop").mode("overwrite").save()
+    out["curate_gopher_paragraphs_s"] = round(time.time() - t, 2)
+
+    exp = os.path.join(tmp, "export")
+    t = time.time()
+    _cluster.export_jsonl_shards(corpus, exp, n_shards=64)
+    out["export_write_s"] = round(time.time() - t, 2)
+    t = time.time()
+    back = spark.read.json(f"{exp}/data").select("doc_id", "text")
+    rederived = sorted(
+        map(tuple, _cluster.export_manifest(back, 64).collect())
+    )
+    stored = sorted(map(tuple, spark.read.parquet(
+        f"{exp}/_manifest").collect()))
+    out["manifest_rederive_s"] = round(time.time() - t, 2)
+    out["manifest_ok"] = rederived == stored
+    return out
+
+
 def substring_smoke(spark, n_docs: int) -> dict:
     """True-span substring dedup at volume: every planted near-dup pair
     (1/1000 docs) shares exactly a 23-token prefix, so substring_spans
@@ -1044,6 +1099,20 @@ def main() -> None:
         print(json.dumps(
             {"docs": n_docs, "multimodal": multimodal_smoke(spark, n_docs)}
         ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "r8curation":
+        import shutil
+        import tempfile
+
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+        tmp = tempfile.mkdtemp(prefix="r8curation_smoke_")
+        try:
+            print(json.dumps(
+                {"docs": n_docs,
+                 "r8curation": r8_curation_smoke(spark, n_docs, tmp)}
+            ))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "substring":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000

@@ -786,15 +786,31 @@ HAVING count(*) + {n - 1} >= {min_len}
 
 
 def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
-                          max_df: int | None = 256) -> DataFrame:
-    """Remove every token position covered by a maximal repeated span of
-    ≥ ``min_len`` tokens (:func:`substring_spans`), symmetrically from
-    all copies — Lee et al. 2022's §4.2 removal operating on TRUE spans:
-    unlike :func:`scrub_duplicated_spans` (which cuts every duplicated
+                          max_df: int | None = 256,
+                          within_doc: bool = False,
+                          keep: str = "all") -> DataFrame:
+    """Remove token positions covered by maximal repeated spans of
+    ≥ ``min_len`` tokens (:func:`substring_spans`) — Lee et al. 2022's
+    §4.2 removal operating on TRUE spans: unlike
+    :func:`scrub_duplicated_spans` (which cuts every duplicated
     fixed-width shingle window, including sub-min_len incidental
     matches), this cuts only text that verbatim-repeats for at least
     ``min_len`` consecutive tokens, the published operating point
     (their 50-token threshold ⇒ ``min_len=50``).
+
+    ``keep`` picks the survivorship rule:
+
+    * ``"all"`` (default) — remove every copy symmetrically, the
+      published behavior (they note keeping one copy costs nothing
+      measurable vs removing all);
+    * ``"first"`` — each repeated pair keeps its FIRST occurrence
+      (lower doc_id; within a doc, the earlier offset) and cuts only
+      the later one — the keep-one-copy rule most production pipelines
+      use.  Transitive groups converge to the earliest copy surviving
+      (every later copy pairs with an earlier one).
+
+    ``within_doc=True`` also scrubs self-repeats (pass-through to
+    :func:`substring_spans`).
 
     Output: (doc_id, n_tokens, n_kept, text_clean) — same contract as
     :func:`scrub_duplicated_spans`; every input doc present.
@@ -805,31 +821,41 @@ def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
     granularity — unaffected documents take the null fast path with
     zero token shuffle.
     """
+    if keep not in ("all", "first"):
+        raise ValueError(f"keep must be 'all' or 'first', got {keep!r}")
     tokens = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__ws")
     )
-    spans = substring_spans(docs, n=n, min_len=min_len, max_df=max_df)
-    cov = (
+    spans = substring_spans(docs, n=n, min_len=min_len, max_df=max_df,
+                            within_doc=within_doc)
+    # the b side is always the LATER occurrence (doc_b > doc_a, or same
+    # doc with start_b > start_a), so keep='first' covers only it
+    sides = [
         spans.select(
-            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("doc_id"),
             F.explode(
                 F.sequence(
-                    F.col("start_a"),
-                    F.col("start_a") + F.col("length") - 1,
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("length") - 1,
                 )
             ).alias("p"),
         )
-        .unionAll(
+    ]
+    if keep == "all":
+        sides.append(
             spans.select(
-                F.col("doc_b").alias("doc_id"),
+                F.col("doc_a").alias("doc_id"),
                 F.explode(
                     F.sequence(
-                        F.col("start_b"),
-                        F.col("start_b") + F.col("length") - 1,
+                        F.col("start_a"),
+                        F.col("start_a") + F.col("length") - 1,
                     )
                 ).alias("p"),
             )
         )
+    cov0 = sides[0] if len(sides) == 1 else sides[0].unionAll(sides[1])
+    cov = (
+        cov0
         .groupBy("doc_id")
         .agg(F.collect_set("p").alias("__cov"))
     )
@@ -848,15 +874,29 @@ def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
 
 
 def scrub_substring_spans_sql(n: int = 5, min_len: int = 15,
-                              max_df: int | None = 256) -> str:
+                              max_df: int | None = 256,
+                              within_doc: bool = False,
+                              keep: str = "all") -> str:
     """DuckDB twin — span finding as :func:`substring_spans_sql`, then
-    the coverage/reconstruction shape of the span-scrub twin."""
+    the coverage/reconstruction shape of the span-scrub twin.  ``keep``
+    mirrors the Spark side: 'all' covers both occurrences, 'first'
+    only the later (b-side) one."""
     guard = (
         f",\ndfok AS (SELECT shingle FROM pos0 GROUP BY 1 "
         f"HAVING count(*) <= {max_df}),\n"
         "pos AS (SELECT p.* FROM pos0 p JOIN dfok USING (shingle))"
         if max_df is not None
         else ",\npos AS (SELECT * FROM pos0)"
+    )
+    pair = "a.doc_id < b.doc_id"
+    if within_doc:
+        pair = f"({pair} OR (a.doc_id = b.doc_id AND a.start < b.start))"
+    a_side = (
+        """
+    UNION ALL
+    SELECT doc_a AS doc_id, unnest(range(start_a, start_a + length)) AS p
+    FROM spans"""
+        if keep == "all" else ""
     )
     return f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
@@ -871,7 +911,7 @@ pos0 AS (
 anchors AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.start AS pa, b.start AS pb,
          a.start - b.start AS diag
-  FROM pos a JOIN pos b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM pos a JOIN pos b ON a.shingle = b.shingle AND {pair}
 ),
 runs AS (
   SELECT *, pa - row_number() OVER (
@@ -886,11 +926,8 @@ spans AS (
 ),
 cov AS (
   SELECT DISTINCT doc_id, p FROM (
-    SELECT doc_a AS doc_id, unnest(range(start_a, start_a + length)) AS p
-    FROM spans
-    UNION ALL
     SELECT doc_b AS doc_id, unnest(range(start_b, start_b + length)) AS p
-    FROM spans
+    FROM spans{a_side}
   )
 ),
 words AS (

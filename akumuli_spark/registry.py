@@ -3418,6 +3418,19 @@ _register_pipeline(
 )
 
 
+# keep-one-copy survivorship: each repeated pair keeps its first
+# occurrence and cuts only the later one (the production default rule)
+_register_pipeline(
+    "dedup_scrub_substring_keepfirst",
+    lambda spark, sf: _dedup.scrub_substring_spans(
+        load_table(spark, sf, "documents"), n=5, min_len=15, keep="first"
+    ),
+    _dedup.scrub_substring_spans_sql(5, 15, keep="first"),
+    [],
+    ["doc_id", "n_tokens", "n_kept", "text_clean"],
+)
+
+
 def _ann_ivfadc_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """Build the persisted IVFADC index (codes + norms on disk, raw
     embeddings NOT stored), then serve the query set from it — the

@@ -263,6 +263,34 @@ def test_scrub_substring_oracle(spark, duck, docs):
     assert_matches_oracle(out, duck, dedup.scrub_substring_spans_sql(5, 15))
 
 
+def test_scrub_substring_keep_first(spark):
+    """keep='first': each repeated pair keeps its earliest occurrence —
+    the lower doc_id survives untouched, only the later copy is cut; a
+    transitive triple converges to the earliest copy surviving."""
+    shared = "s1 s2 s3 s4 s5 s6"
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 " + shared + " a3"),
+            (2, shared + " b1 b2 b3"),
+            (3, "c1 " + shared + " c2 c3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.scrub_substring_spans(
+        df, n=3, min_len=5, keep="first").collect()}
+    assert rows[1]["n_kept"] == rows[1]["n_tokens"]  # first copy intact
+    assert rows[2]["text_clean"] == "b1 b2 b3"
+    assert rows[3]["text_clean"] == "c1 c2 c3"
+    # keep='all' removes every copy, including doc 1's
+    all_rows = {r["doc_id"]: r for r in dedup.scrub_substring_spans(
+        df, n=3, min_len=5, keep="all").collect()}
+    assert all_rows[1]["text_clean"] == "a1 a2 a3"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        dedup.scrub_substring_spans(df, keep="last")
+
+
 def test_containment_oracle(spark, duck, docs):
     out = dedup.ngram_containment_pairs(docs, n=5, threshold=0.5, max_df=64)
     assert out.count() > 0, "planted near-dups must clear the threshold"

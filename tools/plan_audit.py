@@ -128,7 +128,8 @@ def main() -> None:
                "export_manifest", "dedup_lines_within_doc",
                "dedup_clusters_keep_best",
                "dedup_simhash_h9", "dedup_substring_spans",
-               "dedup_scrub_substring", "dedup_substring_within"]
+               "dedup_scrub_substring", "dedup_substring_within",
+               "dedup_scrub_substring_keepfirst"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

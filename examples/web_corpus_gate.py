@@ -13,8 +13,9 @@ pieces:
       → line-repetition gate     (pipeline/quality.line_repetition_signals)
       → paragraph dedup          (pipeline/quality.dedup_paragraphs —
                                   global first-occurrence keep + rebuild)
-      → span scrub               (pipeline/dedup.scrub_duplicated_spans —
-                                  cut cross-doc duplicated n-grams)
+      → substring scrub          (pipeline/dedup.scrub_substring_spans —
+                                  maximal repeated spans >= min_len,
+                                  keep-first survivorship)
       → fuzzy decontamination    (pipeline/dedup.fuzzy_decontaminate —
                                   drop near-dups of benchmark docs)
       → shard export + manifest  (pipeline/cluster.export_jsonl_shards —
@@ -94,15 +95,21 @@ def main() -> None:
     dropped = paras.filter(F.col("n_kept") == 0).count()
     print(f"paragraph dedup: {dropped} fully-duplicated docs emptied")
 
-    # ---- cross-document span scrub ----
-    scrubbed = dedup.scrub_duplicated_spans(rebuilt, n=5)
+    # ---- exact substring scrub (true maximal spans, keep one copy) ----
+    # keep='first': each verbatim-repeated span of >=10 tokens survives
+    # in its earliest document only — the production survivorship rule;
+    # sub-threshold incidental matches are left alone (unlike the
+    # fixed-width scrub_duplicated_spans pass)
+    scrubbed = dedup.scrub_substring_spans(
+        rebuilt, n=5, min_len=10, keep="first"
+    )
     stats = scrubbed.agg(
         F.sum("n_tokens").alias("toks_in"),
         F.sum("n_kept").alias("toks_out"),
     ).collect()[0]
     print(
-        f"span scrub: {stats['toks_in']} tokens -> {stats['toks_out']} "
-        f"({stats['toks_in'] - stats['toks_out']} duplicated-span tokens cut)"
+        f"substring scrub: {stats['toks_in']} tokens -> {stats['toks_out']} "
+        f"({stats['toks_in'] - stats['toks_out']} repeated-span tokens cut)"
     )
     final = scrubbed.filter(F.col("n_kept") > 0).select(
         "doc_id", F.col("text_clean").alias("text")

@@ -765,7 +765,9 @@ def _quantization_stats(assigned: DataFrame, cents: DataFrame,
         joined.filter((en > 0) & (cn > 0))
         .agg(
             F.count("*").cast("long").alias("n"),
-            F.sum(dist).alias("sum_dist"),
+            # empty batch (or all-dirty rows): sum() is NULL — coalesce
+            # so the mergeable fold in ivf_drift never sees None
+            F.coalesce(F.sum(dist), F.lit(0.0)).alias("sum_dist"),
         )
         .select(F.lit(phase).alias("phase"), "n", "sum_dist")
     )
@@ -795,9 +797,9 @@ def ivf_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict | None:
     except AnalysisException:
         return None
     b_n = sum(r["n"] for r in stats if r["phase"] == "build")
-    b_sum = sum(r["sum_dist"] for r in stats if r["phase"] == "build")
+    b_sum = sum(r["sum_dist"] or 0.0 for r in stats if r["phase"] == "build")
     a_n = sum(r["n"] for r in stats if r["phase"] == "append")
-    a_sum = sum(r["sum_dist"] for r in stats if r["phase"] == "append")
+    a_sum = sum(r["sum_dist"] or 0.0 for r in stats if r["phase"] == "append")
     if not b_n or not a_n:
         return None
     build_mean = b_sum / b_n

@@ -468,3 +468,78 @@ class TestSubstringSpansProperty:
                 within_doc=within).collect()
         }
         assert got == _ref_substring_spans(docs, 2, min_len, within)
+
+
+# ---------------------------------------------------------------------------
+# bloom gate epoch replay vs sequential model under arbitrary retries
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: str, k: int, mbits: int) -> list[int]:
+    h1 = hashlib.md5(key.encode()).hexdigest()
+    h2 = hashlib.md5((key + M._SALT).encode()).hexdigest()
+    return [
+        int((h1 if j < 4 else h2)[(j * 8) % 32:(j * 8) % 32 + 8], 16) % mbits
+        for j in range(k)
+    ]
+
+
+@pytest.mark.usefixtures("spark")
+class TestBloomEpochReplayProperty:
+    @given(
+        batches=st.lists(
+            st.lists(st.integers(0, 30), min_size=1, max_size=8),
+            min_size=1, max_size=4),
+        replays=st.lists(st.booleans(), min_size=4, max_size=4),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_replays_never_change_pass_sets(self, spark, tmp_path_factory,
+                                            batches, replays):
+        """Each epoch optionally replayed once (the foreachBatch retry):
+        every replay must reproduce the epoch's original pass set
+        bit-for-bit, and the final cumulative pass set must equal the
+        sequential no-retry model — including its false positives."""
+        from akumuli_spark.streaming.membership import bloom_gate_batch
+
+        mbits, k = 512, 3
+        store = str(tmp_path_factory.mktemp("bloom_prop") / "store")
+        doc_id = 0
+        rows_per_epoch = []
+        for keys in batches:
+            rows_per_epoch.append(
+                [(doc_id + i, f"k{v}") for i, v in enumerate(keys)])
+            doc_id += len(keys)
+
+        # sequential reference: first occurrence per batch probes, then
+        # passing keys' bits commit (replays must be invisible to it)
+        bits: set[int] = set()
+        model: list[set] = []
+        for rows in rows_per_epoch:
+            seen_in_batch, novel = set(), []
+            for did, text in rows:
+                fp = hashlib.md5(text.encode()).hexdigest()
+                if fp in seen_in_batch:
+                    continue
+                seen_in_batch.add(fp)
+                ps = _bloom_positions(fp, k, mbits)
+                if not all(p in bits for p in ps):
+                    novel.append((did, ps))
+            model.append({did for did, _ in novel})
+            for _, ps in novel:
+                bits.update(ps)
+
+        got: list[set] = []
+        for e, rows in enumerate(rows_per_epoch):
+            def run():
+                from pyspark.sql import functions as F
+                df = spark.createDataFrame(
+                    rows, "doc_id long, text string"
+                ).withColumn("fingerprint", F.md5("text"))
+                return {r["doc_id"] for r in bloom_gate_batch(
+                    spark, df, store, mbits=mbits, k=k, epoch_id=e
+                ).collect()}
+            first = run()
+            if replays[e % len(replays)]:
+                assert run() == first  # retry: identical decisions
+            got.append(first)
+        assert got == model

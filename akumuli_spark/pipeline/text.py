@@ -1198,6 +1198,149 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents per query — the
+    standard lexical ranking a training-data pipeline needs for
+    retrieval-based data selection, benchmark-similarity search, and
+    retrieval-augmentation candidate generation (the sparse complement
+    of the ANN family in ``pipeline.similarity``).
+
+    score(q, d) = Σ_t qtf·idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the Robertson/Lucene
+    form (always ≥ 0).  Ranked per query by (rounded score desc,
+    doc_id asc); output (query_id, doc_id, score, rank), rank ≤ k.
+    Terms are whitespace tokens, matched verbatim (normalize upstream
+    with :func:`normalize_text` if needed).
+
+    ``queries`` is a literal list of (query_id, text) — query-sized,
+    like the ANN query-id sets, so the term frame rides a broadcast.
+
+    Scale shape: per-doc term counts and document lengths come from
+    one JVM-side projection (no corpus explode shuffle — same kernel
+    as :func:`tfidf_topk`); ``df`` is a two-phase agg bounded by
+    vocab × partitions; the only corpus-sized join is the broadcast
+    query-term equi-join, which also PRUNES the corpus to documents
+    sharing ≥1 query term before any scoring; N/avgdl arrive as one
+    broadcast row.  The final window partitions by query_id over
+    matched docs only.
+    """
+    from pyspark.sql import Window
+
+    qrows = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in str(text).split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            qrows.append((int(qid), t, c))
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        qrows, "query_id long, term string, qtf long"
+    )
+    per_doc = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    ).select(
+        "doc_id",
+        F.size("__ws").cast("double").alias("dl"),
+        F.explode(
+            F.expr(
+                "transform(array_distinct(__ws), t -> "
+                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
+            )
+        ).alias("tc"),
+    ).select(
+        "doc_id", "dl",
+        F.col("tc.term").alias("term"),
+        F.col("tc.cnt").cast("double").alias("tf"),
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+        / (F.col("__df") + 0.5)
+    )
+    comp = (
+        F.col("qtf") * idf * F.col("tf") * (1.0 + float(k1))
+        / (F.col("tf") + float(k1) * (
+            1.0 - float(b) + float(b) * F.col("dl") / F.col("__avgdl")))
+    )
+    score = F.expr(_TFIDF_ROUND.format(x="__raw")).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(comp).alias("__raw"))
+        .select("query_id", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin of :func:`bm25_topk` — query terms embedded as a
+    VALUES literal with the same Python-computed multiplicities."""
+    qrows = []
+    for qid, text in queries:
+        counts: dict[str, int] = {}
+        for t in str(text).split(" "):
+            if t:
+                counts[t] = counts.get(t, 0) + 1
+        for t, c in counts.items():
+            esc = t.replace("'", "''")
+            qrows.append(f"({int(qid)}, '{esc}', {c})")
+    values = ", ".join(qrows)
+    rnd = _TFIDF_ROUND.format(
+        x=(
+            f"sum(qtf * ln(1.0 + (__n - __df + 0.5) / (__df + 0.5)) "
+            f"* tf * (1.0 + {float(k1)!r}) "
+            f"/ (tf + {float(k1)!r} * (1.0 - {float(b)!r} "
+            f"+ {float(b)!r} * dl / __avgdl)))"
+        )
+    )
+    return f"""
+WITH qterms(query_id, term, qtf) AS (VALUES {values}),
+per_doc AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+dls AS (SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl
+        FROM documents),
+dfreq AS (SELECT term, count(*) AS __df FROM per_doc GROUP BY term),
+stats AS (SELECT count(*)::DOUBLE AS __n,
+                 avg(len(string_split(text, ' '))) AS __avgdl
+          FROM documents),
+scored AS (
+  SELECT query_id, p.doc_id, {rnd} AS score
+  FROM per_doc p
+  JOIN qterms USING (term)
+  JOIN dfreq USING (term)
+  JOIN dls ON p.doc_id = dls.doc_id
+  CROSS JOIN stats
+  GROUP BY query_id, p.doc_id, __n, __avgdl
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {int(k)}
+""".strip()
+
+
 def tfidf_topk_sql(k: int = 3) -> str:
     rnd = _TFIDF_ROUND.format(x="tf * ln(CAST(__n AS DOUBLE) / __df)")
     return f"""

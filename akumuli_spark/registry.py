@@ -2966,6 +2966,25 @@ _register_pipeline(
     ["doc_id", "term", "tf", "rank"],
 )
 
+# Okapi BM25 retrieval: top-k docs per literal query, ranked on the
+# canonically-rounded score (same cross-engine rank determinism as
+# tfidf_topk) — the sparse complement of the ANN serving family.
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "hash join merge batch"),
+    (3, "window sort order query"),
+]
+
+_register_pipeline(
+    "text_bm25_topk",
+    lambda spark, sf: _text.bm25_topk(
+        load_table(spark, sf, "documents"), _BM25_QUERIES, k=10
+    ),
+    _text.bm25_topk_sql(_BM25_QUERIES, 10),
+    ["score"],
+    ["query_id", "doc_id", "rank"],
+)
+
 
 # Bucketized interval (range) join: error events open 30-min windows,
 # purchase samples land in every window containing them, aggregated per

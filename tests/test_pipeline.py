@@ -1079,6 +1079,68 @@ def test_tfidf_crafted(spark):
     assert max(Counter(d for d, _ in out).values()) == 2
 
 
+def test_bm25_matches_python_reference(spark):
+    """BM25 scores and ranks against a direct Python replay of the
+    Robertson formula on a crafted corpus — pruning (docs sharing no
+    query term never appear), query-term multiplicity (qtf), and the
+    length normalization all pinned."""
+    import math
+
+    from akumuli_spark.pipeline import text
+
+    corpus = {
+        1: "spark spark shuffle join",
+        2: "join shuffle sort merge sort",
+        3: "vector scan filter",
+        4: "spark join",
+    }
+    queries = [(10, "spark join"), (20, "sort sort merge"), (30, "absent")]
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    k1, b = 1.2, 0.75
+    toks = {d: t.split(" ") for d, t in corpus.items()}
+    N = len(corpus)
+    avgdl = sum(len(w) for w in toks.values()) / N
+    df: dict[str, int] = {}
+    for ws in toks.values():
+        for t in set(ws):
+            df[t] = df.get(t, 0) + 1
+
+    def ref(qtext, d):
+        ws = toks[d]
+        qc: dict[str, int] = {}
+        for t in qtext.split(" "):
+            qc[t] = qc.get(t, 0) + 1
+        s = 0.0
+        for t, qtf in qc.items():
+            tf = ws.count(t)
+            if tf == 0 or t not in df:
+                continue
+            idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            s += qtf * idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(ws) / avgdl))
+        return s
+
+    rows = text.bm25_topk(docs, queries, k=10, k1=k1, b=b).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"]) for r in rows}
+    # query 30 shares no term with any doc: pruned entirely
+    assert not [q for q, _ in got if q == 30]
+    for (qid, qtext) in queries[:2]:
+        want = {d: ref(qtext, d) for d in corpus if ref(qtext, d) > 0}
+        mine = {d: s for (q, d), (s, _) in got.items() if q == qid}
+        assert set(mine) == set(want), (qid, mine, want)
+        for d, s in want.items():
+            assert abs(mine[d] - s) < 1e-3, (qid, d, mine[d], s)
+        # ranks follow score desc, doc_id asc
+        order = sorted(want, key=lambda d: (-round(want[d], 4), d))
+        for r_i, d in enumerate(order, 1):
+            assert got[(qid, d)][1] == r_i
+    # qtf matters: "sort sort merge" weights sort twice for doc 2
+    s_single = ref("sort merge", 2)
+    assert got[(20, 2)][0] > s_single
+
+
 def test_resize_images_crafted(spark):
     """Hand-computed nearest-neighbor resize of a real 4x2 BMP payload:
     the kernel must parse the genuine header, materialize the generator

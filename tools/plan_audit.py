@@ -129,7 +129,7 @@ def main() -> None:
                "dedup_clusters_keep_best",
                "dedup_simhash_h9", "dedup_substring_spans",
                "dedup_scrub_substring", "dedup_substring_within",
-               "dedup_scrub_substring_keepfirst"]
+               "dedup_scrub_substring_keepfirst", "text_bm25_topk"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

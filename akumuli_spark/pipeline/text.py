@@ -1214,7 +1214,10 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     with :func:`normalize_text` if needed).
 
     ``queries`` is a literal list of (query_id, text) — query-sized,
-    like the ANN query-id sets, so the term frame rides a broadcast.
+    like the ANN query-id sets, so the term frame rides a broadcast —
+    or a DataFrame with (query_id, text) columns (the production shape
+    for query sets materialized in the lake: tokenization then runs
+    in Spark, and the term frame still broadcasts at query-set size).
 
     Scale shape: per-doc term counts and document lengths come from
     one JVM-side projection (no corpus explode shuffle — same kernel
@@ -1227,18 +1230,29 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     """
     from pyspark.sql import Window
 
-    qrows = []
-    for qid, text in queries:
-        counts: dict[str, int] = {}
-        for t in str(text).split(" "):
-            if t:
-                counts[t] = counts.get(t, 0) + 1
-        for t, c in counts.items():
-            qrows.append((int(qid), t, c))
-    spark = docs.sparkSession
-    qterms = spark.createDataFrame(
-        qrows, "query_id long, term string, qtf long"
-    )
+    if isinstance(queries, DataFrame):
+        qterms = (
+            queries.select(
+                "query_id",
+                F.explode(F.split(F.col("text"), " ")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("query_id", "term")
+            .agg(F.count("*").alias("qtf"))
+        )
+    else:
+        qrows = []
+        for qid, text in queries:
+            counts: dict[str, int] = {}
+            for t in str(text).split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                qrows.append((int(qid), t, c))
+        spark = docs.sparkSession
+        qterms = spark.createDataFrame(
+            qrows, "query_id long, term string, qtf long"
+        )
     per_doc = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__ws")
     ).select(

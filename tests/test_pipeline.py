@@ -1139,6 +1139,13 @@ def test_bm25_matches_python_reference(spark):
     # qtf matters: "sort sort merge" weights sort twice for doc 2
     s_single = ref("sort merge", 2)
     assert got[(20, 2)][0] > s_single
+    # DataFrame-queries production shape: identical output
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    df_rows = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in text.bm25_topk(docs, qdf, k=10, k1=k1, b=b).collect()
+    }
+    assert df_rows == got
 
 
 def test_resize_images_crafted(spark):

@@ -1370,6 +1370,14 @@ def simhash_pairs(docs: DataFrame, n: int = 3, max_hamming: int = 3,
         sig = signatures
     else:
         sig = simhash_signatures(docs, n=n).localCheckpoint(eager=True)
+    return _signature_hamming_pairs(sig, max_hamming)
+
+
+def _signature_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """Pairs with hamming ≤ ``max_hamming`` over ANY (id, simhash)
+    60-bit signature table — the pigeonhole candidate join + exact
+    XOR/bit_count verify shared by text SimHash and the multimodal
+    perceptual-hash dedup (``multimodal.image_near_dup_pairs``)."""
     chunks = _simhash_chunks(sig, _chunks_for(max_hamming))
     a = chunks.alias("a")
     b = chunks.alias("b")

@@ -745,3 +745,148 @@ FROM dims,
      (SELECT unnest(range(0, {out_h})) AS y) gy
 GROUP BY doc_id
 """.strip()
+
+
+def image_dhash(payloads: DataFrame, rows: int = 10,
+                cols: int = 7) -> DataFrame:
+    """60-bit difference hash (dHash) per image — the standard
+    perceptual fingerprint for near-duplicate IMAGE dedup (re-encoded,
+    resized, or lightly edited copies keep a close hash; the visual
+    analogue of the text SimHash): nearest-neighbor-resample to a
+    ``rows × cols`` grid, bit (r, c) = 1 iff pixel(r, c+1) > pixel(r, c)
+    — (cols−1) gradient bits per row.
+
+    The default 10×7 grid yields rows·(cols−1) = 60 bits on purpose:
+    the hash drops straight into the text-SimHash pigeonhole machinery
+    (``dedup._signature_hamming_pairs``), so candidate generation,
+    radius-derived chunk counts, and the stored-index shape are all
+    shared.  Same real-parse + real-resample + generator-pixel contract
+    as :func:`resize_images` (the gradient kernel is what a codec-backed
+    dHash keeps unchanged).
+
+    Output: (doc_id, dhash BIGINT); null row for empty/corrupt
+    payloads (total over dirty data, never stage-fatal)."""
+    n_bits_per_row = cols - 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for p in pdf["payload"]:
+                if not p:
+                    out_rows.append((None,))
+                    continue
+                n_bytes, w, h, _, _ = decode_header(p)
+                if not w or not h:
+                    out_rows.append((None,))
+                    continue
+                sx = (np.arange(cols, dtype=np.int64) * w) // cols
+                sy = (np.arange(rows, dtype=np.int64) * h) // rows
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                rows_m = ((17 * sy[:, None]) + xs[None, :] + n_bytes) % 256
+                dst = rows_m[:, sx]
+                diff = dst[:, 1:] > dst[:, :-1]  # rows × (cols−1)
+                bits = 0
+                for r in range(rows):
+                    for c in range(n_bits_per_row):
+                        if diff[r, c]:
+                            bits |= 1 << (r * n_bits_per_row + c)
+                out_rows.append((bits,))
+            out = pd.DataFrame(out_rows, columns=["dhash"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, dhash long"
+    )
+
+
+def image_dhash_sql(rows: int = 10, cols: int = 7) -> str:
+    """Oracle twin over the synth-BMP corpus: dims + generator pixels +
+    the gradient-bit sum, all arithmetic."""
+    def px(c_expr: str, r_expr: str) -> str:
+        # fully parenthesized: _PX multiplies the substituted exprs, and
+        # * and // share precedence left-to-right — an unparenthesized
+        # `a * w // cols` would divide the PRODUCT, not the coordinate
+        return _PX.format(
+            x=f"((({c_expr}) * w) // {cols})",
+            y=f"((({r_expr}) * h) // {rows})",
+            n="n_bytes",
+        )
+
+    terms = " +\n         ".join(
+        f"(CASE WHEN ({px(str(c + 1), str(r))}) > ({px(str(c), str(r))}) "
+        f"THEN (1::BIGINT << {r * (cols - 1) + c}) ELSE 0 END)"
+        for r in range(rows) for c in range(cols - 1)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id,
+         (54 + octet_length(encode(text)))::BIGINT AS n_bytes,
+         (64 + octet_length(encode(text)) % 577)::BIGINT AS w,
+         (64 + (octet_length(encode(text)) * 31) % 417)::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       ({terms})::BIGINT AS dhash
+FROM dims
+""".strip()
+
+
+def image_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
+                         signatures: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate IMAGE pairs: hamming(dhash) ≤ ``max_hamming`` —
+    multimodal dedup as a first-class pass (re-crawled thumbnails,
+    re-encoded copies).  Candidates come from the shared SimHash
+    pigeonhole machinery (chunk count derived from the radius, complete
+    w.r.t. the signature space); verification is pure XOR/bit_count.
+
+    Pass ``signatures`` (a stored :func:`image_dhash` table — one
+    (doc_id, dhash) row per image IS the index at 100 TB) to skip
+    decoding; otherwise the hash frame is computed once and
+    checkpointed.  Output: (doc_a, doc_b, hamming)."""
+    from akumuli_spark.pipeline.dedup import _signature_hamming_pairs
+
+    if signatures is not None:
+        sig = signatures.select(
+            F.col(signatures.columns[0]).alias("id"),
+            F.col("dhash").alias("simhash"),
+        )
+    else:
+        sig = (
+            image_dhash(payloads)
+            .filter(F.col("dhash").isNotNull())
+            .select(F.col("doc_id").alias("id"),
+                    F.col("dhash").alias("simhash"))
+            .localCheckpoint(eager=True)
+        )
+    return _signature_hamming_pairs(sig, max_hamming)
+
+
+def image_near_dup_sql(max_hamming: int = 3, rows: int = 10,
+                       cols: int = 7) -> str:
+    """DuckDB twin of :func:`image_near_dup_pairs` — dhash CTE + the
+    same radius-derived pigeonhole chunk join as the text-SimHash twin."""
+    from akumuli_spark.pipeline.dedup import SIMHASH_BITS, _chunks_for
+
+    n_chunks = _chunks_for(max_hamming)
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id AS id, dhash AS simhash, {c} AS chunk_idx, "
+        f"(dhash >> {c * chunk_bits}) & {mask} AS chunk_val FROM sig"
+        for c in range(n_chunks)
+    )
+    return f"""
+WITH sig AS ({image_dhash_sql(rows, cols)}),
+chunks AS ({chunk_union}),
+cands AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.id < b.id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+""".strip()

@@ -3059,6 +3059,30 @@ _register_pipeline(
     ["doc_id", "src_w", "src_h", "px_sum"],
 )
 
+# Perceptual image dedup: 60-bit dHash per image (drops into the text
+# SimHash pigeonhole machinery) + hamming-radius near-dup pairs —
+# multimodal near-dup as a first-class pass
+_register_pipeline(
+    "multimodal_image_dhash",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_bmp_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.image_dhash_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
+_register_pipeline(
+    "multimodal_image_near_dup",
+    lambda spark, sf: _mm.image_near_dup_pairs(
+        _mm.synth_bmp_payloads(load_table(spark, sf, "documents")),
+        max_hamming=3,
+    ),
+    _mm.image_near_dup_sql(3),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "multimodal_frame_sample",
     lambda spark, sf: _mm.sample_audio_frames(

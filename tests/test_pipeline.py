@@ -1178,6 +1178,58 @@ def test_resize_images_crafted(spark):
     assert abs(r["px_mean"] - want.mean()) < 1e-12
 
 
+def test_image_dhash_crafted(spark):
+    """dHash on a real BMP payload against a direct bit-level replay of
+    the gradient kernel, plus totality (empty payload → null row) and
+    the hamming-0 pairing of byte-identical images."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    def bmp(body: bytes, w: int, h: int) -> bytearray:
+        hdr = struct.pack(
+            "<2sIHHIIiiHHIIiiII",
+            b"BM", 54 + len(body), 0, 0, 54,
+            40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        )
+        return bytearray(hdr + body)
+
+    w, h = 13, 11
+    payloads = spark.createDataFrame(
+        [
+            (1, bmp(b"abcdef", w, h)),
+            (2, bmp(b"abcdef", w, h)),   # byte-identical twin
+            (3, bmp(b"zz", 5, 7)),       # different image
+            (4, bytearray(b"")),         # empty: null row, never fatal
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["dhash"]
+           for r in mm.image_dhash(payloads).collect()}
+    n = 54 + 6
+    rows, cols = 10, 7
+    grid = np.array(
+        [[(31 * ((c * w) // cols) + 17 * ((r * h) // rows) + n) % 256
+          for c in range(cols)] for r in range(rows)]
+    )
+    want = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            if grid[r, c + 1] > grid[r, c]:
+                want |= 1 << (r * (cols - 1) + c)
+    assert got[1] == want
+    assert got[2] == want and got[4] is None
+    assert got[3] != want
+    pairs = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in mm.image_near_dup_pairs(payloads, max_hamming=3).collect()
+    ]
+    assert (1, 2, 0) in pairs
+    assert all(d != 4 for p in pairs for d in p[:2])
+
+
 def test_sample_audio_frames_crafted(spark):
     """Synth WAV over known text: frame size from the real header walk,
     stride-4 sampling, trailing partial frame ignored."""

@@ -890,3 +890,152 @@ cands AS (
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """.strip()
+
+
+def audio_fingerprint(payloads: DataFrame,
+                      n_points: int = 61) -> DataFrame:
+    """60-bit audio fingerprint — the WAV analogue of
+    :func:`image_dhash` (and the plumbing shape of a Chromaprint-style
+    acoustic fingerprint): walk the real RIFF header for the frame
+    size, resample each clip's frame-first-bytes to ``n_points``
+    evenly-spaced probes (frame f(j) = (j·n_frames) // n_points — the
+    1-D nearest-neighbor resample, so clips of any length land on the
+    same fixed grid), bit j = 1 iff probe j+1 > probe j — n_points−1
+    energy-gradient bits.
+
+    The default 61 probes yield 60 bits on purpose: the fingerprint
+    drops into the text-SimHash pigeonhole machinery
+    (``dedup._signature_hamming_pairs``) exactly like the image dHash.
+    Per-frame energy here is the frame's first byte (the sanctioned
+    stand-in kernel — a codec-backed fingerprint swaps in real frame
+    energy and keeps everything else).
+
+    Output: (doc_id, afp BIGINT); null row for empty/corrupt payloads
+    or clips with no complete frame (total over dirty data)."""
+    n_bits = n_points - 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                meta = _parse_wav(p) if p else None
+                if meta is None:
+                    rows.append((None,))
+                    continue
+                _, _, bits_ps, n_ch, _ = meta
+                body = p[_WAV_HEADER_LEN_LOCAL:]
+                fs = max(1, n_ch * bits_ps // 8)
+                n_frames = len(body) // fs
+                if n_frames == 0:
+                    rows.append((None,))
+                    continue
+                vals = np.frombuffer(body, dtype=np.uint8)[
+                    0 : n_frames * fs : fs
+                ]
+                probes = vals[
+                    (np.arange(n_points, dtype=np.int64) * n_frames)
+                    // n_points
+                ]
+                fp = 0
+                for j in range(n_bits):
+                    if probes[j + 1] > probes[j]:
+                        fp |= 1 << j
+                rows.append((fp,))
+            out = pd.DataFrame(rows, columns=["afp"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, afp long"
+    )
+
+
+def audio_fingerprint_sql(n_points: int = 61) -> str:
+    """Oracle twin over the synth-WAV corpus — probe bytes via
+    ascii(substr(text)), gradient bits via lead() over the probe index."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text))::BIGINT AS n,
+         (1 + octet_length(encode(text)) % 2)
+           * (1 + octet_length(encode(text)) % 3) AS fs
+  FROM documents
+),
+frames AS (SELECT doc_id, text, fs, n // fs AS n_frames FROM dims),
+probes AS (
+  SELECT doc_id, j,
+         ascii(substr(text,
+               (((j * n_frames) // {int(n_points)}) * fs + 1)::INT,
+               1)) AS v
+  FROM frames, unnest(range(0, {int(n_points)})) r(j)
+  WHERE n_frames > 0
+),
+bits AS (
+  SELECT doc_id, j, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+  FROM probes
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN nxt > v THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT
+           AS afp
+  FROM bits WHERE j < {int(n_points) - 1}
+  GROUP BY doc_id
+)
+SELECT f.doc_id, fp.afp
+FROM frames f LEFT JOIN fp ON f.doc_id = fp.doc_id
+""".strip()
+
+
+def audio_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
+                         signatures: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate AUDIO pairs: hamming(fingerprint) ≤ ``max_hamming``
+    through the shared pigeonhole machinery — re-encoded or re-crawled
+    clips dedup exactly like images and text.  ``signatures`` = a stored
+    :func:`audio_fingerprint` table (the index at scale).
+    Output: (doc_a, doc_b, hamming)."""
+    from akumuli_spark.pipeline.dedup import _signature_hamming_pairs
+
+    if signatures is not None:
+        sig = signatures.select(
+            F.col(signatures.columns[0]).alias("id"),
+            F.col("afp").alias("simhash"),
+        )
+    else:
+        sig = (
+            audio_fingerprint(payloads)
+            .filter(F.col("afp").isNotNull())
+            .select(F.col("doc_id").alias("id"),
+                    F.col("afp").alias("simhash"))
+            .localCheckpoint(eager=True)
+        )
+    return _signature_hamming_pairs(sig, max_hamming)
+
+
+def audio_near_dup_sql(max_hamming: int = 3, n_points: int = 61) -> str:
+    """DuckDB twin of :func:`audio_near_dup_pairs`."""
+    from akumuli_spark.pipeline.dedup import SIMHASH_BITS, _chunks_for
+
+    n_chunks = _chunks_for(max_hamming)
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunk_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id AS id, afp AS simhash, {c} AS chunk_idx, "
+        f"(afp >> {c * chunk_bits}) & {mask} AS chunk_val FROM sig "
+        "WHERE afp IS NOT NULL"
+        for c in range(n_chunks)
+    )
+    return f"""
+WITH sig AS ({audio_fingerprint_sql(n_points)}),
+chunks AS ({chunk_union}),
+cands AS (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b,
+                  a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.id < b.id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+""".strip()

@@ -3083,6 +3083,29 @@ _register_pipeline(
     ["doc_a", "doc_b", "hamming"],
 )
 
+# ...and the audio analogue: 60-bit energy-gradient fingerprint over
+# resampled frame probes + hamming pairs (same pigeonhole machinery)
+_register_pipeline(
+    "multimodal_audio_fingerprint",
+    lambda spark, sf: _mm.audio_fingerprint(
+        _mm.synth_wav_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.audio_fingerprint_sql(),
+    [],
+    ["doc_id", "afp"],
+)
+
+_register_pipeline(
+    "multimodal_audio_near_dup",
+    lambda spark, sf: _mm.audio_near_dup_pairs(
+        _mm.synth_wav_payloads(load_table(spark, sf, "documents")),
+        max_hamming=3,
+    ),
+    _mm.audio_near_dup_sql(3),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "multimodal_frame_sample",
     lambda spark, sf: _mm.sample_audio_frames(

@@ -1246,6 +1246,35 @@ def test_sample_audio_frames_crafted(spark):
     assert abs(r["frame_mean"] - want) < 1e-12
 
 
+def test_audio_fingerprint_crafted(spark):
+    """Fingerprint over a known synth-WAV body: probes replayed directly
+    from the text bytes; identical clips pair at hamming 0; zero-frame
+    and empty payloads yield null rows and never pair."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    text = "abcdefghijklmnopqrstu"  # n=21: fs=2, 10 frames
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "a")],  # n=1: fs=4 → zero frames
+        "doc_id long, text string",
+    )
+    pay = mm.synth_wav_payloads(docs)
+    got = {r["doc_id"]: r["afp"]
+           for r in mm.audio_fingerprint(pay).collect()}
+    body = text.encode()
+    fs, n_frames, n_points = 2, 10, 61
+    vals = [body[f * fs] for f in range(n_frames)]
+    probes = [vals[(j * n_frames) // n_points] for j in range(n_points)]
+    want = 0
+    for j in range(n_points - 1):
+        if probes[j + 1] > probes[j]:
+            want |= 1 << j
+    assert got[1] == want and got[2] == want
+    assert got[3] is None
+    pairs = [(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in mm.audio_near_dup_pairs(pay, max_hamming=3).collect()]
+    assert pairs == [(1, 2, 0)]
+
+
 def test_sample_audio_frames_no_complete_frame(spark):
     from akumuli_spark.pipeline import multimodal as mm
 

@@ -130,7 +130,8 @@ def main() -> None:
                "dedup_simhash_h9", "dedup_substring_spans",
                "dedup_scrub_substring", "dedup_substring_within",
                "dedup_scrub_substring_keepfirst", "text_bm25_topk",
-               "multimodal_image_dhash", "multimodal_image_near_dup"]
+               "multimodal_image_dhash", "multimodal_image_near_dup",
+               "multimodal_audio_fingerprint", "multimodal_audio_near_dup"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

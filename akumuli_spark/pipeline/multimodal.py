@@ -162,7 +162,8 @@ def decode_header(payload: bytes | None) -> tuple[int, int | None, int | None, i
     inside ``mapInPandas``."""
     if not payload:
         return 0, None, None, None, "corrupt"
-    for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_wav):
+    for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_wav,
+                  _parse_avi):
         meta = parse(payload)
         if meta is not None:
             return meta
@@ -1039,3 +1040,284 @@ cands AS (
 SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
 FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# video (AVI) — the third modality: real RIFF/AVI header walk,
+# frame sampling, and the shared gradient fingerprint
+# ---------------------------------------------------------------------------
+
+
+def _parse_avi(p: bytes):
+    # RIFF form 'AVI ': walk top-level chunks to LIST/hdrl, then its
+    # 'avih' main header — dwTotalFrames at +16, dwStreams at +24,
+    # dwWidth/dwHeight at +32/+36 (AVIMAINHEADER layout).  Metadata
+    # mapping: channels = stream count.
+    if len(p) < 24 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    off = 12
+    while off + 8 <= len(p):
+        cid = p[off:off + 4]
+        size = int.from_bytes(p[off + 4:off + 8], "little")
+        if cid == b"LIST" and p[off + 8:off + 12] == b"hdrl":
+            sub = off + 12
+            end = off + 8 + size
+            while sub + 8 <= min(end, len(p)):
+                scid = p[sub:sub + 4]
+                ssize = int.from_bytes(p[sub + 4:sub + 8], "little")
+                if scid == b"avih" and sub + 8 + 40 <= len(p):
+                    total = int.from_bytes(p[sub + 24:sub + 28], "little")
+                    streams = int.from_bytes(p[sub + 32:sub + 36], "little")
+                    width = int.from_bytes(p[sub + 40:sub + 44], "little")
+                    height = int.from_bytes(p[sub + 44:sub + 48], "little")
+                    if width == 0 or height == 0 or streams == 0:
+                        return None
+                    return len(p), width, height, streams, "avi"
+                sub += 8 + ssize + (ssize & 1)
+            return None
+        off += 8 + size + (size & 1)
+    return None
+
+
+def _find_avi_movi(p: bytes) -> bytes | None:
+    """Real chunk walk to the LIST/movi payload bytes (None if absent)."""
+    off = 12
+    while off + 8 <= len(p):
+        cid = p[off:off + 4]
+        size = int.from_bytes(p[off + 4:off + 8], "little")
+        if cid == b"LIST" and p[off + 8:off + 12] == b"movi":
+            return p[off + 12:off + 8 + size]
+        off += 8 + size + (size & 1)
+    return None
+
+
+def synth_avi_payloads(docs: DataFrame) -> DataFrame:
+    """REAL RIFF/AVI container (LIST hdrl → avih main header, LIST movi
+    with the text body as the stream data).  Video metadata derives from
+    the UTF-8 byte length: width = 160 + 13n mod 1280, height = 120 +
+    11n mod 720, total_frames = 1 + n mod 97, streams ∈ {1,2} — each
+    SQL-recomputable, so the oracle pins the little-endian offsets the
+    parser must walk."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                body = t.encode("utf-8")
+                n = len(body)
+                width = 160 + (n * 13) % 1280
+                height = 120 + (n * 11) % 720
+                total = 1 + n % 97
+                streams = 1 + n % 2
+                avih = struct.pack(
+                    "<IIIIIIIIII16x",
+                    33333, 0, 0, 0, total, 0, streams, 0, width, height,
+                )
+                hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                movi = b"movi" + body
+                chunks = (
+                    b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+                    + b"LIST" + struct.pack("<I", len(movi)) + movi
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"AVI "
+                    + chunks
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: synth-AVI fixed prefix before the movi body: RIFF header (12) +
+#: LIST hdrl (8 + 4 + 8 + 56) + LIST movi header (8 + 4)
+_AVI_HEADER_LEN = 12 + (8 + 4 + 8 + 56) + (8 + 4)
+
+#: oracle twin of the synth-AVI decode round trip
+DECODE_AVI_SQL = f"""
+SELECT doc_id,
+       ({_AVI_HEADER_LEN} + octet_length(encode(text)))::BIGINT AS n_bytes,
+       (160 + (octet_length(encode(text)) * 13) % 1280)::BIGINT AS width,
+       (120 + (octet_length(encode(text)) * 11) % 720)::BIGINT AS height,
+       (1 + octet_length(encode(text)) % 2)::BIGINT AS channels,
+       'avi' AS format
+FROM documents
+""".strip()
+
+
+def sample_video_frames(payloads: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame-sampling stage for AVI payloads: walk the real headers for
+    the declared frame count, nearest-neighbor-map every ``stride``-th
+    frame index onto the movi byte stream, and report probe-byte
+    statistics — the plumbing shape of video keyframe extraction (the
+    per-frame kernel is where a real decoder drops in; frame f's probe
+    byte is movi[(f · |movi|) // total_frames], the 1-D resample).
+
+    Output: (doc_id, n_frames, n_sampled, frame_mean); 0/0/NULL for
+    empty movi or corrupt containers (total over dirty data)."""
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                meta = _parse_avi(p) if p else None
+                movi = _find_avi_movi(p) if meta is not None else None
+                if meta is None or not movi:
+                    rows.append((0, 0, None))
+                    continue
+                # dwTotalFrames re-read via the parser's own walk
+                total = None
+                off = 12
+                while off + 8 <= len(p):
+                    if (p[off:off + 4] == b"LIST"
+                            and p[off + 8:off + 12] == b"hdrl"):
+                        total = int.from_bytes(p[off + 36:off + 40], "little")
+                        break
+                    off += 8 + int.from_bytes(p[off + 4:off + 8],
+                                              "little") + (
+                        int.from_bytes(p[off + 4:off + 8], "little") & 1)
+                if not total:
+                    rows.append((0, 0, None))
+                    continue
+                body = np.frombuffer(movi, dtype=np.uint8)
+                f_idx = np.arange(0, total, stride, dtype=np.int64)
+                probes = body[(f_idx * len(body)) // total]
+                rows.append((total, len(f_idx), float(probes.mean())))
+            out = pd.DataFrame(
+                rows, columns=["n_frames", "n_sampled", "frame_mean"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel,
+        schema="doc_id long, n_frames long, n_sampled long, frame_mean double",
+    )
+
+
+def sample_video_frames_sql(stride: int = 4) -> str:
+    """Oracle twin over the synth-AVI corpus (ASCII text ⇒ probe byte =
+    ascii(substr(text, ...)))."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text,
+         octet_length(encode(text))::BIGINT AS n,
+         (1 + octet_length(encode(text)) % 97)::BIGINT AS total
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, total, n, text,
+         unnest(range(0, total, {int(stride)})) AS f
+  FROM dims WHERE n > 0
+),
+agg AS (
+  SELECT doc_id, total AS n_frames, count(*)::BIGINT AS n_sampled,
+         avg(ascii(substr(text, ((f * n) // total + 1)::INT, 1)))
+           AS frame_mean
+  FROM sampled GROUP BY doc_id, total
+)
+SELECT doc_id, n_frames, n_sampled, frame_mean FROM agg
+UNION ALL
+SELECT doc_id, 0::BIGINT, 0::BIGINT, NULL::DOUBLE
+FROM dims WHERE n = 0
+""".strip()
+
+
+def video_fingerprint(payloads: DataFrame,
+                      n_points: int = 61) -> DataFrame:
+    """60-bit video fingerprint: the shared gradient-hash kernel over
+    ``n_points`` nearest-neighbor probes of the movi byte stream (frame
+    j = (j · total_frames) // n_points, probe byte as in
+    :func:`sample_video_frames`) — re-encoded or re-crawled clips dedup
+    through the same pigeonhole machinery as text/image/audio.
+    Output: (doc_id, vfp BIGINT); null for corrupt/empty."""
+    n_bits = n_points - 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                meta = _parse_avi(p) if p else None
+                movi = _find_avi_movi(p) if meta is not None else None
+                if meta is None or not movi:
+                    rows.append((None,))
+                    continue
+                body = np.frombuffer(movi, dtype=np.uint8)
+                j = np.arange(n_points, dtype=np.int64)
+                probes = body[(j * len(body)) // n_points]
+                fp = 0
+                for i in range(n_bits):
+                    if probes[i + 1] > probes[i]:
+                        fp |= 1 << i
+                rows.append((fp,))
+            out = pd.DataFrame(rows, columns=["vfp"])
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        kernel, schema="doc_id long, vfp long"
+    )
+
+
+def video_fingerprint_sql(n_points: int = 61) -> str:
+    """Oracle twin: probes via ascii(substr), gradient bits via lead()."""
+    return f"""
+WITH dims AS (
+  SELECT doc_id, text, octet_length(encode(text))::BIGINT AS n
+  FROM documents
+),
+probes AS (
+  SELECT doc_id, j,
+         ascii(substr(text, ((j * n) // {int(n_points)} + 1)::INT, 1)) AS v
+  FROM dims, (SELECT unnest(range(0, {int(n_points)})) AS j) gj
+  WHERE n > 0
+),
+bits AS (
+  SELECT doc_id, j, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY j) AS nxt
+  FROM probes
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN nxt > v THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT
+           AS vfp
+  FROM bits WHERE j < {int(n_points) - 1}
+  GROUP BY doc_id
+)
+SELECT d.doc_id, fp.vfp
+FROM dims d LEFT JOIN fp ON d.doc_id = fp.doc_id
+""".strip()
+
+
+def video_near_dup_pairs(payloads: DataFrame, max_hamming: int = 3,
+                         signatures: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate VIDEO pairs through the shared pigeonhole
+    machinery (see :func:`image_near_dup_pairs`)."""
+    from akumuli_spark.pipeline.dedup import _signature_hamming_pairs
+
+    if signatures is not None:
+        sig = signatures.select(
+            F.col(signatures.columns[0]).alias("id"),
+            F.col("vfp").alias("simhash"),
+        )
+    else:
+        sig = (
+            video_fingerprint(payloads)
+            .filter(F.col("vfp").isNotNull())
+            .select(F.col("doc_id").alias("id"),
+                    F.col("vfp").alias("simhash"))
+            .localCheckpoint(eager=True)
+        )
+    return _signature_hamming_pairs(sig, max_hamming)

@@ -1540,6 +1540,41 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# Video modality (real RIFF/AVI header walk): decode, declared-frame
+# sampling onto the movi byte stream, and the shared 60-bit gradient
+# fingerprint (near-dup pairs ride the same pigeonhole machinery as
+# text/image/audio — pytest-pinned; the pair entry would be 0 rows on
+# this corpus, so the gated surface here is the hash itself)
+_register_pipeline(
+    "multimodal_decode_avi",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_avi_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_AVI_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
+_register_pipeline(
+    "multimodal_video_frame_sample",
+    lambda spark, sf: _mm.sample_video_frames(
+        _mm.synth_avi_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.sample_video_frames_sql(),
+    ["frame_mean"],
+    ["doc_id", "n_frames", "n_sampled"],
+)
+
+_register_pipeline(
+    "multimodal_video_fingerprint",
+    lambda spark, sf: _mm.video_fingerprint(
+        _mm.synth_avi_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.video_fingerprint_sql(),
+    [],
+    ["doc_id", "vfp"],
+)
+
 
 # SAX symbolization: sliding-window z-norm + quantization + numerosity
 # reduction has no SQL form — rows-only check (like apply_ewma).

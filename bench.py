@@ -261,7 +261,8 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  # chunk count) + true-span substring dedup
                  "dedup_simhash_h9", "dedup_substring_spans",
                  "dedup_scrub_substring", "text_bm25_topk",
-                 "multimodal_image_near_dup", "multimodal_audio_near_dup"):
+                 "multimodal_image_near_dup", "multimodal_audio_near_dup",
+                 "multimodal_video_fingerprint"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

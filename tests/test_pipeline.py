@@ -1284,6 +1284,41 @@ def test_sample_audio_frames_no_complete_frame(spark):
     assert (r["n_frames"], r["n_sampled"], r["frame_mean"]) == (0, 0, None)
 
 
+def test_video_avi_crafted(spark):
+    """Real AVI container round trip: the parser walks LIST/hdrl to the
+    avih main header (dims, streams, declared frames), frame sampling
+    probes the movi stream, identical clips pair at hamming 0, and a
+    clip with no movi bytes yields null rows — never a stage failure."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    text = "abcdefghijklmnopqrstu"  # n=21
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "zyxw"), (4, None)],
+        "doc_id long, text string",
+    )
+    pay = mm.synth_avi_payloads(docs)
+    meta = {r["doc_id"]: r for r in mm.decode_metadata(pay).collect()}
+    n = 21
+    assert meta[1]["format"] == "avi"
+    assert meta[1]["width"] == 160 + (n * 13) % 1280
+    assert meta[1]["height"] == 120 + (n * 11) % 720
+    assert meta[1]["channels"] == 1 + n % 2
+    assert meta[4]["format"] == "corrupt"
+
+    frames = {r["doc_id"]: r for r in mm.sample_video_frames(pay).collect()}
+    total = 1 + n % 97  # 22 declared frames
+    assert frames[1]["n_frames"] == total
+    assert frames[1]["n_sampled"] == len(range(0, total, 4))
+    body = text.encode()
+    probes = [body[(f * len(body)) // total] for f in range(0, total, 4)]
+    assert abs(frames[1]["frame_mean"] - sum(probes) / len(probes)) < 1e-9
+    assert frames[4]["n_frames"] == 0 and frames[4]["frame_mean"] is None
+
+    pairs = [(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in mm.video_near_dup_pairs(pay, max_hamming=3).collect()]
+    assert pairs == [(1, 2, 0)]
+
+
 def test_dedup_keep_best_crafted(spark):
     """Three copies of one text with distinct scores: the highest-score
     copy survives; exact score ties fall to the smallest doc_id."""

@@ -131,7 +131,9 @@ def main() -> None:
                "dedup_scrub_substring", "dedup_substring_within",
                "dedup_scrub_substring_keepfirst", "text_bm25_topk",
                "multimodal_image_dhash", "multimodal_image_near_dup",
-               "multimodal_audio_fingerprint", "multimodal_audio_near_dup"]
+               "multimodal_audio_fingerprint", "multimodal_audio_near_dup",
+               "multimodal_decode_avi", "multimodal_video_frame_sample",
+               "multimodal_video_fingerprint"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

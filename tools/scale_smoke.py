@@ -619,6 +619,24 @@ def multimodal_smoke(spark, n_docs: int) -> dict:
     n_jpeg = decoded.filter(F.col("format") == "jpeg").count()
     out["synth_plus_decode_s"] = round(time.time() - t, 2)
     out["jpeg_decoded"] = n_jpeg
+    # perceptual-hash throughput at volume: the mapInPandas dHash scan
+    # plus the exact-dup group structure (groupBy dhash — the linear
+    # part of dedup).  The PAIR join is deliberately not timed here:
+    # the synthetic generator derives pixels from text LENGTH, so
+    # same-length docs are bit-identical images and the pair set is
+    # quadratically degenerate in a way real image corpora are not —
+    # the group histogram below shows exactly that degeneracy.
+    t = time.time()
+    sig = mm.image_dhash(mm.synth_bmp_payloads(docs)).filter(
+        F.col("dhash").isNotNull()
+    )
+    groups = sig.groupBy("dhash").count()
+    stats = groups.agg(
+        F.count("*").alias("n_groups"), F.max("count").alias("max_group")
+    ).collect()[0]
+    out["image_dhash_s"] = round(time.time() - t, 2)
+    out["image_hash_groups"] = stats["n_groups"]
+    out["image_max_group"] = stats["max_group"]
     return out
 
 

@@ -896,3 +896,98 @@ SELECT doc_id, cluster_id, quality,
           ORDER BY quality DESC, doc_id ASC) = 1)::BIGINT AS keep
 FROM scored
 """.strip()
+
+
+def mine_contrastive_triplets(pairs: DataFrame, neighbors: DataFrame,
+                              per_anchor: int = 1) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, hard negative) —
+    the embedding-model training set a curation pipeline mines from its
+    own dedup and ANN passes: positives are near-duplicate partners
+    (either side of a pairs frame), hard negatives are the anchor's
+    highest-cosine ANN neighbors that are NOT among its positives (and
+    not itself) — the "close but not a duplicate" examples that make
+    contrastive training hard, rather than random negatives.
+
+    Inputs compose from the existing families:
+    ``pairs`` = any near-dup pair frame ((doc_a, doc_b) + anything) —
+    :func:`~akumuli_spark.pipeline.dedup.ngram_jaccard_pairs`,
+    MinHash/SimHash/semantic pairs, or the image/audio hash pairs;
+    ``neighbors`` = any ANN result frame ((query_id, neighbor_id,
+    cosine) + anything) — exact, IVF, or IVFADC, batch or indexed.
+
+    Output: (anchor_id, pos_id, neg_id, neg_cosine, neg_rank) — one row
+    per (anchor, positive) × its top ``per_anchor`` eligible negatives;
+    anchors lacking a positive or an eligible negative emit nothing
+    (inner-join semantics: the miner only emits complete triplets).
+
+    Scale shape: symmetric positive expansion is a union; negative
+    eligibility is one keyed anti-join of the neighbors frame against
+    the positives; the final window partitions by anchor over ≤ k ANN
+    rows.  Nothing here touches raw text or embeddings — the miner runs
+    entirely over the (tiny) pair and top-k frames.
+    """
+    pos = pairs.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("pos_id")
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("pos_id")
+        )
+    ).distinct()
+    from pyspark.sql import Window
+
+    neigh = neighbors.select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cosine"),
+    )
+    n, p = neigh.alias("n"), pos.alias("p")
+    elig = n.join(
+        p,
+        (F.col("n.anchor_id") == F.col("p.anchor_id"))
+        & (F.col("n.neg_id") == F.col("p.pos_id")),
+        "left_anti",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("neg_cosine").desc(), F.col("neg_id").asc()
+    )
+    best = (
+        elig.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("neg_rank") <= int(per_anchor))
+    )
+    return pos.join(best, "anchor_id").select(
+        "anchor_id", "pos_id", "neg_id", "neg_cosine", "neg_rank"
+    )
+
+
+def mine_triplets_sql(pairs_sql: str, neighbors_sql: str,
+                      per_anchor: int = 1) -> str:
+    """DuckDB twin of :func:`mine_contrastive_triplets` — the two input
+    families arrive as their own oracle SQL texts, so the composition is
+    pinned end to end against exactly the frames the Spark side used."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+neigh AS ({neighbors_sql}),
+pos AS (
+  SELECT DISTINCT anchor_id, pos_id FROM (
+    SELECT doc_a AS anchor_id, doc_b AS pos_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS anchor_id, doc_a AS pos_id FROM pairs
+  )
+),
+elig AS (
+  SELECT n.query_id AS anchor_id, n.neighbor_id AS neg_id,
+         n.cosine AS neg_cosine
+  FROM neigh n ANTI JOIN pos p
+    ON n.query_id = p.anchor_id AND n.neighbor_id = p.pos_id
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY neg_cosine DESC, neg_id ASC)
+            AS neg_rank
+  FROM elig
+)
+SELECT p.anchor_id, p.pos_id, b.neg_id, b.neg_cosine,
+       b.neg_rank::BIGINT AS neg_rank
+FROM pos p JOIN best b USING (anchor_id)
+WHERE b.neg_rank <= {int(per_anchor)}
+""".strip()

@@ -3519,6 +3519,36 @@ _register_pipeline(
 )
 
 
+# Contrastive triplet mining: positives from the near-dup pass, hard
+# negatives from the ANN pass (closest non-duplicate neighbors) — the
+# embedding-training set a pipeline mines from its own dedup artifacts.
+# Both input families arrive as their own oracle SQL, so the composed
+# triplet set is pinned end to end.
+_register_pipeline(
+    "mine_triplets",
+    lambda spark, sf: _cluster.mine_contrastive_triplets(
+        _dedup.ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), n=5, threshold=0.5, max_df=64
+        ),
+        _sim.ivf_topk_batch(
+            load_table(spark, sf, "embeddings"),
+            load_table(spark, sf, "embeddings")
+            .filter(F.col("vec_id") % 9 == 2)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=10,
+        ),
+        per_anchor=1,
+    ),
+    _cluster.mine_triplets_sql(
+        _dedup.ngram_jaccard_sql(5, 0.5, max_df=64),
+        _sim.ivf_topk_batch_sql("vec_id % 9 = 2", 10),
+        per_anchor=1,
+    ),
+    ["neg_cosine"],
+    ["anchor_id", "pos_id", "neg_id", "neg_rank"],
+)
+
+
 # keep-one-copy survivorship: each repeated pair keeps its first
 # occurrence and cuts only the later one (the production default rule)
 _register_pipeline(

@@ -342,3 +342,44 @@ def test_materialize_packs_crafted(spark):
     assert out[1]["text"] == "ff"
     total_docs = sum(r["n_docs"] for r in out.values())
     assert total_docs == 3
+
+
+def test_mine_triplets_crafted(spark):
+    """Triplet semantics on hand-built frames: positives expand
+    symmetrically, the anchor's own positives (and only those) are
+    excluded from its negatives, the hardest (highest-cosine) eligible
+    negative wins, and anchors lacking either side emit nothing."""
+    from akumuli_spark.pipeline.cluster import mine_contrastive_triplets
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    neighbors = spark.createDataFrame(
+        [
+            # anchor 1: neighbor 2 is its positive (excluded); 5 wins
+            (1, 2, 0.99, 1), (1, 5, 0.80, 2), (1, 6, 0.70, 3),
+            # anchor 2 (positive of 1 by symmetry): eligible 6
+            (2, 6, 0.60, 1),
+            # anchor 3: only neighbor is its positive → no triplet
+            (3, 4, 0.95, 1),
+            # anchor 9: has neighbors but no positive → no triplet
+            (9, 1, 0.50, 1),
+        ],
+        "query_id long, neighbor_id long, cosine double, rank long",
+    )
+    got = sorted(
+        (r["anchor_id"], r["pos_id"], r["neg_id"], r["neg_cosine"],
+         r["neg_rank"])
+        for r in mine_contrastive_triplets(pairs, neighbors).collect()
+    )
+    assert got == [
+        (1, 2, 5, 0.80, 1),
+        (2, 1, 6, 0.60, 1),
+    ]
+    # per_anchor=2 adds anchor 1's runner-up negative
+    got2 = sorted(
+        (r["anchor_id"], r["neg_id"], r["neg_rank"])
+        for r in mine_contrastive_triplets(
+            pairs, neighbors, per_anchor=2).collect()
+    )
+    assert got2 == [(1, 5, 1), (1, 6, 2), (2, 6, 1)]

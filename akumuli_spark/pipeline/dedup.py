@@ -1459,11 +1459,29 @@ def simhash_pairs_incremental(signatures: DataFrame, new_docs: DataFrame,
     covers the corpus excluding the batch; append the batch's rows to the
     store afterwards.
     """
+    return signature_hamming_pairs_incremental(
+        signatures, simhash_signatures(new_docs, n=n), max_hamming
+    )
+
+
+def signature_hamming_pairs_incremental(stored_sigs: DataFrame,
+                                        new_sigs: DataFrame,
+                                        max_hamming: int = 3) -> DataFrame:
+    """Batch-vs-store hamming dedup over ANY (id, simhash) 60-bit
+    signature family — the generic incremental path shared by text
+    SimHash and the multimodal perceptual hashes (pass an
+    ``image_dhash`` / ``audio_fingerprint`` / ``video_fingerprint``
+    frame renamed to (id, simhash) as either side): new-vs-corpus chunk
+    equi-joins against the stored table plus new-vs-new within the
+    batch; verification is pure XOR/bit_count, so the corpus rows are
+    never touched beyond their signatures.  Equals the full
+    :func:`_signature_hamming_pairs` over the union restricted to pairs
+    touching a batch id."""
     c = _chunks_for(max_hamming)  # completeness at the asked radius
     new_chunks = _simhash_chunks(
-        simhash_signatures(new_docs, n=n), c
+        new_sigs, c
     ).localCheckpoint(eager=True)  # feeds both joins; O(|batch| × chunks)
-    old_chunks = _simhash_chunks(signatures, c)
+    old_chunks = _simhash_chunks(stored_sigs, c)
     nm, om = new_chunks.alias("a"), old_chunks.alias("b")
     chunk_eq = (F.col("a.chunk_idx") == F.col("b.chunk_idx")) & (
         F.col("a.chunk_val") == F.col("b.chunk_val")

@@ -3120,6 +3120,43 @@ _register_pipeline(
 
 # ...and the audio analogue: 60-bit energy-gradient fingerprint over
 # resampled frame probes + hamming pairs (same pigeonhole machinery)
+# Incremental image dedup: an arriving batch of images deduped against
+# the STORED hash table via the generic batch-vs-store signature path
+# (dedup.signature_hamming_pairs_incremental) — the multimodal analogue
+# of dedup_simhash_incremental; oracle = full pair set restricted to
+# batch-touching pairs.
+def _image_near_dup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pay = _mm.synth_bmp_payloads(docs)
+
+    def hashes(pred):
+        return (
+            _mm.image_dhash(pay.join(
+                docs.filter(pred).select("doc_id"), "doc_id"))
+            .filter(F.col("dhash").isNotNull())
+            .select(F.col("doc_id").alias("id"),
+                    F.col("dhash").alias("simhash"))
+        )
+
+    return _dedup.signature_hamming_pairs_incremental(
+        hashes(F.col("doc_id") % 7 != 3),
+        hashes(F.col("doc_id") % 7 == 3),
+        max_hamming=3,
+    )
+
+
+_register_pipeline(
+    "multimodal_image_dedup_incremental",
+    _image_near_dup_incremental,
+    (
+        "SELECT doc_a, doc_b, hamming FROM ("
+        + _mm.image_near_dup_sql(3)
+        + ")\nWHERE doc_a % 7 = 3 OR doc_b % 7 = 3"
+    ),
+    [],
+    ["doc_a", "doc_b", "hamming"],
+)
+
 _register_pipeline(
     "multimodal_audio_fingerprint",
     lambda spark, sf: _mm.audio_fingerprint(

@@ -262,7 +262,8 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "dedup_simhash_h9", "dedup_substring_spans",
                  "dedup_scrub_substring", "text_bm25_topk",
                  "multimodal_image_near_dup", "multimodal_audio_near_dup",
-                 "multimodal_video_fingerprint", "mine_triplets"):
+                 "multimodal_video_fingerprint", "mine_triplets",
+                 "multimodal_image_dedup_incremental"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

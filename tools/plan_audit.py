@@ -133,7 +133,8 @@ def main() -> None:
                "multimodal_image_dhash", "multimodal_image_near_dup",
                "multimodal_audio_fingerprint", "multimodal_audio_near_dup",
                "multimodal_decode_avi", "multimodal_video_frame_sample",
-               "multimodal_video_fingerprint", "mine_triplets"]
+               "multimodal_video_fingerprint", "mine_triplets",
+               "multimodal_image_dedup_incremental"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

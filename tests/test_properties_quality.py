@@ -543,3 +543,57 @@ class TestBloomEpochReplayProperty:
                 assert run() == first  # retry: identical decisions
             got.append(first)
         assert got == model
+
+
+# ---------------------------------------------------------------------------
+# generic incremental signature dedup: split invariance vs one-shot
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestSignatureIncrementalProperty:
+    @given(
+        sigs=st.lists(st.integers(0, (1 << 60) - 1), min_size=2,
+                      max_size=14, unique=True),
+        cut_fracs=st.tuples(st.floats(0.1, 0.9), st.floats(0.1, 0.9)),
+        max_hamming=st.sampled_from([3, 5]),
+        twist=st.integers(0, 59),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_union_of_batches_equals_one_shot(self, spark, sigs, cut_fracs,
+                                              max_hamming, twist):
+        """Any split of a signature corpus into (store, batch1, batch2)
+        processed incrementally must emit exactly the one-shot pair set,
+        each pair exactly once, in the batch of its later endpoint.  A
+        planted near-pair (bit-twisted copy) guarantees real pairs."""
+        from akumuli_spark.pipeline.dedup import (
+            _signature_hamming_pairs,
+            signature_hamming_pairs_incremental,
+        )
+
+        rows = [(i, s) for i, s in enumerate(sigs)]
+        rows.append((len(rows), sigs[0] ^ (1 << twist)))  # hamming-1 plant
+        c1 = max(1, int(len(rows) * cut_fracs[0] * 0.5))
+        c2 = max(c1 + 1, int(len(rows) * (0.5 + cut_fracs[1] * 0.4)))
+        parts = [rows[:c1], rows[c1:c2], rows[c2:]]
+        frames = [
+            spark.createDataFrame(p, "id long, simhash long")
+            if p else spark.createDataFrame([], "id long, simhash long")
+            for p in parts
+        ]
+        full = spark.createDataFrame(rows, "id long, simhash long")
+        want = sorted(map(tuple, _signature_hamming_pairs(
+            full, max_hamming).collect()))
+
+        got = []
+        store = frames[0]
+        for batch in frames[1:]:
+            got.extend(map(tuple, signature_hamming_pairs_incremental(
+                store, batch, max_hamming).collect()))
+            store = store.unionByName(batch)
+        # pairs wholly inside the initial store never pass through the
+        # incremental calls — add them via one store-only pairing
+        got.extend(map(tuple, _signature_hamming_pairs(
+            frames[0], max_hamming).collect()))
+        assert sorted(got) == want
+        assert len(got) == len(set(got))  # each pair exactly once

@@ -597,3 +597,72 @@ class TestSignatureIncrementalProperty:
             frames[0], max_hamming).collect()))
         assert sorted(got) == want
         assert len(got) == len(set(got))  # each pair exactly once
+
+
+# ---------------------------------------------------------------------------
+# BM25 vs direct Python replay on random corpora
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestBM25Property:
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                     min_size=1, max_size=10).map(" ".join),
+            min_size=2, max_size=7),
+        qtexts=st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "zz"]),
+                     min_size=1, max_size=4).map(" ".join),
+            min_size=1, max_size=3),
+        k=st.sampled_from([2, 5]),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_python_reference(self, spark, corpus, qtexts, k):
+        """Scores within 1e-6 of the direct Robertson-formula replay for
+        every emitted (query, doc); exactly the term-sharing docs appear,
+        capped at k; ranks follow the rounded score with doc_id ties."""
+        import math
+
+        from akumuli_spark.pipeline import text as T
+
+        docs = spark.createDataFrame(
+            list(enumerate(corpus)), "doc_id long, text string")
+        queries = list(enumerate(qtexts))
+        k1, b = 1.2, 0.75
+        toks = {i: t.split(" ") for i, t in enumerate(corpus)}
+        N = len(corpus)
+        avgdl = sum(len(w) for w in toks.values()) / N
+        df: dict[str, int] = {}
+        for ws in toks.values():
+            for t in set(ws):
+                df[t] = df.get(t, 0) + 1
+
+        def ref(qtext, d):
+            ws = toks[d]
+            qc: dict[str, int] = {}
+            for t in qtext.split(" "):
+                qc[t] = qc.get(t, 0) + 1
+            s = 0.0
+            for t, qtf in qc.items():
+                tf = ws.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5))
+                s += qtf * idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(ws) / avgdl))
+            return s
+
+        rows = T.bm25_topk(docs, queries, k=k, k1=k1, b=b).collect()
+        got = {(r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+               for r in rows}
+        for qid, qtext in queries:
+            want = {d: ref(qtext, d) for d in toks if ref(qtext, d) > 0}
+            order = sorted(
+                want, key=lambda d: (-round(want[d] * 1e4) / 1e4, d))[:k]
+            mine = sorted(
+                [d for (q, d) in got if q == qid],
+                key=lambda d: got[(qid, d)][1])
+            assert mine == order, (qid, qtext, mine, order)
+            for d in order:
+                assert abs(got[(qid, d)][0] - want[d]) < 1e-3

@@ -666,3 +666,56 @@ class TestBM25Property:
             assert mine == order, (qid, qtext, mine, order)
             for d in order:
                 assert abs(got[(qid, d)][0] - want[d]) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# image dHash vs direct grid replay over random real BMP payloads
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestImageDhashProperty:
+    @given(
+        dims=st.lists(
+            st.tuples(st.integers(1, 40), st.integers(1, 40),
+                      st.integers(0, 30)),
+            min_size=1, max_size=6),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_grid_replay(self, spark, dims):
+        """Real BMP headers with arbitrary dims and body sizes: the
+        60-bit hash must equal the direct nearest-neighbor grid +
+        gradient-bit replay (pins the resample indices, the generator
+        formula, and the bit layout)."""
+        import struct
+
+        from akumuli_spark.pipeline import multimodal as mm
+
+        def bmp(body_len: int, w: int, h: int) -> bytearray:
+            hdr = struct.pack(
+                "<2sIHHIIiiHHIIiiII",
+                b"BM", 54 + body_len, 0, 0, 54,
+                40, w, h, 1, 24, 0, body_len, 2835, 2835, 0, 0,
+            )
+            return bytearray(hdr + b"x" * body_len)
+
+        rows_g, cols_g = 10, 7
+        payloads = spark.createDataFrame(
+            [(i, bmp(bl, w, h)) for i, (w, h, bl) in enumerate(dims)],
+            "doc_id long, payload binary",
+        )
+        got = {r["doc_id"]: r["dhash"]
+               for r in mm.image_dhash(payloads).collect()}
+        for i, (w, h, bl) in enumerate(dims):
+            n = 54 + bl
+            grid = [
+                [(31 * ((c * w) // cols_g) + 17 * ((r * h) // rows_g) + n)
+                 % 256 for c in range(cols_g)]
+                for r in range(rows_g)
+            ]
+            want = 0
+            for r in range(rows_g):
+                for c in range(cols_g - 1):
+                    if grid[r][c + 1] > grid[r][c]:
+                        want |= 1 << (r * (cols_g - 1) + c)
+            assert got[i] == want, (i, w, h, bl)

@@ -1299,6 +1299,125 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     )
 
 
+def build_bm25_index(docs: DataFrame, path: str) -> None:
+    """Materialize the BM25 inverted index — the serving shape for
+    repeated query workloads (the retrieval analogue of the dedup
+    signature stores and the IVF lists: build once, query many):
+
+    * ``{path}/postings`` — (term, doc_id, tf, dl) PARTITIONED BY a
+      16-way md5 term bucket, so a query's term lookups prune to its
+      terms' buckets instead of scanning the corpus-sized table;
+    * ``{path}/dfreq``    — (term, __df) document frequencies;
+    * ``{path}/stats``    — one row (__n, __avgdl).
+
+    Rebuild on corpus change (document frequencies are corpus-global, so
+    unlike the signature stores a pure append would serve stale idf —
+    the standard Lucene-segment trade this single-table layout sidesteps
+    by rebuilding, which is one scan)."""
+    per_doc = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    ).select(
+        "doc_id",
+        F.size("__ws").cast("double").alias("dl"),
+        F.explode(
+            F.expr(
+                "transform(array_distinct(__ws), t -> "
+                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
+            )
+        ).alias("tc"),
+    ).select(
+        "doc_id", "dl",
+        F.col("tc.term").alias("term"),
+        F.col("tc.cnt").cast("double").alias("tf"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
+        .cast("bigint") % F.lit(16)
+    ).alias("term_bucket")
+    (
+        per_doc.select("term", "doc_id", "tf", "dl", bucket)
+        .repartition("term_bucket")
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(f"{path}/postings")
+    )
+    per_doc.groupBy("term").agg(F.count("*").alias("__df")) \
+        .write.mode("overwrite").parquet(f"{path}/dfreq")
+    docs.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("__avgdl"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_index(spark, path: str,
+                         queries: list[tuple[int, str]] | DataFrame,
+                         k: int = 10, k1: float = 1.2,
+                         b: float = 0.75) -> DataFrame:
+    """Serve BM25 top-k from the persisted index — identical results to
+    :func:`bm25_topk` (the index is a pure materialization of the same
+    frames; pytest-pinned), but the corpus text is never re-tokenized
+    and the postings scan PRUNES to the query terms' md5 buckets
+    (static ``term_bucket IN (...)`` partition filter for literal query
+    lists — the same collected-probe-set pattern as
+    ``ivf_topk_from_index``)."""
+    from pyspark.sql import Window
+
+    postings = spark.read.parquet(f"{path}/postings")
+    dfreq = spark.read.parquet(f"{path}/dfreq")
+    stats = spark.read.parquet(f"{path}/stats")
+    if isinstance(queries, DataFrame):
+        qterms = (
+            queries.select(
+                "query_id",
+                F.explode(F.split(F.col("text"), " ")).alias("term"),
+            )
+            .filter(F.col("term") != "")
+            .groupBy("query_id", "term")
+            .agg(F.count("*").alias("qtf"))
+        )
+    else:
+        qrows = []
+        buckets = set()
+        for qid, text in queries:
+            counts: dict[str, int] = {}
+            for t in str(text).split(" "):
+                if t:
+                    counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                qrows.append((int(qid), t, c))
+                import hashlib as _hl
+
+                buckets.add(int(_hl.md5(t.encode()).hexdigest()[:8], 16) % 16)
+        qterms = spark.createDataFrame(
+            qrows, "query_id long, term string, qtf long"
+        )
+        # literal bucket set → static partition pruning at the reader
+        postings = postings.filter(
+            F.col("term_bucket").isin(sorted(buckets)))
+    idf = F.log(
+        F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+        / (F.col("__df") + 0.5)
+    )
+    comp = (
+        F.col("qtf") * idf * F.col("tf") * (1.0 + float(k1))
+        / (F.col("tf") + float(k1) * (
+            1.0 - float(b) + float(b) * F.col("dl") / F.col("__avgdl")))
+    )
+    score = F.expr(_TFIDF_ROUND.format(x="__raw")).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(comp).alias("__raw"))
+        .select("query_id", "doc_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
 def bm25_topk_sql(queries: list[tuple[int, str]], k: int = 10,
                   k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB twin of :func:`bm25_topk` — query terms embedded as a

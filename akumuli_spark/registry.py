@@ -3021,6 +3021,29 @@ _register_pipeline(
 )
 
 
+def _bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve from the persisted inverted index (term-bucket-pruned
+    postings scan) — a pure materialization, so the oracle is the
+    unchanged direct twin."""
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"akumuli_bm25_idx_{os.getpid()}"
+    )
+    _text.build_bm25_index(load_table(spark, sf, "documents"), path)
+    return _text.bm25_topk_from_index(spark, path, _BM25_QUERIES, k=10)
+
+
+_register_pipeline(
+    "text_bm25_indexed",
+    _bm25_indexed,
+    _text.bm25_topk_sql(_BM25_QUERIES, 10),
+    ["score"],
+    ["query_id", "doc_id", "rank"],
+)
+
+
 # Bucketized interval (range) join: error events open 30-min windows,
 # purchase samples land in every window containing them, aggregated per
 # window.  The DuckDB twin is the plain inequality join (IEJoin) — the

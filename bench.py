@@ -263,7 +263,7 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "dedup_scrub_substring", "text_bm25_topk",
                  "multimodal_image_near_dup", "multimodal_audio_near_dup",
                  "multimodal_video_fingerprint", "mine_triplets",
-                 "multimodal_image_dedup_incremental"):
+                 "multimodal_image_dedup_incremental", "text_bm25_indexed"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

@@ -1564,3 +1564,27 @@ def test_resize_and_features_total_over_empty_payload(spark):
     assert rs[1]["px_sum"] is None and rs[2]["px_sum"] is None
     fs = {r["doc_id"]: r for r in mm.image_features(df).collect()}
     assert fs[1]["b0"] is None and fs[1]["px_mean"] is None
+
+
+def test_bm25_index_serves_identically_and_prunes(spark, tmp_path):
+    """The persisted inverted index answers bit-identically to the
+    direct path, and the postings scan carries a STATIC term-bucket
+    partition filter for literal query lists."""
+    from akumuli_spark.pipeline import text as T
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qs = [(1, "fast table scan"), (2, "hash join merge")]
+    path = str(tmp_path / "bm25_idx")
+    T.build_bm25_index(docs, path)
+    direct = sorted(map(tuple, T.bm25_topk(docs, qs, k=5).collect()))
+    served_df = T.bm25_topk_from_index(spark, path, qs, k=5)
+    assert sorted(map(tuple, served_df.collect())) == direct
+    plan = served_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
+    # DataFrame query set (production shape): identical, no literal prune
+    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    assert sorted(map(tuple, T.bm25_topk_from_index(
+        spark, path, qdf, k=5).collect())) == direct

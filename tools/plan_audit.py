@@ -134,7 +134,7 @@ def main() -> None:
                "multimodal_audio_fingerprint", "multimodal_audio_near_dup",
                "multimodal_decode_avi", "multimodal_video_frame_sample",
                "multimodal_video_fingerprint", "mine_triplets",
-               "multimodal_image_dedup_incremental"]
+               "multimodal_image_dedup_incremental", "text_bm25_indexed"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -719,3 +719,41 @@ class TestImageDhashProperty:
                     if grid[r][c + 1] > grid[r][c]:
                         want |= 1 << (r * (cols_g - 1) + c)
             assert got[i] == want, (i, w, h, bl)
+
+
+@pytest.mark.usefixtures("spark")
+class TestScrubSubstringProperty:
+    @given(
+        token_lists=st.lists(
+            st.lists(st.sampled_from("xy"), min_size=1, max_size=8),
+            min_size=2, max_size=5),
+        min_len=st.sampled_from([3, 4]),
+        keep=st.sampled_from(["all", "first"]),
+    )
+    @settings(max_examples=15, deadline=None)
+    def test_matches_span_removal_replay(self, spark, token_lists,
+                                         min_len, keep):
+        """Removal replayed from the maximal-run reference: keep='all'
+        cuts both occurrences of every qualifying span; keep='first'
+        cuts only each pair's later (b-side) occurrence."""
+        from akumuli_spark.pipeline.dedup import scrub_substring_spans
+
+        docs = {i: toks for i, toks in enumerate(token_lists)}
+        spans = _ref_substring_spans(docs, 2, min_len)
+        cov: dict[int, set] = {i: set() for i in docs}
+        for a, sa, b, sb, length in spans:
+            cov[b].update(range(sb, sb + length))
+            if keep == "all":
+                cov[a].update(range(sa, sa + length))
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_clean"])
+               for r in scrub_substring_spans(
+                   df, n=2, min_len=min_len, max_df=None,
+                   keep=keep).collect()}
+        for i, toks in docs.items():
+            keep_toks = [w for p, w in enumerate(toks) if p not in cov[i]]
+            assert got[i] == (len(toks), len(keep_toks),
+                              " ".join(keep_toks)), (i, keep, got[i])

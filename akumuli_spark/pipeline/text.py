@@ -1361,7 +1361,16 @@ def bm25_topk_from_index(spark, path: str,
     ``ivf_topk_from_index``)."""
     from pyspark.sql import Window
 
-    postings = spark.read.parquet(f"{path}/postings")
+    try:
+        postings = spark.read.parquet(f"{path}/postings")
+    except Exception as exc:  # empty corpus: the partitioned write left
+        # no data files, so schema inference fails — serve zero results,
+        # not a crash (an index over nothing answers nothing)
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank long"
+        )
     dfreq = spark.read.parquet(f"{path}/dfreq")
     stats = spark.read.parquet(f"{path}/stats")
     if isinstance(queries, DataFrame):

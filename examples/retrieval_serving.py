@@ -13,6 +13,9 @@
                                  codebook, cost ∝ appended rows)
       → streaming serve         (streaming.ann.start_streaming_ann —
                                  query micro-batches through foreachBatch)
+      → sparse + hybrid         (text.build_bm25_index /
+                                 bm25_topk_from_index — term-bucket-pruned
+                                 postings; dense+lexical blend)
 
 Build once, serve three ways; the append never rewrites existing lists,
 so probes before/after the append see a consistent index.
@@ -96,6 +99,32 @@ def main() -> None:
     print(f"streaming serve: {served.count()} results across micro-batches "
           f"(equals the batch run: "
           f"{served.count() == after.count()})")
+
+    # ---- sparse side: BM25 over the documents, same build-once shape ----
+    # (dense ANN + sparse lexical = the standard hybrid retrieval pair;
+    # the BM25 postings live in their own term-bucket-pruned index)
+    from akumuli_spark.pipeline import text as T
+    from akumuli_spark.sources.testdata import load_table as load
+
+    docs = load(spark, SF_DIR, "documents")
+    bm_idx = os.path.join(base, "bm25")
+    T.build_bm25_index(docs, bm_idx)
+    qs = [(1, "fast table scan"), (2, "hash join merge batch")]
+    sparse = T.bm25_topk_from_index(spark, bm_idx, qs, k=5)
+    print(f"bm25 serve: {sparse.count()} lexical results "
+          f"for {len(qs)} queries (term-bucket-pruned postings scan)")
+    # hybrid blend: normalized sparse score + dense cosine where both
+    # retrieved the doc (reciprocal-rank fusion is the other standard)
+    dense_for_docs = after.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("cosine").alias("dense_cosine"),
+    ).groupBy("doc_id").agg(F.max("dense_cosine").alias("dense_cosine"))
+    hybrid = sparse.join(dense_for_docs, "doc_id", "left").select(
+        "query_id", "doc_id", "score",
+        F.coalesce("dense_cosine", F.lit(0.0)).alias("dense_cosine"),
+    )
+    print(f"hybrid frame: {hybrid.count()} rows "
+          "(sparse hits annotated with dense scores)")
     shutil.rmtree(base, ignore_errors=True)
 
 

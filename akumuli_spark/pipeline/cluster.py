@@ -946,6 +946,11 @@ def mine_contrastive_triplets(pairs: DataFrame, neighbors: DataFrame,
         (F.col("n.anchor_id") == F.col("p.anchor_id"))
         & (F.col("n.neg_id") == F.col("p.pos_id")),
         "left_anti",
+    ).filter(
+        # "not itself" is enforced HERE, not assumed of the input: the
+        # in-repo ANN frames never emit self-matches, but the documented
+        # contract is "any ANN result frame" (ADVICE r9)
+        F.col("neg_id") != F.col("anchor_id")
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("neg_cosine").desc(), F.col("neg_id").asc()
@@ -979,6 +984,7 @@ elig AS (
          n.cosine AS neg_cosine
   FROM neigh n ANTI JOIN pos p
     ON n.query_id = p.anchor_id AND n.neighbor_id = p.pos_id
+  WHERE n.neighbor_id <> n.query_id
 ),
 best AS (
   SELECT *, row_number() OVER (PARTITION BY anchor_id

@@ -1236,10 +1236,12 @@ FROM dims WHERE n = 0
 def video_fingerprint(payloads: DataFrame,
                       n_points: int = 61) -> DataFrame:
     """60-bit video fingerprint: the shared gradient-hash kernel over
-    ``n_points`` nearest-neighbor probes of the movi byte stream (frame
-    j = (j · total_frames) // n_points, probe byte as in
-    :func:`sample_video_frames`) — re-encoded or re-crawled clips dedup
-    through the same pigeonhole machinery as text/image/audio.
+    ``n_points`` nearest-neighbor probes of the movi byte stream —
+    probe j reads movi byte ``(j · |movi|) // n_points`` DIRECTLY (one
+    floor; NOT :func:`sample_video_frames`'s two-step frame-then-byte
+    mapping, whose double floor lands on slightly different bytes) —
+    so re-encoded or re-crawled clips dedup through the same pigeonhole
+    machinery as text/image/audio.
     Output: (doc_id, vfp BIGINT); null for corrupt/empty."""
     n_bits = n_points - 1
 

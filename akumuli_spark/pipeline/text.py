@@ -1299,22 +1299,23 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
     )
 
 
-def build_bm25_index(docs: DataFrame, path: str) -> None:
-    """Materialize the BM25 inverted index — the serving shape for
-    repeated query workloads (the retrieval analogue of the dedup
-    signature stores and the IVF lists: build once, query many):
+BM25_BUCKETS = 16
 
-    * ``{path}/postings`` — (term, doc_id, tf, dl) PARTITIONED BY a
-      16-way md5 term bucket, so a query's term lookups prune to its
-      terms' buckets instead of scanning the corpus-sized table;
-    * ``{path}/dfreq``    — (term, __df) document frequencies;
-    * ``{path}/stats``    — one row (__n, __avgdl).
 
-    Rebuild on corpus change (document frequencies are corpus-global, so
-    unlike the signature stores a pure append would serve stale idf —
-    the standard Lucene-segment trade this single-table layout sidesteps
-    by rebuilding, which is one scan)."""
-    per_doc = docs.select(
+def _term_bucket_expr(col: str = "term"):
+    """16-way engine-portable md5 term bucket (the repo's shared hash
+    family — reproducible in DuckDB, unlike F.hash's murmur3)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10)
+        .cast("bigint") % F.lit(BM25_BUCKETS)
+    )
+
+
+def _bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf): the per-document term statistics frame
+    shared by the direct scorer and the index build/append paths — one
+    JVM-side projection, no corpus explode shuffle."""
+    return docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__ws")
     ).select(
         "doc_id",
@@ -1330,22 +1331,166 @@ def build_bm25_index(docs: DataFrame, path: str) -> None:
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("double").alias("tf"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-        .cast("bigint") % F.lit(16)
-    ).alias("term_bucket")
+
+
+def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
+                       full: bool) -> None:
+    """One corpus scan → the three index tables, every row keyed by the
+    batch ``epoch`` (leading partition column).  ``full=True`` truncates
+    the index (build); ``full=False`` dynamically overwrites only this
+    epoch's partitions, so a retried append replaces its own partials
+    instead of double-counting — the repo's epoch-keyed exactly-once
+    store contract (streaming/membership.py is the pattern)."""
+    per_doc = _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch)))
+    opt = {} if full else {"partitionOverwriteMode": "dynamic"}
     (
-        per_doc.select("term", "doc_id", "tf", "dl", bucket)
+        per_doc.select(
+            "term", "doc_id", "tf", "dl", "epoch",
+            _term_bucket_expr().alias("term_bucket"),
+        )
         .repartition("term_bucket")
-        .write.mode("overwrite").partitionBy("term_bucket")
+        .write.mode("overwrite").options(**opt)
+        .partitionBy("epoch", "term_bucket")
         .parquet(f"{path}/postings")
     )
-    per_doc.groupBy("term").agg(F.count("*").alias("__df")) \
-        .write.mode("overwrite").parquet(f"{path}/dfreq")
-    docs.agg(
-        F.count("*").cast("double").alias("__n"),
-        F.avg(F.size(F.split(F.col("text"), " "))).alias("__avgdl"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    (
+        per_doc.groupBy("epoch", "term").agg(F.count("*").alias("__df"))
+        .select("term", "__df", "epoch",
+                _term_bucket_expr().alias("term_bucket"))
+        .repartition("term_bucket")
+        .write.mode("overwrite").options(**opt)
+        .partitionBy("epoch", "term_bucket")
+        .parquet(f"{path}/dfreq")
+    )
+    (
+        docs.agg(
+            F.count("*").cast("double").alias("__n"),
+            F.sum(F.size(F.split(F.col("text"), " ")))
+            .cast("double").alias("__sum_dl"),
+        )
+        .withColumn("epoch", F.lit(int(epoch)))
+        .write.mode("overwrite").options(**opt).partitionBy("epoch")
+        .parquet(f"{path}/stats")
+    )
+
+
+def build_bm25_index(docs: DataFrame, path: str) -> None:
+    """Materialize the BM25 inverted index — the serving shape for
+    repeated query workloads (the retrieval analogue of the dedup
+    signature stores and the IVF lists: build once, query many):
+
+    * ``{path}/postings`` — (term, doc_id, tf, dl) PARTITIONED BY a
+      16-way md5 term bucket, so a query's term lookups prune to its
+      terms' buckets instead of scanning the corpus-sized table;
+    * ``{path}/dfreq``    — (term, __df) PARTIAL document frequencies,
+      bucket-partitioned like the postings (same pruning, and at
+      web-corpus vocab sizes the df table is itself billions of rows);
+    * ``{path}/stats``    — mergeable (__n, __sum_dl) partial rows.
+
+    Every global BM25 statistic is a SUM — df(t) = Σ batch df(t),
+    N = Σ batch counts, avgdl = Σ dl / Σ n — so unlike Lucene's
+    segment model there is no stale-idf trade: the tables are partial
+    sums that :func:`append_bm25_index` grows and the serve path folds,
+    and build(A) + append(B) serves EXACTLY like a fresh build over
+    A ∪ B (integer counts; pinned by ``test_bm25_append``).  Periodic
+    :func:`compact_bm25_index` re-merges the partials so the fold stays
+    one-row-per-term.
+
+    All rows are epoch-keyed (build is epoch 0) — see
+    :func:`append_bm25_index` for the retry contract."""
+    _write_bm25_tables(docs, path, epoch=0, full=True)
+
+
+def append_bm25_index(docs_new: DataFrame, path: str, epoch: int) -> None:
+    """Grow a stored BM25 index by a batch of new documents: land their
+    postings rows plus PARTIAL dfreq/stats sums under the batch's
+    ``epoch`` partition — no rebuild, no read of the existing tables,
+    and served idf is exact (not stale) because the serve path folds
+    the partials (see :func:`build_bm25_index`).  Cost is one scan of
+    the new batch.
+
+    ``epoch`` must be unique per logical batch (build is 0) and doc_ids
+    disjoint from the stored corpus — the signature-store contract.
+    Crash/retry contract: each write dynamically overwrites only this
+    epoch's partitions, so re-running the SAME epoch after a crash
+    between the three table writes replaces the torn partials instead
+    of double-counting — exactly-once under retries, the repo's
+    epoch-keyed store protocol (streaming/membership.py).  Epochs from
+    before the last :func:`compact_bm25_index` must not be retried
+    (compaction folds them into epoch 0)."""
+    _write_bm25_tables(docs_new, path, epoch=int(epoch), full=False)
+
+
+def compact_bm25_index(spark, path: str) -> None:
+    """Re-merge the append partials: one row per term per bucket in
+    ``dfreq``, one global row in ``stats``, and the postings rewritten
+    one file set per bucket (micro-batch appends fragment them — same
+    economics as ``sources.layout.compact_metrics_table``).  Each table
+    is swapped in with the two-rename ``.compact-tmp``/``.compact-old``
+    protocol and self-heals via ``recover_compaction`` on the next
+    touch; readers between per-table swaps stay correct because
+    compaction changes no logical content (the serve path always folds
+    whatever partials it sees).  A serve DataFrame PLANNED before the
+    swap pins the pre-compaction file listing — re-plan (call
+    :func:`bm25_topk_from_index` again) after compacting, the same
+    contract as ``sources.layout.compact_metrics_table``."""
+    import os
+    import shutil
+
+    from akumuli_spark.sources.layout import recover_compaction
+
+    def swap(sub: str, df, partitioned: bool) -> None:
+        p = f"{path}/{sub}"
+        tmp, old = f"{p}.compact-tmp", f"{p}.compact-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("epoch", "term_bucket")
+        else:
+            w = w.partitionBy("epoch")
+        w.parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            os.rename(p, old)
+            os.rename(tmp, p)
+        except OSError:
+            # a concurrent reader's recover_compaction rolled the swap
+            # forward between the renames (same tolerance as
+            # compact_metrics_table)
+            if not os.path.exists(p) or os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
+
+    for sub in ("postings", "dfreq", "stats"):
+        recover_compaction(f"{path}/{sub}", gc=True)
+    zero = F.lit(0).alias("epoch")
+    swap(
+        "postings",
+        spark.read.parquet(f"{path}/postings")
+        .select("term", "doc_id", "tf", "dl", "term_bucket")
+        .withColumn("epoch", F.lit(0))
+        .repartition("term_bucket"),
+        True,
+    )
+    swap(
+        "dfreq",
+        spark.read.parquet(f"{path}/dfreq")
+        .groupBy("term_bucket", "term")
+        .agg(F.sum("__df").alias("__df"))
+        .select("term", "__df", zero, "term_bucket")
+        .repartition("term_bucket"),
+        True,
+    )
+    swap(
+        "stats",
+        spark.read.parquet(f"{path}/stats").agg(
+            F.sum("__n").alias("__n"),
+            F.sum("__sum_dl").alias("__sum_dl"),
+        ).select("__n", "__sum_dl", zero),
+        False,
+    )
 
 
 def bm25_topk_from_index(spark, path: str,
@@ -1353,26 +1498,40 @@ def bm25_topk_from_index(spark, path: str,
                          k: int = 10, k1: float = 1.2,
                          b: float = 0.75) -> DataFrame:
     """Serve BM25 top-k from the persisted index — identical results to
-    :func:`bm25_topk` (the index is a pure materialization of the same
-    frames; pytest-pinned), but the corpus text is never re-tokenized
-    and the postings scan PRUNES to the query terms' md5 buckets
-    (static ``term_bucket IN (...)`` partition filter for literal query
-    lists — the same collected-probe-set pattern as
-    ``ivf_topk_from_index``)."""
+    :func:`bm25_topk` over the indexed corpus (the tables are pure
+    materializations of the same frames, and the append partials fold
+    back to the global sums exactly; pytest-pinned), but the corpus
+    text is never re-tokenized and BOTH the postings and the dfreq
+    scans PRUNE to the query terms' md5 buckets: a static
+    ``term_bucket IN (...)`` partition filter, computed Python-side for
+    literal query lists and via a bounded distinct-bucket collect
+    (≤ 16 rows — the same collected-probe-set pattern as
+    ``ivf_topk_from_index``) for DataFrame query sets.  The dfreq fold
+    is additionally semi-joined to the broadcast query terms, so the
+    vocab-sized table contributes only the queried terms' rows."""
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
+    from akumuli_spark.sources.layout import recover_compaction
+
+    for sub in ("postings", "dfreq", "stats"):
+        recover_compaction(f"{path}/{sub}")
     try:
         postings = spark.read.parquet(f"{path}/postings")
-    except Exception as exc:  # empty corpus: the partitioned write left
-        # no data files, so schema inference fails — serve zero results,
-        # not a crash (an index over nothing answers nothing)
-        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+    except AnalysisException as exc:
+        # empty corpus: the partitioned write left no data files, so
+        # schema inference fails (or the dir is absent) — serve zero
+        # results, not a crash (an index over nothing answers nothing).
+        # AnalysisException specifically: any other failure re-raises
+        # (the r9 broad-Exception string match was Spark-version-bound)
+        if ("UNABLE_TO_INFER_SCHEMA" not in str(exc)
+                and "PATH_NOT_FOUND" not in str(exc)):
             raise
         return spark.createDataFrame(
             [], "query_id long, doc_id long, score double, rank long"
         )
     dfreq = spark.read.parquet(f"{path}/dfreq")
-    stats = spark.read.parquet(f"{path}/stats")
+    stats_raw = spark.read.parquet(f"{path}/stats")
     if isinstance(queries, DataFrame):
         qterms = (
             queries.select(
@@ -1383,7 +1542,16 @@ def bm25_topk_from_index(spark, path: str,
             .groupBy("query_id", "term")
             .agg(F.count("*").alias("qtf"))
         )
+        # bounded probe: ≤ BM25_BUCKETS distinct md5 buckets, collected
+        # like the IVF probe set — O(queries), never O(corpus)
+        buckets = {
+            r["b"]
+            for r in qterms.select(_term_bucket_expr().alias("b"))
+            .distinct().collect()
+        }
     else:
+        import hashlib as _hl
+
         qrows = []
         buckets = set()
         for qid, text in queries:
@@ -1393,15 +1561,29 @@ def bm25_topk_from_index(spark, path: str,
                     counts[t] = counts.get(t, 0) + 1
             for t, c in counts.items():
                 qrows.append((int(qid), t, c))
-                import hashlib as _hl
-
-                buckets.add(int(_hl.md5(t.encode()).hexdigest()[:8], 16) % 16)
+                buckets.add(
+                    int(_hl.md5(t.encode()).hexdigest()[:8], 16)
+                    % BM25_BUCKETS
+                )
         qterms = spark.createDataFrame(
             qrows, "query_id long, term string, qtf long"
         )
-        # literal bucket set → static partition pruning at the reader
-        postings = postings.filter(
-            F.col("term_bucket").isin(sorted(buckets)))
+    # literal bucket set → static partition pruning at BOTH readers
+    postings = postings.filter(F.col("term_bucket").isin(sorted(buckets)))
+    dfreq = dfreq.filter(F.col("term_bucket").isin(sorted(buckets)))
+    # fold the append partials to global df, touching only queried
+    # terms (the semi-join rides the same broadcast as the score join)
+    dfreq = (
+        dfreq.join(
+            F.broadcast(qterms.select("term").distinct()),
+            "term", "left_semi",
+        )
+        .groupBy("term").agg(F.sum("__df").alias("__df"))
+    )
+    stats = stats_raw.agg(
+        F.sum("__n").alias("__n"),
+        (F.sum("__sum_dl") / F.sum("__n")).alias("__avgdl"),
+    )
     idf = F.log(
         F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
         / (F.col("__df") + 0.5)
@@ -1479,6 +1661,90 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {int(k)}
+""".strip()
+
+
+def hybrid_rrf(sparse: DataFrame, dense: DataFrame, k: int = 10,
+               k0: float = 60.0) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrieval lists — the
+    standard hybrid-retrieval combiner (Cormack/Clarke/Büttcher, SIGIR
+    2009) for blending the sparse BM25 family with the dense ANN family
+    without score normalization:
+
+        rrf(q, d) = Σ_lists 1 / (k0 + rank_list(q, d))
+
+    Inputs are two audited top-k frames with (query_id, doc_id, rank)
+    columns (rename ``neighbor_id`` → ``doc_id`` on the dense side);
+    a doc absent from one list simply contributes nothing for it.
+    Output (query_id, doc_id, rrf, rank), rank ≤ ``k`` per query, ties
+    broken by doc_id; the rrf score is canonically rounded BEFORE the
+    rank window (the repo's cross-engine rank-determinism rule).
+
+    Scale shape: both inputs are already top-k-per-query frames —
+    query-bounded, never corpus-bounded — so the full-outer equi-join
+    and the per-query window cost O(queries · k), independent of corpus
+    size."""
+    from pyspark.sql import Window
+
+    s = sparse.select("query_id", "doc_id", F.col("rank").alias("__rs"))
+    d = dense.select("query_id", "doc_id", F.col("rank").alias("__rd"))
+    contrib = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(c)), F.lit(0.0)
+        )
+        for c in ("__rs", "__rd")
+    ]
+    raw = contrib[0] + contrib[1]
+    rrf = F.expr(_TFIDF_ROUND.format(x="__raw")).cast("double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        s.join(d, ["query_id", "doc_id"], "full_outer")
+        .withColumn("__raw", raw)
+        .select("query_id", "doc_id", rrf.alias("rrf"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def hybrid_rrf_sql(sparse_sql: str, dense_sql: str, k: int = 10,
+                   k0: float = 60.0) -> str:
+    """DuckDB twin of :func:`hybrid_rrf` — the two ranked lists arrive
+    as their own oracle SQL texts (the ``mine_triplets_sql`` composition
+    pattern), so the fusion is pinned end to end against exactly the
+    frames the Spark side fused.  ``dense_sql`` may rank neighbor_id —
+    it is aliased to doc_id here, mirroring the Spark caller."""
+    # fully parenthesized before substitution: _TFIDF_ROUND multiplies
+    # {x} by 10000.0, which would otherwise bind tighter than the sum
+    rnd = _TFIDF_ROUND.format(
+        x=(
+            f"(coalesce(1.0 / ({float(k0)!r} + __rs), 0.0) "
+            f"+ coalesce(1.0 / ({float(k0)!r} + __rd), 0.0))"
+        )
+    )
+    return f"""
+WITH sparse0 AS ({sparse_sql}),
+dense_raw AS ({dense_sql}),
+dense0 AS (
+  SELECT query_id, neighbor_id AS doc_id, rank FROM dense_raw
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         {rnd} AS rrf
+  FROM (SELECT query_id, doc_id, rank AS __rs FROM sparse0) s
+  FULL OUTER JOIN (SELECT query_id, doc_id, rank AS __rd FROM dense0) d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, rrf,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {int(k)}
 """.strip()
 

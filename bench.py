@@ -263,7 +263,11 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  "dedup_scrub_substring", "text_bm25_topk",
                  "multimodal_image_near_dup", "multimodal_audio_near_dup",
                  "multimodal_video_fingerprint", "mine_triplets",
-                 "multimodal_image_dedup_incremental", "text_bm25_indexed"):
+                 "multimodal_image_dedup_incremental", "text_bm25_indexed",
+                 # round-10: DataFrame-query serving (bounded bucket
+                 # probe), epoch-partial growth, and sparse+dense fusion
+                 "text_bm25_indexed_df", "text_bm25_append",
+                 "retrieval_hybrid_rrf"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3
@@ -324,6 +328,18 @@ def main() -> None:
     dedup.simhash_signatures(_docs0, n=3).write.parquet(f"{ddir}/sh")
     index_build_s = round(time.time() - t0, 3)
 
+    # BM25 index build, timed separately for the same amortized-cost
+    # honesty: the registry's text_bm25_* entries build once per process
+    # (warm pass) and serve thereafter, so the curation rows time
+    # serve-only — this row keeps the one-time build cost visible
+    from akumuli_spark.pipeline import text as _text_mod
+
+    bm_dir = tempfile.mkdtemp(prefix="akumuli_bench_bm25_")
+    t0 = time.time()
+    _text_mod.build_bm25_index(_docs0, f"{bm_dir}/idx")
+    bm25_index_build_s = round(time.time() - t0, 3)
+    shutil.rmtree(bm_dir, ignore_errors=True)
+
     indexed_impls = {
         "dedup_minhash_lsh": lambda spark, sf: dedup.minhash_lsh_pairs(
             load_table(spark, sf, "documents"), 5, 0.5,
@@ -361,6 +377,7 @@ def main() -> None:
 
     layout = bench_layout(spark, sf_dir)
     layout["dedup_index_build_s"] = index_build_s
+    layout["bm25_index_build_s"] = bm25_index_build_s
     curation, curation_plans = bench_curation(spark, sf_dir)
     plans.update(curation_plans)
     shutil.rmtree(ddir, ignore_errors=True)
@@ -377,6 +394,7 @@ def main() -> None:
         # indexed dedup rows exclude (ADVICE r4)
         "dedup_index_build_s": index_build_s,
         "dedup_index_build_cold_s": index_build_cold_s,
+        "bm25_index_build_s": bm25_index_build_s,
         # normalized physical-plan hash per headline query: a
         # timing drift with an UNCHANGED hash is machine load, a
         # CHANGED hash is a plan regression — attribution is a

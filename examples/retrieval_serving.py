@@ -108,23 +108,32 @@ def main() -> None:
 
     docs = load(spark, SF_DIR, "documents")
     bm_idx = os.path.join(base, "bm25")
-    T.build_bm25_index(docs, bm_idx)
+    # growth story: build over most of the corpus, append the rest as
+    # an epoch-keyed partial batch — served idf stays EXACT because
+    # every BM25 statistic is a sum the serve path folds
+    T.build_bm25_index(docs.filter(F.col("doc_id") % 10 != 9), bm_idx)
+    T.append_bm25_index(docs.filter(F.col("doc_id") % 10 == 9), bm_idx,
+                        epoch=1)
     qs = [(1, "fast table scan"), (2, "hash join merge batch")]
     sparse = T.bm25_topk_from_index(spark, bm_idx, qs, k=5)
     print(f"bm25 serve: {sparse.count()} lexical results "
-          f"for {len(qs)} queries (term-bucket-pruned postings scan)")
-    # hybrid blend: normalized sparse score + dense cosine where both
-    # retrieved the doc (reciprocal-rank fusion is the other standard)
-    dense_for_docs = after.select(
+          f"for {len(qs)} queries (term-bucket-pruned postings+dfreq, "
+          f"grown by one epoch append)")
+    T.compact_bm25_index(spark, bm_idx)
+    # re-plan after compaction: a DataFrame created before the swap
+    # pins the pre-compaction file listing
+    sparse = T.bm25_topk_from_index(spark, bm_idx, qs, k=5)
+    print(f"bm25 compacted: still {sparse.count()} results")
+    # hybrid retrieval: reciprocal-rank fusion of the sparse and dense
+    # top-k lists — the first-class operator (text.hybrid_rrf)
+    dense_ranked = after.select(
+        F.col("query_id"),
         F.col("neighbor_id").alias("doc_id"),
-        F.col("cosine").alias("dense_cosine"),
-    ).groupBy("doc_id").agg(F.max("dense_cosine").alias("dense_cosine"))
-    hybrid = sparse.join(dense_for_docs, "doc_id", "left").select(
-        "query_id", "doc_id", "score",
-        F.coalesce("dense_cosine", F.lit(0.0)).alias("dense_cosine"),
+        "rank",
     )
-    print(f"hybrid frame: {hybrid.count()} rows "
-          "(sparse hits annotated with dense scores)")
+    hybrid = T.hybrid_rrf(sparse, dense_ranked, k=5)
+    print(f"hybrid rrf: {hybrid.count()} fused rows "
+          "(sparse ∪ dense, reciprocal-rank scored)")
     shutil.rmtree(base, ignore_errors=True)
 
 

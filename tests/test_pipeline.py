@@ -1584,7 +1584,134 @@ def test_bm25_index_serves_identically_and_prunes(spark, tmp_path):
     plan = served_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
-    # DataFrame query set (production shape): identical, no literal prune
-    qdf = spark.createDataFrame(qs, "query_id long, text string")
+    # DataFrame query set (production shape): identical, and the bounded
+    # distinct-bucket collect gives it the SAME static partition pruning
+    served_qdf = T.bm25_topk_from_index(
+        spark, path, spark.createDataFrame(qs, "query_id long, text string"),
+        k=5,
+    )
+    assert sorted(map(tuple, served_qdf.collect())) == direct
+    plan_qdf = served_qdf._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan_qdf.split("PartitionFilters")[1][:200]
+    # the dfreq scan prunes too (one PartitionFilters block per scan)
+    assert sum(
+        "term_bucket" in seg[:200]
+        for seg in plan.split("PartitionFilters")[1:]
+    ) >= 2, plan
+
+
+def test_bm25_append_exact_merge_compact_and_retry(spark, tmp_path):
+    """The growth story end to end: build(3/4) + append(1/4) serves
+    EXACTLY like the full build (every BM25 statistic is a sum of the
+    epoch partials); a retried epoch replaces its own partials instead
+    of double-counting (dynamic partition overwrite); compaction folds
+    the partials to one row per term and changes nothing served."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.pipeline import text as T
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    qs = [(1, "fast table scan"), (2, "hash join merge")]
+    full_path = str(tmp_path / "bm25_full")
+    grow_path = str(tmp_path / "bm25_grow")
+    T.build_bm25_index(docs, full_path)
+    want = sorted(map(tuple, T.bm25_topk_from_index(
+        spark, full_path, qs, k=5).collect()))
+
+    T.build_bm25_index(docs.filter(F.col("doc_id") % 4 != 3), grow_path)
+    growth = docs.filter(F.col("doc_id") % 4 == 3)
+    T.append_bm25_index(growth, grow_path, epoch=1)
     assert sorted(map(tuple, T.bm25_topk_from_index(
-        spark, path, qdf, k=5).collect())) == direct
+        spark, grow_path, qs, k=5).collect())) == want
+    # crash-retry: re-running the SAME epoch overwrites its partials
+    T.append_bm25_index(growth, grow_path, epoch=1)
+    assert sorted(map(tuple, T.bm25_topk_from_index(
+        spark, grow_path, qs, k=5).collect())) == want
+    # before compaction dfreq holds per-epoch partials; after, one row
+    # per term and the served answer is unchanged
+    pre = spark.read.parquet(f"{grow_path}/dfreq")
+    assert pre.groupBy("term").count().agg(F.max("count")).first()[0] > 1
+    T.compact_bm25_index(spark, grow_path)
+    post = spark.read.parquet(f"{grow_path}/dfreq")
+    assert post.groupBy("term").count().agg(F.max("count")).first()[0] == 1
+    assert spark.read.parquet(f"{grow_path}/stats").count() == 1
+    assert sorted(map(tuple, T.bm25_topk_from_index(
+        spark, grow_path, qs, k=5).collect())) == want
+
+
+def test_bm25_empty_index_serves_zero(spark, tmp_path):
+    """An index built over an empty corpus answers zero rows, not a
+    schema-inference crash (AnalysisException-gated, not the r9
+    version-bound string match on a broad Exception)."""
+    from akumuli_spark.pipeline import text as T
+
+    path = str(tmp_path / "bm25_empty")
+    T.build_bm25_index(
+        spark.createDataFrame([], "doc_id long, text string"), path
+    )
+    got = T.bm25_topk_from_index(spark, path, [(1, "anything")], k=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "doc_id", "score", "rank"]
+    # missing directory entirely → same zero-result contract
+    gone = T.bm25_topk_from_index(
+        spark, str(tmp_path / "no_such_idx"), [(1, "x")], k=5)
+    assert gone.count() == 0
+
+
+def test_hybrid_rrf_matches_python_reference(spark):
+    """RRF fusion against a direct Python replay: docs in both lists sum
+    two reciprocal terms, single-list docs one, ranks follow the rounded
+    score with doc_id tie-break."""
+    sparse = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 30, 1)],
+        "query_id long, doc_id long, rank long",
+    )
+    dense = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2), (2, 30, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    from akumuli_spark.pipeline import text as T
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rrf"], r["rank"])
+        for r in T.hybrid_rrf(sparse, dense, k=10).collect()
+    }
+
+    def rrf(*ranks):
+        import math
+
+        raw = sum(1.0 / (60.0 + r) for r in ranks)
+        return math.floor(raw * 10000.0 + 0.50031830988618379) / 10000.0
+
+    want_scores = {
+        (1, 10): rrf(1), (1, 20): rrf(2, 1), (1, 40): rrf(2),
+        (2, 30): rrf(1, 2),
+    }
+    assert {k: v[0] for k, v in got.items()} == want_scores
+    # query 1 order: doc 20 (two lists) first, then 10 and 40 (both
+    # rrf(1-of-one-list) vs rrf(2): 10 at rank1-sparse beats 40 at rank2)
+    assert got[(1, 20)][1] == 1
+    assert got[(1, 10)][1] == 2
+    assert got[(1, 40)][1] == 3
+    assert got[(2, 30)][1] == 1
+
+
+def test_triplets_never_emit_self_negative(spark):
+    """A neighbors frame containing self-matches (query_id ==
+    neighbor_id, cosine 1.0 — allowed by the documented 'any ANN result
+    frame' contract) must not surface the anchor as its own hard
+    negative (ADVICE r9)."""
+    from akumuli_spark.pipeline import cluster as C
+
+    pairs = spark.createDataFrame(
+        [(1, 2)], "doc_a long, doc_b long")
+    neighbors = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 5, 0.9), (2, 2, 1.0), (2, 6, 0.8)],
+        "query_id long, neighbor_id long, cosine double",
+    )
+    rows = C.mine_contrastive_triplets(pairs, neighbors, per_anchor=2)
+    got = {(r["anchor_id"], r["neg_id"]) for r in rows.collect()}
+    assert got == {(1, 5), (2, 6)}

@@ -134,7 +134,9 @@ def main() -> None:
                "multimodal_audio_fingerprint", "multimodal_audio_near_dup",
                "multimodal_decode_avi", "multimodal_video_frame_sample",
                "multimodal_video_fingerprint", "mine_triplets",
-               "multimodal_image_dedup_incremental", "text_bm25_indexed"]
+               "multimodal_image_dedup_incremental", "text_bm25_indexed",
+               "text_bm25_indexed_df", "text_bm25_append",
+               "retrieval_hybrid_rrf"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
@@ -169,7 +171,24 @@ def main() -> None:
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
-    print(f"\n{len(audited) + 1 - failures} ok, {failures} failing")
+
+    # BM25 serving: static term-bucket pruning must reach BOTH scans —
+    # postings AND dfreq (VERDICT r9 Next #2) — on the literal-list path
+    # and on the DataFrame-query path (bounded distinct-bucket collect)
+    n_bm25_fail = 0
+    for entry in ("text_bm25_indexed", "text_bm25_indexed_df"):
+        bplan = plan_of(qs[entry](spark, sf_dir))
+        pruned_scans = sum(
+            "term_bucket" in seg[:250]
+            for seg in bplan.split("PartitionFilters")[1:]
+        )
+        ok = pruned_scans >= 2
+        print(f"{'OK  ' if ok else 'FAIL'} {entry}_pruning: "
+              f"bucket-pruned scans={pruned_scans} (need postings+dfreq)")
+        n_bm25_fail += 0 if ok else 1
+    failures += n_bm25_fail
+
+    print(f"\n{len(audited) + 3 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

@@ -3229,6 +3229,22 @@ _register_pipeline(
     ["doc_id", "dhash"],
 )
 
+# Payload-pixel dHash: the kernel reads the ACTUAL stored BMP pixel
+# array (offset walk, bottom-up rows, 4-byte padding) from real
+# pixel-carrying BMPs; the oracle replays the bytes the synth corpus
+# wrote into that array.  This is the production path — the generator
+# entry above stays as the header-dims contract.
+_register_pipeline(
+    "multimodal_image_dhash_payload",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_bmp_pixel_payloads(load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
 _register_pipeline(
     "multimodal_image_near_dup",
     lambda spark, sf: _mm.image_near_dup_pairs(

@@ -1230,6 +1230,91 @@ def test_image_dhash_crafted(spark):
     assert all(d != 4 for p in pairs for d in p[:2])
 
 
+def test_image_dhash_payload_pixels(spark):
+    """The payload pixel path reads REAL BMP pixel bytes: a hand-built
+    4×3 24bpp image (bottom-up rows, 4-byte padding) hashes to the
+    value a direct replay of the resample-over-actual-bytes computes;
+    the top-down (negative height) variant of the same logical image
+    hashes identically; headers-only BMPs (no pixel array) hash NULL."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    w, h = 4, 3
+    # logical top-down grayscale rows (values = the blue channel)
+    logical = np.array(
+        [[10, 200, 30, 90],
+         [250, 5, 5, 120],
+         [77, 78, 79, 80]], dtype=np.uint8,
+    )
+    row_size = ((w * 3 + 3) // 4) * 4  # 16: 4 px × 3 B + 4 pad bytes
+
+    def pixel_array(rows_in_file_order):
+        arr = np.zeros((h, row_size), dtype=np.uint8)
+        for ch in range(3):
+            arr[:, ch:w * 3:3] = rows_in_file_order
+        return arr.tobytes()
+
+    def bmp(height_field: int, rows_in_file_order) -> bytearray:
+        body = pixel_array(rows_in_file_order)
+        hdr = struct.pack(
+            "<2sIHHIIiiHHIIiiII",
+            b"BM", 54 + len(body), 0, 0, 54,
+            40, w, height_field, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+        )
+        return bytearray(hdr + body)
+
+    payloads = spark.createDataFrame(
+        [
+            (1, bmp(h, logical[::-1, :])),    # bottom-up storage
+            (2, bmp(-h, logical)),            # top-down storage
+            (3, bytearray(struct.pack(        # headers-only: no pixels
+                "<2sIHHIIiiHHIIiiII",
+                b"BM", 54 + 3, 0, 0, 54,
+                40, 9, 9, 1, 24, 0, 3, 2835, 2835, 0, 0,
+            ) + b"xyz")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(payloads, pixel_source="payload").collect()
+    }
+    rows, cols = 10, 7
+    sx = (np.arange(cols) * w) // cols
+    sy = (np.arange(rows) * h) // rows
+    dst = logical[sy[:, None], sx[None, :]]
+    want = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            if dst[r, c + 1] > dst[r, c]:
+                want |= 1 << (r * (cols - 1) + c)
+    assert got[1] == want
+    assert got[2] == want  # row-order convention, not storage order
+    assert got[3] is None  # truncated pixel array → null, not a crash
+
+
+def test_image_dhash_payload_equals_generator_on_pixel_corpus(spark):
+    """On synth_bmp_pixel_payloads the stored pixel bytes ARE the
+    generator formula, so payload-mode and generator-mode dHash agree
+    bit-for-bit — the pin that the payload walk reads the bytes the
+    arithmetic contract describes (VERDICT r9 Next #4)."""
+    from akumuli_spark.pipeline import multimodal as mm
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80)
+    corpus = mm.synth_bmp_pixel_payloads(docs)
+    gen = {r["doc_id"]: r["dhash"]
+           for r in mm.image_dhash(corpus).collect()}
+    pay = {r["doc_id"]: r["dhash"]
+           for r in mm.image_dhash(corpus, pixel_source="payload").collect()}
+    assert gen == pay and len(gen) == 80
+    assert all(v is not None for v in pay.values())
+
+
 def test_sample_audio_frames_crafted(spark):
     """Synth WAV over known text: frame size from the real header walk,
     stride-4 sampling, trailing partial frame ignored."""

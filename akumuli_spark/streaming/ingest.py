@@ -237,14 +237,34 @@ class HighWaterState:
 
     @property
     def marks(self) -> dict[str, int] | None:
-        """Driver-side snapshot of the side table, for assertions and
-        ops tooling only."""
+        """Driver-side snapshot of the FULL side table — TEST-ONLY: at a
+        100 M-series universe this map would OOM the caller.  Ops
+        tooling should use :meth:`marks_snapshot`, which bounds the
+        collect."""
+        return self.marks_snapshot(limit=None)
+
+    def marks_snapshot(self, limit: int | None = 1000,
+                       series_prefix: str | None = None,
+                       stalest_first: bool = True) -> dict[str, int] | None:
+        """Bounded observability snapshot of the marks table: at most
+        ``limit`` series (driver-safe at any universe size), optionally
+        restricted to a ``series_prefix`` (e.g. one metric's series),
+        ordered stalest-first by default — "which series stopped
+        ingesting" is the operational question this table answers.
+        ``limit=None`` collects everything and is test-only."""
         from pyspark.sql import SparkSession as _S
 
         spark = _S.getActiveSession()
         cur = self._read(spark) if spark else None
         if cur is None:
             return None
+        if series_prefix is not None:
+            cur = cur.filter(F.col("series").startswith(series_prefix))
+        if limit is not None:
+            cur = cur.orderBy(
+                F.col("__hw").asc() if stalest_first else F.col("__hw").desc(),
+                F.col("series").asc(),
+            ).limit(int(limit))
         return {r["series"]: r["__hw"] for r in cur.collect()}
 
 

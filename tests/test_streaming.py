@@ -88,6 +88,29 @@ def test_stream_rejects_late_writes(spark, dirs):
     assert hw.marks == {"cpu host=a": 1001000000000}
 
 
+def test_highwater_marks_snapshot_is_bounded(spark, tmp_path):
+    """marks_snapshot caps the driver-side collect (the full .marks map
+    would OOM an ops caller at a 100 M-series universe): stalest-first
+    ordering, limit, and prefix filtering all honored."""
+    hw = HighWaterState(str(tmp_path / "marks"))
+    batch = spark.createDataFrame(
+        [(f"cpu host={i:03d}", (100 - i) * 10**9) for i in range(50)]
+        + [("mem host=x", 5 * 10**9)],
+        "series string, ts_ns long",
+    )
+    hw.advance(spark, batch)
+    snap = hw.marks_snapshot(limit=5)
+    assert len(snap) == 5
+    # stalest-first: the lowest high-water marks surface first
+    assert min(snap.values()) == 5 * 10**9
+    assert set(snap.values()) == {5 * 10**9, 51 * 10**9, 52 * 10**9,
+                                  53 * 10**9, 54 * 10**9}
+    pref = hw.marks_snapshot(limit=100, series_prefix="mem ")
+    assert pref == {"mem host=x": 5 * 10**9}
+    # unbounded variant still available for tests
+    assert len(hw.marks) == 51
+
+
 def test_stream_highwater_seeds_from_existing_sink(spark, dirs):
     # restart-recovery: a late row in the first post-restart batch is
     # still rejected.  With the side table intact the restart reads it

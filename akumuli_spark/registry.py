@@ -3143,6 +3143,46 @@ _register_pipeline(
 )
 
 
+def _retrieval_hybrid_rrf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The full serving stack: RRF over the two PERSISTED indexes —
+    bucket-pruned BM25 postings on the sparse side, partition-pruned
+    IVF lists on the dense side (both build-once-per-process; the fused
+    query touches nprobe/nlist of the vector corpus and the query
+    terms' buckets of the postings, nothing else).  Both serving paths
+    are pure materializations of their direct twins, so the oracle is
+    the RRF composition of those twins."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = f"ivf:{sf}"
+    if key not in _BM25_IDX_CACHE:
+        path = tempfile.mkdtemp(prefix="akumuli_hybrid_ivf_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _sim.build_ivf_index(load_table(spark, sf, "embeddings"), path)
+        _BM25_IDX_CACHE[key] = path
+    sparse = _text.bm25_topk_from_index(
+        spark, _bm25_index_path(spark, sf, grow=False), _BM25_QUERIES, k=10
+    )
+    dense = _sim.ivf_topk_from_index(
+        spark, _BM25_IDX_CACHE[key], _HYBRID_DENSE_QUERY_IDS, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return _text.hybrid_rrf(sparse, dense, k=10)
+
+
+_register_pipeline(
+    "retrieval_hybrid_rrf_indexed",
+    _retrieval_hybrid_rrf_indexed,
+    _text.hybrid_rrf_sql(
+        _text.bm25_topk_sql(_BM25_QUERIES, 10),
+        _sim.ivf_topk_sql(_HYBRID_DENSE_QUERY_IDS, 10),
+        10,
+    ),
+    ["rrf"],
+    ["query_id", "doc_id", "rank"],
+)
+
+
 # Bucketized interval (range) join: error events open 30-min windows,
 # purchase samples land in every window containing them, aggregated per
 # window.  The DuckDB twin is the plain inequality join (IEJoin) — the

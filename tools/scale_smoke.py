@@ -1056,6 +1056,93 @@ def quality_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def bm25_smoke(spark, n_docs: int) -> dict:
+    """BM25 index growth story at volume (VERDICT r9 Next #5): build
+    over 90% of the corpus, append the last 10% as an epoch partial
+    (one scan of the batch — never a rebuild), serve (bucket-pruned,
+    partial-folding), compact, serve again.  The planted ground truth:
+    served results before and after compaction are identical."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.pipeline import text as _text
+
+    docs = synthetic_docs(spark, n_docs)
+    path = tempfile.mkdtemp(prefix="akumuli_smoke_bm25_")
+    out = {}
+    try:
+        t = time.time()
+        _text.build_bm25_index(docs.filter(F.col("doc_id") % 10 != 9), path)
+        out["build_s"] = round(time.time() - t, 2)
+        t = time.time()
+        _text.append_bm25_index(
+            docs.filter(F.col("doc_id") % 10 == 9), path, epoch=1
+        )
+        out["append_s"] = round(time.time() - t, 2)
+        qs = [(1, "w101 w202 w303"), (2, "w4242 w777"), (3, "w31337")]
+        t = time.time()
+        pre = _text.bm25_topk_from_index(spark, path, qs, k=10).collect()
+        out["serve_s"] = round(time.time() - t, 2)
+        out["served_rows"] = len(pre)
+        t = time.time()
+        _text.compact_bm25_index(spark, path)
+        out["compact_s"] = round(time.time() - t, 2)
+        t = time.time()
+        post = _text.bm25_topk_from_index(spark, path, qs, k=10).collect()
+        out["serve_compacted_s"] = round(time.time() - t, 2)
+        out["compaction_preserves"] = sorted(map(tuple, pre)) == sorted(
+            map(tuple, post)
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def sigstore_smoke(spark, n_store: int, n_new: int) -> dict:
+    """Generic incremental signature dedup against a big stored corpus
+    (VERDICT r9 Next #8): a 10 M-row 60-bit signature store vs a small
+    new batch.  Half the batch are fresh signatures, half are stored
+    signatures with 2 bits flipped — every flipped row MUST pair with
+    its origin (hamming 2 ≤ radius 3), so planted recall is exact
+    ground truth; the store is touched only through its signatures."""
+    from akumuli_spark.pipeline import dedup as _dedup
+
+    sig60 = (
+        "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    stored = spark.range(n_store).select(
+        F.col("id"), F.expr(sig60).alias("simhash")
+    )
+    half = n_new // 2
+    flipped = spark.range(half).select(
+        (F.col("id") + n_store).alias("id"),
+        # flip bits 5 and 41 of the stored signature id*131 % n_store
+        F.expr(
+            f"CAST(conv(substring(md5(CAST((id * 131) % {n_store} "
+            f"AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        ).bitwiseXOR(F.lit((1 << 5) | (1 << 41))).alias("simhash"),
+    )
+    fresh = spark.range(half).select(
+        (F.col("id") + n_store + half).alias("id"),
+        F.expr(
+            "CAST(conv(substring(md5(concat(CAST(id AS STRING), '-new')),"
+            " 1, 15), 16, 10) AS BIGINT)"
+        ).alias("simhash"),
+    )
+    new = flipped.unionByName(fresh)
+    out = {"store_rows": n_store, "batch_rows": n_new}
+    t = time.time()
+    pairs = _dedup.signature_hamming_pairs_incremental(
+        stored, new, max_hamming=3
+    )
+    planted = pairs.filter(F.col("hamming") == 2).count()
+    out["pairs_s"] = round(time.time() - t, 2)
+    out["planted_found"] = planted
+    out["planted_expected"] = half
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
     if len(sys.argv) > 1 and sys.argv[1] == "events":
@@ -1186,6 +1273,17 @@ def main() -> None:
         print(json.dumps(
             {"vecs": n_vecs, "appended": n_app,
              "ivf_append": ivf_append_smoke(spark, n_vecs, n_app)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bm25":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+        print(json.dumps({"docs": n_docs, "bm25": bm25_smoke(spark, n_docs)}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "sigstore":
+        n_store = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        n_new = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+        print(json.dumps(
+            {"sigstore": sigstore_smoke(spark, n_store, n_new)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "curation":

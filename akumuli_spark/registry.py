@@ -1266,17 +1266,44 @@ _register_pipeline(
 )
 
 
-def _ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
-    """Build the persisted IVF index (per-run temp dir), then answer the
-    same query from it — the partition-pruned serving shape; the oracle
-    is unchanged because the index is a pure materialization."""
-    import os
-    import tempfile
+_IVF_IDX_CACHE: dict[str, str] = {}
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"akumuli_ivf_idx_{os.getpid()}"
-    )
-    _sim.build_ivf_index(load_table(spark, sf, "embeddings"), path)
+
+def _ivf_index_path(spark: SparkSession, sf: str, grow: bool) -> str:
+    """Build-once-per-(process, corpus) IVF index dir — the same
+    amortization contract as the bench's dedup signature index and the
+    BM25 entries (ADVICE r9 #4): repeated invocations serve from the
+    materialized index, so the timed rows measure the SERVING path; the
+    one-time build/append costs surface separately as bench's
+    ``ivf_index_build_s`` / ``ivf_append_s``.  ``grow=True`` is the
+    growth layout: built over 3/4 of the corpus, the rest appended
+    against the frozen full-corpus codebook (build+append ≡ fresh build
+    on the union — the append equivalence contract)."""
+    key = f"{'grow' if grow else 'full'}:{sf}"
+    if key not in _IVF_IDX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="akumuli_ivf_idx_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        embs = load_table(spark, sf, "embeddings")
+        if grow:
+            cents = _sim._centroids(embs, _sim.IVF_NLIST)
+            _sim.build_ivf_index(
+                embs.filter(F.col("vec_id") % 4 != 3), path, centroids=cents
+            )
+            _sim.append_ivf_index(embs.filter(F.col("vec_id") % 4 == 3), path)
+        else:
+            _sim.build_ivf_index(embs, path)
+        _IVF_IDX_CACHE[key] = path
+    return _IVF_IDX_CACHE[key]
+
+
+def _ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve from the persisted IVF index (partition-pruned probe) —
+    the index is a pure materialization, so the oracle is unchanged."""
+    path = _ivf_index_path(spark, sf, grow=False)
     return _sim.ivf_topk_from_index(spark, path, _ANN_QUERY_IDS, k=10)
 
 
@@ -1290,26 +1317,15 @@ _register_pipeline(
 
 
 def _ann_ivf_append(spark: SparkSession, sf: str) -> DataFrame:
-    """Incremental-growth serving path: build the index over 3/4 of the
-    corpus, append the remaining quarter against the frozen codebook
-    (:func:`akumuli_spark.pipeline.similarity.append_ivf_index`), then
-    probe.  The codebook is trained once over the full corpus — the
-    production pattern (codebook frozen, corpus grows) — so the oracle
-    is the unchanged full-corpus ivf_topk twin: assignment is a pure
-    function of (vector, codebook) and build+append ≡ fresh build on
-    the union."""
-    import os
-    import tempfile
-
-    path = os.path.join(
-        tempfile.gettempdir(), f"akumuli_ivf_app_{os.getpid()}"
-    )
-    embs = load_table(spark, sf, "embeddings")
-    cents = _sim._centroids(embs, _sim.IVF_NLIST)
-    initial = embs.filter(F.col("vec_id") % 4 != 3)
-    growth = embs.filter(F.col("vec_id") % 4 == 3)
-    _sim.build_ivf_index(initial, path, centroids=cents)
-    _sim.append_ivf_index(growth, path)
+    """Incremental-growth serving path: the index was built over 3/4 of
+    the corpus and the remaining quarter appended against the frozen
+    full-corpus codebook
+    (:func:`akumuli_spark.pipeline.similarity.append_ivf_index`) — the
+    production pattern (codebook frozen, corpus grows).  The oracle is
+    the unchanged full-corpus ivf_topk twin: assignment is a pure
+    function of (vector, codebook), so build+append ≡ fresh build on
+    the union and every probe answers identically."""
+    path = _ivf_index_path(spark, sf, grow=True)
     return _sim.ivf_topk_from_index(spark, path, _ANN_QUERY_IDS, k=10)
 
 
@@ -3151,21 +3167,12 @@ def _retrieval_hybrid_rrf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     terms' buckets of the postings, nothing else).  Both serving paths
     are pure materializations of their direct twins, so the oracle is
     the RRF composition of those twins."""
-    import atexit
-    import shutil
-    import tempfile
-
-    key = f"ivf:{sf}"
-    if key not in _BM25_IDX_CACHE:
-        path = tempfile.mkdtemp(prefix="akumuli_hybrid_ivf_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _sim.build_ivf_index(load_table(spark, sf, "embeddings"), path)
-        _BM25_IDX_CACHE[key] = path
     sparse = _text.bm25_topk_from_index(
         spark, _bm25_index_path(spark, sf, grow=False), _BM25_QUERIES, k=10
     )
     dense = _sim.ivf_topk_from_index(
-        spark, _BM25_IDX_CACHE[key], _HYBRID_DENSE_QUERY_IDS, k=10
+        spark, _ivf_index_path(spark, sf, grow=False),
+        _HYBRID_DENSE_QUERY_IDS, k=10,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return _text.hybrid_rrf(sparse, dense, k=10)
 

@@ -341,6 +341,31 @@ def main() -> None:
     bm25_index_build_s = round(time.time() - t0, 3)
     shutil.rmtree(bm_dir, ignore_errors=True)
 
+    # IVF index build + growth append, timed once for the same reason:
+    # the ann_ivf_indexed / ann_ivf_append rows serve from the
+    # process-cached index (registry._ivf_index_path), so their timings
+    # are the partition-pruned SERVING path — these two rows keep the
+    # one-time costs visible
+    from pyspark.sql import functions as _F
+
+    from akumuli_spark.pipeline import similarity as _sim_mod
+
+    _embs0 = load_table(spark, sf_dir, "embeddings")
+    ivf_dir = tempfile.mkdtemp(prefix="akumuli_bench_ivf_")
+    cents0 = _sim_mod._centroids(_embs0, _sim_mod.IVF_NLIST)
+    t0 = time.time()
+    _sim_mod.build_ivf_index(
+        _embs0.filter(_F.col("vec_id") % 4 != 3), f"{ivf_dir}/idx",
+        centroids=cents0,
+    )
+    ivf_index_build_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    _sim_mod.append_ivf_index(
+        _embs0.filter(_F.col("vec_id") % 4 == 3), f"{ivf_dir}/idx"
+    )
+    ivf_append_s = round(time.time() - t0, 3)
+    shutil.rmtree(ivf_dir, ignore_errors=True)
+
     indexed_impls = {
         "dedup_minhash_lsh": lambda spark, sf: dedup.minhash_lsh_pairs(
             load_table(spark, sf, "documents"), 5, 0.5,
@@ -379,6 +404,8 @@ def main() -> None:
     layout = bench_layout(spark, sf_dir)
     layout["dedup_index_build_s"] = index_build_s
     layout["bm25_index_build_s"] = bm25_index_build_s
+    layout["ivf_index_build_s"] = ivf_index_build_s
+    layout["ivf_append_s"] = ivf_append_s
     curation, curation_plans = bench_curation(spark, sf_dir)
     plans.update(curation_plans)
     shutil.rmtree(ddir, ignore_errors=True)
@@ -396,6 +423,8 @@ def main() -> None:
         "dedup_index_build_s": index_build_s,
         "dedup_index_build_cold_s": index_build_cold_s,
         "bm25_index_build_s": bm25_index_build_s,
+        "ivf_index_build_s": ivf_index_build_s,
+        "ivf_append_s": ivf_append_s,
         # normalized physical-plan hash per headline query: a
         # timing drift with an UNCHANGED hash is machine load, a
         # CHANGED hash is a plan regression — attribution is a

@@ -787,10 +787,17 @@ def _write_lists_with_stats(assigned: DataFrame, cents: DataFrame,
         .write.mode(mode).partitionBy("list_id")
         .parquet(f"{path}/lists")
     )
-    got = obs.get
+    try:
+        got = obs.get
+        n, sd = int(got["n"]), float(got["sum_dist"])
+    except Exception:
+        # an empty corpus schedules zero tasks, so the observation has
+        # no metrics row to return (toPyRow asserts) — the stats row is
+        # honestly (0, 0.0), same as the old agg-over-empty shape
+        n, sd = 0, 0.0
     spark = assigned.sparkSession
     spark.createDataFrame(
-        [(phase, int(got["n"]), float(got["sum_dist"]))],
+        [(phase, n, sd)],
         "phase string, n long, sum_dist double",
     ).write.mode("overwrite" if mode == "overwrite" else "append") \
         .parquet(f"{path}/stats")

@@ -76,6 +76,12 @@ def plan_fingerprint(df) -> str:
     # (MapPartitionsRDD[N] at localCheckpoint ...) — the one token that
     # made checkpoint-bearing plans (dedup_minhash_lsh) hash-unstable
     s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
+    # the RDD call-site suffix ("at NativeMethodAccessorImpl.java:0")
+    # flips to "at <unknown>:0" once the JVM JIT hides the reflective
+    # frame — a warm-up artifact, not a plan change (it flipped
+    # bpe_train_merges' hash between an early and a late fingerprint in
+    # the same session, diagnosed round 10)
+    s = re.sub(r" at [A-Za-z<][^,\s]*:\d+", " at <site>", s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 

@@ -24,6 +24,13 @@ ENTRIES = [
     "dedup_semantic_indexed", "dedup_semantic_incremental",
     "select_fwd", "group_aggregate", "apply_ewma", "dedup_minhash_lsh",
     "ann_ivf_batch", "dedup_embedding_lsh_multi", "text_quality",
+    # r10: empty corpus schedules zero write tasks, so the observed
+    # quantization-stats row must fall back to (0, 0.0) instead of
+    # asserting in Observation.get; BM25 serve must answer zero rows
+    # from an index over nothing (both paths + growth + fusion)
+    "text_bm25_indexed", "text_bm25_indexed_df", "text_bm25_append",
+    "retrieval_hybrid_rrf", "retrieval_hybrid_rrf_indexed",
+    "multimodal_image_dhash_payload",
 ]
 
 

@@ -757,3 +757,124 @@ class TestScrubSubstringProperty:
             keep_toks = [w for p, w in enumerate(toks) if p not in cov[i]]
             assert got[i] == (len(toks), len(keep_toks),
                               " ".join(keep_toks)), (i, keep, got[i])
+
+
+# ---------------------------------------------------------------------------
+# BM25 epoch-partial invariance: any split of the corpus into append
+# batches serves exactly like the one-shot build (df/N/Σdl are sums)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestBM25EpochSplitProperty:
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                     min_size=1, max_size=8).map(" ".join),
+            min_size=3, max_size=9),
+        cut_seed=st.integers(0, 10**6),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_any_epoch_split_serves_like_full_build(self, spark, corpus,
+                                                    cut_seed):
+        import random
+        import shutil
+        import tempfile
+
+        from akumuli_spark.pipeline import text as T
+
+        rows = list(enumerate(corpus))
+        rng = random.Random(cut_seed)
+        n_cuts = rng.randint(0, min(3, len(rows) - 1))
+        cuts = sorted(rng.sample(range(1, len(rows)), n_cuts))
+        bounds = [0, *cuts, len(rows)]
+        qs = [(1, "aa cc"), (2, "ee zz")]
+        full = tempfile.mkdtemp(prefix="prop_bm25_full_")
+        grown = tempfile.mkdtemp(prefix="prop_bm25_grow_")
+        try:
+            T.build_bm25_index(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                full,
+            )
+            T.build_bm25_index(
+                spark.createDataFrame(
+                    rows[: bounds[1]], "doc_id long, text string"),
+                grown,
+            )
+            for i in range(1, len(bounds) - 1):
+                T.append_bm25_index(
+                    spark.createDataFrame(
+                        rows[bounds[i]:bounds[i + 1]],
+                        "doc_id long, text string"),
+                    grown, epoch=i,
+                )
+            want = sorted(map(tuple, T.bm25_topk_from_index(
+                spark, full, qs, k=5).collect()))
+            assert sorted(map(tuple, T.bm25_topk_from_index(
+                spark, grown, qs, k=5).collect())) == want
+        finally:
+            shutil.rmtree(full, ignore_errors=True)
+            shutil.rmtree(grown, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion vs direct Python replay over random rank lists
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.usefixtures("spark")
+class TestHybridRRFProperty:
+    @given(
+        sparse=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 12)),
+            min_size=0, max_size=12, unique=True),
+        dense=st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 12)),
+            min_size=0, max_size=12, unique=True),
+        k=st.sampled_from([3, 10]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_python_reference(self, spark, sparse, dense, k):
+        """rrf(q,d) = Σ 1/(60+rank) over the lists containing d, rounded
+        canonically before ranking; top-k per query, doc_id ties."""
+        import math
+
+        from akumuli_spark.pipeline import text as T
+
+        def ranked(pairs):
+            out, seen = [], {}
+            for q, d in pairs:
+                seen.setdefault(q, 0)
+                seen[q] += 1
+                out.append((q, d, seen[q]))
+            return out
+
+        s_rows, d_rows = ranked(sparse), ranked(dense)
+        schema = "query_id long, doc_id long, rank long"
+        got = {
+            (r["query_id"], r["doc_id"]): (r["rrf"], r["rank"])
+            for r in T.hybrid_rrf(
+                spark.createDataFrame(s_rows, schema) if s_rows
+                else spark.createDataFrame([], schema),
+                spark.createDataFrame(d_rows, schema) if d_rows
+                else spark.createDataFrame([], schema),
+                k=k,
+            ).collect()
+        }
+        raw: dict[tuple, float] = {}
+        for q, d, r in s_rows + d_rows:
+            raw[(q, d)] = raw.get((q, d), 0.0) + 1.0 / (60.0 + r)
+        want = {
+            key: math.floor(v * 10000.0 + 0.50031830988618379) / 10000.0
+            for key, v in raw.items()
+        }
+        per_q: dict[int, list] = {}
+        for (q, d), v in want.items():
+            per_q.setdefault(q, []).append((d, v))
+        expect = {}
+        for q, lst in per_q.items():
+            for i, (d, v) in enumerate(
+                sorted(lst, key=lambda t: (-t[1], t[0]))[:k], 1
+            ):
+                expect[(q, d)] = (v, i)
+        assert got == expect

@@ -1334,14 +1334,42 @@ def _bm25_per_doc(docs: DataFrame) -> DataFrame:
 
 
 def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
-                       full: bool) -> None:
+                       full: bool, positions: bool = False) -> None:
     """One corpus scan → the three index tables, every row keyed by the
     batch ``epoch`` (leading partition column).  ``full=True`` truncates
     the index (build); ``full=False`` dynamically overwrites only this
     epoch's partitions, so a retried append replaces its own partials
     instead of double-counting — the repo's epoch-keyed exactly-once
-    store contract (streaming/membership.py is the pattern)."""
+    store contract (streaming/membership.py is the pattern).
+
+    ``positions=True`` additionally writes ``{path}/positions`` —
+    (term, doc_id, pos_list, epoch, term_bucket), the positional
+    postings phrase search consumes (:func:`phrase_counts_from_index`).
+    Each document's positions live whole in its batch's epoch, so the
+    table needs no partial-merging — only the same epoch-replace retry
+    contract."""
     per_doc = _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch)))
+    if positions:
+        (
+            docs.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), " ")).alias(
+                    "__pos", "term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("doc_id", "term")
+            .agg(F.sort_array(F.collect_list("__pos")).alias("pos_list"))
+            .select(
+                "term", "doc_id", "pos_list",
+                F.lit(int(epoch)).alias("epoch"),
+                _term_bucket_expr().alias("term_bucket"),
+            )
+            .repartition("term_bucket")
+            .write.mode("overwrite")
+            .options(**({} if full else {"partitionOverwriteMode": "dynamic"}))
+            .partitionBy("epoch", "term_bucket")
+            .parquet(f"{path}/positions")
+        )
     opt = {} if full else {"partitionOverwriteMode": "dynamic"}
     (
         per_doc.select(
@@ -1374,7 +1402,8 @@ def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
     )
 
 
-def build_bm25_index(docs: DataFrame, path: str) -> None:
+def build_bm25_index(docs: DataFrame, path: str,
+                     positions: bool = False) -> None:
     """Materialize the BM25 inverted index — the serving shape for
     repeated query workloads (the retrieval analogue of the dedup
     signature stores and the IVF lists: build once, query many):
@@ -1397,8 +1426,12 @@ def build_bm25_index(docs: DataFrame, path: str) -> None:
     one-row-per-term.
 
     All rows are epoch-keyed (build is epoch 0) — see
-    :func:`append_bm25_index` for the retry contract."""
-    _write_bm25_tables(docs, path, epoch=0, full=True)
+    :func:`append_bm25_index` for the retry contract.
+
+    ``positions=True`` adds the positional postings table phrase search
+    serves from (:func:`phrase_counts_from_index`); appends then grow it
+    automatically (auto-detected from the layout)."""
+    _write_bm25_tables(docs, path, epoch=0, full=True, positions=positions)
 
 
 def append_bm25_index(docs_new: DataFrame, path: str, epoch: int) -> None:
@@ -1417,8 +1450,17 @@ def append_bm25_index(docs_new: DataFrame, path: str, epoch: int) -> None:
     of double-counting — exactly-once under retries, the repo's
     epoch-keyed store protocol (streaming/membership.py).  Epochs from
     before the last :func:`compact_bm25_index` must not be retried
-    (compaction folds them into epoch 0)."""
-    _write_bm25_tables(docs_new, path, epoch=int(epoch), full=False)
+    (compaction folds them into epoch 0).
+
+    A positional layout (built with ``positions=True``) is auto-detected
+    and its positions table grown in the same epoch, so phrase serving
+    never silently misses appended documents."""
+    import os
+
+    _write_bm25_tables(
+        docs_new, path, epoch=int(epoch), full=False,
+        positions=os.path.exists(f"{path}/positions"),
+    )
 
 
 def compact_bm25_index(spark, path: str) -> None:
@@ -1463,7 +1505,10 @@ def compact_bm25_index(spark, path: str) -> None:
                 raise
         shutil.rmtree(old, ignore_errors=True)
 
-    for sub in ("postings", "dfreq", "stats"):
+    subs = ["postings", "dfreq", "stats"]
+    if os.path.exists(f"{path}/positions"):
+        subs.append("positions")
+    for sub in subs:
         recover_compaction(f"{path}/{sub}", gc=True)
     zero = F.lit(0).alias("epoch")
     swap(
@@ -1491,6 +1536,17 @@ def compact_bm25_index(spark, path: str) -> None:
         ).select("__n", "__sum_dl", zero),
         False,
     )
+    if "positions" in subs:
+        # one row per (term, doc) — each doc lives whole in one epoch,
+        # so compaction only re-files, it never merges
+        swap(
+            "positions",
+            spark.read.parquet(f"{path}/positions")
+            .select("term", "doc_id", "pos_list", "term_bucket")
+            .withColumn("epoch", F.lit(0))
+            .repartition("term_bucket"),
+            True,
+        )
 
 
 def bm25_topk_from_index(spark, path: str,
@@ -1746,6 +1802,174 @@ ranked AS (
 )
 SELECT query_id, doc_id, rrf, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {int(k)}
+""".strip()
+
+
+def _phrase_terms(text: str) -> list[str]:
+    return [t for t in str(text).split(" ") if t]
+
+
+def phrase_counts(docs: DataFrame,
+                  phrases: list[tuple[int, str]]) -> DataFrame:
+    """Exact phrase search, direct path: for each (query_id, phrase),
+    every document containing the phrase as a CONTIGUOUS token run,
+    with ``n_matches`` = the number of start positions (overlapping
+    occurrences count: "a a a" matches "a a" twice) — the lexical
+    filter benchmark decontamination and exact-quote retrieval need
+    beyond bag-of-words BM25.
+
+    Scale shape: ONE corpus projection evaluates every phrase —
+    per row, each phrase is a JVM-side ``filter(sequence(...))`` over
+    the token array (no explode, no shuffle, no Python); the union
+    across phrases rides the same scan via one generator.  Output:
+    (query_id, doc_id, n_matches), only matching docs, n_matches ≥ 1.
+    A single-term phrase degenerates to the term-frequency count."""
+    entries = []
+    for qid, text in phrases:
+        ws = _phrase_terms(text)
+        if not ws:
+            continue
+        n = len(ws)
+        conds = " AND ".join(
+            f"element_at(__ws, i + {j + 1}) = '" + w.replace("'", "\\'") + "'"
+            for j, w in enumerate(ws)
+        )
+        cnt = (
+            f"CASE WHEN size(__ws) >= {n} THEN "
+            f"size(filter(sequence(0, size(__ws) - {n}), i -> {conds})) "
+            f"ELSE 0 END"
+        )
+        entries.append(
+            f"named_struct('query_id', CAST({int(qid)} AS BIGINT), "
+            f"'n_matches', CAST({cnt} AS BIGINT))"
+        )
+    spark = docs.sparkSession
+    if not entries:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_matches long"
+        )
+    return (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws"))
+        .select(
+            "doc_id",
+            F.expr(f"explode(array({', '.join(entries)}))").alias("__m"),
+        )
+        .select(
+            F.col("__m.query_id").alias("query_id"),
+            "doc_id",
+            F.col("__m.n_matches").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def phrase_counts_from_index(spark, path: str,
+                             phrases: list[tuple[int, str]]) -> DataFrame:
+    """Phrase search served from the positional postings of a BM25
+    index built with ``positions=True`` — identical output to
+    :func:`phrase_counts` without re-tokenizing the corpus.
+
+    The classic positional-intersection plan: per phrase, the terms'
+    (doc_id, pos_list) rows equi-join on doc_id and the start-position
+    chain folds left to right — after term j the chain holds the start
+    positions whose first j+1 tokens matched, via
+    ``array_intersect(transform(chain, x → x+1), pos_j)`` (all JVM
+    array ops, no explode).  The scan prunes STATICALLY to the phrase
+    terms' md5 buckets, so a phrase over a 10¹²-posting index touches
+    only its terms' partitions; the joins are bounded by the rarest
+    term's doc list.  Overlap and repeated-term semantics match the
+    direct path exactly (pytest-pinned)."""
+    from pyspark.errors import AnalysisException
+
+    from akumuli_spark.sources.layout import recover_compaction
+
+    recover_compaction(f"{path}/positions")
+    try:
+        pos = spark.read.parquet(f"{path}/positions")
+    except AnalysisException as exc:
+        if ("UNABLE_TO_INFER_SCHEMA" not in str(exc)
+                and "PATH_NOT_FOUND" not in str(exc)):
+            raise
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_matches long"
+        )
+    import hashlib as _hl
+
+    buckets = {
+        int(_hl.md5(w.encode()).hexdigest()[:8], 16) % BM25_BUCKETS
+        for _, text in phrases for w in _phrase_terms(text)
+    }
+    pos = pos.filter(F.col("term_bucket").isin(sorted(buckets)))
+    out = None
+    for qid, text in phrases:
+        ws = _phrase_terms(text)
+        if not ws:
+            continue
+        cur = (
+            pos.filter(F.col("term") == ws[0])
+            .select("doc_id", F.col("pos_list").alias("__c"))
+        )
+        for w in ws[1:]:
+            nxt = pos.filter(F.col("term") == w).select(
+                "doc_id", F.col("pos_list").alias("__p")
+            )
+            cur = (
+                cur.join(nxt, "doc_id")
+                .withColumn(
+                    "__c",
+                    F.expr(
+                        "array_intersect(transform(__c, x -> x + 1), __p)"
+                    ),
+                )
+                .drop("__p")
+            )
+        frame = cur.select(
+            F.lit(int(qid)).cast("long").alias("query_id"),
+            "doc_id",
+            F.size("__c").cast("long").alias("n_matches"),
+        ).filter(F.col("n_matches") > 0)
+        out = frame if out is None else out.unionByName(frame)
+    if out is None:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, n_matches long"
+        )
+    return out
+
+
+def phrase_counts_sql(phrases: list[tuple[int, str]]) -> str:
+    """DuckDB twin shared by :func:`phrase_counts` and
+    :func:`phrase_counts_from_index` (the positions table is a pure
+    materialization of the token array, so one direct-formula twin
+    audits both): the same guarded start-position filter, 1-based
+    ``list_extract`` mirroring Spark's ``element_at``."""
+    arms = []
+    for qid, text in phrases:
+        ws = _phrase_terms(text)
+        if not ws:
+            continue
+        n = len(ws)
+        conds = " AND ".join(
+            f"list_extract(toks, i + {j + 1}) = '" + w.replace("'", "''") + "'"
+            for j, w in enumerate(ws)
+        )
+        cnt = (
+            f"CASE WHEN len(toks) >= {n} THEN "
+            f"len(list_filter(range(0, len(toks) - {n} + 1), "
+            f"i -> {conds})) ELSE 0 END"
+        )
+        arms.append(
+            f"SELECT {int(qid)}::BIGINT AS query_id, doc_id, "
+            f"({cnt})::BIGINT AS n_matches FROM toksed"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH toksed AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+m AS (
+{body}
+)
+SELECT query_id, doc_id, n_matches FROM m WHERE n_matches > 0
 """.strip()
 
 

@@ -3040,7 +3040,8 @@ _register_pipeline(
 _BM25_IDX_CACHE: dict[str, str] = {}
 
 
-def _bm25_index_path(spark: SparkSession, sf: str, grow: bool) -> str:
+def _bm25_index_path(spark: SparkSession, sf: str, grow: bool,
+                     positions: bool = False) -> str:
     """Build-once-per-(process, corpus) BM25 index dir: repeated
     invocations (bench warm pass + timed passes) serve from the same
     materialized index instead of re-timing build+serve — the same
@@ -3050,7 +3051,7 @@ def _bm25_index_path(spark: SparkSession, sf: str, grow: bool) -> str:
     ``grow=True`` builds over 3/4 of the corpus and appends the rest as
     epoch 1 — the incremental-growth layout, whose exact-merge contract
     makes it serve identically to the full build."""
-    key = f"{'grow' if grow else 'full'}:{sf}"
+    key = f"{'grow' if grow else 'full'}:{positions}:{sf}"
     if key not in _BM25_IDX_CACHE:
         import atexit
         import shutil
@@ -3060,12 +3061,15 @@ def _bm25_index_path(spark: SparkSession, sf: str, grow: bool) -> str:
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         docs = load_table(spark, sf, "documents")
         if grow:
-            _text.build_bm25_index(docs.filter(F.col("doc_id") % 4 != 3), path)
+            _text.build_bm25_index(
+                docs.filter(F.col("doc_id") % 4 != 3), path,
+                positions=positions,
+            )
             _text.append_bm25_index(
                 docs.filter(F.col("doc_id") % 4 == 3), path, epoch=1
             )
         else:
-            _text.build_bm25_index(docs, path)
+            _text.build_bm25_index(docs, path, positions=positions)
         _BM25_IDX_CACHE[key] = path
     return _BM25_IDX_CACHE[key]
 
@@ -3125,6 +3129,42 @@ _register_pipeline(
     _text.bm25_topk_sql(_BM25_QUERIES, 10),
     ["score"],
     ["query_id", "doc_id", "rank"],
+)
+
+
+_PHRASES = [
+    (1, "table scan"),
+    (2, "scan slow fast"),
+    (3, "hash value"),
+    (4, "quasar nebula"),  # matches nothing: the totality arm
+]
+
+_register_pipeline(
+    "text_phrase_match",
+    lambda spark, sf: _text.phrase_counts(
+        load_table(spark, sf, "documents"), _PHRASES
+    ),
+    _text.phrase_counts_sql(_PHRASES),
+    [],
+    ["query_id", "doc_id", "n_matches"],
+)
+
+
+def _phrase_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Phrase search served from the positional postings (term-bucket-
+    pruned, left-fold start-position intersection) — the positions
+    table is a pure materialization of the token array, so the oracle
+    is the shared direct-formula twin."""
+    path = _bm25_index_path(spark, sf, grow=False, positions=True)
+    return _text.phrase_counts_from_index(spark, path, _PHRASES)
+
+
+_register_pipeline(
+    "text_phrase_indexed",
+    _phrase_indexed,
+    _text.phrase_counts_sql(_PHRASES),
+    [],
+    ["query_id", "doc_id", "n_matches"],
 )
 
 

@@ -274,7 +274,8 @@ def bench_curation(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, str]
                  # probe), epoch-partial growth, and sparse+dense fusion
                  "text_bm25_indexed_df", "text_bm25_append",
                  "retrieval_hybrid_rrf", "multimodal_image_dhash_payload",
-                 "retrieval_hybrid_rrf_indexed"):
+                 "retrieval_hybrid_rrf_indexed", "text_phrase_match",
+                 "text_phrase_indexed"):
         run_one(spark, qs[name], sf_dir)  # warm
         out[name] = round(
             min(run_one(spark, qs[name], sf_dir) for _ in range(2)), 3

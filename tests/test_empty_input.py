@@ -31,6 +31,7 @@ ENTRIES = [
     "text_bm25_indexed", "text_bm25_indexed_df", "text_bm25_append",
     "retrieval_hybrid_rrf", "retrieval_hybrid_rrf_indexed",
     "multimodal_image_dhash_payload",
+    "text_phrase_match", "text_phrase_indexed",
 ]
 
 

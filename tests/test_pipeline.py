@@ -1784,6 +1784,61 @@ def test_hybrid_rrf_matches_python_reference(spark):
     assert got[(2, 30)][1] == 1
 
 
+def test_phrase_counts_semantics_and_indexed_parity(spark, tmp_path):
+    """Exact-phrase semantics on a crafted corpus: overlapping
+    occurrences count ('a a a' matches 'a a' twice), repeated-term
+    phrases fold correctly, a single-term phrase degenerates to tf,
+    non-matching and NULL/empty docs emit nothing — and the positional
+    index serves the IDENTICAL frame (including after an append grows
+    the positions table)."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 'a a' at 0,1; 'a a a' at 0
+            (2, "x a b y a b"),      # 'a b' at 1,4
+            (3, "b a"),              # reversed: no 'a b'
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    phrases = [(10, "a a"), (20, "a b"), (30, "a"), (40, "zz yy")]
+    want = {
+        (10, 1): 2,
+        (20, 1): 1, (20, 2): 2,
+        (30, 1): 3, (30, 2): 2, (30, 3): 1,
+    }
+    direct = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in T.phrase_counts(docs, phrases).collect()
+    }
+    assert direct == want
+    # positional index: build over part, append the rest (positions
+    # auto-detected and grown), serve — identical frame
+    idx = str(tmp_path / "pos_idx")
+    T.build_bm25_index(docs.filter(F.col("doc_id") <= 2), idx,
+                       positions=True)
+    T.append_bm25_index(docs.filter(F.col("doc_id") > 2), idx, epoch=1)
+    served = {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in T.phrase_counts_from_index(spark, idx, phrases).collect()
+    }
+    assert served == want
+    # compaction re-files the positions table and changes nothing
+    T.compact_bm25_index(spark, idx)
+    assert {
+        (r["query_id"], r["doc_id"]): r["n_matches"]
+        for r in T.phrase_counts_from_index(spark, idx, phrases).collect()
+    } == want
+    # a positions-less index answers zero phrase rows, not a crash
+    bare = str(tmp_path / "bare_idx")
+    T.build_bm25_index(docs, bare)
+    assert T.phrase_counts_from_index(spark, bare, phrases).count() == 0
+
+
 def test_triplets_never_emit_self_negative(spark):
     """A neighbors frame containing self-matches (query_id ==
     neighbor_id, cosine 1.0 — allowed by the documented 'any ANN result

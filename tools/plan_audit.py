@@ -137,7 +137,8 @@ def main() -> None:
                "multimodal_image_dedup_incremental", "text_bm25_indexed",
                "text_bm25_indexed_df", "text_bm25_append",
                "retrieval_hybrid_rrf", "multimodal_image_dhash_payload",
-               "retrieval_hybrid_rrf_indexed"]
+               "retrieval_hybrid_rrf_indexed", "text_phrase_match",
+               "text_phrase_indexed"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -111,14 +111,20 @@ def main() -> None:
     # growth story: build over most of the corpus, append the rest as
     # an epoch-keyed partial batch — served idf stays EXACT because
     # every BM25 statistic is a sum the serve path folds
-    T.build_bm25_index(docs.filter(F.col("doc_id") % 10 != 9), bm_idx)
+    T.build_bm25_index(docs.filter(F.col("doc_id") % 10 != 9), bm_idx,
+                       positions=True)
     T.append_bm25_index(docs.filter(F.col("doc_id") % 10 == 9), bm_idx,
-                        epoch=1)
+                        epoch=1)  # grows positions too (auto-detected)
     qs = [(1, "fast table scan"), (2, "hash join merge batch")]
     sparse = T.bm25_topk_from_index(spark, bm_idx, qs, k=5)
     print(f"bm25 serve: {sparse.count()} lexical results "
           f"for {len(qs)} queries (term-bucket-pruned postings+dfreq, "
           f"grown by one epoch append)")
+    # exact-phrase serving from the same index's positional postings
+    phrases = [(1, "fast table"), (2, "hash join")]
+    ph = T.phrase_counts_from_index(spark, bm_idx, phrases)
+    print(f"phrase serve: {ph.count()} docs contain the exact phrases "
+          "(bucket-pruned positional postings)")
     T.compact_bm25_index(spark, bm_idx)
     # re-plan after compaction: a DataFrame created before the swap
     # pins the pre-compaction file listing

@@ -1093,6 +1093,18 @@ def bm25_smoke(spark, n_docs: int) -> dict:
         out["compaction_preserves"] = sorted(map(tuple, pre)) == sorted(
             map(tuple, post)
         )
+        # positional layout: build cost of the positions table (the
+        # explode+groupBy the phrase path pays once) + a phrase serve
+        ppath = f"{path}_pos"
+        t = time.time()
+        _text.build_bm25_index(docs, ppath, positions=True)
+        out["positions_build_s"] = round(time.time() - t, 2)
+        t = time.time()
+        out["phrase_docs"] = _text.phrase_counts_from_index(
+            spark, ppath, [(1, "w101 w202"), (2, "w31337")]
+        ).count()
+        out["phrase_serve_s"] = round(time.time() - t, 2)
+        shutil.rmtree(ppath, ignore_errors=True)
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out

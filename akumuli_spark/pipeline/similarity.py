@@ -656,16 +656,15 @@ def _read_lists(spark, path: str) -> DataFrame:
     write of zero rows leaves a directory with no data files, which
     ``spark.read.parquet`` refuses to infer a schema for — an
     empty-corpus build (or a probe before the first append lands)
-    should serve zero results, not crash."""
-    from pyspark.errors import AnalysisException
+    should serve zero results, not crash.  Classification goes through
+    the structured error condition (``sources.layout.read_table_or_none``)
+    — never substring-matching the rendered message (ADVICE r10)."""
+    from akumuli_spark.sources.layout import read_table_or_none
 
-    try:
-        return spark.read.parquet(f"{path}/lists")
-    except AnalysisException as exc:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
-                and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    lists = read_table_or_none(spark, f"{path}/lists")
+    if lists is None:
         return spark.createDataFrame([], _LISTS_SCHEMA)
+    return lists
 
 
 def _assign_lists_vectorized(embs: DataFrame, cents: DataFrame) -> DataFrame:
@@ -793,7 +792,15 @@ def _write_lists_with_stats(assigned: DataFrame, cents: DataFrame,
     except Exception:
         # an empty corpus schedules zero tasks, so the observation has
         # no metrics row to return (toPyRow asserts) — the stats row is
-        # honestly (0, 0.0), same as the old agg-over-empty shape
+        # then honestly (0, 0.0), same as the old agg-over-empty shape.
+        # VERIFY that's what happened before substituting: a real
+        # observation/listener failure over a non-empty batch must
+        # re-raise, or it would silently write a zero row into the
+        # drift baseline ivf_drift compares against (ADVICE r10).  The
+        # isEmpty probe re-runs the assignment lineage, but only on
+        # this failure path — free for the empty corpus it certifies
+        if not assigned.isEmpty():
+            raise
         n, sd = 0, 0.0
     spark = assigned.sparkSession
     spark.createDataFrame(
@@ -1826,16 +1833,12 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
     statically partition-pruned to the probed lists (probe set collected
     first: ≤ |queries|·nprobe rows, the same bounded driver footprint as
     :func:`ivf_topk_from_index`)."""
-    from pyspark.errors import AnalysisException
+    from akumuli_spark.sources.layout import read_table_or_none
 
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    try:
-        codes = spark.read.parquet(f"{path}/codes")
-    except AnalysisException as exc:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
-                and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    codes = read_table_or_none(spark, f"{path}/codes")
+    if codes is None:
         codes = spark.createDataFrame([], _CODES_SCHEMA)
     dsub_row = cb.select(F.size("ce").alias("d")).first()
     dsub = int(dsub_row["d"]) if dsub_row else 0
@@ -2072,14 +2075,10 @@ def ivfadc_topk_batch_from_index(spark, path: str, queries: DataFrame,
 
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/codebooks")
-    from pyspark.errors import AnalysisException
+    from akumuli_spark.sources.layout import read_table_or_none
 
-    try:
-        codes = spark.read.parquet(f"{path}/codes")
-    except AnalysisException as exc:
-        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) \
-                and "PATH_NOT_FOUND" not in str(exc):
-            raise
+    codes = read_table_or_none(spark, f"{path}/codes")
+    if codes is None:
         codes = spark.createDataFrame([], _CODES_SCHEMA)
 
     crows = cents.orderBy("cid").collect()  # nlist rows

@@ -3168,6 +3168,45 @@ _register_pipeline(
 )
 
 
+def _phrase_relational(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-phrase-set shape: ONE relational plan (tokens ⋈ phrase
+    terms → alignment counting) regardless of phrase count — the
+    decontamination-by-exact-quote path (VERDICT r10 wrong #2).  Same
+    semantics as the per-phrase expression plan, so the oracle is the
+    shared direct-formula twin."""
+    qdf = spark.createDataFrame(_PHRASES, "query_id long, text string")
+    return _text.phrase_counts_relational(
+        load_table(spark, sf, "documents"), qdf
+    )
+
+
+_register_pipeline(
+    "text_phrase_relational",
+    _phrase_relational,
+    _text.phrase_counts_sql(_PHRASES),
+    [],
+    ["query_id", "doc_id", "n_matches"],
+)
+
+
+def _phrase_relational_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The same fixed-shape plan served from the persisted positional
+    postings — bucket-pruned via the stored layout contract, pos_lists
+    exploded only for the matched terms."""
+    path = _bm25_index_path(spark, sf, grow=False, positions=True)
+    qdf = spark.createDataFrame(_PHRASES, "query_id long, text string")
+    return _text.phrase_counts_relational_from_index(spark, path, qdf)
+
+
+_register_pipeline(
+    "text_phrase_relational_indexed",
+    _phrase_relational_indexed,
+    _text.phrase_counts_sql(_PHRASES),
+    [],
+    ["query_id", "doc_id", "n_matches"],
+)
+
+
 _HYBRID_DENSE_QUERY_IDS = [1, 2, 3]  # vec_ids paired with _BM25_QUERIES ids
 
 

@@ -100,6 +100,52 @@ def _staged_append(with_bucket: DataFrame, path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+#: structured error conditions meaning "the table isn't there (yet)":
+#: a partitioned write of zero rows leaves a directory with no data
+#: files (schema inference fails), and a never-built store has no
+#: directory at all.  Everything else is a real failure.
+_ABSENT_TABLE_CONDITIONS = frozenset(
+    {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+)
+
+
+def read_table_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet`` returning ``None`` when the table is
+    ABSENT or EMPTY — the shared empty-store tolerance every index
+    reader needs (an index over nothing answers nothing, a probe before
+    the first append lands serves zero results, never a crash).
+
+    The two benign cases are classified by the STRUCTURED error
+    condition (``AnalysisException.getCondition()``, with the
+    pre-4.0 ``getErrorClass()`` as fallback) — never by substring-
+    matching the rendered message, whose wording is Spark-version-bound
+    (ADVICE r10).  Any other analysis failure re-raises.
+
+    This is also the store-visible existence probe for optional layout
+    tables: a driver-local ``os.path.exists`` is always False on
+    S3/HDFS, so "does this index have a positions table?" must be asked
+    through the same reader that will consume it (ADVICE r9/r10)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond:
+                break
+        if cond not in _ABSENT_TABLE_CONDITIONS:
+            raise
+        return None
+
+
 def recover_compaction(path: str, gc: bool = False) -> None:
     """Self-heal a compaction swap that crashed between its two renames.
 

@@ -31,9 +31,11 @@ def start_streaming_bm25_index(docs: DataFrame, index_dir: str,
     """Wire the document stream (doc_id, text) into a foreachBatch sink
     that grows the BM25 index at ``index_dir``.  Serve at any time with
     :func:`~akumuli_spark.pipeline.text.bm25_topk_from_index` — a serve
-    planned mid-append sees either the pre- or post-batch file set per
-    table (parquet appends are whole new files), and the partial-fold
-    keeps every consistent snapshot exact."""
+    planned mid-append returns exactly the pre- or the post-batch
+    answer, never a mix: appends land postings LAST and the serve path
+    folds only epochs whose postings are visible (the snapshot gate in
+    ``bm25_topk_from_index``; pinned by
+    ``test_bm25_mid_append_serve_is_pre_or_post``)."""
     from akumuli_spark.pipeline.text import append_bm25_index
 
     def handle(batch: DataFrame, epoch_id: int) -> None:

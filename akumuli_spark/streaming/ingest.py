@@ -43,7 +43,7 @@ def _is_path_missing(exc: AnalysisException) -> bool:
     transient I/O or permission failure."""
     cond = getattr(exc, "getCondition", None)
     name = cond() if callable(cond) else None
-    return name == "PATH_NOT_FOUND" or "Path does not exist" in str(exc)
+    return name == "PATH_NOT_FOUND"
 
 
 def parsed_stream_from_files(spark: SparkSession, input_dir: str,

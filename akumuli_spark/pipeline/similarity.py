@@ -658,9 +658,17 @@ def _read_lists(spark, path: str) -> DataFrame:
     empty-corpus build (or a probe before the first append lands)
     should serve zero results, not crash.  Classification goes through
     the structured error condition (``sources.layout.read_table_or_none``)
-    — never substring-matching the rendered message (ADVICE r10)."""
-    from akumuli_spark.sources.layout import read_table_or_none
+    — never substring-matching the rendered message (ADVICE r10).
 
+    Also the self-heal point for a :func:`retrain_ivf_index` swap that
+    crashed between its two renames: the whole index root is the swap
+    unit, so recovery runs on ``path`` before any table read."""
+    from akumuli_spark.sources.layout import (
+        read_table_or_none,
+        recover_compaction,
+    )
+
+    recover_compaction(path)
     lists = read_table_or_none(spark, f"{path}/lists")
     if lists is None:
         return spark.createDataFrame([], _LISTS_SCHEMA)
@@ -852,6 +860,9 @@ def ivf_drift(spark, path: str, retrain_ratio: float = 1.5) -> dict | None:
     appended rows yet."""
     from pyspark.errors import AnalysisException
 
+    from akumuli_spark.sources.layout import recover_compaction
+
+    recover_compaction(path)
     try:
         stats = spark.read.parquet(f"{path}/stats").collect()
     except AnalysisException:
@@ -904,7 +915,10 @@ def append_ivf_index(embs_new: DataFrame, path: str,
     quantization-drift metric and its documented re-train trigger
     (``retrain`` at ``retrain_ratio``; VERDICT r8 Next #9).
     """
+    from akumuli_spark.sources.layout import recover_compaction
+
     spark = embs_new.sparkSession
+    recover_compaction(path)
     cents = spark.read.parquet(f"{path}/centroids")
     assign = _assign_lists_vectorized if vectorized else _assign_lists
     assigned = assign(embs_new, cents)
@@ -916,6 +930,83 @@ def append_ivf_index(embs_new: DataFrame, path: str,
     # store — ADVICE r9) is gone entirely
     _write_lists_with_stats(assigned, cents, path, "append", "append")
     return ivf_drift(spark, path, retrain_ratio)
+
+
+def retrain_ivf_index(spark, path: str, nlist: int = IVF_NLIST,
+                      centroids: DataFrame | None = None,
+                      vectorized: bool = False) -> dict:
+    """Close the drift loop: when :func:`ivf_drift` trips ``retrain``,
+    re-train the codebook over the STORED vectors, re-assign every
+    vector, and atomically swap the rebuilt index in — the operator a
+    grown index actually needs once appended data quantizes badly
+    against the frozen codebook (VERDICT r10 missing #4).
+
+    Mechanics: the whole new index (lists + centroids + stats) is
+    written to a sibling ``{path}.compact-tmp`` directory, a ``_SUCCESS``
+    marker lands only after every table committed, and the swap is the
+    repo's two-rename protocol (``sources.layout.recover_compaction``
+    heals a crash between the renames on the next touch) — swapping the
+    INDEX ROOT makes the multi-table replacement atomic, which
+    per-table swaps cannot (a reader would mix old centroids with new
+    lists and prune the wrong partitions).  Serves planned before the
+    swap keep reading the old files (local rename keeps open handles
+    valid); RE-PLAN after retraining — the same contract as
+    ``compact_bm25_index``.
+
+    The codebook default is the deterministic ``_centroids`` seed over
+    the stored corpus (oracle-reproducible); pass
+    ``centroids=ivf_kmeans_centroids(...)`` for production re-training,
+    or ``vectorized=True`` for the numpy assignment path.  Stats reset
+    to a fresh ``build`` baseline (phase rows start over), so the drift
+    ratio measures post-retrain appends against the NEW codebook.
+
+    Returns ``{"n": rows reassigned, "nlist": centroid count}``.
+
+    Scale shape: one full scan of the stored lists (re-assignment is
+    inherently corpus-sized — that is what a retrain IS), broadcast
+    codebook, one partitioned write; no shuffle beyond the list-id
+    repartition the build itself uses."""
+    import os
+    import shutil
+
+    from akumuli_spark.sources.layout import recover_compaction
+
+    recover_compaction(path, gc=True)
+    lists = _read_lists(spark, path)
+    embs = lists.select("vec_id", "embedding")
+    cents = centroids if centroids is not None else _centroids(embs, nlist)
+    # pin the codebook rows: its lineage reads {path}, which the swap
+    # below replaces — and both write actions must see the SAME centers
+    cents = spark.createDataFrame(
+        [(int(r["cid"]), list(r["ce"])) for r in cents.collect()],
+        "cid int, ce array<double>",
+    )
+    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assign = _assign_lists_vectorized if vectorized else _assign_lists
+    assigned = assign(embs, cents)
+    _write_lists_with_stats(assigned, cents, tmp, "build", "overwrite")
+    cents.write.mode("overwrite").parquet(f"{tmp}/centroids")
+    n = spark.read.parquet(f"{tmp}/stats").agg(
+        F.sum("n").alias("n")).first()["n"] or 0
+    # root-level marker: recover_compaction rolls the swap FORWARD only
+    # when the tmp tree is complete
+    with open(os.path.join(tmp, "_SUCCESS"), "w"):
+        pass
+    shutil.rmtree(old, ignore_errors=True)
+    try:
+        os.rename(path, old)
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent reader's recover_compaction rolled the swap
+        # forward between the renames (same tolerance as the layout
+        # compactor)
+        if not os.path.exists(path) or os.path.exists(
+            os.path.join(tmp, "_SUCCESS")
+        ):
+            raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {"n": int(n), "nlist": int(cents.count())}
 
 
 def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
@@ -932,8 +1023,8 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
     Spark prune partitions STATICALLY at plan time (``PartitionFilters``
     on the scan, asserted in tests) instead of relying on runtime DPP.
     """
+    lists = _read_lists(spark, path)  # also self-heals a crashed swap
     cents = spark.read.parquet(f"{path}/centroids")
-    lists = _read_lists(spark, path)
     queries = lists.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     ).withColumn("qn", _norm("qe")).filter(F.col("qn") > 0)

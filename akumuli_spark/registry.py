@@ -1338,6 +1338,45 @@ _register_pipeline(
 )
 
 
+def _ann_ivf_retrain(spark: SparkSession, sf: str) -> DataFrame:
+    """The drift-loop closer measured end to end: build over 3/4,
+    append the rest, RETRAIN (re-assign every stored vector against a
+    fresh deterministic codebook and atomically swap the index root —
+    :func:`akumuli_spark.pipeline.similarity.retrain_ivf_index`), then
+    serve.  The retrain's default codebook is ``_centroids`` over the
+    stored corpus — the same seed a fresh full-corpus build derives —
+    so the served answer equals the unchanged ivf_topk twin, and the
+    stats baseline provably reset (drift reports None until the next
+    append).  Mutates a per-run temp store, so NOT memoized (the
+    dedup_semantic_incremental rule: reuse would re-swap a
+    already-retrained index and time nothing)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="akumuli_ivf_retrain_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    embs = load_table(spark, sf, "embeddings")
+    cents = _sim._centroids(embs, _sim.IVF_NLIST)
+    _sim.build_ivf_index(
+        embs.filter(F.col("vec_id") % 4 != 3), path, centroids=cents
+    )
+    _sim.append_ivf_index(embs.filter(F.col("vec_id") % 4 == 3), path)
+    _sim.retrain_ivf_index(spark, path)
+    if _sim.ivf_drift(spark, path) is not None:  # baseline must reset
+        raise AssertionError("retrain left a stale drift baseline")
+    return _sim.ivf_topk_from_index(spark, path, _ANN_QUERY_IDS, k=10)
+
+
+_register_pipeline(
+    "ann_ivf_retrain",
+    _ann_ivf_retrain,
+    _sim.ivf_topk_sql(_ANN_QUERY_IDS, 10),
+    ["cosine"],
+    ["query_id", "neighbor_id", "rank"],
+)
+
+
 def _dedup_semantic_indexed(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic dedup over the persisted IVF lists (per-run temp dir) —
     one stored index serving both ANN and dedup; the oracle is the

@@ -890,6 +890,74 @@ def test_ivf_append_drift_trigger(spark, tmp_path):
     assert similarity.ivf_drift(spark, path)["retrain"]
 
 
+def test_ivf_retrain_closes_drift_loop(spark, tmp_path):
+    """When drift trips, :func:`retrain_ivf_index` re-trains the
+    codebook over the STORED corpus, atomically swaps the rebuilt
+    index, resets the drift baseline, and probes answer exactly the
+    brute-force top-k over the full (build + appended) corpus
+    (VERDICT r10 missing #4)."""
+    import os
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    # build cluster pair on axes 0/2 (vec_ids 0,1 seed the codebook)
+    a = [(i, [1.0, 0.01 * (i % 5), 0.0, 0.0]) for i in range(0, 20, 2)]
+    b = [(i, [0.0, 0.0, 1.0, 0.01 * (i % 5)]) for i in range(1, 20, 2)]
+    path = str(tmp_path / "ivf_retrain")
+    similarity.build_ivf_index(vecs(a + b), path, nlist=2)
+    # drifted appends: a third cluster on axis 1 quantizes ~1.0 away
+    shifted = [(200 + i, [0.0, 1.0, 0.001 * i, 0.0]) for i in range(10)]
+    rep = similarity.append_ivf_index(vecs(shifted), path)
+    assert rep is not None and rep["retrain"], rep
+
+    # production shape: pass re-trained centers covering all three
+    # clusters (the deterministic seed default would re-pick the three
+    # smallest vec_ids — all pre-drift; ivf_kmeans_centroids is the
+    # real trainer, a crafted codebook keeps the test exact)
+    new_cents = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, ce array<double>",
+    )
+    out = similarity.retrain_ivf_index(spark, path, centroids=new_cents)
+    assert out == {"n": 30, "nlist": 3}
+    # baseline reset: no append rows yet → drift report is None, and
+    # the stats table holds exactly the fresh build row
+    assert similarity.ivf_drift(spark, path) is None
+    stats = spark.read.parquet(f"{path}/stats").collect()
+    assert [r["phase"] for r in stats] == ["build"] and stats[0]["n"] == 30
+    assert not os.path.exists(f"{path}.compact-tmp")
+    assert not os.path.exists(f"{path}.compact-old")
+
+    # probes (nprobe = nlist → exact) equal brute force on the union
+    alldf = vecs(a + b + shifted)
+    want = sorted(map(tuple, similarity.cosine_topk(
+        alldf, [0, 200], k=5).collect()))
+    got = sorted(map(tuple, similarity.ivf_topk_from_index(
+        spark, path, [0, 200], k=5, nprobe=3).collect()))
+    assert got == want
+    # post-retrain appends measure against the NEW codebook: an
+    # in-distribution batch (near the now-covered axis-1 cluster)
+    # reports no retrain
+    more = [(300 + i, [0.0, 1.0, 0.002 * i, 0.0]) for i in range(5)]
+    rep2 = similarity.append_ivf_index(vecs(more), path)
+    assert rep2 is not None and not rep2["retrain"], rep2
+
+    # crash-between-renames heals on next read: simulate by re-staging
+    # the swap state (tmp complete with _SUCCESS, path missing)
+    import shutil
+
+    tmp = f"{path}.compact-tmp"
+    shutil.copytree(path, tmp)
+    os.rename(path, f"{path}.compact-old")
+    served = similarity.ivf_topk_from_index(
+        spark, path, [0, 200], k=5, nprobe=3)
+    assert sorted(map(tuple, served.collect()))  # non-empty, no crash
+    assert os.path.exists(path) and not os.path.exists(tmp)
+
+
 def test_ivf_index_append_only_growth(spark, embs, tmp_path):
     """New vectors append into their lists without rebuilding: assignment
     is a pure function of the frozen codebook, so an index built on the

@@ -273,6 +273,104 @@ def synth_bmp_pixel_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """REAL PNGs with a REAL COMPRESSED PIXEL STREAM: 8-bit truecolor
+    non-interlaced payloads holding the SAME pixel grid as
+    :func:`synth_bmp_pixel_payloads` (the ``_PX`` formula over the BMP
+    twin's byte size, at the same thumbnail dims) — so
+    ``image_dhash(pixel_source="payload")`` must hash a document's PNG
+    and its BMP re-encoding IDENTICALLY, which is exactly the
+    re-encoded-near-duplicate property the perceptual family exists to
+    catch, and it lets the DuckDB oracle replay the PNG corpus with the
+    same arithmetic twin (:func:`image_dhash_payload_sql`).
+
+    The encoder exercises the WHOLE decode surface: scanline y is
+    filtered with type y mod 5, so every corpus image (h ≥ 8) uses all
+    five PNG filters; IDAT is genuinely zlib-compressed and split into
+    two chunks to pin multi-IDAT concatenation."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        def paeth(a: int, b: int, c: int) -> int:
+            pp = a + b - c
+            pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                n_text = len(t.encode("utf-8"))
+                w = 8 + n_text % 25
+                h = 8 + (n_text * 31) % 17
+                # the BMP twin's total size drives the pixel formula, so
+                # the two containers store the same grid
+                n_bytes = 54 + (((w * 3 + 3) // 4) * 4) * h
+                ys = np.arange(h, dtype=np.int64)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                grid = ((17 * ys[:, None]) + xs[None, :] + n_bytes) % 256
+                ch = 3
+                raw = np.repeat(grid, ch, axis=1).astype(np.int64)  # RGB gray
+                stride = w * ch
+                out = bytearray()
+                prior = np.zeros(stride, dtype=np.int64)
+                for y in range(h):
+                    f = y % 5
+                    line = raw[y]
+                    if f == 0:
+                        filt = line.copy()
+                    elif f == 1:
+                        left = np.concatenate(
+                            [np.zeros(ch, dtype=np.int64), line[:-ch]])
+                        filt = (line - left) % 256
+                    elif f == 2:
+                        filt = (line - prior) % 256
+                    elif f == 3:
+                        filt = np.empty(stride, dtype=np.int64)
+                        for i in range(stride):
+                            left = line[i - ch] if i >= ch else 0
+                            filt[i] = (line[i] - (left + prior[i]) // 2) % 256
+                    else:
+                        filt = np.empty(stride, dtype=np.int64)
+                        for i in range(stride):
+                            a = line[i - ch] if i >= ch else 0
+                            b = prior[i]
+                            c = prior[i - ch] if i >= ch else 0
+                            filt[i] = (line[i] - paeth(a, b, c)) % 256
+                    out.append(f)
+                    out += filt.astype(np.uint8).tobytes()
+                    prior = line
+                comp = zlib.compress(bytes(out), 6)
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+                def chunk(ctype: bytes, data: bytes) -> bytes:
+                    return (
+                        struct.pack(">I", len(data)) + ctype + data
+                        + struct.pack(">I", zlib.crc32(ctype + data))
+                    )
+
+                half = len(comp) // 2  # two IDATs: pin concatenation
+                payloads.append(
+                    _PNG_MAGIC
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", comp[:half])
+                    + chunk(b"IDAT", comp[half:])
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
 def synth_png_payloads(docs: DataFrame) -> DataFrame:
     """REAL PNG signature + IHDR chunk (with a correct CRC32, so the
     bytes are valid per the PNG spec) followed by the text body — the
@@ -830,6 +928,120 @@ def _bmp_payload_grid(p: bytes, sx, sy):
     return b[off + file_rows[:, None] * row_size + sx[None, :] * step]
 
 
+def _png_payload_grid(p: bytes, sx, sy):
+    """Resampled grayscale grid from a REAL PNG pixel array — the first
+    compressed codec in the payload pixel path (VERDICT r10 Next #3):
+    chunk walk → IDAT concatenation → zlib inflate → per-row filter
+    undo (all five PNG filter types), then the same nearest-neighbor
+    gather the BMP walk performs.  Grayscale = the first stored channel
+    (R for truecolor — the synth pixel corpora write gray triples, so
+    channel choice is value-identical there).
+
+    Supported: 8-bit, color type 0 (grayscale) or 2 (RGB),
+    non-interlaced — the dominant shapes in a real scrape after EXIF
+    strip; anything else (16-bit, palette, alpha, Adam7) returns None
+    and hashes NULL under the documented corrupt-payload contract, as
+    does any truncated/undecodable stream.
+
+    Filter undo is numpy-per-row: None/Up are pure vector ops, Sub is a
+    per-channel-lane cumsum, Average/Paeth walk pixels within the row
+    (spec-sequential left dependence); rows stream in image order so Up
+    chains correctly."""
+    import zlib
+
+    import numpy as np
+
+    if len(p) < 8 or p[:8] != _PNG_MAGIC:
+        return None
+    # chunk walk: IHDR first (per spec), IDATs concatenate in order
+    pos, w = 8, 0
+    h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    n = len(p)
+    while pos + 8 <= n:
+        clen = int.from_bytes(p[pos:pos + 4], "big")
+        ctype = p[pos + 4:pos + 8]
+        data_start = pos + 8
+        if data_start + clen > n:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(p[data_start:data_start + 4], "big")
+            h = int.from_bytes(p[data_start + 4:data_start + 8], "big")
+            bit_depth = p[data_start + 8]
+            color_type = p[data_start + 9]
+            interlace = p[data_start + 12]
+        elif ctype == b"IDAT":
+            idat += p[data_start:data_start + clen]
+        elif ctype == b"IEND":
+            break
+        pos = data_start + clen + 4  # skip CRC
+    if not h or w <= 0 or bit_depth != 8 or interlace != 0:
+        return None
+    if color_type == 0:
+        ch = 1
+    elif color_type == 2:
+        ch = 3
+    else:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        return None  # truncated pixel stream
+    buf = np.frombuffer(raw, dtype=np.uint8)[:h * (1 + stride)]
+    scan = buf.reshape(h, 1 + stride)
+    filters, rows = scan[:, 0], scan[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, r = int(filters[y]), rows[y]
+        if f == 0:
+            line = r
+        elif f == 2:  # Up
+            line = (r + prior) % 256
+        elif f == 1:  # Sub: per-lane cumsum (left chain is additive)
+            line = r.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 3:  # Average: sequential left dependence via floor
+            line = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (r[i] + (left + prior[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            line = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = prior[i - ch] if i >= ch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                line[i] = (r[i] + pred) % 256
+        else:
+            return None  # invalid filter byte
+        recon[y] = line
+        prior = line
+    # first stored channel, then the shared nearest-neighbor gather
+    first = recon[:, ::ch] if ch > 1 else recon
+    return first[sy[:, None], sx[None, :]].astype(np.uint8)
+
+
+def _payload_pixel_grid(p: bytes, sx, sy):
+    """Container dispatch for the payload pixel path: BMP pixel-array
+    walk or PNG inflate+filter-undo by magic; other containers (JPEG
+    needs a real DCT codec) return None → NULL hash, the documented
+    contract."""
+    if p[:2] == b"BM":
+        return _bmp_payload_grid(p, sx, sy)
+    if p[:8] == _PNG_MAGIC:
+        return _png_payload_grid(p, sx, sy)
+    return None
+
+
 def image_dhash(payloads: DataFrame, rows: int = 10,
                 cols: int = 7,
                 pixel_source: str = "generator") -> DataFrame:
@@ -853,15 +1065,19 @@ def image_dhash(payloads: DataFrame, rows: int = 10,
     * ``"generator"`` (default) — the deterministic ``_PX`` stand-in,
       replayed arithmetically by the DuckDB oracle twin (the
       oracle-exact contract every multimodal kernel carries);
-    * ``"payload"`` — the ACTUAL stored pixel bytes, read by the real
-      BMP pixel-array walk (:func:`_bmp_payload_grid`: data offset,
-      bottom-up rows, 4-byte padding, 8/24/32 bpp) — the production
-      path for real images.  Non-BMP containers and BMPs without a
-      complete pixel array (the headers-only synth corpus) hash to
-      NULL, the same total-over-dirty-data contract as corrupt rows; a
-      codec plugs in here for JPEG/PNG.  On the
-      :func:`synth_bmp_pixel_payloads` corpus the two modes agree
-      bit-for-bit (the stored bytes ARE the formula; pytest-pinned).
+    * ``"payload"`` — the ACTUAL stored pixel bytes, dispatched by
+      container magic (:func:`_payload_pixel_grid`): the real BMP
+      pixel-array walk (:func:`_bmp_payload_grid`: data offset,
+      bottom-up rows, 4-byte padding, 8/24/32 bpp) or the real PNG
+      decode (:func:`_png_payload_grid`: chunk walk, zlib inflate,
+      all-five-filter undo; 8-bit gray/RGB non-interlaced) — the
+      production path for real images.  Other containers (JPEG needs a
+      DCT codec) and payloads without a complete pixel array (the
+      headers-only synth corpora) hash to NULL, the same
+      total-over-dirty-data contract as corrupt rows.  On the
+      :func:`synth_bmp_pixel_payloads` / :func:`synth_png_pixel_payloads`
+      corpora the modes agree bit-for-bit — and PNG vs BMP re-encodings
+      of the SAME pixels hash identically (pytest-pinned).
 
     Output: (doc_id, dhash BIGINT); null row for empty/corrupt
     payloads (total over dirty data, never stage-fatal)."""
@@ -885,7 +1101,7 @@ def image_dhash(payloads: DataFrame, rows: int = 10,
                 sx = (np.arange(cols, dtype=np.int64) * w) // cols
                 sy = (np.arange(rows, dtype=np.int64) * h) // rows
                 if pixel_source == "payload":
-                    dst = _bmp_payload_grid(p, sx, sy)
+                    dst = _payload_pixel_grid(p, sx, sy)
                     if dst is None:
                         out_rows.append((None,))
                         continue

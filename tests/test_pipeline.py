@@ -1094,6 +1094,53 @@ def test_bpe_train_crafted_greedy_apply(spark):
     ]
 
 
+def test_bpe_train_batched_matches_exact(spark):
+    """The production batched trainer: batch=1 degenerates to exact
+    greedy order on ANY corpus; with a wider batch, a corpus whose top
+    pairs are non-interacting (disjoint symbol sets) trains identically
+    to the sequential trainer in a fraction of the rounds; interacting
+    pairs defer to the next round instead of applying with stale
+    counts."""
+    # disjoint-alphabet triples with strictly decreasing counts: the
+    # top pairs (a,a)@10, (b,b)@8, (c,c)@6 share no symbols (and beat
+    # every </w> pair), so ONE batched round equals 3 exact rounds
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aaa aaa aaa bbb bbb bbb bbb ccc ccc ccc")],
+        "doc_id long, text string",
+    )
+    exact = [tuple(r) for r in text.bpe_train(docs, n_merges=3).collect()]
+    batched = [
+        tuple(r)
+        for r in text.bpe_train_batched(docs, n_merges=3, batch=8).collect()
+    ]
+    assert batched == exact
+    # batch=1 ≡ exact greedy even on an INTERACTING corpus (the crafted
+    # chain corpus from test_bpe_train_crafted_greedy_apply)
+    chain = spark.createDataFrame(
+        [(1, "aaaa aaaa b")], "doc_id long, text string"
+    )
+    assert [
+        tuple(r)
+        for r in text.bpe_train_batched(chain, n_merges=3, batch=1).collect()
+    ] == [tuple(r) for r in text.bpe_train(chain, n_merges=3).collect()]
+    # interacting top pairs: after (a,a) is selected, (a,</w>) shares
+    # 'a' and must NOT apply this round (its count would be stale) —
+    # while the non-interacting (b,</w>) rides the same round.  This
+    # also pins the DOCUMENTED deviation from exact greedy: the
+    # brand-new pair (aa,</w>) born of the first merge cannot compete
+    # until the next round, so batched picks (b,</w>)@1 where exact
+    # greedy would pick (aa,</w>)@2
+    got = [
+        tuple(r)
+        for r in text.bpe_train_batched(chain, n_merges=2, batch=8).collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "b", "</w>", 1)]
+    exact2 = [
+        tuple(r) for r in text.bpe_train(chain, n_merges=2).collect()
+    ]
+    assert exact2 == [(1, "a", "a", 6), (2, "aa", "</w>", 2)]
+
+
 def test_bpe_train_round1_equals_pair_counts_top1(spark, docs):
     top1 = text.bpe_pair_counts(docs, k=1).collect()[0]
     merge1 = text.bpe_train(docs, n_merges=1).collect()[0]

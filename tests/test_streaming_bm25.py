@@ -69,6 +69,81 @@ def test_streaming_bm25_matches_batch_build(spark, tmp_path):
         spark, idx, QS, k=5).collect())) == want
 
 
+def test_streaming_retrieval_fusion_mid_stream_parity(spark, tmp_path):
+    """End-to-end streaming retrieval (VERDICT r10 Next #8): one
+    document stream feeds BOTH retrieval-side sinks — the BM25 index
+    (continuous epoch-partial appends) and the fingerprint dedup store
+    (SimHash signatures, batch-vs-store pairing) — and after EVERY
+    micro-batch a hybrid_rrf serve composed from the growing index and
+    a fixed dense list equals the same fusion over a one-shot batch
+    index built on exactly the streamed prefix.  The dedup store grows
+    in lockstep with the index, so the two sinks stay one corpus."""
+    from akumuli_spark.pipeline import similarity as S
+    from akumuli_spark.pipeline.dedup import simhash_signatures
+    from akumuli_spark.streaming.fingerprint import (
+        start_streaming_fingerprint_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = [(r["doc_id"], r["text"])
+            for r in docs.filter(F.col("doc_id") < 90).collect()]
+    cuts = [0, 30, 60, 90]
+    embs = load_table(spark, SF_DIR, "embeddings")
+    dense = S.cosine_topk(embs, [1, 2], k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint(eager=True)  # fixed dense list across the stream
+
+    in_docs = str(tmp_path / "in_docs")
+    in_sigs = str(tmp_path / "in_sigs")
+    os.makedirs(in_docs)
+    os.makedirs(in_sigs)
+    idx = str(tmp_path / "bm25")
+    store = str(tmp_path / "sig_store")
+    pairs = str(tmp_path / "sig_pairs")
+
+    doc_stream = (
+        spark.readStream.schema(D_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_docs, "*"))
+    )
+    sig_stream = (
+        spark.readStream.schema("id long, simhash long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(in_sigs, "*"))
+    )
+    q_idx = start_streaming_bm25_index(doc_stream, idx,
+                                       str(tmp_path / "chk_idx"))
+    q_sig = start_streaming_fingerprint_dedup(
+        sig_stream, store, pairs, str(tmp_path / "chk_sig"))
+    try:
+        for i in range(len(cuts) - 1):
+            chunk = spark.createDataFrame(rows[cuts[i]:cuts[i + 1]], D_SCHEMA)
+            chunk.coalesce(1).write.parquet(os.path.join(in_docs, f"c{i}"))
+            simhash_signatures(chunk).select("id", "simhash").coalesce(1) \
+                .write.parquet(os.path.join(in_sigs, f"c{i}"))
+            q_idx.processAllAvailable()
+            q_sig.processAllAvailable()
+
+            # mid-stream hybrid serve from the GROWING index
+            sparse = T.bm25_topk_from_index(spark, idx, QS, k=5)
+            got = sorted(map(tuple, T.hybrid_rrf(
+                sparse, dense, k=5).collect()))
+            # reference: batch build over exactly the streamed prefix
+            ref = str(tmp_path / f"ref{i}")
+            T.build_bm25_index(
+                spark.createDataFrame(rows[:cuts[i + 1]], D_SCHEMA), ref)
+            want = sorted(map(tuple, T.hybrid_rrf(
+                T.bm25_topk_from_index(spark, ref, QS, k=5),
+                dense, k=5,
+            ).collect()))
+            assert got == want, f"prefix {cuts[i + 1]}"
+            # the dedup store grew in lockstep with the index
+            assert spark.read.parquet(store).count() == cuts[i + 1]
+    finally:
+        q_idx.stop()
+        q_sig.stop()
+
+
 def test_streaming_bm25_creates_index_from_nothing(spark, tmp_path):
     """No bootstrap: the first micro-batch creates the index layout."""
     docs = load_table(spark, SF_DIR, "documents")

@@ -571,6 +571,41 @@ def bpe_smoke(spark, n_docs: int, n_merges: int = 5) -> dict:
     return out
 
 
+def bpe_cadence_smoke(spark, n_docs: int, exact_merges: int = 100,
+                      batched_merges: int = 1024,
+                      batch: int = 64) -> dict:
+    """The production-merge-count cadence figures (VERDICT r10 Next #6):
+    greedy BPE is one Spark round per merge, so once the vocab table is
+    checkpointed the per-ROUND floor (~2 jobs) dominates, not data
+    size.  Measures (a) the exact trainer's s/merge over
+    ``exact_merges`` rounds and (b) the batched trainer
+    (``bpe_train_batched``: top-``batch`` collect, non-interacting
+    prefix applied per round) reaching ``batched_merges`` merges — the
+    documented path to a ~32 k-merge tokenizer."""
+    from akumuli_spark.pipeline import text as t
+
+    docs = synthetic_docs(spark, n_docs)
+    out = {}
+    start = time.time()
+    exact = t.bpe_train(docs, n_merges=exact_merges).collect()
+    dt = time.time() - start
+    out["exact_merges"] = len(exact)
+    out["exact_total_s"] = round(dt, 2)
+    out["exact_s_per_merge"] = round(dt / max(len(exact), 1), 4)
+    start = time.time()
+    batched = t.bpe_train_batched(
+        docs, n_merges=batched_merges, batch=batch).collect()
+    dt = time.time() - start
+    out["batched_merges"] = len(batched)
+    out["batch"] = batch
+    out["batched_total_s"] = round(dt, 2)
+    out["batched_s_per_merge"] = round(dt / max(len(batched), 1), 4)
+    # the two trainers must agree on the very first merge (same corpus,
+    # same round-1 counts)
+    out["first_merge_agrees"] = tuple(exact[0]) == tuple(batched[0])
+    return out
+
+
 def ivf_batch_smoke(spark, n_vecs: int, n_queries: int,
                     nlist: int = 256, nprobe: int = 8) -> dict:
     """Batch-serving (cross-corpus retrieval) shape at volume: a
@@ -1269,6 +1304,16 @@ def main() -> None:
         n_m = int(sys.argv[3]) if len(sys.argv) > 3 else 5
         print(json.dumps(
             {"docs": n_docs, "bpe": bpe_smoke(spark, n_docs, n_m)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "bpe_cadence":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000_000
+        exact_m = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+        batched_m = int(sys.argv[4]) if len(sys.argv) > 4 else 1024
+        print(json.dumps(
+            {"docs": n_docs,
+             "bpe_cadence": bpe_cadence_smoke(
+                 spark, n_docs, exact_m, batched_m)}
         ))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "ivf_batch":

@@ -4138,3 +4138,173 @@ _register_pipeline(
     ["quality"],
     ["doc_id", "cluster_id", "keep"],
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered store (sources/zorder.py): OPTIMIZE ZORDER-style
+# multi-dimensional clustering + manifest file skipping.  The store is a
+# pure re-layout of the metrics view, so the oracle is a plain filter on
+# the raw view — any manifest mis-prune (a dropped file) surfaces as a
+# row-count/hash mismatch here.
+# ---------------------------------------------------------------------------
+
+_ZORDER_CACHE: dict[str, str] = {}
+_YEAR_NS = 365 * 86_400 * NS
+
+
+def _zorder_path(spark: SparkSession, sf: str) -> str:
+    """Build-once-per-(process, corpus) z-store — same amortization
+    contract as the IVF/BM25 index caches: the registered rows time the
+    SERVING path; the one-time re-cluster is the OPTIMIZE job."""
+    if sf not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import zorder_metrics_table
+
+        path = tempfile.mkdtemp(prefix="akumuli_zorder_") + "/metrics"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        zorder_metrics_table(
+            spark, metrics_view(spark, sf), path,
+            bucket_ns=_YEAR_NS, files_per_partition=4,
+        )
+        _ZORDER_CACHE[sf] = path
+    return _ZORDER_CACHE[sf]
+
+
+_Z_SERIES = "lineitem.price linestatus=O returnflag=N"
+_Z_T_HI = T96 + 180 * 86_400 * NS
+_Z_SLICE_LO = T96 + 100 * 86_400 * NS
+_Z_SLICE_HI = T96 + 107 * 86_400 * NS
+
+
+def _zorder_series_range(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_path(spark, sf), metric="lineitem.price",
+        series=_Z_SERIES, ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+def _zorder_time_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """The layout's reason to exist: a narrow time slice across ALL
+    series of a metric — unprunable inside a partition under the
+    (series, ts) sort, file-skipped here via the manifest rectangles."""
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_path(spark, sf), metric="lineitem.qty",
+        ts_from=_Z_SLICE_LO, ts_to=_Z_SLICE_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+_register_pipeline(
+    "zorder_select_series_range",
+    _zorder_series_range,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+_register_pipeline(
+    "zorder_select_time_slice",
+    _zorder_time_slice,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.qty'
+      AND ts_ns >= {_Z_SLICE_LO} AND ts_ns < {_Z_SLICE_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollup store (sources/sketch_store.py): per-day HLL +
+# log-histogram partials persisted once, then ANY bucket-aligned range
+# served by merging partials — zero fact-table scan.  The oracle is the
+# same deterministic sketch computed directly over the raw rows of the
+# range, so a mis-merge (lost bucket, double-merged partition) surfaces
+# as a value mismatch, not an approximate drift.
+# ---------------------------------------------------------------------------
+
+_SKETCH_STORE_CACHE: dict[str, str] = {}
+_SK_LO = E0 + 7 * 86_400 * NS
+_SK_HI = E0 + 21 * 86_400 * NS
+_SK_QS = [0.5, 0.9, 0.99]
+
+
+def _sketch_store_path(spark: SparkSession, sf: str) -> str:
+    """Build-once-per-(process, corpus) partials — the registered rows
+    time the merge-and-serve path, the build is the one-time rollup."""
+    if sf not in _SKETCH_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.sketch_store import build_sketch_store
+        from akumuli_spark.sources.testdata import ts_ns_expr
+
+        path = tempfile.mkdtemp(prefix="akumuli_sketch_") + "/store"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ev = load_table(spark, sf, "events")
+        build_sketch_store(
+            ev.withColumn("ts_ns", ts_ns_expr(ev, "ts")), path,
+            group_col="event_type", distinct_col="user_id",
+            value_col="value",
+        )
+        _SKETCH_STORE_CACHE[sf] = path
+    return _SKETCH_STORE_CACHE[sf]
+
+
+def _sketch_distinct_range(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.sketch_store import distinct_over_range
+
+    return distinct_over_range(
+        spark, _sketch_store_path(spark, sf), _SK_LO, _SK_HI
+    ).withColumnRenamed("group", "event_type")
+
+
+def _sketch_quantiles_range(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.sketch_store import quantiles_over_range
+
+    return quantiles_over_range(
+        spark, _sketch_store_path(spark, sf), _SK_LO, _SK_HI, _SK_QS
+    ).withColumnRenamed("group", "event_type")
+
+
+_register_pipeline(
+    "sketch_store_distinct_range",
+    _sketch_distinct_range,
+    _distinct.hll_sql(
+        f"""SELECT event_type, CAST(user_id AS VARCHAR) AS __v FROM events
+        WHERE epoch_ns(ts) >= {_SK_LO} AND epoch_ns(ts) < {_SK_HI}""",
+        group_cols=("event_type",),
+    ),
+    ["approx_distinct"],
+    ["event_type"],
+)
+
+
+def _sketch_quantiles_oracle() -> str:
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles_sql
+
+    return approx_quantiles_sql(
+        f"""SELECT event_type, CAST(value AS DOUBLE) AS __v FROM events
+        WHERE epoch_ns(ts) >= {_SK_LO} AND epoch_ns(ts) < {_SK_HI}""",
+        _SK_QS, group_cols=("event_type",),
+    )
+
+
+_register_pipeline(
+    "sketch_store_quantiles_range",
+    _sketch_quantiles_range,
+    _sketch_quantiles_oracle(),
+    ["est", "q"],
+    ["event_type"],
+)

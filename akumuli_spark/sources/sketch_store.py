@@ -1,0 +1,265 @@
+"""Persisted mergeable-sketch rollup store: serve approximate
+distinct-counts and quantiles over arbitrary bucket-aligned time ranges
+by MERGING stored per-bucket partials — zero raw-data scan at query
+time.
+
+The reference answers every aggregate by walking raw leaf data under
+its per-series trees (column_store.cpp aggregate materializers); its
+only precomputation is the in-tree SubtreeRef statistics
+(count/sum/min/max, nbtree.h) — good for those five functions, useless
+for distincts and quantiles, which are not decomposable aggregates.
+The lakehouse-scale answer is the *mergeable summaries* design
+(Agarwal et al., "Mergeable Summaries", PODS'12; the datasketches /
+Druid rollup model): precompute a bounded-size sketch per (group, time
+bucket) whose merge operator is associative and duplicate-tolerant,
+then any union of buckets is served from partials.
+
+Two sketch families, both already oracle-twinned:
+
+* HLL registers (:mod:`akumuli_spark.operators.distinct`) — merge is
+  register-wise MAX, so merging is idempotent and re-merges are free;
+* sign-aware log-histogram bins
+  (:mod:`akumuli_spark.operators.quantile_sketch`) — merge is SUM per
+  bin, exactly-once by the partition-replace append contract below.
+
+At 100 TB the economics are the point: a year of per-day partials for
+10 k groups is ~10 k·365·(256 registers + ~1 k bins) rows — a few GB —
+and a 90-day distinct-users query reads 90 partition directories of
+THAT instead of re-scanning 25 TB of raw events.  Serving prunes on the
+``ts_bucket`` partition column (Catalyst partition pruning, the same
+path the metrics layout uses), merges map-side-combinable aggregates,
+and never touches the fact table.
+
+Range contract: sketches are per-bucket atoms — a partial bucket cannot
+be subtracted back out — so ``[from, to)`` must be bucket-aligned;
+misaligned ranges raise rather than silently over-count (the same
+honesty bar as the engine's semi-open range semantics).  The layout
+contract (bucket_ns, sketch parameters, column names) travels in a
+one-row ``{path}/meta`` table, the BM25-store pattern: a build/serve
+parameter mismatch mis-merges silently, so serving reads the stored
+contract, never module defaults.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from akumuli_spark.operators.distinct import hll_estimate, hll_registers
+from akumuli_spark.operators.quantile_sketch import (
+    log_histogram,
+    quantiles_from_histogram,
+)
+from akumuli_spark.sources.layout import DAY_NS, read_table_or_none
+
+SKETCH_LAYOUT_VERSION = 1
+
+
+def _bucket(ts_col: str, bucket_ns: int):
+    return F.expr(f"{ts_col} div {int(bucket_ns)}L")
+
+
+def _write_meta(spark: SparkSession, path: str, group_col: str,
+                distinct_col: str, value_col: str, ts_col: str,
+                bucket_ns: int, b: int, k: int) -> None:
+    spark.createDataFrame(
+        [(SKETCH_LAYOUT_VERSION, group_col, distinct_col, value_col,
+          ts_col, int(bucket_ns), int(b), int(k))],
+        "layout_version int, group_col string, distinct_col string, "
+        "value_col string, ts_col string, bucket_ns long, b int, k int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict | None:
+    meta = read_table_or_none(spark, f"{path}/meta")
+    if meta is None:
+        return None
+    rows = meta.collect()  # one row — layout-sized, never data-sized
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    if r["layout_version"] > SKETCH_LAYOUT_VERSION:
+        raise ValueError(
+            f"sketch store at {path} uses layout version "
+            f"{r['layout_version']}; this build reads "
+            f"≤ {SKETCH_LAYOUT_VERSION}"
+        )
+    return r
+
+
+def build_sketch_store(df: DataFrame, path: str, group_col: str,
+                       distinct_col: str, value_col: str,
+                       ts_col: str = "ts_ns", bucket_ns: int = DAY_NS,
+                       b: int = 8, k: int = 64) -> None:
+    """Materialize per-(group, bucket) sketch partials for ``df``.
+
+    Writes (all partitioned by ``ts_bucket`` so range serving is
+    partition pruning):
+
+    * ``{path}/hll``  — (ts_bucket, group, bucket, register)
+    * ``{path}/hist`` — (ts_bucket, group, bin, cnt)
+    * ``{path}/meta`` — the one-row layout contract
+
+    One pass over the fact data computes both partials (two shuffle
+    aggregates that share the scan); re-running is a full rebuild
+    (mode overwrite).
+    """
+    spark = df.sparkSession
+    base = df.withColumn("__tsb", _bucket(ts_col, bucket_ns)).withColumnRenamed(
+        group_col, "group"
+    )
+    hll = hll_registers(base, distinct_col, ["__tsb", "group"], b)
+    hist = log_histogram(base, value_col, ["__tsb", "group"], k)
+    for name, part in (("hll", hll), ("hist", hist)):
+        (
+            part.withColumnRenamed("__tsb", "ts_bucket")
+            .repartition("ts_bucket")
+            .write.mode("overwrite")
+            .partitionBy("ts_bucket")
+            .parquet(f"{path}/{name}")
+        )
+    _write_meta(spark, path, group_col, distinct_col, value_col, ts_col,
+                bucket_ns, b, k)
+
+
+def append_sketch_store(df: DataFrame, path: str) -> None:
+    """Fold a new batch of fact rows into the store incrementally.
+
+    The merge unit is the ``ts_bucket`` PARTITION: for each bucket the
+    batch touches, read the existing partials (partition-pruned), merge
+    with the batch's partials (register-wise max / bin-wise sum), and
+    replace exactly those partitions (dynamic partition overwrite).
+    Untouched buckets are never read or written, so the append costs
+    O(batch + touched partials), not O(store) — the same economics as
+    the BM25 epoch append.  Duplicate *re-appends* of the same rows
+    double-count histogram bins (sums are not idempotent); the
+    exactly-once contract is the caller's, e.g. the checkpointed
+    streaming sink.  Single maintenance writer; concurrent readers of a
+    bucket mid-replace may need a retry, the contract Spark documents
+    for any external partition overwrite.
+    """
+    spark = df.sparkSession
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no sketch store at {path}: build first")
+    base = df.withColumn(
+        "__tsb", _bucket(meta["ts_col"], meta["bucket_ns"])
+    ).withColumnRenamed(meta["group_col"], "group")
+    touched = [r[0] for r in base.select("__tsb").distinct().collect()]
+    if not touched:
+        return
+    new_hll = hll_registers(
+        base, meta["distinct_col"], ["__tsb", "group"], meta["b"]
+    ).withColumnRenamed("__tsb", "ts_bucket")
+    new_hist = log_histogram(
+        base, meta["value_col"], ["__tsb", "group"], meta["k"]
+    ).withColumnRenamed("__tsb", "ts_bucket")
+
+    merges = (
+        ("hll", new_hll, ["group", "bucket"], F.max("register").alias("register")),
+        ("hist", new_hist, ["group", "bin"], F.sum("cnt").alias("cnt")),
+    )
+    for name, fresh, keys, merge_agg in merges:
+        old = read_table_or_none(spark, f"{path}/{name}")
+        if old is not None:
+            # partition-dir discovery types ts_bucket as int; align to
+            # the batch's long before the union
+            old = old.withColumn(
+                "ts_bucket", F.col("ts_bucket").cast("long")
+            )
+            fresh = old.filter(F.col("ts_bucket").isin(touched)).select(
+                *fresh.columns
+            ).unionByName(fresh)
+        merged = fresh.groupBy("ts_bucket", *keys).agg(merge_agg)
+        (
+            merged.repartition("ts_bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ts_bucket")
+            .parquet(f"{path}/{name}")
+        )
+
+
+def _aligned_buckets(meta: dict, ts_from: int, ts_to: int) -> tuple[int, int]:
+    bn = meta["bucket_ns"]
+    if ts_from % bn or ts_to % bn:
+        raise ValueError(
+            f"sketch partials are per-bucket atoms: [from, to) must be "
+            f"aligned to bucket_ns={bn} (got {ts_from}, {ts_to})"
+        )
+    if ts_to <= ts_from:
+        raise ValueError("empty or inverted range")
+    return ts_from // bn, ts_to // bn  # [lo, hi) in bucket units
+
+
+def distinct_over_range(spark: SparkSession, path: str, ts_from: int,
+                        ts_to: int) -> DataFrame:
+    """(group, approx_distinct) over ``[ts_from, ts_to)`` by merging the
+    stored HLL partials of the covered buckets — register-wise max then
+    the shared bias-corrected estimator.  Reads ONLY the covered
+    ``ts_bucket`` partitions (Catalyst partition pruning on the filter
+    below); never the fact table."""
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no sketch store at {path}: build first")
+    lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    regs = (
+        spark.read.parquet(f"{path}/hll")
+        .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
+        .groupBy("group", "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    return hll_estimate(regs, ["group"], meta["b"])
+
+
+def quantiles_over_range(spark: SparkSession, path: str, ts_from: int,
+                         ts_to: int, qs: list[float]) -> DataFrame:
+    """(group, q, est) over ``[ts_from, ts_to)`` from the stored
+    log-histogram partials: bin-wise sum across covered buckets, then
+    the shared nearest-rank readout."""
+    meta = _read_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"no sketch store at {path}: build first")
+    lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    hist = (
+        spark.read.parquet(f"{path}/hist")
+        .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
+        .groupBy("group", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return quantiles_from_histogram(hist, qs, ["group"], meta["k"])
+
+
+def drop_expired_buckets(path: str, keep_ns: int, now_ns: int) -> int:
+    """Retention for the partials, same zero-scan directory-drop model
+    as :func:`akumuli_spark.sources.layout.enforce_retention`: partials
+    older than the window are whole ``ts_bucket=`` directories under
+    both sketch tables.  Returns dropped partition-dir count."""
+    import glob
+    import os
+    import uuid
+
+    # bucket_ns lives in meta, but retention must not need a Spark
+    # session: read it from the stored parquet footer via pyarrow
+    import pyarrow.parquet as pq
+
+    meta_files = glob.glob(os.path.join(path, "meta", "*.parquet"))
+    if not meta_files:
+        raise ValueError(f"no sketch store at {path}")
+    bucket_ns = pq.read_table(meta_files[0]).to_pylist()[0]["bucket_ns"]
+    cutoff = (now_ns - keep_ns) // bucket_ns
+    dropped = 0
+    trash = f"{path}.trash"
+    os.makedirs(trash, exist_ok=True)
+    for table in ("hll", "hist"):
+        for bdir in glob.glob(os.path.join(path, table, "ts_bucket=*")):
+            try:
+                bucket = int(os.path.basename(bdir).split("=", 1)[1])
+            except ValueError:  # pragma: no cover - foreign dirs
+                continue
+            if bucket < cutoff:
+                os.rename(bdir, os.path.join(trash, uuid.uuid4().hex))
+                dropped += 1
+    shutil.rmtree(trash, ignore_errors=True)
+    return dropped

@@ -1,0 +1,288 @@
+"""Z-order clustered metrics store with manifest-based file skipping.
+
+The production layout (:mod:`akumuli_spark.sources.layout`) sorts each
+(metric, ts_bucket) partition by ``(series, ts_ns)``.  That clusters
+perfectly for per-series scans, but a *time-slice* query inside a
+partition (all series, narrow window) overlaps every row group: each
+series' cluster spans the whole bucket, so parquet min/max stats on
+``ts_ns`` prune nothing within the partition.  The reference has the
+same two-axis problem — its NB+tree forest is one tree per series, so a
+time slice across many series touches every tree's leaf range
+(/root/reference/libakumuli/storage_engine/column_store.h:58-63, one
+`NBTreeExtentsList` per id) — and solves it by keeping trees shallow.
+
+The lake-scale answer is multi-dimensional clustering + file-level
+statistics, the design Delta Lake ships as ``OPTIMIZE ZORDER BY`` and
+the Hudi/Iceberg equivalents: interleave the bits of both dimensions so
+any contiguous z-range is a small rectangle in (series, time) space,
+range-partition files by z, and record per-file min/max of the NATURAL
+columns in a manifest.  A query then prunes at THREE levels:
+
+1. partition dirs (``metric``, ``ts_bucket`` — Catalyst, unchanged);
+2. whole FILES via the manifest (this module — plain parquet readers
+   cannot skip files on footer stats at planning time, so the manifest
+   supplies what a lakehouse table format would);
+3. row groups + rows via pushed parquet predicates (unchanged).
+
+Scale contract: the manifest is itself a parquet table with one row per
+data file.  Pruning runs as a Spark filter over it; only the surviving
+file *names* are collected to the driver — the same driver-side model a
+Delta/Iceberg planner uses, ~100 bytes per selected file.  At 100 TB
+with 1 GB files the full manifest is ~100 k rows, trivially scannable;
+re-clustering is an O(data) maintenance job (one range-shuffle write +
+one stats scan), priced exactly like ``OPTIMIZE``.
+
+The manifest lives INSIDE the table directory (underscore-prefixed, so
+plain ``spark.read.parquet(path)`` of the data ignores it) and records
+paths RELATIVE to that directory — the build-then-two-rename swap
+(:func:`akumuli_spark.sources.layout.recover_compaction` protocol)
+therefore publishes data and manifest atomically, and the store stays
+relocatable.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from akumuli_spark.sources.layout import DAY_NS, recover_compaction
+
+#: bits per dimension; z = interleaved 2*ZBITS-bit key (fits a long)
+ZBITS = 16
+
+MANIFEST_DIR = "_zmanifest"
+
+ENGINE_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("metric", T.StringType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("ts_ns", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def interleave_bits(a: str | Column, b: str | Column,
+                    bits: int = ZBITS) -> Column:
+    """Morton/Z-value of two non-negative ints in ``[0, 2^bits)``:
+    bit ``k`` of ``a`` lands at position ``2k+1``, bit ``k`` of ``b`` at
+    ``2k`` — so ``a`` is the high dimension on ties.  Pure JVM-side
+    expression (a ``aggregate`` fold over the bit positions inside
+    whole-stage codegen), no UDF."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0).cast("long")
+    for k in range(bits):
+        acc = (
+            acc
+            .bitwiseOR(F.shiftleft(F.shiftright(a, k).bitwiseAND(F.lit(1)).cast("long"), 2 * k + 1))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, k).bitwiseAND(F.lit(1)).cast("long"), 2 * k))
+        )
+    return acc
+
+
+def _series_bins(metrics: DataFrame, bits: int) -> DataFrame:
+    """(series → series_bin) dim: distinct series, rank order, scaled to
+    ``[0, 2^bits)``.  The dim is the series cardinality — small relative
+    to the data (it is the reference's series-name dictionary,
+    seriesparser.cpp) — so the single-partition rank window and the
+    broadcast join back are both cheap by construction."""
+    from pyspark.sql import Window
+
+    cap = 1 << bits
+    dim = metrics.select("series").distinct()
+    n = max(1, dim.count())
+    w = Window.orderBy("series")
+    return dim.select(
+        "series",
+        ((F.row_number().over(w) - 1).cast("long") * cap).alias("__scaled"),
+    ).select("series", F.expr(f"__scaled div {n}L").alias("series_bin"))
+
+
+def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
+                         bucket_ns: int = DAY_NS,
+                         files_per_partition: int = 8,
+                         bits: int = ZBITS) -> None:
+    """(Re)cluster the long metrics frame into a Z-ordered store at
+    ``path`` and publish its file-stats manifest — the ``OPTIMIZE
+    ZORDER BY (series, ts_ns)`` maintenance job.
+
+    Within each (metric, ts_bucket) partition, rows are ordered by the
+    interleaved key of (series rank bin, in-bucket time bin) and range-
+    partitioned into ``files_per_partition`` files, so every file covers
+    a tight rectangle in (series, time) — BOTH a series-equality and a
+    time-slice predicate then skip most files via the manifest's
+    per-file natural-column min/max.  Rebuild over an existing store
+    swaps via the two-rename protocol and self-heals through
+    :func:`akumuli_spark.sources.layout.recover_compaction`.
+    """
+    cap = 1 << bits
+    step = max(1, bucket_ns // cap)
+    cols = [c for c in metrics.columns if c != "tags"]
+    base = metrics.select(*cols).withColumn(
+        "ts_bucket", F.expr(f"ts_ns div {int(bucket_ns)}L")
+    )
+    binned = (
+        base.join(F.broadcast(_series_bins(metrics, bits)), "series")
+        .withColumn(
+            "__tbin",
+            F.least(
+                F.lit(cap - 1).cast("long"),
+                F.expr(f"(ts_ns - ts_bucket * {int(bucket_ns)}L) div {int(step)}L"),
+            ),
+        )
+        .withColumn("__z", interleave_bits("series_bin", "__tbin", bits))
+    )
+    n_parts = base.select("metric", "ts_bucket").distinct().count()
+    total_files = max(1, n_parts * files_per_partition)
+
+    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        binned
+        .repartitionByRange(total_files, "metric", "ts_bucket", "__z")
+        .sortWithinPartitions("metric", "ts_bucket", "__z", "series", "ts_ns")
+        .drop("series_bin", "__tbin", "__z")
+        .write.mode("overwrite")
+        .partitionBy("metric", "ts_bucket")
+        .parquet(tmp)
+    )
+    _write_manifest(spark, tmp)
+
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        try:
+            os.rename(path, old)
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent reader's recover_compaction rolled the swap
+            # forward between the renames (same tolerance as
+            # compact_metrics_table)
+            if not os.path.exists(path) or os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, path)
+
+
+def _write_manifest(spark: SparkSession, table_dir: str) -> None:
+    """One manifest row per data file: relative path, partition values,
+    and min/max of the NATURAL prune columns (series, ts_ns) + rows.
+    Costs one stats-only scan of the freshly written table — the same
+    collect-statistics pass ``OPTIMIZE`` runs."""
+    from akumuli_spark.sources.layout import read_table_or_none
+
+    manifest_schema = (
+        "file string, metric string, ts_bucket long, series_min string, "
+        "series_max string, ts_min long, ts_max long, rows long"
+    )
+    df = read_table_or_none(spark, table_dir)
+    probe = (
+        None if df is None
+        else df.select(F.input_file_name().alias("f")).first()
+    )
+    if probe is None:  # zero-row table: publish an empty manifest
+        spark.createDataFrame([], manifest_schema).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(table_dir, MANIFEST_DIR))
+        return
+    # input_file_name() renders the scheme differently across Hadoop FS
+    # implementations (file:/abs vs file:///abs); locate the table dir's
+    # absolute path inside a sample URI instead of guessing the scheme
+    abs_dir = os.path.abspath(table_dir)
+    cut = probe.f.index(abs_dir) + len(abs_dir) + 1  # chars before rel path
+    manifest = (
+        df.withColumn(
+            "file", F.expr(f"substring(input_file_name(), {cut + 1})")
+        )
+        .withColumn("ts_bucket", F.col("ts_bucket").cast("long"))
+        .groupBy("file", "metric", "ts_bucket")
+        .agg(
+            F.min("series").alias("series_min"),
+            F.max("series").alias("series_max"),
+            F.min("ts_ns").alias("ts_min"),
+            F.max("ts_ns").alias("ts_max"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(table_dir, MANIFEST_DIR)
+    )
+
+
+def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
+                  series: str | list[str] | None = None,
+                  ts_from: int | None = None, ts_to: int | None = None,
+                  stats: dict | None = None) -> DataFrame:
+    """Manifest-pruned read of a Z-ordered store, in engine schema.
+
+    File skipping: the manifest is filtered (in Spark) to files whose
+    (series, ts_ns) min/max rectangles can overlap the predicates, and
+    only the surviving relative paths are collected.  The residual exact
+    predicates are then applied to the pruned scan — the manifest is an
+    over-approximation by construction, never a source of truth for row
+    membership, so a stale-free read needs no locking: the swap is
+    atomic and data+manifest publish together.
+
+    ``ts_from``/``ts_to`` follow the engine's semi-open ``[from, to)``
+    (queryprocessor framework, /root/reference/libakumuli/query_processing
+    — same contract as ``range`` in :mod:`akumuli_spark.query.engine`).
+    An absent store answers empty (the shared empty-store tolerance);
+    a store without a manifest is a contract violation and raises.
+    ``stats``, when passed, receives ``files_total``/``files_selected``
+    — the pruning evidence tests and the plan audit assert on.
+    """
+    recover_compaction(path)
+    empty = spark.createDataFrame([], ENGINE_SCHEMA)
+    if not os.path.exists(path):
+        if stats is not None:
+            stats.update(files_total=0, files_selected=0)
+        return empty
+    mpath = os.path.join(path, MANIFEST_DIR)
+    man = spark.read.parquet(mpath)  # raises if missing: broken store
+
+    cond = F.lit(True)
+    if metric is not None:
+        cond = cond & (F.col("metric") == metric)
+    if series is not None:
+        wanted = [series] if isinstance(series, str) else list(series)
+        hit = F.lit(False)
+        for s in wanted:
+            hit = hit | ((F.col("series_min") <= s) & (F.lit(s) <= F.col("series_max")))
+        cond = cond & hit
+    if ts_from is not None:
+        cond = cond & (F.col("ts_max") >= ts_from)
+    if ts_to is not None:
+        cond = cond & (F.col("ts_min") < ts_to)
+
+    total = man.count()
+    files = [r.file for r in man.filter(cond).select("file").collect()]
+    if stats is not None:
+        stats.update(files_total=total, files_selected=len(files))
+    if not files:
+        return empty
+
+    df = (
+        spark.read.option("basePath", path)
+        .parquet(*[posixpath.join(path, f) for f in files])
+    )
+    if metric is not None:
+        df = df.filter(F.col("metric") == metric)
+    if series is not None:
+        wanted = [series] if isinstance(series, str) else list(series)
+        df = df.filter(F.col("series").isin(wanted))
+    if ts_from is not None:
+        df = df.filter(F.col("ts_ns") >= ts_from)
+    if ts_to is not None:
+        df = df.filter(F.col("ts_ns") < ts_to)
+    # engine schema: tags derived from the series grammar, exactly as
+    # layout.read_metrics_table
+    tags = F.when(
+        F.instr(F.col("series"), " ") > 0,
+        F.expr("str_to_map(substring(series, instr(series, ' ') + 1), ' ', '=')"),
+    ).otherwise(F.expr("map()"))
+    return df.select("series", "metric", tags.alias("tags"), "ts_ns", "value")

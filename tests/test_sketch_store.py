@@ -1,0 +1,150 @@
+"""Mergeable sketch rollup store: serve-equals-direct over ranges,
+incremental append ≡ fresh build, alignment/layout contracts, partition
+pruning at serve, and zero-scan retention."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from akumuli_spark.operators.distinct import approx_distinct
+from akumuli_spark.operators.quantile_sketch import approx_quantiles
+from akumuli_spark.sources.sketch_store import (
+    append_sketch_store,
+    build_sketch_store,
+    distinct_over_range,
+    drop_expired_buckets,
+    quantiles_over_range,
+)
+
+DAY = 86_400 * 10**9
+QS = [0.5, 0.9, 0.99]
+
+
+def _events(spark, days, seed_shift=0):
+    rows = []
+    for d in days:
+        for i in range(300):
+            uid = (i * 7 + d + seed_shift) % 97
+            rows.append((
+                ["click", "view", "error"][i % 3],
+                uid,
+                float((i * 13 + d) % 500) / 7.0,
+                d * DAY + i * (DAY // 300),
+            ))
+    return spark.createDataFrame(
+        rows, "event_type string, user_id int, value double, ts_ns long"
+    )
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sketch") / "store")
+    build_sketch_store(_events(spark, range(10)), path,
+                       group_col="event_type", distinct_col="user_id",
+                       value_col="value")
+    return path
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_distinct_range_equals_direct_sketch(spark, store):
+    """Merging stored per-day registers over [2d, 7d) must equal the
+    one-shot sketch over exactly those raw rows — register max is
+    lossless under partitioning."""
+    raw = _events(spark, range(10)).filter(
+        (F.col("ts_ns") >= 2 * DAY) & (F.col("ts_ns") < 7 * DAY)
+    )
+    direct = approx_distinct(raw, "user_id", ("event_type",)).withColumnRenamed(
+        "event_type", "group"
+    )
+    served = distinct_over_range(spark, store, 2 * DAY, 7 * DAY)
+    assert _rows(served) == _rows(direct) and served.count() == 3
+
+
+def test_quantiles_range_equals_direct_sketch(spark, store):
+    raw = _events(spark, range(10)).filter(
+        (F.col("ts_ns") >= 3 * DAY) & (F.col("ts_ns") < 6 * DAY)
+    )
+    direct = approx_quantiles(raw, "value", QS, ("event_type",)).withColumnRenamed(
+        "event_type", "group"
+    )
+    served = quantiles_over_range(spark, store, 3 * DAY, 6 * DAY, QS)
+    assert _rows(served) == _rows(direct) and served.count() == 9
+
+
+def test_append_equals_fresh_build(spark, tmp_path):
+    """build(batch1) + append(batch2) ≡ build(batch1 ∪ batch2), with
+    batch2 overlapping existing buckets (merge) AND adding new ones."""
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    b1 = _events(spark, range(7))
+    b2 = _events(spark, range(5, 12), seed_shift=31)
+    build_sketch_store(b1, p_inc, "event_type", "user_id", "value")
+    append_sketch_store(b2, p_inc)
+    build_sketch_store(b1.unionByName(b2), p_full,
+                       "event_type", "user_id", "value")
+    for lo, hi in ((0, 12), (5, 7), (8, 12)):
+        a = distinct_over_range(spark, p_inc, lo * DAY, hi * DAY)
+        b = distinct_over_range(spark, p_full, lo * DAY, hi * DAY)
+        assert _rows(a) == _rows(b)
+        qa = quantiles_over_range(spark, p_inc, lo * DAY, hi * DAY, QS)
+        qb = quantiles_over_range(spark, p_full, lo * DAY, hi * DAY, QS)
+        assert _rows(qa) == _rows(qb)
+
+
+def test_append_leaves_untouched_buckets_alone(spark, tmp_path):
+    path = str(tmp_path / "s")
+    build_sketch_store(_events(spark, range(4)), path,
+                       "event_type", "user_id", "value")
+    before = {
+        t: sorted(os.listdir(os.path.join(path, t, "ts_bucket=0")))
+        for t in ("hll", "hist")
+    }
+    append_sketch_store(_events(spark, [3, 4], seed_shift=5), path)
+    for t in ("hll", "hist"):
+        after = sorted(os.listdir(os.path.join(path, t, "ts_bucket=0")))
+        assert after == before[t]  # bucket 0 never rewritten
+        assert os.path.isdir(os.path.join(path, t, "ts_bucket=4"))  # grown
+
+
+def test_misaligned_range_raises(spark, store):
+    with pytest.raises(ValueError, match="aligned"):
+        distinct_over_range(spark, store, DAY // 2, 3 * DAY)
+    with pytest.raises(ValueError, match="aligned"):
+        quantiles_over_range(spark, store, DAY, 3 * DAY + 1, QS)
+    with pytest.raises(ValueError, match="empty or inverted"):
+        distinct_over_range(spark, store, 3 * DAY, 3 * DAY)
+
+
+def test_unbuilt_store_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="build first"):
+        distinct_over_range(spark, str(tmp_path / "nope"), 0, DAY)
+    with pytest.raises(ValueError, match="build first"):
+        append_sketch_store(_events(spark, [0]), str(tmp_path / "nope"))
+
+
+def test_serve_prunes_partitions(spark, store):
+    df = distinct_over_range(spark, store, 2 * DAY, 4 * DAY)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "ts_bucket" in seg
+
+
+def test_retention_drops_whole_buckets(spark, tmp_path):
+    path = str(tmp_path / "ret")
+    build_sketch_store(_events(spark, range(10)), path,
+                       "event_type", "user_id", "value")
+    dropped = drop_expired_buckets(path, keep_ns=4 * DAY, now_ns=10 * DAY)
+    assert dropped == 12  # 6 buckets × 2 tables
+    served = distinct_over_range(spark, path, 6 * DAY, 10 * DAY)
+    direct = approx_distinct(
+        _events(spark, range(10)).filter(
+            (F.col("ts_ns") >= 6 * DAY) & (F.col("ts_ns") < 10 * DAY)),
+        "user_id", ("event_type",),
+    ).withColumnRenamed("event_type", "group")
+    assert _rows(served) == _rows(direct)

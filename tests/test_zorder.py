@@ -1,0 +1,155 @@
+"""Z-order clustered store: interleave correctness, query equivalence
+vs the raw frame, file-skipping evidence on BOTH dimensions, swap/crash
+tolerance, and the empty/absent-store contract."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from akumuli_spark.sources.zorder import (
+    MANIFEST_DIR,
+    interleave_bits,
+    zorder_metrics_table,
+    zorder_select,
+)
+
+DAY = 86_400 * 10**9
+N_SERIES = 32
+PTS = 250  # per series, spread over 4 days
+
+
+def _frame(spark):
+    rows = []
+    for sid in range(N_SERIES):
+        series = f"m.cpu host={sid:02d}"
+        for t in range(PTS):
+            rows.append((series, "m.cpu",
+                         (t * 4 * DAY) // PTS + sid,
+                         float(sid * 1000 + t)))
+    df = spark.createDataFrame(
+        rows, "series string, metric string, ts_ns long, value double"
+    )
+    return df.withColumn(
+        "tags", F.expr("map('host', substring(series, -2, 2))")
+    ), rows
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    df, rows = _frame(spark)
+    path = str(tmp_path_factory.mktemp("zorder") / "metrics")
+    zorder_metrics_table(spark, df, path, bucket_ns=DAY, files_per_partition=8)
+    return path, rows
+
+
+def test_interleave_known_values(spark):
+    # a=0b101 (odd positions), b=0b011 (even) -> 10 01 11
+    got = spark.range(1).select(
+        interleave_bits(F.lit(0b101), F.lit(0b011), 3).alias("z")
+    ).first().z
+    assert got == 0b100111
+    # z is monotone in each dimension with the other fixed
+    zs = [
+        spark.range(1).select(
+            interleave_bits(F.lit(a), F.lit(5), 8).alias("z")).first().z
+        for a in (1, 2, 3)
+    ]
+    assert zs == sorted(zs) and len(set(zs)) == 3
+
+
+def test_series_select_equivalence_and_pruning(spark, store):
+    path, rows = store
+    st: dict = {}
+    out = zorder_select(spark, path, metric="m.cpu",
+                        series="m.cpu host=07", stats=st)
+    got = sorted((r.series, r.ts_ns, r.value) for r in out.collect())
+    exp = sorted((s, t, v) for (s, m, t, v) in rows if s == "m.cpu host=07")
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]
+
+
+def test_time_slice_equivalence_and_pruning(spark, store):
+    """The case the (series, ts)-sorted layout CANNOT file-prune: a
+    narrow window across all series inside one partition."""
+    path, rows = store
+    lo, hi = DAY // 2, DAY // 2 + DAY // 8
+    st: dict = {}
+    out = zorder_select(spark, path, metric="m.cpu",
+                        ts_from=lo, ts_to=hi, stats=st)
+    got = sorted((r.series, r.ts_ns, r.value) for r in out.collect())
+    exp = sorted((s, t, v) for (s, m, t, v) in rows if lo <= t < hi)
+    assert got == exp and got
+    # the window is 1/32 of the data; skipping must be substantial
+    assert st["files_selected"] <= st["files_total"] // 2
+
+
+def test_semi_open_range_and_series_list(spark, store):
+    path, rows = store
+    lo, hi = DAY, 2 * DAY  # exact bucket boundary: [lo, hi)
+    wanted = ["m.cpu host=03", "m.cpu host=21"]
+    out = zorder_select(spark, path, metric="m.cpu", series=wanted,
+                        ts_from=lo, ts_to=hi)
+    got = sorted((r.series, r.ts_ns) for r in out.collect())
+    exp = sorted((s, t) for (s, m, t, v) in rows
+                 if s in wanted and lo <= t < hi)
+    assert got == exp and got
+
+
+def test_unfiltered_read_returns_everything(spark, store):
+    path, rows = store
+    assert zorder_select(spark, path).count() == len(rows)
+
+
+def test_tags_reconstructed_from_series_grammar(spark, store):
+    path, _ = store
+    row = zorder_select(spark, path, series="m.cpu host=07").first()
+    assert row.tags == {"host": "07"}
+
+
+def test_absent_store_answers_empty(spark, tmp_path):
+    st: dict = {}
+    out = zorder_select(spark, str(tmp_path / "never-built"), stats=st)
+    assert out.count() == 0
+    assert st == {"files_total": 0, "files_selected": 0}
+    assert out.schema["tags"].dataType.typeName() == "map"
+
+
+def test_store_without_manifest_raises(spark, tmp_path):
+    """A data dir that isn't a z-store (no manifest) is a broken-store
+    contract violation, not a silent full scan."""
+    df, _ = _frame(spark)
+    path = str(tmp_path / "plain")
+    df.drop("tags").write.parquet(path)
+    with pytest.raises(Exception):
+        zorder_select(spark, path, metric="m.cpu").collect()
+
+
+def test_rebuild_swaps_atomically_and_crash_heals(spark, store, tmp_path):
+    """Rebuild over an existing store goes through the two-rename swap;
+    a crash window between the renames self-heals on next read."""
+    import shutil
+
+    df, rows = _frame(spark)
+    path = str(tmp_path / "swap")
+    zorder_metrics_table(spark, df, path, bucket_ns=DAY, files_per_partition=4)
+    zorder_metrics_table(spark, df, path, bucket_ns=DAY, files_per_partition=8)
+    assert zorder_select(spark, path).count() == len(rows)
+    # simulate the crash: table renamed away, complete tmp left behind
+    shutil.copytree(path, path + ".compact-tmp")
+    os.rename(path, path + ".compact-old")
+    out = zorder_select(spark, path, metric="m.cpu", series="m.cpu host=01")
+    assert out.count() == PTS  # healed roll-forward, data+manifest whole
+    assert os.path.exists(os.path.join(path, MANIFEST_DIR))
+
+
+def test_zero_row_build_publishes_empty_manifest(spark, tmp_path):
+    df, _ = _frame(spark)
+    path = str(tmp_path / "empty")
+    zorder_metrics_table(spark, df.filter(F.lit(False)), path,
+                         bucket_ns=DAY)
+    st: dict = {}
+    assert zorder_select(spark, path, metric="m.cpu", stats=st).count() == 0
+    assert st["files_total"] == 0

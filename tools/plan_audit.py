@@ -174,6 +174,36 @@ def main() -> None:
 
     shutil.rmtree(path, ignore_errors=True)
 
+    # z-order store: manifest file skipping must fire on BOTH dimensions
+    # — a series-equality probe AND a time slice across all series (the
+    # case the (series, ts) sort cannot file-prune).  Same store shape
+    # as the registry entries (year buckets, 4 files/partition).
+    from akumuli_spark.sources.zorder import zorder_metrics_table, zorder_select
+
+    year_ns = 365 * 86_400 * 10**9
+    zpath = os.path.join(tempfile.gettempdir(), "akumuli_audit_zorder")
+    shutil.rmtree(zpath, ignore_errors=True)
+    zorder_metrics_table(spark, metrics_view(spark, sf_dir), zpath,
+                         bucket_ns=year_ns, files_per_partition=4)
+    n_zfail = 0
+    for label, kw in (
+        ("zorder_series_probe",
+         dict(metric="lineitem.price",
+              series="lineitem.price linestatus=O returnflag=N")),
+        ("zorder_time_slice",
+         dict(metric="lineitem.qty",
+              ts_from=t96 + 100 * 86_400 * 10**9,
+              ts_to=t96 + 107 * 86_400 * 10**9)),
+    ):
+        st: dict = {}
+        zorder_select(spark, zpath, stats=st, **kw)
+        ok = 0 < st["files_selected"] < st["files_total"]
+        print(f"{'OK  ' if ok else 'FAIL'} {label}: "
+              f"files {st['files_selected']}/{st['files_total']} scanned")
+        n_zfail += 0 if ok else 1
+    failures += n_zfail
+    shutil.rmtree(zpath, ignore_errors=True)
+
     # BM25 serving: static term-bucket pruning must reach BOTH scans —
     # postings AND dfreq (VERDICT r9 Next #2) — on the literal-list path
     # and on the DataFrame-query path (bounded distinct-bucket collect)
@@ -190,7 +220,7 @@ def main() -> None:
         n_bm25_fail += 0 if ok else 1
     failures += n_bm25_fail
 
-    print(f"\n{len(audited) + 3 - failures} ok, {failures} failing")
+    print(f"\n{len(audited) + 5 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

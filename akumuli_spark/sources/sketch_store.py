@@ -38,6 +38,18 @@ contract (bucket_ns, sketch parameters, column names) travels in a
 one-row ``{path}/meta`` table, the BM25-store pattern: a build/serve
 parameter mismatch mis-merges silently, so serving reads the stored
 contract, never module defaults.
+
+Growth contract (the repo's epoch-keyed store protocol, shared with the
+BM25 index): partials live under an ``epoch`` partition — the build is
+epoch 0, each append (or streaming micro-batch) its own epoch ≥ 1,
+written with dynamic partition overwrite so a RETRIED epoch replaces
+its own partials bit-for-bit (exactly-once without read-modify-write;
+histogram sums would double-count under blind re-appends, register
+maxes would merely tolerate them — the epoch key makes both safe).
+Serving folds across epochs with the same merge operators it uses
+across buckets, so served results are exact after every append; the
+fold cost grows with epoch count until :func:`compact_sketch_store`
+folds everything back into epoch 0 via the two-rename swap.
 """
 
 from __future__ import annotations
@@ -51,7 +63,11 @@ from akumuli_spark.operators.quantile_sketch import (
     log_histogram,
     quantiles_from_histogram,
 )
-from akumuli_spark.sources.layout import DAY_NS, read_table_or_none
+from akumuli_spark.sources.layout import (
+    DAY_NS,
+    read_table_or_none,
+    recover_compaction,
+)
 
 SKETCH_LAYOUT_VERSION = 1
 
@@ -94,16 +110,17 @@ def build_sketch_store(df: DataFrame, path: str, group_col: str,
                        b: int = 8, k: int = 64) -> None:
     """Materialize per-(group, bucket) sketch partials for ``df``.
 
-    Writes (all partitioned by ``ts_bucket`` so range serving is
-    partition pruning):
+    Writes (all partitioned by ``(epoch, ts_bucket)`` so range serving
+    is partition pruning and growth is epoch-keyed):
 
-    * ``{path}/hll``  — (ts_bucket, group, bucket, register)
-    * ``{path}/hist`` — (ts_bucket, group, bin, cnt)
+    * ``{path}/hll``  — (epoch, ts_bucket, group, bucket, register)
+    * ``{path}/hist`` — (epoch, ts_bucket, group, bin, cnt)
     * ``{path}/meta`` — the one-row layout contract
 
     One pass over the fact data computes both partials (two shuffle
-    aggregates that share the scan); re-running is a full rebuild
-    (mode overwrite).
+    aggregates that share the scan); the build is epoch 0 — the same
+    namespace :func:`compact_sketch_store` folds back into.
+    Re-running is a full rebuild (mode overwrite).
     """
     spark = df.sparkSession
     base = df.withColumn("__tsb", _bucket(ts_col, bucket_ns)).withColumnRenamed(
@@ -114,71 +131,108 @@ def build_sketch_store(df: DataFrame, path: str, group_col: str,
     for name, part in (("hll", hll), ("hist", hist)):
         (
             part.withColumnRenamed("__tsb", "ts_bucket")
+            .withColumn("epoch", F.lit(0))
             .repartition("ts_bucket")
             .write.mode("overwrite")
-            .partitionBy("ts_bucket")
+            .partitionBy("epoch", "ts_bucket")
             .parquet(f"{path}/{name}")
         )
     _write_meta(spark, path, group_col, distinct_col, value_col, ts_col,
                 bucket_ns, b, k)
 
 
-def append_sketch_store(df: DataFrame, path: str) -> None:
-    """Fold a new batch of fact rows into the store incrementally.
+def append_sketch_store(df: DataFrame, path: str, epoch: int) -> None:
+    """Fold a new batch of fact rows into the store as PARTIAL rows
+    under ``epoch`` — exactly-once by construction: the write is a
+    dynamic partition overwrite of the ``(epoch, ts_bucket)``
+    partitions this batch produces, so a RETRIED epoch (crash before
+    checkpoint, replayed micro-batch) replaces its own partials instead
+    of double-counting histogram sums.  No existing partial is read or
+    rewritten — the append costs O(batch), not O(store).  Serving folds
+    epochs with the same operators it folds buckets, so results are
+    exact immediately after the write lands.
 
-    The merge unit is the ``ts_bucket`` PARTITION: for each bucket the
-    batch touches, read the existing partials (partition-pruned), merge
-    with the batch's partials (register-wise max / bin-wise sum), and
-    replace exactly those partitions (dynamic partition overwrite).
-    Untouched buckets are never read or written, so the append costs
-    O(batch + touched partials), not O(store) — the same economics as
-    the BM25 epoch append.  Duplicate *re-appends* of the same rows
-    double-count histogram bins (sums are not idempotent); the
-    exactly-once contract is the caller's, e.g. the checkpointed
-    streaming sink.  Single maintenance writer; concurrent readers of a
-    bucket mid-replace may need a retry, the contract Spark documents
-    for any external partition overwrite.
+    ``epoch`` must be ≥ 1 (epoch 0 is the build/compaction namespace)
+    and unique per logical batch: two DIFFERENT batches sharing an
+    epoch would overwrite each other.  The streaming sink derives it
+    from the foreachBatch epoch id
+    (:func:`akumuli_spark.streaming.sketch.start_streaming_sketch_store`).
     """
     spark = df.sparkSession
     meta = _read_meta(spark, path)
     if meta is None:
         raise ValueError(f"no sketch store at {path}: build first")
+    if epoch < 1:
+        raise ValueError("epoch 0 is reserved for build/compaction")
     base = df.withColumn(
         "__tsb", _bucket(meta["ts_col"], meta["bucket_ns"])
     ).withColumnRenamed(meta["group_col"], "group")
-    touched = [r[0] for r in base.select("__tsb").distinct().collect()]
-    if not touched:
-        return
     new_hll = hll_registers(
         base, meta["distinct_col"], ["__tsb", "group"], meta["b"]
-    ).withColumnRenamed("__tsb", "ts_bucket")
+    )
     new_hist = log_histogram(
         base, meta["value_col"], ["__tsb", "group"], meta["k"]
-    ).withColumnRenamed("__tsb", "ts_bucket")
-
-    merges = (
-        ("hll", new_hll, ["group", "bucket"], F.max("register").alias("register")),
-        ("hist", new_hist, ["group", "bin"], F.sum("cnt").alias("cnt")),
     )
-    for name, fresh, keys, merge_agg in merges:
-        old = read_table_or_none(spark, f"{path}/{name}")
-        if old is not None:
-            # partition-dir discovery types ts_bucket as int; align to
-            # the batch's long before the union
-            old = old.withColumn(
-                "ts_bucket", F.col("ts_bucket").cast("long")
-            )
-            fresh = old.filter(F.col("ts_bucket").isin(touched)).select(
-                *fresh.columns
-            ).unionByName(fresh)
-        merged = fresh.groupBy("ts_bucket", *keys).agg(merge_agg)
+    for name, fresh in (("hll", new_hll), ("hist", new_hist)):
         (
-            merged.repartition("ts_bucket")
+            fresh.withColumnRenamed("__tsb", "ts_bucket")
+            .withColumn("epoch", F.lit(int(epoch)))
+            .repartition("ts_bucket")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ts_bucket")
+            .partitionBy("epoch", "ts_bucket")
             .parquet(f"{path}/{name}")
         )
+
+
+def compact_sketch_store(spark: SparkSession, path: str) -> None:
+    """Fold all epochs back into epoch 0 — bounding the serve-time fold
+    after many appends, the same economics as
+    :func:`akumuli_spark.pipeline.text.compact_bm25_index`.  Each table
+    is rewritten to a sibling and swapped in with the two-rename
+    protocol; a crash mid-swap self-heals on the next serve
+    (:func:`akumuli_spark.sources.layout.recover_compaction`).  Results
+    served before, during, and after are identical: the fold is the
+    same merge the serve path applies.  Run from a single maintenance
+    writer; restart streaming appends only AFTER compaction so
+    restarted epoch ids cannot collide with live partitions."""
+    import os
+
+    merges = (
+        ("hll", ["group", "bucket"], F.max("register").alias("register")),
+        ("hist", ["group", "bin"], F.sum("cnt").alias("cnt")),
+    )
+    for name, keys, merge_agg in merges:
+        p = f"{path}/{name}"
+        recover_compaction(p, gc=True)
+        df = read_table_or_none(spark, p)
+        if df is None:  # empty store: nothing to fold
+            continue
+        folded = (
+            df.groupBy("ts_bucket", *keys).agg(merge_agg)
+            .withColumn("epoch", F.lit(0))
+        )
+        tmp, old = f"{p}.compact-tmp", f"{p}.compact-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            folded.repartition("ts_bucket")
+            .write.mode("overwrite")
+            .partitionBy("epoch", "ts_bucket")
+            .parquet(tmp)
+        )
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            os.rename(p, old)
+            os.rename(tmp, p)
+        except OSError:
+            # a concurrent reader's recover_compaction rolled the swap
+            # forward between the renames (same tolerance as
+            # compact_metrics_table)
+            if not os.path.exists(p) or os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _aligned_buckets(meta: dict, ts_from: int, ts_to: int) -> tuple[int, int]:
@@ -204,8 +258,14 @@ def distinct_over_range(spark: SparkSession, path: str, ts_from: int,
     if meta is None:
         raise ValueError(f"no sketch store at {path}: build first")
     lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    recover_compaction(f"{path}/hll")
+    stored = read_table_or_none(spark, f"{path}/hll")
+    if stored is None:  # built over an empty frame, nothing appended yet
+        return spark.createDataFrame(
+            [], "group string, approx_distinct double"
+        )
     regs = (
-        spark.read.parquet(f"{path}/hll")
+        stored
         .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
         .groupBy("group", "bucket")
         .agg(F.max("register").alias("register"))
@@ -222,8 +282,14 @@ def quantiles_over_range(spark: SparkSession, path: str, ts_from: int,
     if meta is None:
         raise ValueError(f"no sketch store at {path}: build first")
     lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    recover_compaction(f"{path}/hist")
+    stored = read_table_or_none(spark, f"{path}/hist")
+    if stored is None:  # built over an empty frame, nothing appended yet
+        return spark.createDataFrame(
+            [], "group string, q double, est double"
+        )
     hist = (
-        spark.read.parquet(f"{path}/hist")
+        stored
         .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
         .groupBy("group", "bin")
         .agg(F.sum("cnt").alias("cnt"))
@@ -253,7 +319,9 @@ def drop_expired_buckets(path: str, keep_ns: int, now_ns: int) -> int:
     trash = f"{path}.trash"
     os.makedirs(trash, exist_ok=True)
     for table in ("hll", "hist"):
-        for bdir in glob.glob(os.path.join(path, table, "ts_bucket=*")):
+        for bdir in glob.glob(
+            os.path.join(path, table, "epoch=*", "ts_bucket=*")
+        ):
             try:
                 bucket = int(os.path.basename(bdir).split("=", 1)[1])
             except ValueError:  # pragma: no cover - foreign dirs

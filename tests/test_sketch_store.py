@@ -78,14 +78,15 @@ def test_quantiles_range_equals_direct_sketch(spark, store):
 
 
 def test_append_equals_fresh_build(spark, tmp_path):
-    """build(batch1) + append(batch2) ≡ build(batch1 ∪ batch2), with
-    batch2 overlapping existing buckets (merge) AND adding new ones."""
+    """build(batch1) + epoch appends ≡ build(batch1 ∪ batches), with
+    appends overlapping existing buckets (serve-time fold) AND adding
+    new ones."""
     p_inc = str(tmp_path / "inc")
     p_full = str(tmp_path / "full")
     b1 = _events(spark, range(7))
     b2 = _events(spark, range(5, 12), seed_shift=31)
     build_sketch_store(b1, p_inc, "event_type", "user_id", "value")
-    append_sketch_store(b2, p_inc)
+    append_sketch_store(b2, p_inc, epoch=1)
     build_sketch_store(b1.unionByName(b2), p_full,
                        "event_type", "user_id", "value")
     for lo, hi in ((0, 12), (5, 7), (8, 12)):
@@ -97,19 +98,67 @@ def test_append_equals_fresh_build(spark, tmp_path):
         assert _rows(qa) == _rows(qb)
 
 
-def test_append_leaves_untouched_buckets_alone(spark, tmp_path):
+def test_retried_epoch_is_idempotent(spark, tmp_path):
+    """The exactly-once claim: replaying an epoch (crash before the
+    checkpoint commit) must not change anything served — histogram
+    sums would double under a blind re-append."""
+    path = str(tmp_path / "retry")
+    build_sketch_store(_events(spark, range(4)), path,
+                       "event_type", "user_id", "value")
+    batch = _events(spark, [4, 5], seed_shift=9)
+    append_sketch_store(batch, path, epoch=1)
+    once_d = _rows(distinct_over_range(spark, path, 0, 6 * DAY))
+    once_q = _rows(quantiles_over_range(spark, path, 0, 6 * DAY, QS))
+    append_sketch_store(batch, path, epoch=1)  # the replay
+    assert _rows(distinct_over_range(spark, path, 0, 6 * DAY)) == once_d
+    assert _rows(quantiles_over_range(spark, path, 0, 6 * DAY, QS)) == once_q
+
+
+def test_append_leaves_other_epochs_alone(spark, tmp_path):
     path = str(tmp_path / "s")
     build_sketch_store(_events(spark, range(4)), path,
                        "event_type", "user_id", "value")
     before = {
-        t: sorted(os.listdir(os.path.join(path, t, "ts_bucket=0")))
+        t: sorted(os.listdir(os.path.join(path, t, "epoch=0", "ts_bucket=0")))
         for t in ("hll", "hist")
     }
-    append_sketch_store(_events(spark, [3, 4], seed_shift=5), path)
+    append_sketch_store(_events(spark, [3, 4], seed_shift=5), path, epoch=1)
     for t in ("hll", "hist"):
-        after = sorted(os.listdir(os.path.join(path, t, "ts_bucket=0")))
-        assert after == before[t]  # bucket 0 never rewritten
-        assert os.path.isdir(os.path.join(path, t, "ts_bucket=4"))  # grown
+        after = sorted(
+            os.listdir(os.path.join(path, t, "epoch=0", "ts_bucket=0")))
+        assert after == before[t]  # the build epoch is never rewritten
+        assert os.path.isdir(
+            os.path.join(path, t, "epoch=1", "ts_bucket=4"))  # grown
+
+
+def test_epoch_zero_append_refused(spark, tmp_path):
+    path = str(tmp_path / "e0")
+    build_sketch_store(_events(spark, [0]), path,
+                       "event_type", "user_id", "value")
+    with pytest.raises(ValueError, match="reserved"):
+        append_sketch_store(_events(spark, [1]), path, epoch=0)
+
+
+def test_compaction_folds_epochs_and_changes_nothing(spark, tmp_path):
+    path = str(tmp_path / "cmp")
+    build_sketch_store(_events(spark, range(3)), path,
+                       "event_type", "user_id", "value")
+    append_sketch_store(_events(spark, [2, 3], seed_shift=7), path, epoch=1)
+    append_sketch_store(_events(spark, [4], seed_shift=11), path, epoch=2)
+    want_d = _rows(distinct_over_range(spark, path, 0, 5 * DAY))
+    want_q = _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS))
+
+    from akumuli_spark.sources.sketch_store import compact_sketch_store
+
+    compact_sketch_store(spark, path)
+    epochs = {
+        os.path.basename(d)
+        for d in os.listdir(os.path.join(path, "hll"))
+        if d.startswith("epoch=")
+    }
+    assert epochs == {"epoch=0"}
+    assert _rows(distinct_over_range(spark, path, 0, 5 * DAY)) == want_d
+    assert _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS)) == want_q
 
 
 def test_misaligned_range_raises(spark, store):
@@ -125,7 +174,8 @@ def test_unbuilt_store_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="build first"):
         distinct_over_range(spark, str(tmp_path / "nope"), 0, DAY)
     with pytest.raises(ValueError, match="build first"):
-        append_sketch_store(_events(spark, [0]), str(tmp_path / "nope"))
+        append_sketch_store(_events(spark, [0]), str(tmp_path / "nope"),
+                            epoch=1)
 
 
 def test_serve_prunes_partitions(spark, store):

@@ -1190,8 +1190,125 @@ def sigstore_smoke(spark, n_store: int, n_new: int) -> dict:
     return out
 
 
+def zorder_smoke(spark, n_rows: int, files_per_partition: int = 8) -> dict:
+    """Z-order re-cluster + manifest file skipping at scale: cluster
+    n_rows of the synthetic metrics frame (1000 series, ~n_rows·10ms
+    span), then serve a single-series probe and a one-hour cross-series
+    time slice, reporting wall-clock AND the files-scanned ratio the
+    manifest pruning achieved.  The claim under test: the OPTIMIZE job
+    is one range-shuffle write (linear in rows), and serving reads a
+    small fraction of the files for BOTH predicate shapes."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.sources.zorder import zorder_metrics_table, zorder_select
+
+    day_ns = 86_400 * NS
+    frame = synthetic_metrics(spark, n_rows)
+    path = tempfile.mkdtemp(prefix="zorder_smoke_") + "/metrics"
+    out = {}
+    try:
+        t = time.time()
+        zorder_metrics_table(spark, frame, path, bucket_ns=day_ns,
+                             files_per_partition=files_per_partition)
+        out["build_s"] = round(time.time() - t, 2)
+
+        st: dict = {}
+        t = time.time()
+        n = zorder_select(spark, path, metric="cpu.user",
+                          series="cpu.user host=42", stats=st).count()
+        out["series_probe_s"] = round(time.time() - t, 2)
+        out["series_probe_files"] = f"{st['files_selected']}/{st['files_total']}"
+        exp = frame.filter(F.col("series") == "cpu.user host=42").count()
+        assert n == exp, (n, exp)
+
+        span_ns = n_rows * 10_000_000  # 10ms cadence
+        lo = T0 + span_ns // 2
+        hi = lo + max(span_ns // 50, 60 * NS)  # ~2% of the span
+        st2: dict = {}
+        t = time.time()
+        n2 = zorder_select(spark, path, ts_from=lo, ts_to=hi,
+                           stats=st2).count()
+        out["time_slice_s"] = round(time.time() - t, 2)
+        out["time_slice_files"] = f"{st2['files_selected']}/{st2['files_total']}"
+        exp2 = frame.filter(
+            (F.col("ts_ns") >= lo) & (F.col("ts_ns") < hi)).count()
+        assert n2 == exp2, (n2, exp2)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
+def sketch_store_smoke(spark, n_rows: int) -> dict:
+    """Mergeable sketch rollup at scale: build per-day HLL + histogram
+    partials over n_rows synthetic events (~n_rows·10ms span), append
+    one more day incrementally, then serve a multi-day distinct-count
+    and quantile read from partials only.  The claim: serving merges
+    kilobyte-sized partials (partition-pruned) instead of re-scanning
+    the fact rows, and the incremental append touches only its own
+    buckets."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.sources.sketch_store import (
+        append_sketch_store,
+        build_sketch_store,
+        distinct_over_range,
+        quantiles_over_range,
+    )
+
+    day_ns = 86_400 * NS
+    ev = spark.range(n_rows).select(
+        (F.col("id") % 8).cast("string").alias("g"),
+        (F.col("id") % 1_000_000).alias("uid"),
+        (F.col("id") % 10_000).cast("double").alias("value"),
+        (F.lit(T0) + F.col("id") * F.lit(10_000_000)).alias("ts_ns"),
+    )
+    span_days = (n_rows * 10_000_000) // day_ns
+    path = tempfile.mkdtemp(prefix="sketch_smoke_") + "/store"
+    out = {"span_days": int(span_days)}
+    try:
+        t = time.time()
+        build_sketch_store(ev, path, group_col="g", distinct_col="uid",
+                           value_col="value")
+        out["build_s"] = round(time.time() - t, 2)
+
+        batch = ev.withColumn(
+            "ts_ns", F.col("ts_ns") + F.lit(int(span_days + 1) * day_ns)
+        ).limit(1_000_000)
+        t = time.time()
+        append_sketch_store(batch, path, epoch=1)
+        out["append_1m_s"] = round(time.time() - t, 2)
+
+        lo = (T0 // day_ns + 1) * day_ns
+        hi = lo + max(1, int(span_days) - 1) * day_ns
+        t = time.time()
+        nd = distinct_over_range(spark, path, lo, hi).count()
+        out["serve_distinct_s"] = round(time.time() - t, 2)
+        t = time.time()
+        nq = quantiles_over_range(spark, path, lo, hi,
+                                  [0.5, 0.9, 0.99]).count()
+        out["serve_quantiles_s"] = round(time.time() - t, 2)
+        assert nd == 8 and nq == 24, (nd, nq)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "zorder":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        print(json.dumps(
+            {"rows": n_rows, "zorder": zorder_smoke(spark, n_rows)}
+        ))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "sketch_store":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
+        print(json.dumps(
+            {"rows": n_rows, "sketch_store": sketch_store_smoke(spark, n_rows)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "events":
         n_e = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
         n_u = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000

@@ -4308,3 +4308,41 @@ _register_pipeline(
     ["est", "q"],
     ["event_type"],
 )
+
+
+# Engine-over-zorder integration: the JSON query engine runs unchanged
+# on a zorder_select frame (engine schema is the store's read schema),
+# so a group-aggregate gets manifest file skipping BEFORE its scan —
+# the oracle is the plain view-level twin, proving the pruned frame is
+# semantically the full range.
+def _zorder_group_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_select
+
+    frame = zorder_select(
+        spark, _zorder_path(spark, sf), metric="lineitem.price",
+        ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return execute_query(spark, {
+        "group-aggregate": {
+            "metric": "lineitem.price",
+            "step": "7d",
+            "func": ["sum", "count"],
+        },
+        "range": {"from": T96, "to": _Z_T_HI},
+    }, frame)
+
+
+REGISTRY["zorder_group_aggregate"] = (
+    lambda spark, sf: _round_doubles(_zorder_group_aggregate(spark, sf)),
+    _wrap_round(
+        f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price:sum|lineitem.price:count ' || {TAGSTR} AS series,
+           min(ts_ns) AS ts_ns,
+           sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}
+    GROUP BY 1, (ts_ns - {T96}) // {WEEK}""",
+        ["sum", "count"],
+        ["series", "ts_ns"],
+    ),
+)

@@ -38,6 +38,20 @@ paths RELATIVE to that directory — the build-then-two-rename swap
 (:func:`akumuli_spark.sources.layout.recover_compaction` protocol)
 therefore publishes data and manifest atomically, and the store stays
 relocatable.
+
+Visibility contract (the Delta/Iceberg snapshot model): the manifest is
+the source of truth for which files a read sees.  :func:`zorder_append`
+lands a clustered batch as NEW files first (invisible — readers still
+serve the previous snapshot), then publishes the merged manifest with
+one two-rename swap; a reader therefore always sees an entire append or
+none of it.  A crash between the file move and the manifest publish
+leaves orphan data files that are invisible forever — harmless to
+correctness, reclaimed by :func:`vacuum_zorder` (the ``VACUUM``
+analogue), which deletes exactly the data files the manifest does not
+list.  The layout parameters an append must reproduce (bucket_ns, bits)
+travel in a one-row ``{path}/_zmeta`` table — the stored-contract rule
+every growing store in this repo follows: a build/append parameter
+mismatch would mis-bucket partitions silently.
 """
 
 from __future__ import annotations
@@ -55,6 +69,8 @@ from akumuli_spark.sources.layout import DAY_NS, recover_compaction
 ZBITS = 16
 
 MANIFEST_DIR = "_zmanifest"
+META_DIR = "_zmeta"
+ZORDER_LAYOUT_VERSION = 1
 
 ENGINE_SCHEMA = T.StructType([
     T.StructField("series", T.StringType()),
@@ -119,6 +135,41 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
     swaps via the two-rename protocol and self-heals through
     :func:`akumuli_spark.sources.layout.recover_compaction`.
     """
+    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _write_clustered(metrics, tmp, bucket_ns, files_per_partition, bits)
+    _write_manifest(spark, tmp)
+    spark.createDataFrame(
+        [(ZORDER_LAYOUT_VERSION, int(bucket_ns), int(bits),
+          int(files_per_partition))],
+        "layout_version int, bucket_ns long, bits int, "
+        "files_per_partition int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, META_DIR)
+    )
+
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        try:
+            os.rename(path, old)
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent reader's recover_compaction rolled the swap
+            # forward between the renames (same tolerance as
+            # compact_metrics_table)
+            if not os.path.exists(path) or os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, path)
+
+
+def _write_clustered(metrics: DataFrame, out_dir: str, bucket_ns: int,
+                     files_per_partition: int, bits: int) -> None:
+    """The clustering kernel shared by build and append: bin, z-key,
+    range-partition into files, sort within, write partitioned."""
     cap = 1 << bits
     step = max(1, bucket_ns // cap)
     cols = [c for c in metrics.columns if c != "tags"]
@@ -138,9 +189,6 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
     )
     n_parts = base.select("metric", "ts_bucket").distinct().count()
     total_files = max(1, n_parts * files_per_partition)
-
-    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
-    shutil.rmtree(tmp, ignore_errors=True)
     (
         binned
         .repartitionByRange(total_files, "metric", "ts_bucket", "__z")
@@ -148,26 +196,117 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
         .drop("series_bin", "__tbin", "__z")
         .write.mode("overwrite")
         .partitionBy("metric", "ts_bucket")
-        .parquet(tmp)
+        .parquet(out_dir)
     )
-    _write_manifest(spark, tmp)
 
-    shutil.rmtree(old, ignore_errors=True)
-    if os.path.exists(path):
-        try:
-            os.rename(path, old)
-            os.rename(tmp, path)
-        except OSError:
-            # a concurrent reader's recover_compaction rolled the swap
-            # forward between the renames (same tolerance as
-            # compact_metrics_table)
-            if not os.path.exists(path) or os.path.exists(
-                os.path.join(tmp, "_SUCCESS")
-            ):
-                raise
-        shutil.rmtree(old, ignore_errors=True)
-    else:
-        os.rename(tmp, path)
+
+def _read_zmeta(spark: SparkSession, path: str) -> dict | None:
+    from akumuli_spark.sources.layout import read_table_or_none
+
+    meta = read_table_or_none(spark, os.path.join(path, META_DIR))
+    if meta is None:
+        return None
+    rows = meta.collect()  # one row — layout-sized, never data-sized
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    if r["layout_version"] > ZORDER_LAYOUT_VERSION:
+        raise ValueError(
+            f"z-store at {path} uses layout version {r['layout_version']}; "
+            f"this build reads ≤ {ZORDER_LAYOUT_VERSION}"
+        )
+    return r
+
+
+def zorder_append(spark: SparkSession, metrics: DataFrame,
+                  path: str) -> None:
+    """Grow the store by one clustered batch with SNAPSHOT isolation.
+
+    The batch is clustered under the STORED layout contract (bucket_ns,
+    bits from ``_zmeta`` — a parameter drift would mis-bucket partition
+    dirs silently), staged in a private sibling, its per-file stats
+    computed there, and only then:
+
+    1. data files move into the table (os.rename per file, names carry
+       the writer's job UUID — no collisions, readers cannot see a
+       partial file).  They are INVISIBLE: reads serve the manifest.
+    2. the merged manifest (old rows ∪ new rows) publishes via the
+       two-rename swap — the snapshot flips atomically from
+       pre-append to post-append.
+
+    Retry contract: a crash BEFORE step 2 leaves invisible orphan files
+    (reclaim with :func:`vacuum_zorder`); the caller may simply re-run
+    the append.  Not idempotent under at-least-once replay of the SAME
+    batch — pair with a checkpointed caller, as the layout append does.
+    Appended files cover their batch's (series, time) rectangles only;
+    re-cluster with :func:`zorder_metrics_table` when accumulated
+    appends erode pruning (the OPTIMIZE cadence)."""
+    import uuid
+
+    meta = _read_zmeta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no z-store layout contract at {path}: build with "
+            "zorder_metrics_table first (pre-meta stores must be rebuilt)"
+        )
+    tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
+    try:
+        _write_clustered(metrics, tmp, meta["bucket_ns"],
+                         meta["files_per_partition"], meta["bits"])
+        _write_manifest(spark, tmp)
+        new_rows = spark.read.parquet(os.path.join(tmp, MANIFEST_DIR))
+        # materialize driver-side BEFORE the files move out from under
+        # the lazy plan — manifest-sized (one row per new file)
+        new_rows = spark.createDataFrame(
+            new_rows.collect(), new_rows.schema
+        )
+
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            if rel.startswith(MANIFEST_DIR) or rel.startswith(META_DIR):
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue  # _SUCCESS etc. stay behind
+                dst_dir = path if rel == "." else os.path.join(path, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(dst_dir, f))
+
+        mpath = os.path.join(path, MANIFEST_DIR)
+        recover_compaction(mpath)
+        merged = spark.read.parquet(mpath).unionByName(new_rows)
+        mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
+        shutil.rmtree(mtmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(mtmp)
+        shutil.rmtree(mold, ignore_errors=True)
+        os.rename(mpath, mold)
+        os.rename(mtmp, mpath)
+        shutil.rmtree(mold, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def vacuum_zorder(spark: SparkSession, path: str) -> int:
+    """Delete data files the manifest does not list — orphans from an
+    append that crashed before its manifest publish.  They were never
+    visible to any read, so deletion cannot change a result.  Returns
+    the number of files removed.  Run from the single maintenance
+    writer only, never concurrently with an in-flight append (its files
+    are orphans *until* its publish)."""
+    import glob
+
+    mpath = os.path.join(path, MANIFEST_DIR)
+    recover_compaction(mpath)
+    listed = {
+        r.file for r in spark.read.parquet(mpath).select("file").collect()
+    }
+    removed = 0
+    for f in glob.glob(os.path.join(path, "metric=*", "ts_bucket=*",
+                                    "*.parquet")):
+        if os.path.relpath(f, path) not in listed:
+            os.remove(f)
+            removed += 1
+    return removed
 
 
 def _write_manifest(spark: SparkSession, table_dir: str) -> None:
@@ -243,6 +382,7 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
             stats.update(files_total=0, files_selected=0)
         return empty
     mpath = os.path.join(path, MANIFEST_DIR)
+    recover_compaction(mpath)  # heal a crashed append's manifest swap
     man = spark.read.parquet(mpath)  # raises if missing: broken store
 
     cond = F.lit(True)

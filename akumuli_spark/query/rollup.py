@@ -87,3 +87,78 @@ def group_aggregate_from_rollup(
         renamed.alias("series"), "ts_ns",
         *[F.col(f).cast("double").alias(f) for f in funcs],
     )
+
+
+def rollup_from_frame(frame: DataFrame, base_step_ns: int) -> DataFrame:
+    """Batch materialization of the SAME rollup table
+    ``windowed_rollup_stream`` maintains continuously — (series,
+    bucket_us, count, sum, min, max, min_ts) at the base step — for
+    bootstrap over historical data or for rebuilding after a base-step
+    change.  One shuffle, map-side combinable."""
+    bucket_ns = F.expr(f"(ts_ns div {int(base_step_ns)}L) * {int(base_step_ns)}L")
+    return (
+        frame.groupBy("series", (bucket_ns / 1000).cast("long").alias("bucket_us"))
+        .agg(
+            F.count("value").alias("count"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.min("ts_ns").alias("min_ts"),
+        )
+    )
+
+
+def group_aggregate_tiered(
+    spark,
+    raw_frame: DataFrame,
+    rollup: DataFrame,
+    metric: str,
+    begin_ns: int,
+    boundary_ns: int,
+    end_ns: int,
+    step: str,
+    funcs: list[str],
+    base_step_ns: int,
+) -> DataFrame:
+    """Tiered group-aggregate: the COLD span ``[begin, boundary)`` is
+    answered from rollup partials (I/O ∝ series × base-buckets — raw
+    points may already be retention-evicted), the HOT span
+    ``[boundary, end)`` from raw rows through the ordinary engine path;
+    the union is exactly the direct full-range answer.
+
+    This is the serving shape a TSDB tiers into at scale: raw data ages
+    out of the fast store (``layout.enforce_retention``) while the
+    stream-maintained rollup keeps the full history at base-step
+    resolution — the reference gets the same effect from its
+    aggregate-carrying inner nodes surviving leaf eviction only within
+    a volume's lifetime (nbtree.cpp:1154-1206); here the tiers are
+    explicit tables.
+
+    Correctness needs no bin to straddle the tier boundary:
+    ``boundary - begin`` must be a whole number of steps (then
+    boundary-anchored hot bins coincide with begin-anchored bins), and
+    begin/boundary must be base-step-aligned for the rollup side
+    (:func:`can_serve`).  Empty bins are omitted by both tiers, the
+    engine's contract.
+    """
+    from akumuli_spark.query.engine import execute_query
+    from akumuli_spark.query.plan import parse_duration_ns
+
+    step_ns = parse_duration_ns(step)
+    if not begin_ns < boundary_ns < end_ns:
+        raise QueryValidationError("need begin < boundary < end")
+    if (boundary_ns - begin_ns) % step_ns:
+        raise QueryValidationError(
+            "tier boundary must be a whole number of steps after begin "
+            "(a straddling bin would need raw rows the cold tier no "
+            "longer has)"
+        )
+    cold = group_aggregate_from_rollup(
+        rollup.filter(F.expr("split_part(series, ' ', 1)") == metric),
+        begin_ns, boundary_ns, step_ns, funcs, base_step_ns,
+    )
+    hot = execute_query(spark, {
+        "group-aggregate": {"metric": metric, "step": step, "func": funcs},
+        "range": {"from": boundary_ns, "to": end_ns},
+    }, raw_frame)
+    return cold.unionByName(hot)

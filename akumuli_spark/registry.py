@@ -4346,3 +4346,152 @@ REGISTRY["zorder_group_aggregate"] = (
         ["series", "ts_ns"],
     ),
 )
+
+
+# Growth-path serving twins (the ann_ivf_append pattern): the store is
+# built over a prefix and grown by append; since an append changes no
+# query semantics — z-append publishes the same rows, sketch epochs
+# fold to the same partials — the oracles are the unchanged full-corpus
+# twins, and any append bug (dropped file, unpublished manifest,
+# double-counted epoch) surfaces as a mismatch.
+
+def _zorder_grown_path(spark: SparkSession, sf: str) -> str:
+    key = f"grow:{sf}"
+    if key not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import (
+            zorder_append,
+            zorder_metrics_table,
+        )
+
+        path = tempfile.mkdtemp(prefix="akumuli_zorder_grow_") + "/metrics"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        mv = metrics_view(spark, sf)
+        split = T96 + 90 * 86_400 * NS
+        zorder_metrics_table(
+            spark, mv.filter(F.col("ts_ns") < split), path,
+            bucket_ns=_YEAR_NS, files_per_partition=4,
+        )
+        zorder_append(spark, mv.filter(F.col("ts_ns") >= split), path)
+        _ZORDER_CACHE[key] = path
+    return _ZORDER_CACHE[key]
+
+
+def _zorder_append_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve the series-range probe from a store built over the first
+    90 days and grown by one snapshot append covering the rest — the
+    probe spans BOTH regions, so a lost append file or a stale manifest
+    row is a visible row deficit."""
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_grown_path(spark, sf), metric="lineitem.price",
+        series=_Z_SERIES, ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+_register_pipeline(
+    "zorder_append_select",
+    _zorder_append_select,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
+def _sketch_grown_path(spark: SparkSession, sf: str) -> str:
+    key = f"grow:{sf}"
+    if key not in _SKETCH_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.sketch_store import (
+            append_sketch_store,
+            build_sketch_store,
+        )
+        from akumuli_spark.sources.testdata import ts_ns_expr
+
+        path = tempfile.mkdtemp(prefix="akumuli_sketch_grow_") + "/store"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        ev = load_table(spark, sf, "events")
+        ev = ev.withColumn("ts_ns", ts_ns_expr(ev, "ts"))
+        split = E0 + 14 * 86_400 * NS
+        build_sketch_store(
+            ev.filter(F.col("ts_ns") < split), path,
+            group_col="event_type", distinct_col="user_id",
+            value_col="value",
+        )
+        append_sketch_store(ev.filter(F.col("ts_ns") >= split), path,
+                            epoch=1)
+        _SKETCH_STORE_CACHE[key] = path
+    return _SKETCH_STORE_CACHE[key]
+
+
+def _sketch_distinct_appended(spark: SparkSession, sf: str) -> DataFrame:
+    """Serve the distinct range from a store whose second half arrived
+    as an epoch append — the served window straddles the split, so the
+    serve-time epoch fold is on the hook, not just the build."""
+    from akumuli_spark.sources.sketch_store import distinct_over_range
+
+    return distinct_over_range(
+        spark, _sketch_grown_path(spark, sf), _SK_LO, _SK_HI
+    ).withColumnRenamed("group", "event_type")
+
+
+_register_pipeline(
+    "sketch_store_distinct_appended",
+    _sketch_distinct_appended,
+    _distinct.hll_sql(
+        f"""SELECT event_type, CAST(user_id AS VARCHAR) AS __v FROM events
+        WHERE epoch_ns(ts) >= {_SK_LO} AND epoch_ns(ts) < {_SK_HI}""",
+        group_cols=("event_type",),
+    ),
+    ["approx_distinct"],
+    ["event_type"],
+)
+
+
+# Tiered group-aggregate (query/rollup.py group_aggregate_tiered): the
+# cold span [T96, T96+98d) is served from day-step rollup partials
+# built ONLY over pre-boundary rows, the hot span [98d, 180d) from raw
+# rows retention-truncated to the hot span — so the oracle (the direct
+# full-range aggregate) fails if either tier leaks, drops, or
+# double-serves a bucket.
+def _group_aggregate_tiered(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.query.rollup import (
+        group_aggregate_tiered,
+        rollup_from_frame,
+    )
+
+    mv = metrics_view(spark, sf)
+    day = 86_400 * NS
+    boundary = T96 + 98 * day
+    rollup = rollup_from_frame(mv.filter(F.col("ts_ns") < boundary), day)
+    raw_hot = mv.filter(F.col("ts_ns") >= boundary)
+    return group_aggregate_tiered(
+        spark, raw_hot, rollup, "lineitem.price",
+        T96, boundary, _Z_T_HI, "7d", ["sum", "count"], day,
+    )
+
+
+REGISTRY["group_aggregate_tiered"] = (
+    lambda spark, sf: _round_doubles(_group_aggregate_tiered(spark, sf)),
+    _wrap_round(
+        f"""WITH {METRICS_SQL}
+    SELECT 'lineitem.price:sum|lineitem.price:count ' || {TAGSTR} AS series,
+           min(ts_ns) AS ts_ns,
+           sum(value) AS sum, CAST(count(value) AS DOUBLE) AS count
+    FROM metrics
+    WHERE metric = 'lineitem.price' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}
+    GROUP BY 1, (ts_ns - {T96}) // {WEEK}""",
+        ["sum", "count"],
+        ["series", "ts_ns"],
+    ),
+)

@@ -224,3 +224,102 @@ def test_attach_rollup_replaces_stale_same_resolution(spark, raw, rollup):
     assert len(db._rollups) == 1  # one attachment per resolution
     served = sorted(map(tuple, db.query(qjson).collect()))
     assert served == direct
+
+
+# ---------------------------------------------------------------------------
+# Tiered serving: cold span from rollup partials, hot span from raw
+# ---------------------------------------------------------------------------
+
+
+def test_tiered_equals_direct_with_evicted_raw(spark):
+    """The load-bearing claim: with raw rows RETENTION-EVICTED before
+    the boundary and the rollup built ONLY from pre-boundary data, the
+    stitched answer equals the direct full-range engine answer."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.query.rollup import (
+        group_aggregate_tiered,
+        rollup_from_frame,
+    )
+
+    frame = app_metrics_view(spark, SF_DIR)
+    e0 = parse_timestamp_ns("20240101T000000")
+    day = 86_400 * 10**9
+    begin, boundary, end = e0, e0 + 14 * day, e0 + 29 * day
+    funcs = ["sum", "count", "mean", "min", "max"]
+
+    rollup = rollup_from_frame(
+        frame.filter(F.col("ts_ns") < boundary), day)
+    raw_hot = frame.filter(F.col("ts_ns") >= boundary)
+    tiered = group_aggregate_tiered(
+        spark, raw_hot, rollup, "app.click",
+        begin, boundary, end, "7d", funcs, day)
+    direct = execute_query(spark, {
+        "group-aggregate": {"metric": "app.click", "step": "7d",
+                            "func": funcs},
+        "range": {"from": begin, "to": end},
+    }, frame)
+    a = sorted(map(tuple, tiered.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert len(a) == len(b) and a
+    for ra, rb in zip(a, b):
+        assert ra[:2] == rb[:2]
+        assert all(math.isclose(x, y, rel_tol=1e-9)
+                   for x, y in zip(ra[2:], rb[2:]))
+
+
+def test_tiered_rejects_straddling_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.query.rollup import (
+        group_aggregate_tiered,
+        rollup_from_frame,
+    )
+
+    frame = app_metrics_view(spark, SF_DIR)
+    e0 = parse_timestamp_ns("20240101T000000")
+    day = 86_400 * 10**9
+    rollup = rollup_from_frame(frame, day)
+    with pytest.raises(QueryValidationError, match="whole number of steps"):
+        group_aggregate_tiered(spark, frame, rollup, "app.click",
+                               e0, e0 + 10 * day, e0 + 29 * day,
+                               "7d", ["sum"], day)
+    with pytest.raises(QueryValidationError, match="begin < boundary"):
+        group_aggregate_tiered(spark, frame, rollup, "app.click",
+                               e0, e0, e0 + 29 * day, "7d", ["sum"], day)
+    # non-servable funcs bounce on the cold tier (can_serve)
+    with pytest.raises(QueryValidationError, match="rollup cannot serve"):
+        group_aggregate_tiered(spark, frame, rollup, "app.click",
+                               e0, e0 + 14 * day, e0 + 29 * day,
+                               "7d", ["first"], day)
+
+
+def test_rollup_from_frame_matches_stream_rollup(spark):
+    """The batch materializer must produce the SAME rollup table the
+    streaming sink maintains — they are interchangeable tiers."""
+    from akumuli_spark.query.rollup import rollup_from_frame
+
+    frame = app_metrics_view(spark, SF_DIR).filter(
+        "metric = 'app.click'").limit(5000)
+    minute = 60 * 10**9
+    batch = rollup_from_frame(frame, minute)
+    # replay through the streaming aggregation in one complete batch
+    streamed = None
+    rows = sorted(map(tuple, batch.collect()))
+    # windowed_rollup_stream needs a streaming frame; equivalence of the
+    # aggregation itself: re-derive via its window expression batch-side
+    from pyspark.sql import functions as F
+
+    with_ts = frame.withColumn(
+        "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+    streamed = (
+        with_ts.groupBy("series", F.window("ts", "1 minute").alias("w"))
+        .agg(F.count("value").alias("count"), F.sum("value").alias("sum"),
+             F.min("value").alias("min"), F.max("value").alias("max"),
+             F.min("ts_ns").alias("min_ts"))
+        .select("series", F.unix_micros(F.col("w.start")).alias("bucket_us"),
+                "count", "sum", "min", "max", "min_ts")
+    )
+    assert rows == sorted(map(tuple, streamed.collect())) and rows

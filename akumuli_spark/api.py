@@ -110,7 +110,7 @@ class Database:
             )
         ]
         if not servable:
-            return None
+            return self._try_tiered(q, funcs)
         # coarsest wins: fewest partial rows combined per output bucket
         rollup, base_step_ns = max(servable, key=lambda rs: rs[1])
         src = rollup.filter(
@@ -123,6 +123,57 @@ class Database:
         if q.filter is not None:  # HAVING on output components
             out = engine_mod._having(out, q.filter, {f: f for f in funcs})
         return engine_mod._finalize(engine_mod.Result(out, funcs, q))
+
+    def _try_tiered(self, q: Query, funcs: list[str]) -> DataFrame | None:
+        """Tiered fallback when no attached rollup covers the FULL range:
+        a rollup that is aligned for the query but complete only through
+        its high-water bound serves the cold prefix ``[begin, boundary)``
+        from partials, and the hot suffix ``[boundary, end)`` runs the
+        ordinary raw path — ``boundary`` is the last step edge at or
+        below the bound, so no bin straddles the tiers
+        (query/rollup.py::group_aggregate_tiered is the standalone
+        composition; this is its router integration).  A streaming
+        deployment therefore keeps dashboard queries partial-served even
+        while the rollup lags the raw table, instead of falling off the
+        fast path entirely the moment the range passes the watermark.
+        Global limit/offset need a total order across tiers, so those
+        queries take the direct path."""
+        import dataclasses
+
+        from akumuli_spark.query.plan import QueryRange
+
+        if q.limit is not None or q.offset:
+            return None
+        begin, end, step = q.range.begin_ns, q.range.end_ns, q.step_ns
+        candidates = []
+        for rollup, base_ns, complete_ns in self._rollups:
+            if complete_ns is None or complete_ns >= end:
+                continue  # full coverage was already tried (or none)
+            boundary = begin + ((complete_ns - begin) // step) * step
+            if not begin < boundary < end:
+                continue
+            if rollup_mod.can_serve(begin, boundary, step, base_ns, funcs):
+                candidates.append((boundary, base_ns, rollup))
+        if not candidates:
+            return None
+        # most cold coverage wins; coarsest base breaks ties
+        boundary, base_ns, rollup = max(candidates, key=lambda c: c[:2])
+        src = rollup.filter(
+            F.expr("split_part(series, ' ', 1)").isin(list(q.metrics))
+        )
+        cold = rollup_mod.group_aggregate_from_rollup(
+            src, begin, boundary, step, funcs, base_ns,
+        )
+        if q.filter is not None:  # HAVING is per-bucket: same on each tier
+            cold = engine_mod._having(cold, q.filter, {f: f for f in funcs})
+        hot = execute_query(
+            self.spark,
+            dataclasses.replace(q, range=QueryRange(boundary, end)),
+            self.metrics, self.events,
+        )
+        return engine_mod._finalize(
+            engine_mod.Result(cold.unionByName(hot), funcs, q)
+        )
 
     # -- POST /api/query ---------------------------------------------------
     def query(self, query_json: dict) -> DataFrame:

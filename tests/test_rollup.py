@@ -323,3 +323,57 @@ def test_rollup_from_frame_matches_stream_rollup(spark):
                 "count", "sum", "min", "max", "min_ts")
     )
     assert rows == sorted(map(tuple, streamed.collect())) and rows
+
+
+def test_router_tiers_past_completeness_bound(spark):
+    """A streaming-lagged rollup (complete_through mid-range) used to
+    knock the whole query off the fast path; the router now serves the
+    cold prefix from it and only the hot suffix from raw.  Proof of
+    stitching: the database is opened over raw TRUNCATED to the hot
+    span, the rollup built only from pre-boundary rows — the full-range
+    answer still equals the direct answer over the full frame."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.api import open_database
+    from akumuli_spark.query.rollup import rollup_from_frame
+
+    frame = app_metrics_view(spark, SF_DIR)
+    e0 = parse_timestamp_ns("20240101T000000")
+    day = 86_400 * 10**9
+    begin, boundary, end = e0, e0 + 14 * day, e0 + 29 * day
+    qjson = {
+        "group-aggregate": {"metric": "app.click", "step": "7d",
+                            "func": ["sum", "count"]},
+        "range": {"from": begin, "to": end},
+    }
+    direct = sorted(map(tuple, execute_query(spark, qjson, frame).collect()))
+
+    db = open_database(spark, frame.filter(F.col("ts_ns") >= boundary))
+    db.attach_rollup(
+        rollup_from_frame(frame.filter(F.col("ts_ns") < boundary), day),
+        day, complete_through_ns=boundary,
+    )
+    served = sorted(map(tuple, db.query(qjson).collect()))
+    assert len(served) == len(direct) and served
+    for ra, rb in zip(served, direct):
+        assert ra[:2] == rb[:2]
+        assert all(math.isclose(x, y, rel_tol=1e-9)
+                   for x, y in zip(ra[2:], rb[2:]))
+
+    # a range fully past the bound keeps falling through to raw — the
+    # truncated frame answers it alone
+    hot_only = {
+        "group-aggregate": {"metric": "app.click", "step": "7d",
+                            "func": ["sum", "count"]},
+        "range": {"from": boundary, "to": end},
+    }
+    a = sorted(map(tuple, db.query(hot_only).collect()))
+    b = sorted(map(tuple, execute_query(spark, hot_only, frame).collect()))
+    assert a == b
+
+    # limit queries need a global order across tiers: direct path only
+    limited = dict(qjson, limit=3)
+    got = db.query(limited).collect()
+    assert len(got) == 3  # served (from truncated raw = hot span only)

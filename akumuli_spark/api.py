@@ -212,3 +212,85 @@ class Database:
 def open_database(spark: SparkSession, metrics: DataFrame,
                   events: DataFrame | None = None) -> Database:
     return Database(spark, metrics, events)
+
+
+class ZorderDatabase(Database):
+    """A database whose metrics live in a Z-ordered store
+    (:mod:`akumuli_spark.sources.zorder`): every query prunes FILES via
+    the store's manifest before the engine plan runs — metric + scan
+    interval directly, and a ``where`` clause by first resolving its tag
+    predicate to concrete series names against the series dimension (a
+    dictionary-sized collect, the same cardinality search/suggest
+    already materialize).  The engine then applies its exact predicates
+    on the pruned scan, so results are identical to the plain database —
+    pinned by tests and by the ``zorder_database_*`` oracle entries.
+
+    This is the reference's two-level descent re-created at lake scale:
+    the inverted index resolves series ids, the per-series trees bound
+    the leaf range (seriesparser.h:74-140 + nbtree.h); here the dim
+    resolves series names and the manifest rectangles bound the files.
+    Events queries and the metadata endpoints are unaffected (the store
+    holds metrics only)."""
+
+    #: pruning evidence of the LAST query routed through the store —
+    #: {"files_total": N, "files_selected": M} summed over its metrics
+    last_prune_stats: dict | None = None
+
+    def __init__(self, spark: SparkSession, zorder_path: str,
+                 events: DataFrame | None = None):
+        from akumuli_spark.sources.zorder import zorder_select
+
+        self._zpath = zorder_path
+        super().__init__(spark, zorder_select(spark, zorder_path), events)
+
+    def _pruned_frame(self, q: Query) -> DataFrame | None:
+        from akumuli_spark.sources.zorder import zorder_select
+
+        if q.kind is QueryKind.SELECT_EVENTS:
+            return None  # events are not in the z-store
+        series = None
+        if q.where is not None:
+            pred = engine_mod.where_predicate(q.where, F.col("tags"))
+            series = [
+                r.series
+                for r in self.series.filter(
+                    F.col("metric").isin(list(q.metrics))
+                ).filter(pred).select("series").collect()
+            ]
+        # one manifest-pruned select per metric (metric prunes partition
+        # dirs at the manifest level too); lo/hi normalize the backward
+        # orientation to the scanned interval — the engine re-applies
+        # its own exact range predicate on top
+        agg: dict = {"files_total": 0, "files_selected": 0}
+        frames = []
+        for m in q.metrics:
+            st: dict = {}
+            frames.append(zorder_select(
+                self.spark, self._zpath, metric=m,
+                series=series, ts_from=q.range.lo_ns, ts_to=q.range.hi_ns,
+                stats=st,
+            ))
+            # every per-metric call sees the same whole-store manifest;
+            # selected files are disjoint across metrics, so they sum
+            agg["files_total"] = st["files_total"]
+            agg["files_selected"] += st["files_selected"]
+        self.last_prune_stats = agg
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def query(self, query_json: dict) -> DataFrame:
+        q = parse_query(query_json) if isinstance(query_json, dict) else query_json
+        fast = self._try_rollup(q)
+        if fast is not None:
+            return fast
+        frame = self._pruned_frame(q)
+        if frame is None:
+            return execute_query(self.spark, q, self.metrics, self.events)
+        return execute_query(self.spark, q, frame, self.events)
+
+
+def open_zorder_database(spark: SparkSession, zorder_path: str,
+                         events: DataFrame | None = None) -> ZorderDatabase:
+    return ZorderDatabase(spark, zorder_path, events)

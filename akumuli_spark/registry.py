@@ -4495,3 +4495,30 @@ REGISTRY["group_aggregate_tiered"] = (
         ["series", "ts_ns"],
     ),
 )
+
+
+# ZorderDatabase end-to-end: the where clause resolves to series names
+# against the dim and prunes FILES via the manifest before the engine
+# runs — oracle is the plain tag-predicate select on the raw view.
+def _zorder_db_select_where(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.api import open_zorder_database
+
+    zdb = open_zorder_database(spark, _zorder_path(spark, sf))
+    return zdb.query({
+        "select": "lineitem.price",
+        "range": {"from": T96, "to": T96 + 90 * 86_400 * NS},
+        "where": {"returnflag": "N", "linestatus": "O"},
+    })
+
+
+_register_pipeline(
+    "zorder_database_select_where",
+    _zorder_db_select_where,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.price'
+      AND ts_ns >= {T96} AND ts_ns < {T96 + 90 * 86_400 * NS}
+      AND tag_returnflag = 'N' AND tag_linestatus = 'O'""",
+    ["value"],
+    ["series", "ts_ns"],
+)

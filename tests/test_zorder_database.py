@@ -1,0 +1,100 @@
+"""ZorderDatabase: every engine query kind answered from the z-store
+must equal the plain database over the same rows, with manifest file
+skipping observable per query — including the where-clause path, where
+the tag predicate is resolved to series names and prunes FILES."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from akumuli_spark.api import open_database, open_zorder_database
+from akumuli_spark.query.plan import parse_timestamp_ns
+from akumuli_spark.sources.testdata import app_metrics_view
+from akumuli_spark.sources.zorder import zorder_metrics_table
+from tests.conftest import SF_DIR
+
+NS = 10**9
+DAY = 86_400 * NS
+E0 = parse_timestamp_ns("20240101T000000")
+E1 = parse_timestamp_ns("20240201T000000")
+
+
+@pytest.fixture(scope="module")
+def dbs(spark, tmp_path_factory):
+    frame = app_metrics_view(spark, SF_DIR)
+    path = str(tmp_path_factory.mktemp("zdb") / "metrics")
+    zorder_metrics_table(spark, frame, path, bucket_ns=7 * DAY,
+                         files_per_partition=4)
+    return open_zorder_database(spark, path), open_database(spark, frame)
+
+
+def _match(a_df, b_df):
+    a = sorted(map(tuple, a_df.collect()))
+    b = sorted(map(tuple, b_df.collect()))
+    if len(a) != len(b) or not a:
+        return False
+    for ra, rb in zip(a, b):
+        for x, y in zip(ra, rb):
+            if isinstance(x, float):
+                if not math.isclose(x, y, rel_tol=1e-9):
+                    return False
+            elif x != y:
+                return False
+    return True
+
+
+QUERIES = [
+    ("select_fwd", {"select": "app.click",
+                    "range": {"from": E0, "to": E0 + 10 * DAY}}),
+    ("select_bwd", {"select": "app.click",
+                    "range": {"from": E0 + 10 * DAY, "to": E0}}),
+    ("group_aggregate", {
+        "group-aggregate": {"metric": "app.view", "step": "1d",
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E1}}),
+    ("join", {"join": ["app.click", "app.view"],
+              "range": {"from": E0, "to": E0 + 7 * DAY}}),
+    ("aggregate_no_range", {"aggregate": {"app.error": "count"}}),
+    ("apply_rate", {"select": "app.click",
+                    "range": {"from": E0, "to": E0 + 10 * DAY},
+                    "apply": [{"name": "rate"}]}),
+]
+
+
+@pytest.mark.parametrize("name,qjson", QUERIES, ids=[q[0] for q in QUERIES])
+def test_query_kinds_match_plain_database(dbs, name, qjson):
+    zdb, db = dbs
+    assert _match(zdb.query(qjson), db.query(qjson))
+
+
+def test_where_clause_resolves_series_and_prunes_files(dbs):
+    zdb, db = dbs
+    qjson = {
+        "select": "app.click",
+        "range": {"from": E0, "to": E0 + 10 * DAY},
+        "where": {"user": "3"},
+    }
+    assert _match(zdb.query(qjson), db.query(qjson))
+    st = zdb.last_prune_stats
+    assert st and 0 < st["files_selected"] < st["files_total"]
+
+
+def test_narrow_range_prunes_files(dbs):
+    zdb, db = dbs
+    qjson = {"select": "app.view",
+             "range": {"from": E0 + 14 * DAY, "to": E0 + 15 * DAY}}
+    assert _match(zdb.query(qjson), db.query(qjson))
+    st = zdb.last_prune_stats
+    assert st and 0 < st["files_selected"] < st["files_total"]
+
+
+def test_metadata_endpoints_unchanged(dbs):
+    zdb, db = dbs
+    a = sorted(r.name for r in zdb.suggest(
+        {"select": "metric-names"}).collect())
+    b = sorted(r.name for r in db.suggest(
+        {"select": "metric-names"}).collect())
+    assert a == b and a

@@ -219,7 +219,7 @@ def _read_zmeta(spark: SparkSession, path: str) -> dict | None:
 
 
 def zorder_append(spark: SparkSession, metrics: DataFrame,
-                  path: str) -> None:
+                  path: str, epoch: int | None = None) -> None:
     """Grow the store by one clustered batch with SNAPSHOT isolation.
 
     The batch is clustered under the STORED layout contract (bucket_ns,
@@ -236,11 +236,18 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
 
     Retry contract: a crash BEFORE step 2 leaves invisible orphan files
     (reclaim with :func:`vacuum_zorder`); the caller may simply re-run
-    the append.  Not idempotent under at-least-once replay of the SAME
-    batch — pair with a checkpointed caller, as the layout append does.
-    Appended files cover their batch's (series, time) rectangles only;
-    re-cluster with :func:`zorder_metrics_table` when accumulated
-    appends erode pruning (the OPTIMIZE cadence)."""
+    the append.  Pass a unique ``epoch`` (≥ 1) to make the replay
+    EXACTLY-ONCE: an epoch already present in the manifest is a
+    committed append, and the re-run is a no-op — the repo's epoch
+    protocol, realized here through the manifest rather than partition
+    overwrite (data files are immutable; the manifest is the ledger).
+    This is what the streaming sink passes
+    (:func:`akumuli_spark.streaming.zorder.start_streaming_zorder_ingest`).
+    Without an epoch, at-least-once replay duplicates rows — pair with
+    a checkpointed caller.  Appended files cover their batch's
+    (series, time) rectangles only; re-cluster with
+    :func:`zorder_metrics_table` when accumulated appends erode pruning
+    (the OPTIMIZE cadence)."""
     import uuid
 
     meta = _read_zmeta(spark, path)
@@ -249,11 +256,22 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
             f"no z-store layout contract at {path}: build with "
             "zorder_metrics_table first (pre-meta stores must be rebuilt)"
         )
+    if epoch is not None:
+        if epoch < 1:
+            raise ValueError("epoch 0 is reserved for build/re-cluster")
+        mpath = os.path.join(path, MANIFEST_DIR)
+        recover_compaction(mpath)
+        committed = (
+            spark.read.parquet(mpath)
+            .filter(F.col("epoch") == int(epoch)).limit(1).count()
+        )
+        if committed:  # replayed batch: the publish already landed
+            return
     tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
     try:
         _write_clustered(metrics, tmp, meta["bucket_ns"],
                          meta["files_per_partition"], meta["bits"])
-        _write_manifest(spark, tmp)
+        _write_manifest(spark, tmp, epoch=epoch)
         new_rows = spark.read.parquet(os.path.join(tmp, MANIFEST_DIR))
         # materialize driver-side BEFORE the files move out from under
         # the lazy plan — manifest-sized (one row per new file)
@@ -309,16 +327,21 @@ def vacuum_zorder(spark: SparkSession, path: str) -> int:
     return removed
 
 
-def _write_manifest(spark: SparkSession, table_dir: str) -> None:
+def _write_manifest(spark: SparkSession, table_dir: str,
+                    epoch: int | None = 0) -> None:
     """One manifest row per data file: relative path, partition values,
-    and min/max of the NATURAL prune columns (series, ts_ns) + rows.
-    Costs one stats-only scan of the freshly written table — the same
+    min/max of the NATURAL prune columns (series, ts_ns), rows, and the
+    writing ``epoch`` (0 = build/re-cluster, ≥ 1 = streamed appends,
+    NULL = unkeyed manual appends) — the replay-dedup key
+    :func:`zorder_append` checks for exactly-once growth.  Costs one
+    stats-only scan of the freshly written table — the same
     collect-statistics pass ``OPTIMIZE`` runs."""
     from akumuli_spark.sources.layout import read_table_or_none
 
     manifest_schema = (
         "file string, metric string, ts_bucket long, series_min string, "
-        "series_max string, ts_min long, ts_max long, rows long"
+        "series_max string, ts_min long, ts_max long, rows long, "
+        "epoch long"
     )
     df = read_table_or_none(spark, table_dir)
     probe = (
@@ -347,6 +370,7 @@ def _write_manifest(spark: SparkSession, table_dir: str) -> None:
             F.max("ts_ns").alias("ts_max"),
             F.count(F.lit(1)).alias("rows"),
         )
+        .withColumn("epoch", F.lit(epoch).cast("long"))
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(table_dir, MANIFEST_DIR)

@@ -222,3 +222,27 @@ def test_append_without_contract_refused(spark, tmp_path):
     df, _ = _frame(spark)
     with pytest.raises(ValueError, match="layout contract"):
         zorder_append(spark, df, str(tmp_path / "never-built"))
+
+
+def test_epoch_keyed_append_replay_is_noop(spark, tmp_path):
+    """Exactly-once through the manifest ledger: re-running an append
+    whose epoch is already committed changes nothing — neither rows
+    nor the file set."""
+    import glob
+
+    from akumuli_spark.sources.zorder import zorder_append
+
+    df, rows = _frame(spark)
+    a = df.filter(F.col("ts_ns") < 2 * DAY)
+    b = df.filter(F.col("ts_ns") >= 2 * DAY)
+    path = str(tmp_path / "eonce")
+    zorder_metrics_table(spark, a, path, bucket_ns=DAY, files_per_partition=4)
+    zorder_append(spark, b, path, epoch=1)
+    n = zorder_select(spark, path).count()
+    files = sorted(glob.glob(os.path.join(path, "metric=*", "*", "*.parquet")))
+    zorder_append(spark, b, path, epoch=1)  # the replay
+    assert zorder_select(spark, path).count() == n == len(rows)
+    assert sorted(glob.glob(
+        os.path.join(path, "metric=*", "*", "*.parquet"))) == files
+    with pytest.raises(ValueError, match="reserved"):
+        zorder_append(spark, b, path, epoch=0)

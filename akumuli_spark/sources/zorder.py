@@ -304,6 +304,51 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
+                     now_ns: int) -> int:
+    """Volume-recycling analogue for the z-store, manifest-first so it
+    is crash-safe at every step: expired ``ts_bucket`` partitions
+    (bucket < (now − keep) div bucket_ns, same cutoff rule as
+    ``layout.enforce_retention``) are first REMOVED FROM THE MANIFEST —
+    one two-rename publish, after which their files are invisible
+    orphans — and only then deleted as whole directories, zero data
+    scan.  A crash between the two steps just leaves orphans for
+    :func:`vacuum_zorder`.  Returns the number of dropped partition
+    dirs."""
+    import glob
+    import uuid
+
+    meta = _read_zmeta(spark, path)
+    if meta is None:
+        raise ValueError(f"no z-store layout contract at {path}")
+    cutoff = (now_ns - keep_ns) // meta["bucket_ns"]
+
+    mpath = os.path.join(path, MANIFEST_DIR)
+    recover_compaction(mpath)
+    kept = spark.read.parquet(mpath).filter(F.col("ts_bucket") >= cutoff)
+    mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
+    shutil.rmtree(mtmp, ignore_errors=True)
+    kept.coalesce(1).write.mode("overwrite").parquet(mtmp)
+    shutil.rmtree(mold, ignore_errors=True)
+    os.rename(mpath, mold)
+    os.rename(mtmp, mpath)
+    shutil.rmtree(mold, ignore_errors=True)
+
+    trash = f"{path}.trash"
+    os.makedirs(trash, exist_ok=True)
+    dropped = 0
+    for bdir in glob.glob(os.path.join(path, "metric=*", "ts_bucket=*")):
+        try:
+            bucket = int(os.path.basename(bdir).split("=", 1)[1])
+        except ValueError:  # pragma: no cover - foreign dirs left alone
+            continue
+        if bucket < cutoff:
+            os.rename(bdir, os.path.join(trash, uuid.uuid4().hex))
+            dropped += 1
+    shutil.rmtree(trash, ignore_errors=True)
+    return dropped
+
+
 def vacuum_zorder(spark: SparkSession, path: str) -> int:
     """Delete data files the manifest does not list — orphans from an
     append that crashed before its manifest publish.  They were never

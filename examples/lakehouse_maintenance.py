@@ -81,6 +81,35 @@ def main() -> None:
         }, frame)
         print(f"engine group-aggregate over pruned frame: {ga.count()} rows")
 
+        # the database facade: where-clause -> series -> pruned files,
+        # automatically for every query
+        from akumuli_spark.api import open_zorder_database
+
+        zdb = open_zorder_database(spark, zpath)
+        where_q = zdb.query({
+            "select": "lineitem.price",
+            "range": {"from": T96, "to": T96 + 90 * DAY},
+            "where": {"returnflag": "N", "linestatus": "O"},
+        })
+        pst = zdb.last_prune_stats
+        print(f"zdb where-select: {where_q.count()} rows, scanned "
+              f"{pst['files_selected']}/{pst['files_total']} files")
+
+        # grow by one snapshot append, then expire the oldest year
+        from akumuli_spark.sources.zorder import (
+            zorder_append,
+            zorder_retention,
+        )
+
+        late = metrics_view(spark, SF_DIR).filter(
+            F.col("metric") == "lineitem.disc").limit(1000)
+        zorder_append(spark, late, zpath, epoch=1)
+        yr = 365 * DAY
+        t98 = parse_timestamp_ns("19981231T000000")
+        dropped = zorder_retention(spark, zpath, keep_ns=2 * yr, now_ns=t98)
+        print(f"append published atomically; retention dropped {dropped} "
+              f"partition dirs (zero scan)")
+
         # -- sketch rollups: batch bootstrap + streamed growth -----------
         store = os.path.join(work, "rollups")
         ev = load_table(spark, SF_DIR, "events")

@@ -246,3 +246,25 @@ def test_epoch_keyed_append_replay_is_noop(spark, tmp_path):
         os.path.join(path, "metric=*", "*", "*.parquet"))) == files
     with pytest.raises(ValueError, match="reserved"):
         zorder_append(spark, b, path, epoch=0)
+
+
+def test_retention_is_manifest_first_and_zero_scan(spark, tmp_path):
+    """Expired buckets leave the manifest first (atomic publish), then
+    their dirs drop; in-window serving is untouched and the cutoff
+    bucket itself survives."""
+    from akumuli_spark.sources.zorder import zorder_retention
+
+    df, rows = _frame(spark)  # 4 days of data
+    path = str(tmp_path / "ret")
+    zorder_metrics_table(spark, df, path, bucket_ns=DAY, files_per_partition=4)
+    dropped = zorder_retention(spark, path, keep_ns=2 * DAY,
+                               now_ns=4 * DAY)
+    assert dropped == 2  # days 0 and 1 expired; day 2 is the cutoff
+    got = sorted((r.series, r.ts_ns) for r in zorder_select(
+        spark, path).collect())
+    exp = sorted((s, t) for (s, m, t, v) in rows if t >= 2 * DAY)
+    assert got == exp and got
+    # the store still prunes and still appends after retention
+    st: dict = {}
+    zorder_select(spark, path, series="m.cpu host=01", stats=st)
+    assert 0 < st["files_selected"] < st["files_total"]

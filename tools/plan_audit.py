@@ -204,6 +204,42 @@ def main() -> None:
     failures += n_zfail
     shutil.rmtree(zpath, ignore_errors=True)
 
+    # sketch rollup serving: the covered ts_bucket range must reach the
+    # partial scans as PARTITION pruning (never a post-scan filter)
+    from akumuli_spark.sources.sketch_store import (
+        build_sketch_store,
+        distinct_over_range,
+        quantiles_over_range,
+    )
+    from akumuli_spark.sources.testdata import load_table, ts_ns_expr
+
+    e0 = 1_704_067_200 * 10**9  # 2024-01-01, the events epoch
+    day = 86_400 * 10**9
+    spath = os.path.join(tempfile.gettempdir(), "akumuli_audit_sketch")
+    shutil.rmtree(spath, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    build_sketch_store(
+        ev.withColumn("ts_ns", ts_ns_expr(ev, "ts")), spath,
+        group_col="event_type", distinct_col="user_id", value_col="value",
+    )
+    n_sfail = 0
+    for label, df in (
+        ("sketch_distinct_serve",
+         distinct_over_range(spark, spath, e0 + 7 * day, e0 + 21 * day)),
+        ("sketch_quantiles_serve",
+         quantiles_over_range(spark, spath, e0 + 7 * day, e0 + 21 * day,
+                              [0.5, 0.99])),
+    ):
+        plan = plan_of(df)
+        seg = plan.split("PartitionFilters", 1)
+        ok = len(seg) > 1 and "ts_bucket" in seg[1][:300]
+        print(f"{'OK  ' if ok else 'FAIL'} {label}: "
+              f"ts_bucket partition pruning "
+              f"{'present' if ok else 'MISSING'}")
+        n_sfail += 0 if ok else 1
+    failures += n_sfail
+    shutil.rmtree(spath, ignore_errors=True)
+
     # BM25 serving: static term-bucket pruning must reach BOTH scans —
     # postings AND dfreq (VERDICT r9 Next #2) — on the literal-list path
     # and on the DataFrame-query path (bounded distinct-bucket collect)
@@ -220,7 +256,7 @@ def main() -> None:
         n_bm25_fail += 0 if ok else 1
     failures += n_bm25_fail
 
-    print(f"\n{len(audited) + 5 - failures} ok, {failures} failing")
+    print(f"\n{len(audited) + 7 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

@@ -1222,6 +1222,17 @@ def zorder_smoke(spark, n_rows: int, files_per_partition: int = 8) -> dict:
         exp = frame.filter(F.col("series") == "cpu.user host=42").count()
         assert n == exp, (n, exp)
 
+        # snapshot append of a 1M-row batch: cluster + move + one
+        # manifest publish — O(batch), never O(store)
+        from akumuli_spark.sources.zorder import zorder_append
+
+        batch = synthetic_metrics(spark, 1_000_000).withColumn(
+            "ts_ns", F.col("ts_ns") + F.lit(n_rows * 10_000_000)
+        )
+        t = time.time()
+        zorder_append(spark, batch, path, epoch=1)
+        out["append_1m_s"] = round(time.time() - t, 2)
+
         span_ns = n_rows * 10_000_000  # 10ms cadence
         lo = T0 + span_ns // 2
         hi = lo + max(span_ns // 50, 60 * NS)  # ~2% of the span

@@ -198,3 +198,56 @@ def test_retention_drops_whole_buckets(spark, tmp_path):
         "user_id", ("event_type",),
     ).withColumnRenamed("event_type", "group")
     assert _rows(served) == _rows(direct)
+
+
+def test_mid_append_serve_is_per_table_snapshot(spark, tmp_path, monkeypatch):
+    """The append writes hll then hist; a crash between them must leave
+    each serve path an individually valid snapshot — distincts already
+    post-batch (hll landed), quantiles still pre-batch (hist did not) —
+    and the RETRIED epoch converges both (its hll partition overwrite
+    is bit-identical, its hist write completes)."""
+    import akumuli_spark.sources.sketch_store as S
+
+    path = str(tmp_path / "mid")
+    base = _events(spark, range(3))
+    batch = _events(spark, [3, 4], seed_shift=13)
+    build_sketch_store(base, path, "event_type", "user_id", "value")
+
+    pre_q = _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS))
+
+    real = S.log_histogram
+
+    def poisoned(df, col, groups, k):
+        # evaluation (at hist write time) raises on the first row — the
+        # crash window AFTER the hll table committed.  The raise is
+        # data-dependent (cnt < 0 is never true but not statically
+        # known), so Catalyst cannot constant-fold it away.
+        hist = real(df, col, groups, k)
+        return hist.withColumn(
+            "cnt",
+            F.when(F.col("cnt") < 0, F.col("cnt")).otherwise(
+                F.expr("cast(raise_error('mid-append crash') as bigint)")
+            ),
+        )
+
+    monkeypatch.setattr(S, "log_histogram", poisoned)
+    with pytest.raises(Exception):
+        append_sketch_store(batch, path, epoch=1)
+    monkeypatch.undo()
+
+    union = base.unionByName(batch)
+    want_d = _rows(
+        approx_distinct(union, "user_id", ("event_type",))
+        .withColumnRenamed("event_type", "group"))
+    # distincts: post-batch (hll landed before the crash)
+    assert _rows(distinct_over_range(spark, path, 0, 5 * DAY)) == want_d
+    # quantiles: pre-batch (hist never landed) — a valid snapshot,
+    # never a torn mix
+    assert _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS)) == pre_q
+
+    append_sketch_store(batch, path, epoch=1)  # the retry converges
+    want_q = _rows(
+        approx_quantiles(union, "value", QS, ("event_type",))
+        .withColumnRenamed("event_type", "group"))
+    assert _rows(distinct_over_range(spark, path, 0, 5 * DAY)) == want_d
+    assert _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS)) == want_q

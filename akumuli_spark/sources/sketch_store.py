@@ -71,6 +71,14 @@ from akumuli_spark.sources.layout import (
 
 SKETCH_LAYOUT_VERSION = 1
 
+#: names the partial tables use internally — a fact column shadowing one
+#: would silently corrupt the grouped sketch computation, so the build
+#: refuses them up front ("group" is exempt: the group column is renamed
+#: to it anyway)
+_RESERVED_COLS = frozenset(
+    {"bucket", "register", "bin", "cnt", "epoch", "ts_bucket", "__tsb"}
+)
+
 
 def _bucket(ts_col: str, bucket_ns: int):
     return F.expr(f"{ts_col} div {int(bucket_ns)}L")
@@ -123,6 +131,12 @@ def build_sketch_store(df: DataFrame, path: str, group_col: str,
     Re-running is a full rebuild (mode overwrite).
     """
     spark = df.sparkSession
+    clash = {group_col, distinct_col, value_col, ts_col} & _RESERVED_COLS
+    if clash:
+        raise ValueError(
+            f"column name(s) {sorted(clash)} collide with the sketch "
+            "tables' internal columns — rename before building"
+        )
     base = df.withColumn("__tsb", _bucket(ts_col, bucket_ns)).withColumnRenamed(
         group_col, "group"
     )

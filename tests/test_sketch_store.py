@@ -251,3 +251,12 @@ def test_mid_append_serve_is_per_table_snapshot(spark, tmp_path, monkeypatch):
         .withColumnRenamed("event_type", "group"))
     assert _rows(distinct_over_range(spark, path, 0, 5 * DAY)) == want_d
     assert _rows(quantiles_over_range(spark, path, 0, 5 * DAY, QS)) == want_q
+
+
+def test_reserved_column_names_refused(spark, tmp_path):
+    """A fact column named like a sketch-internal column would silently
+    shadow it inside the grouped partial computation — refuse at build."""
+    df = _events(spark, [0]).withColumnRenamed("user_id", "bucket")
+    with pytest.raises(ValueError, match="collide"):
+        build_sketch_store(df, str(tmp_path / "x"),
+                           "event_type", "bucket", "value")

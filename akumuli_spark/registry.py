@@ -4522,3 +4522,49 @@ _register_pipeline(
     ["value"],
     ["series", "ts_ns"],
 )
+
+
+def _sketch_quantiles_appended(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile twin of the appended-distinct entry: the histogram fold
+    across the build epoch and the appended epoch is the sum the
+    exactly-once protocol protects — a double-counted replay or a lost
+    epoch shifts the cumulative walk and flips bins."""
+    from akumuli_spark.sources.sketch_store import quantiles_over_range
+
+    return quantiles_over_range(
+        spark, _sketch_grown_path(spark, sf), _SK_LO, _SK_HI, _SK_QS
+    ).withColumnRenamed("group", "event_type")
+
+
+_register_pipeline(
+    "sketch_store_quantiles_appended",
+    _sketch_quantiles_appended,
+    _sketch_quantiles_oracle(),
+    ["est", "q"],
+    ["event_type"],
+)
+
+
+def _zorder_append_time_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Time slice served from the grown store: the slice lies entirely
+    in the APPENDED region, so the answer comes purely from append-
+    published files and their manifest rows."""
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_grown_path(spark, sf), metric="lineitem.qty",
+        ts_from=_Z_SLICE_LO, ts_to=_Z_SLICE_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+_register_pipeline(
+    "zorder_append_time_slice",
+    _zorder_append_time_slice,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.qty'
+      AND ts_ns >= {_Z_SLICE_LO} AND ts_ns < {_Z_SLICE_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)

@@ -4568,3 +4568,45 @@ _register_pipeline(
     ["value"],
     ["series", "ts_ns"],
 )
+
+
+# Corpus z-order (sources/zorder.py zorder_corpus_table): the canonical
+# curation gate — language slice ∧ length band — served with manifest
+# file skipping; oracle is the plain predicate on the raw table.
+_ZCORPUS_CACHE: dict[str, str] = {}
+
+
+def _zcorpus_path(spark: SparkSession, sf: str) -> str:
+    if sf not in _ZCORPUS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import zorder_corpus_table
+
+        path = tempfile.mkdtemp(prefix="akumuli_zcorpus_") + "/docs"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        zorder_corpus_table(
+            spark, load_table(spark, sf, "documents"), path, files_total=16
+        )
+        _ZCORPUS_CACHE[sf] = path
+    return _ZCORPUS_CACHE[sf]
+
+
+def _zorder_corpus_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_corpus_select
+
+    return zorder_corpus_select(
+        spark, _zcorpus_path(spark, sf), cat=["en", "fr"],
+        num_lo=120, num_hi=220,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_register_pipeline(
+    "zorder_corpus_gate",
+    _zorder_corpus_gate,
+    """SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE lang IN ('en', 'fr') AND n_chars >= 120 AND n_chars < 220""",
+    [],
+    ["doc_id", "lang", "source", "n_chars"],
+)

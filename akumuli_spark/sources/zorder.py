@@ -495,3 +495,165 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
         F.expr("str_to_map(substring(series, instr(series, ' ') + 1), ' ', '=')"),
     ).otherwise(F.expr("map()"))
     return df.select("series", "metric", tags.alias("tags"), "ts_ns", "value")
+
+
+# ---------------------------------------------------------------------------
+# Corpus variant: the same clustering + manifest machinery for the
+# DOCUMENTS table — curation scans filter by language and length band,
+# two dimensions a single sort cannot serve
+# ---------------------------------------------------------------------------
+
+CORPUS_MANIFEST_DIR = "_zmanifest"
+
+
+def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
+                        cat_col: str = "lang", num_col: str = "n_chars",
+                        files_total: int = 32, bits: int = ZBITS) -> None:
+    """Cluster a document corpus along (categorical, numeric) — by
+    default (lang, n_chars) — and publish a per-file min/max manifest,
+    so the canonical curation scan shapes both skip files:
+
+    * ``lang = 'en'`` (a language slice for a monolingual pipeline);
+    * ``n_chars ∈ [lo, hi)`` (a length band for packing/quality gates);
+    * their conjunction, the usual gate.
+
+    The categorical dimension bins by rank over its (small) distinct
+    dim; the numeric by min-max scaling (one agg — n_chars-style
+    distributions are bounded; substitute quantile bins for heavy
+    tails).  Files are z-range partitions of the interleaved key, flat
+    (no partition dirs — language cardinality is too low and too skewed
+    for directory partitioning at corpus scale; the manifest carries
+    the pruning instead).  Publish is the same atomic two-rename swap
+    as the metrics store."""
+    dim = docs.select(cat_col).distinct()
+    n_cat = max(1, dim.count())
+    from pyspark.sql import Window
+
+    cap = 1 << bits
+    w = Window.orderBy(cat_col)
+    cat_bins = dim.select(
+        cat_col,
+        ((F.row_number().over(w) - 1).cast("long") * cap).alias("__s"),
+    ).select(cat_col, F.expr(f"__s div {n_cat}L").alias("__cbin"))
+
+    bounds = docs.agg(
+        F.min(num_col).alias("lo"), F.max(num_col).alias("hi")).first()
+    lo = 0 if bounds.lo is None else int(bounds.lo)
+    span = max(1, (0 if bounds.hi is None else int(bounds.hi)) - lo + 1)
+    binned = (
+        docs.join(F.broadcast(cat_bins), cat_col)
+        .withColumn(
+            "__nbin",
+            F.expr(f"(({num_col} - {lo}L) * {cap}L) div {span}L"),
+        )
+        .withColumn("__z", interleave_bits("__cbin", "__nbin", bits))
+    )
+    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        binned.repartitionByRange(max(1, files_total), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__cbin", "__nbin", "__z")
+        .write.mode("overwrite").parquet(tmp)
+    )
+    _write_corpus_manifest(spark, tmp, cat_col, num_col)
+
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        try:
+            os.rename(path, old)
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(path) or os.path.exists(
+                os.path.join(tmp, "_SUCCESS")
+            ):
+                raise
+        shutil.rmtree(old, ignore_errors=True)
+    else:
+        os.rename(tmp, path)
+
+
+def _write_corpus_manifest(spark: SparkSession, table_dir: str,
+                           cat_col: str, num_col: str) -> None:
+    from akumuli_spark.sources.layout import read_table_or_none
+
+    schema = (
+        f"file string, cat_min string, cat_max string, "
+        f"num_min long, num_max long, rows long"
+    )
+    df = read_table_or_none(spark, table_dir)
+    probe = (
+        None if df is None
+        else df.select(F.input_file_name().alias("f")).first()
+    )
+    if probe is None:
+        spark.createDataFrame([], schema).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(table_dir, CORPUS_MANIFEST_DIR))
+        return
+    abs_dir = os.path.abspath(table_dir)
+    cut = probe.f.index(abs_dir) + len(abs_dir) + 1
+    (
+        df.withColumn(
+            "file", F.expr(f"substring(input_file_name(), {cut + 1})")
+        )
+        .groupBy("file")
+        .agg(
+            F.min(cat_col).cast("string").alias("cat_min"),
+            F.max(cat_col).cast("string").alias("cat_max"),
+            F.min(num_col).cast("long").alias("num_min"),
+            F.max(num_col).cast("long").alias("num_max"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(table_dir, CORPUS_MANIFEST_DIR))
+    )
+
+
+def zorder_corpus_select(spark: SparkSession, path: str,
+                         cat: str | list[str] | None = None,
+                         num_lo: int | None = None,
+                         num_hi: int | None = None,
+                         cat_col: str = "lang", num_col: str = "n_chars",
+                         stats: dict | None = None) -> DataFrame:
+    """Manifest-pruned corpus read: categorical equality (or list) and
+    semi-open numeric band ``[num_lo, num_hi)``, residually re-applied
+    exactly.  Absent store answers None-shaped empty only through the
+    caller's schema — here it raises (a curation pipeline should not
+    silently produce zero docs from a typo'd path; the metrics store's
+    empty tolerance serves a different contract: queries over a
+    database that legitimately starts empty)."""
+    recover_compaction(path)
+    mpath = os.path.join(path, CORPUS_MANIFEST_DIR)
+    recover_compaction(mpath)
+    man = spark.read.parquet(mpath)
+
+    cond = F.lit(True)
+    if cat is not None:
+        wanted = [cat] if isinstance(cat, str) else list(cat)
+        hit = F.lit(False)
+        for c in wanted:
+            hit = hit | ((F.col("cat_min") <= c) & (F.lit(c) <= F.col("cat_max")))
+        cond = cond & hit
+    if num_lo is not None:
+        cond = cond & (F.col("num_max") >= num_lo)
+    if num_hi is not None:
+        cond = cond & (F.col("num_min") < num_hi)
+
+    total = man.count()
+    files = [r.file for r in man.filter(cond).select("file").collect()]
+    if stats is not None:
+        stats.update(files_total=total, files_selected=len(files))
+    if not files:
+        # schema from one unpruned file set is unavailable; the store
+        # always has ≥ 1 manifest row unless built empty — read the
+        # table root for schema, filter to nothing
+        return spark.read.parquet(path).limit(0)
+    df = spark.read.parquet(*[posixpath.join(path, f) for f in files])
+    if cat is not None:
+        wanted = [cat] if isinstance(cat, str) else list(cat)
+        df = df.filter(F.col(cat_col).isin(wanted))
+    if num_lo is not None:
+        df = df.filter(F.col(num_col) >= num_lo)
+    if num_hi is not None:
+        df = df.filter(F.col(num_col) < num_hi)
+    return df

@@ -268,3 +268,61 @@ def test_retention_is_manifest_first_and_zero_scan(spark, tmp_path):
     st: dict = {}
     zorder_select(spark, path, series="m.cpu host=01", stats=st)
     assert 0 < st["files_selected"] < st["files_total"]
+
+
+# ---------------------------------------------------------------------------
+# Corpus variant: (lang, n_chars) clustering for curation scans
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def corpus_store(spark, tmp_path_factory):
+    from akumuli_spark.sources.testdata import load_table
+    from akumuli_spark.sources.zorder import zorder_corpus_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path_factory.mktemp("zcorpus") / "docs")
+    zorder_corpus_table(spark, docs, path, files_total=16)
+    return path, docs
+
+
+def test_corpus_lang_slice_matches_and_prunes(spark, corpus_store):
+    from akumuli_spark.sources.zorder import zorder_corpus_select
+
+    path, docs = corpus_store
+    st: dict = {}
+    out = zorder_corpus_select(spark, path, cat="en", stats=st)
+    got = sorted(r.doc_id for r in out.collect())
+    exp = sorted(r.doc_id for r in docs.filter("lang = 'en'").collect())
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]
+
+
+def test_corpus_length_band_matches_and_prunes(spark, corpus_store):
+    from akumuli_spark.sources.zorder import zorder_corpus_select
+
+    path, docs = corpus_store
+    st: dict = {}
+    out = zorder_corpus_select(spark, path, num_lo=100, num_hi=160,
+                               stats=st)
+    got = sorted(r.doc_id for r in out.collect())
+    exp = sorted(r.doc_id for r in docs.filter(
+        "n_chars >= 100 AND n_chars < 160").collect())
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]
+
+
+def test_corpus_conjunction_gate(spark, corpus_store):
+    from akumuli_spark.sources.zorder import zorder_corpus_select
+
+    path, docs = corpus_store
+    st: dict = {}
+    out = zorder_corpus_select(spark, path, cat=["en", "fr"],
+                               num_lo=120, num_hi=200, stats=st)
+    got = sorted(r.doc_id for r in out.collect())
+    exp = sorted(r.doc_id for r in docs.filter(
+        "lang IN ('en','fr') AND n_chars >= 120 AND n_chars < 200"
+    ).collect())
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]

@@ -1306,8 +1306,67 @@ def sketch_store_smoke(spark, n_rows: int) -> dict:
     return out
 
 
+def zcorpus_smoke(spark, n_docs: int) -> dict:
+    """Corpus z-order at volume: cluster n_docs synthetic documents
+    along (lang, n_chars) — lang synthesized as 8 skewed values, length
+    varied by trimming — then serve the canonical curation gate
+    (language slice ∧ length band) with files-skipped evidence."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.sources.zorder import (
+        zorder_corpus_select,
+        zorder_corpus_table,
+    )
+
+    docs = synthetic_docs(spark, n_docs).select(
+        "doc_id",
+        F.expr("substring(text, 1, 20 + CAST(abs(hash(doc_id, 7)) % 130 AS INT))").alias("text"),
+        F.expr("element_at(array('en','en','en','en','de','fr','es','zh'), CAST(doc_id % 8 + 1 AS INT))").alias("lang"),
+    ).withColumn("n_chars", F.length("text"))
+    path = tempfile.mkdtemp(prefix="zcorpus_smoke_") + "/docs"
+    out = {}
+    try:
+        t = time.time()
+        zorder_corpus_table(spark, docs, path, files_total=64)
+        out["build_s"] = round(time.time() - t, 2)
+
+        st: dict = {}
+        t = time.time()
+        n = zorder_corpus_select(spark, path, cat="fr", stats=st).count()
+        out["lang_slice_s"] = round(time.time() - t, 2)
+        out["lang_slice_files"] = f"{st['files_selected']}/{st['files_total']}"
+        assert n == docs.filter("lang = 'fr'").count()
+
+        st2: dict = {}
+        t = time.time()
+        n2 = zorder_corpus_select(spark, path, num_lo=40, num_hi=60,
+                                  stats=st2).count()
+        out["band_s"] = round(time.time() - t, 2)
+        out["band_files"] = f"{st2['files_selected']}/{st2['files_total']}"
+        assert n2 == docs.filter("n_chars >= 40 AND n_chars < 60").count()
+
+        st3: dict = {}
+        t = time.time()
+        n3 = zorder_corpus_select(spark, path, cat="en", num_lo=40,
+                                  num_hi=60, stats=st3).count()
+        out["gate_s"] = round(time.time() - t, 2)
+        out["gate_files"] = f"{st3['files_selected']}/{st3['files_total']}"
+        assert n3 == docs.filter(
+            "lang = 'en' AND n_chars >= 40 AND n_chars < 60").count()
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "zcorpus":
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        print(json.dumps(
+            {"docs": n_docs, "zcorpus": zcorpus_smoke(spark, n_docs)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "zorder":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000_000
         print(json.dumps(

@@ -4610,3 +4610,57 @@ _register_pipeline(
     [],
     ["doc_id", "lang", "source", "n_chars"],
 )
+
+
+# Bucketed co-located join (sources/bucketed.py): documents ⋈ embeddings
+# on doc_id from same-bucketed catalog tables — the zero-Exchange join
+# shape (plan-audited); the oracle is the plain SQL join, so a
+# mis-bucketed write (row routed to the wrong bucket and dropped by the
+# bucket-pruned merge) surfaces as missing rows.
+_BUCKETED_DONE: set[str] = set()
+
+
+def _bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    import re
+
+    key = re.sub(r"[^0-9a-zA-Z]", "_", sf).strip("_")
+    ldocs, lembs = f"akumuli_bdocs_{key}", f"akumuli_bembs_{key}"
+    if sf not in _BUCKETED_DONE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.bucketed import bucket_table
+
+        base = tempfile.mkdtemp(prefix="akumuli_bucketed_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        bucket_table(load_table(spark, sf, "documents"),
+                     ldocs, base + "/docs", 8)
+        bucket_table(
+            load_table(spark, sf, "embeddings").withColumnRenamed(
+                "vec_id", "doc_id"),
+            lembs, base + "/embs", 8)
+        _BUCKETED_DONE.add(sf)
+    return ldocs, lembs
+
+
+def _bucketed_join_entry(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.bucketed import bucketed_join
+
+    ldocs, lembs = _bucketed_tables(spark, sf)
+    j = bucketed_join(spark, ldocs, lembs)
+    return j.select(
+        "doc_id", "lang", "n_chars",
+        F.expr("aggregate(embedding, 0D, (a, x) -> a + x)").alias("emb_sum"),
+    )
+
+
+_register_pipeline(
+    "bucketed_join_docs_embeddings",
+    _bucketed_join_entry,
+    """SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+              list_aggregate(e.embedding, 'sum') AS emb_sum
+       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""",
+    ["emb_sum"],
+    ["doc_id", "lang", "n_chars"],
+)

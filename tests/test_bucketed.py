@@ -1,0 +1,64 @@
+"""Bucketed corpus tables: the co-located join must plan with ZERO
+Exchange nodes (vs two for the plain join), return identical rows, and
+refuse a non-bucketed side rather than silently reintroduce the
+shuffle."""
+
+from __future__ import annotations
+
+import pytest
+
+from akumuli_spark.sources.bucketed import bucket_table, bucketed_join
+from akumuli_spark.sources.testdata import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("bucketed"))
+    docs = load_table(spark, SF_DIR, "documents")
+    embs = load_table(spark, SF_DIR, "embeddings").withColumnRenamed(
+        "vec_id", "doc_id")
+    bucket_table(docs, "t_bdocs", base + "/docs", 8)
+    bucket_table(embs, "t_bembs", base + "/embs", 8)
+    return docs, embs
+
+
+def test_colocated_join_has_zero_exchanges(spark, tables):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_bdocs", "t_bembs")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        assert "SortMergeJoin" in plan
+        docs, embs = tables
+        plain = docs.join(embs, "doc_id")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert pplan.count("Exchange") >= 2  # what bucketing removed
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_rows_match_plain_join(spark, tables):
+    docs, embs = tables
+    got = sorted(r.doc_id for r in bucketed_join(
+        spark, "t_bdocs", "t_bembs").select("doc_id").collect())
+    exp = sorted(r.doc_id for r in docs.join(
+        embs, "doc_id").select("doc_id").collect())
+    assert got == exp and got
+
+
+def test_non_bucketed_side_refused(spark, tables):
+    docs, _ = tables
+    docs.limit(5).write.mode("overwrite").saveAsTable("t_plain")
+    with pytest.raises(ValueError, match="not bucketed"):
+        bucketed_join(spark, "t_bdocs", "t_plain")
+    spark.sql("DROP TABLE IF EXISTS t_plain")
+
+
+def test_rebuild_is_idempotent(spark, tables, tmp_path):
+    docs, _ = tables
+    bucket_table(docs, "t_redocs", str(tmp_path / "a"), 8)
+    n1 = spark.table("t_redocs").count()
+    bucket_table(docs, "t_redocs", str(tmp_path / "b"), 8)
+    assert spark.table("t_redocs").count() == n1
+    spark.sql("DROP TABLE IF EXISTS t_redocs")

@@ -138,7 +138,11 @@ def main() -> None:
                "text_bm25_indexed_df", "text_bm25_append",
                "retrieval_hybrid_rrf", "multimodal_image_dhash_payload",
                "retrieval_hybrid_rrf_indexed", "text_phrase_match",
-               "text_phrase_indexed"]
+               "text_phrase_indexed",
+               "zorder_select_time_slice", "zorder_group_aggregate",
+               "zorder_database_select_where", "zorder_corpus_gate",
+               "sketch_store_distinct_range", "sketch_store_quantiles_range",
+               "group_aggregate_tiered", "bucketed_join_docs_embeddings"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
@@ -240,6 +244,25 @@ def main() -> None:
     failures += n_sfail
     shutil.rmtree(spath, ignore_errors=True)
 
+    # bucketed co-located join: zero Exchange nodes when both sides are
+    # same-bucketed (broadcast disabled — at corpus scale neither side
+    # broadcasts, which is the regime bucketing exists for)
+    from akumuli_spark.registry import _bucketed_tables
+    from akumuli_spark.sources.bucketed import bucketed_join
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lt, rt = _bucketed_tables(spark, sf_dir)
+        bplan = bucketed_join(spark, lt, rt)._jdf.queryExecution() \
+            .executedPlan().toString()
+        n_ex = bplan.count("Exchange")
+        ok = n_ex == 0
+        print(f"{'OK  ' if ok else 'FAIL'} bucketed_join: "
+              f"Exchanges={n_ex} (need 0)")
+        failures += 0 if ok else 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     # BM25 serving: static term-bucket pruning must reach BOTH scans —
     # postings AND dfreq (VERDICT r9 Next #2) — on the literal-list path
     # and on the DataFrame-query path (bounded distinct-bucket collect)
@@ -256,7 +279,7 @@ def main() -> None:
         n_bm25_fail += 0 if ok else 1
     failures += n_bm25_fail
 
-    print(f"\n{len(audited) + 7 - failures} ok, {failures} failing")
+    print(f"\n{len(audited) + 8 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

@@ -237,26 +237,57 @@ class ZorderDatabase(Database):
     last_prune_stats: dict | None = None
 
     def __init__(self, spark: SparkSession, zorder_path: str,
-                 events: DataFrame | None = None):
-        from akumuli_spark.sources.zorder import zorder_select
+                 events: DataFrame | None = None,
+                 events_zorder_path: str | None = None):
+        from akumuli_spark.sources.zorder import EVENTS_SCHEMA, zorder_select
 
         self._zpath = zorder_path
+        self._ez_path = events_zorder_path
+        if events_zorder_path is not None:
+            if events is not None:
+                raise ValueError(
+                    "pass events OR events_zorder_path, not both")
+            events = zorder_select(spark, events_zorder_path,
+                                   empty_schema=EVENTS_SCHEMA)
         super().__init__(spark, zorder_select(spark, zorder_path), events)
+
+    def _resolve_series(self, q: Query) -> list[str] | None:
+        """``where`` tag predicate → concrete series names via the dim
+        (dictionary-sized collect) — the file-prunable form."""
+        if q.where is None:
+            return None
+        pred = engine_mod.where_predicate(q.where, F.col("tags"))
+        return [
+            r.series
+            for r in self.series.filter(
+                F.col("metric").isin(list(q.metrics))
+            ).filter(pred).select("series").collect()
+        ]
+
+    def _pruned_events(self, q: Query) -> DataFrame | None:
+        """select-events through the events z-store, same pruning path
+        as metrics (event metric = '!name' partitions, manifest file
+        skips, where → series)."""
+        from akumuli_spark.sources.zorder import EVENTS_SCHEMA, zorder_select
+
+        if self._ez_path is None:
+            return None
+        st: dict = {}
+        out = zorder_select(
+            self.spark, self._ez_path, metric=q.metrics[0],
+            series=self._resolve_series(q),
+            ts_from=q.range.lo_ns, ts_to=q.range.hi_ns,
+            empty_schema=EVENTS_SCHEMA, stats=st,
+        )
+        self.last_prune_stats = st
+        return out
 
     def _pruned_frame(self, q: Query) -> DataFrame | None:
         from akumuli_spark.sources.zorder import zorder_select
 
         if q.kind is QueryKind.SELECT_EVENTS:
-            return None  # events are not in the z-store
-        series = None
-        if q.where is not None:
-            pred = engine_mod.where_predicate(q.where, F.col("tags"))
-            series = [
-                r.series
-                for r in self.series.filter(
-                    F.col("metric").isin(list(q.metrics))
-                ).filter(pred).select("series").collect()
-            ]
+            return None  # routed through _pruned_events instead
+        series = self._resolve_series(q)
         # one manifest-pruned select per metric (metric prunes partition
         # dirs at the manifest level too); lo/hi normalize the backward
         # orientation to the scanned interval — the engine re-applies
@@ -285,6 +316,11 @@ class ZorderDatabase(Database):
         fast = self._try_rollup(q)
         if fast is not None:
             return fast
+        if q.kind is QueryKind.SELECT_EVENTS:
+            ev = self._pruned_events(q)
+            if ev is not None:
+                return execute_query(self.spark, q, self.metrics, ev)
+            return execute_query(self.spark, q, self.metrics, self.events)
         frame = self._pruned_frame(q)
         if frame is None:
             return execute_query(self.spark, q, self.metrics, self.events)
@@ -292,5 +328,7 @@ class ZorderDatabase(Database):
 
 
 def open_zorder_database(spark: SparkSession, zorder_path: str,
-                         events: DataFrame | None = None) -> ZorderDatabase:
-    return ZorderDatabase(spark, zorder_path, events)
+                         events: DataFrame | None = None,
+                         events_zorder_path: str | None = None,
+                         ) -> ZorderDatabase:
+    return ZorderDatabase(spark, zorder_path, events, events_zorder_path)

@@ -4664,3 +4664,54 @@ _register_pipeline(
     ["emb_sum"],
     ["doc_id", "lang", "n_chars"],
 )
+
+
+# Events z-store through the facade: select-events with a body regex
+# served from manifest-pruned event files — oracle is the plain evt
+# view predicate (same shape as select_events_regex).
+_ZEVENTS_CACHE: dict[str, str] = {}
+
+
+def _zevents_db(spark: SparkSession, sf: str):
+    from akumuli_spark.api import open_zorder_database
+
+    if sf not in _ZEVENTS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import zorder_metrics_table
+
+        base = tempfile.mkdtemp(prefix="akumuli_zevents_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        zorder_metrics_table(
+            spark, events_view(spark, sf), base + "/e",
+            bucket_ns=7 * 86_400 * NS, files_per_partition=4,
+        )
+        _ZEVENTS_CACHE[sf] = base
+    base = _ZEVENTS_CACHE[sf]
+    return open_zorder_database(
+        spark, _zorder_path(spark, sf), events_zorder_path=base + "/e"
+    )
+
+
+def _zorder_events_select(spark: SparkSession, sf: str) -> DataFrame:
+    zdb = _zevents_db(spark, sf)
+    out = zdb.query({
+        "select-events": "!error",
+        "range": {"from": E0, "to": E1},
+        "filter": '"k": 8[0-9]',
+    })
+    return out.select("series", "ts_ns", "body")
+
+
+_register_pipeline(
+    "zorder_events_select",
+    _zorder_events_select,
+    f"""WITH {EVENTS_SQL}
+    SELECT series, ts_ns, body FROM evt
+    WHERE metric = '!error' AND ts_ns >= {E0} AND ts_ns < {E1}
+      AND regexp_matches(body, '"k": 8[0-9]')""",
+    [],
+    ["series", "ts_ns", "body"],
+)

@@ -80,6 +80,15 @@ ENGINE_SCHEMA = T.StructType([
     T.StructField("value", T.DoubleType()),
 ])
 
+#: the events frame shape (string body payload, metric starts with '!')
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("series", T.StringType()),
+    T.StructField("metric", T.StringType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("ts_ns", T.LongType()),
+    T.StructField("body", T.StringType()),
+])
+
 
 def interleave_bits(a: str | Column, b: str | Column,
                     bits: int = ZBITS) -> Column:
@@ -425,7 +434,8 @@ def _write_manifest(spark: SparkSession, table_dir: str,
 def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
                   series: str | list[str] | None = None,
                   ts_from: int | None = None, ts_to: int | None = None,
-                  stats: dict | None = None) -> DataFrame:
+                  stats: dict | None = None,
+                  empty_schema: T.StructType | None = None) -> DataFrame:
     """Manifest-pruned read of a Z-ordered store, in engine schema.
 
     File skipping: the manifest is filtered (in Spark) to files whose
@@ -445,7 +455,9 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     — the pruning evidence tests and the plan audit assert on.
     """
     recover_compaction(path)
-    empty = spark.createDataFrame([], ENGINE_SCHEMA)
+    # absent/empty stores answer in the caller's frame shape — metrics
+    # by default, the events shape (body payload) via empty_schema
+    empty = spark.createDataFrame([], empty_schema or ENGINE_SCHEMA)
     if not os.path.exists(path):
         if stats is not None:
             stats.update(files_total=0, files_selected=0)
@@ -489,12 +501,16 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     if ts_to is not None:
         df = df.filter(F.col("ts_ns") < ts_to)
     # engine schema: tags derived from the series grammar, exactly as
-    # layout.read_metrics_table
+    # layout.read_metrics_table; the payload columns (value for metrics,
+    # body for events) pass through in stored order, so the same store
+    # machinery serves BOTH engine frame shapes
     tags = F.when(
         F.instr(F.col("series"), " ") > 0,
         F.expr("str_to_map(substring(series, instr(series, ' ') + 1), ' ', '=')"),
     ).otherwise(F.expr("map()"))
-    return df.select("series", "metric", tags.alias("tags"), "ts_ns", "value")
+    rest = [c for c in df.columns
+            if c not in ("series", "metric", "ts_bucket")]
+    return df.select("series", "metric", tags.alias("tags"), *rest)
 
 
 # ---------------------------------------------------------------------------

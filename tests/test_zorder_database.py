@@ -98,3 +98,62 @@ def test_metadata_endpoints_unchanged(dbs):
     b = sorted(r.name for r in db.suggest(
         {"select": "metric-names"}).collect())
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# Events z-store through the facade
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def event_dbs(spark, tmp_path_factory):
+    from akumuli_spark.api import open_zorder_database
+    from akumuli_spark.sources.testdata import events_view
+
+    mv = app_metrics_view(spark, SF_DIR)
+    ev = events_view(spark, SF_DIR)
+    base = tmp_path_factory.mktemp("ezdb")
+    zorder_metrics_table(spark, mv, str(base / "m"), bucket_ns=7 * DAY,
+                         files_per_partition=4)
+    zorder_metrics_table(spark, ev, str(base / "e"), bucket_ns=7 * DAY,
+                         files_per_partition=4)
+    zdb = open_zorder_database(spark, str(base / "m"),
+                               events_zorder_path=str(base / "e"))
+    return zdb, open_database(spark, mv, ev)
+
+
+EVENT_QUERIES = [
+    ("events_regex", {"select-events": "!error",
+                      "range": {"from": E0, "to": E1},
+                      "filter": '"k": 8[0-9]'}),
+    ("events_where", {"select-events": "!click",
+                      "range": {"from": E0 + 7 * DAY, "to": E0 + 9 * DAY},
+                      "where": {"user": "3"}}),
+    ("events_bwd", {"select-events": "!view",
+                    "range": {"from": E1, "to": E0}}),
+]
+
+
+@pytest.mark.parametrize("name,qjson", EVENT_QUERIES,
+                         ids=[q[0] for q in EVENT_QUERIES])
+def test_event_queries_match_plain_database(event_dbs, name, qjson):
+    zdb, db = event_dbs
+    assert _match(zdb.query(qjson), db.query(qjson))
+
+
+def test_event_narrow_slice_prunes_files(event_dbs):
+    zdb, db = event_dbs
+    qjson = {"select-events": "!click",
+             "range": {"from": E0 + 14 * DAY, "to": E0 + 15 * DAY}}
+    assert _match(zdb.query(qjson), db.query(qjson))
+    st = zdb.last_prune_stats
+    assert st and 0 < st["files_selected"] < st["files_total"]
+
+
+def test_events_and_metrics_paths_coexist(event_dbs):
+    zdb, db = event_dbs
+    m = {"select": "app.click", "range": {"from": E0, "to": E0 + 7 * DAY}}
+    e = {"select-events": "!click",
+         "range": {"from": E0, "to": E0 + 7 * DAY}}
+    assert _match(zdb.query(m), db.query(m))
+    assert _match(zdb.query(e), db.query(e))

@@ -157,3 +157,39 @@ def test_events_and_metrics_paths_coexist(event_dbs):
          "range": {"from": E0, "to": E0 + 7 * DAY}}
     assert _match(zdb.query(m), db.query(m))
     assert _match(zdb.query(e), db.query(e))
+
+
+def test_zdb_composes_with_rollup_tiering(spark, tmp_path):
+    """The facade's file-pruned frame and the router's rollup tiers are
+    independent layers: attach a completeness-bounded rollup to a
+    ZorderDatabase and a group-aggregate past the bound serves cold
+    from partials + hot from the z-store, equal to the plain database's
+    direct answer."""
+    import math
+
+    from akumuli_spark.api import open_zorder_database
+    from akumuli_spark.query.rollup import rollup_from_frame
+
+    frame = app_metrics_view(spark, SF_DIR)
+    path = str(tmp_path / "m")
+    zorder_metrics_table(spark, frame, path, bucket_ns=7 * DAY,
+                         files_per_partition=4)
+    zdb = open_zorder_database(spark, path)
+    boundary = E0 + 14 * DAY
+    zdb.attach_rollup(
+        rollup_from_frame(frame.filter(F.col("ts_ns") < boundary), DAY),
+        DAY, complete_through_ns=boundary,
+    )
+    qjson = {
+        "group-aggregate": {"metric": "app.view", "step": "7d",
+                            "func": ["sum", "count"]},
+        "range": {"from": E0, "to": E0 + 28 * DAY},
+    }
+    served = sorted(map(tuple, zdb.query(qjson).collect()))
+    direct = sorted(map(tuple, open_database(spark, frame)
+                        .query(qjson).collect()))
+    assert len(served) == len(direct) and served
+    for ra, rb in zip(served, direct):
+        assert ra[:2] == rb[:2]
+        assert all(math.isclose(x, y, rel_tol=1e-9)
+                   for x, y in zip(ra[2:], rb[2:]))

@@ -95,9 +95,14 @@ def rollup_from_frame(frame: DataFrame, base_step_ns: int) -> DataFrame:
     bucket_us, count, sum, min, max, min_ts) at the base step — for
     bootstrap over historical data or for rebuilding after a base-step
     change.  One shuffle, map-side combinable."""
-    bucket_ns = F.expr(f"(ts_ns div {int(base_step_ns)}L) * {int(base_step_ns)}L")
+    # integer arithmetic end-to-end: double division would round the
+    # microsecond bucket for ns values above 2^53, mis-bucketing vs the
+    # streaming twin's exact unix_micros (ADVICE r11)
+    bucket_us = F.expr(
+        f"((ts_ns div {int(base_step_ns)}L) * {int(base_step_ns)}L) div 1000L"
+    )
     return (
-        frame.groupBy("series", (bucket_ns / 1000).cast("long").alias("bucket_us"))
+        frame.groupBy("series", bucket_us.alias("bucket_us"))
         .agg(
             F.count("value").alias("count"),
             F.sum("value").alias("sum"),

@@ -48,15 +48,35 @@ def bucketed_join(spark: SparkSession, left: str, right: str,
                   key: str = "doc_id", how: str = "inner") -> DataFrame:
     """Equi-join two same-bucketed catalog tables on ``key`` — planned
     without ANY Exchange when both sides carry matching bucket specs
-    (asserted here: a silently mis-bucketed side would quietly
-    reintroduce the shuffle this store exists to remove; plan_audit
-    pins the zero-Exchange shape per round)."""
+    (asserted here: a silently mis-bucketed side — different bucket
+    count, or bucketed on another column — would quietly reintroduce
+    the shuffle this store exists to remove; plan_audit pins the
+    zero-Exchange shape per round)."""
+    specs = {}
     for t in (left, right):
         desc = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
         info = {r.col_name: r.data_type for r in desc}
         if "Num Buckets" not in info:
             raise ValueError(f"table {t} is not bucketed — rebuild with "
                              "bucket_table before joining co-located")
+        cols = [
+            c.strip(" `")
+            for c in info.get("Bucket Columns", "").strip("[]").split(",")
+            if c.strip(" `")
+        ]
+        specs[t] = (int(info["Num Buckets"]), cols)
+        if cols != [key]:
+            raise ValueError(
+                f"table {t} is bucketed on {cols}, not on the join key "
+                f"{key!r} — the join would shuffle; rebuild with "
+                f"bucket_table(key={key!r})"
+            )
+    if specs[left][0] != specs[right][0]:
+        raise ValueError(
+            f"bucket counts differ ({left}: {specs[left][0]}, "
+            f"{right}: {specs[right][0]}) — Spark would re-shuffle one "
+            "side; rebuild both with the same n_buckets"
+        )
     lt, rt = spark.table(left), spark.table(right)
     right_cols = [c for c in rt.columns if c != key]
     return lt.join(rt.select(key, *right_cols), key, how)

@@ -70,6 +70,7 @@ ZBITS = 16
 
 MANIFEST_DIR = "_zmanifest"
 META_DIR = "_zmeta"
+LEDGER_DIR = "_zledger"
 ZORDER_LAYOUT_VERSION = 1
 
 ENGINE_SCHEMA = T.StructType([
@@ -109,22 +110,60 @@ def interleave_bits(a: str | Column, b: str | Column,
     return acc
 
 
-def _series_bins(metrics: DataFrame, bits: int) -> DataFrame:
-    """(series → series_bin) dim: distinct series, rank order, scaled to
-    ``[0, 2^bits)``.  The dim is the series cardinality — small relative
-    to the data (it is the reference's series-name dictionary,
-    seriesparser.cpp) — so the single-partition rank window and the
-    broadcast join back are both cheap by construction."""
-    from pyspark.sql import Window
+#: driver-side boundary-sample bound and max equi-depth bins for
+#: :func:`_ranked_bins` — 256 order-preserving bins split the series
+#: dimension far finer than any files_per_partition, so the z-curve
+#: loses no usable locality vs per-series ranks
+_BIN_SAMPLE_CAP = 100_000
+_MAX_RANK_BINS = 256
 
+
+def _ranked_bins(dim: DataFrame, col: str, out_col: str,
+                 bits: int) -> DataFrame:
+    """Order-preserving equi-depth bins of a distinct dim, scaled to
+    ``[0, 2^bits)``, WITHOUT a global single-partition rank window
+    (the r11 scale trap: ``Window.orderBy`` with no partitionBy ranks a
+    reference-grade multi-million-series dictionary through one task).
+
+    Boundary strings come from a DETERMINISTIC hash-sample of the dim
+    (``xxhash64(col) % k == 0``, bounded to ~``_BIN_SAMPLE_CAP``
+    driver-side rows — same-run and cross-run stable, unlike
+    ``repartitionByRange``'s fetch-order-dependent sampling); bin
+    assignment is then a pure codegen expression — the count of
+    boundaries ≤ value, ≤ 255 string comparisons folded JVM-side, no
+    window, no join.  Bin quality only shapes clustering locality and
+    hence pruning selectivity — the manifest stores NATURAL min/max —
+    so sample error in the boundaries can cost a file of skipping,
+    never correctness (pinned by tests/test_zorder_properties.py)."""
     cap = 1 << bits
-    dim = metrics.select("series").distinct()
     n = max(1, dim.count())
-    w = Window.orderBy("series")
+    k = max(1, n // _BIN_SAMPLE_CAP)
+    sample = sorted(
+        r[0]
+        for r in dim.filter(
+            F.pmod(F.xxhash64(F.col(col)), F.lit(int(k))) == 0
+        ).select(col).collect()
+        if r[0] is not None
+    )
+    nb = min(_MAX_RANK_BINS, cap, max(1, len(sample)))
+    bounds = sorted({sample[(i * len(sample)) // nb] for i in range(1, nb)})
+    binex = F.lit(0)
+    for b in bounds:
+        binex = binex + (F.col(col) >= F.lit(b)).cast("int")
+    nb_eff = len(bounds) + 1
     return dim.select(
-        "series",
-        ((F.row_number().over(w) - 1).cast("long") * cap).alias("__scaled"),
-    ).select("series", F.expr(f"__scaled div {n}L").alias("series_bin"))
+        col, (binex.cast("long") * F.lit(int(cap))).alias("__scaled")
+    ).select(col, F.expr(f"__scaled div {nb_eff}L").alias(out_col))
+
+
+def _series_bins(metrics: DataFrame, bits: int) -> DataFrame:
+    """(series → series_bin) dim for the z-key's series dimension (the
+    reference's series-name dictionary, seriesparser.cpp), via
+    :func:`_ranked_bins` — one bounded sample + a codegen expression,
+    parallel at any series cardinality."""
+    return _ranked_bins(
+        metrics.select("series").distinct(), "series", "series_bin", bits
+    )
 
 
 def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
@@ -358,15 +397,29 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
     return dropped
 
 
-def vacuum_zorder(spark: SparkSession, path: str) -> int:
+def vacuum_zorder(spark: SparkSession, path: str,
+                  grace_s: float = 86_400.0,
+                  now_s: float | None = None) -> int:
     """Delete data files the manifest does not list — orphans from an
     append that crashed before its manifest publish.  They were never
-    visible to any read, so deletion cannot change a result.  Returns
-    the number of files removed.  Run from the single maintenance
-    writer only, never concurrently with an in-flight append (its files
-    are orphans *until* its publish)."""
-    import glob
+    visible to any read, so deletion cannot change a result.  Also
+    reclaims stale append STAGING dirs (``{path}.append-tmp-*``
+    siblings a hard crash left behind — their contents were never
+    published, so they are pure disk leak).  Returns the number of
+    files + staging dirs removed.
 
+    Concurrency: an IN-FLIGHT append's files are orphans until its
+    publish, so deleting every unlisted file would race a live writer.
+    Delta's answer is a retention grace, adopted here: only files (and
+    staging dirs) whose mtime is older than ``grace_s`` (default 24 h)
+    are deleted — safe to schedule alongside appends as long as no
+    single append takes longer than the grace.  Pass ``grace_s=0`` to
+    reclaim everything immediately (single-maintenance-writer mode).
+    ``now_s`` defaults to the wall clock; tests inject it."""
+    import glob
+    import time
+
+    now = time.time() if now_s is None else now_s
     mpath = os.path.join(path, MANIFEST_DIR)
     recover_compaction(mpath)
     listed = {
@@ -376,9 +429,43 @@ def vacuum_zorder(spark: SparkSession, path: str) -> int:
     for f in glob.glob(os.path.join(path, "metric=*", "ts_bucket=*",
                                     "*.parquet")):
         if os.path.relpath(f, path) not in listed:
+            try:
+                if now - os.path.getmtime(f) < grace_s:
+                    continue  # possibly a live append's unpublished file
+            except OSError:  # pragma: no cover - raced by its publisher
+                continue
             os.remove(f)
             removed += 1
+    for d in glob.glob(f"{path}.append-tmp-*"):
+        try:
+            if now - os.path.getmtime(d) < grace_s:
+                continue
+        except OSError:  # pragma: no cover - raced
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
     return removed
+
+
+def _rel_file_expr(probe_uri: str, table_dir: str) -> Column:
+    """Column of data-file paths RELATIVE to ``table_dir``, derived from
+    ``input_file_name()``.  The function returns a percent-encoded URI
+    (scheme rendering varies across Hadoop FS implementations), so both
+    the driver-side prefix probe and the per-row column are DECODED
+    before the prefix cut — a table path or partition value containing
+    spaces (on disk as Spark's ``%20``-escaped names, doubly encoded in
+    the URI) would otherwise break ``.index`` or record names that never
+    match the ``os.rename``'d files (ADVICE r11).  ``url_decode`` is
+    form-decoding (``+`` → space), so literal pluses are pre-escaped to
+    ``%2B`` first, making it exactly percent-decoding."""
+    from urllib.parse import unquote
+
+    abs_dir = os.path.abspath(table_dir)
+    cut = unquote(probe_uri).index(abs_dir) + len(abs_dir) + 1
+    return F.expr(
+        "substring(url_decode(regexp_replace(input_file_name(), "
+        f"'[+]', '%2B')), {cut + 1})"
+    )
 
 
 def _write_manifest(spark: SparkSession, table_dir: str,
@@ -406,15 +493,8 @@ def _write_manifest(spark: SparkSession, table_dir: str,
         spark.createDataFrame([], manifest_schema).coalesce(1).write.mode(
             "overwrite").parquet(os.path.join(table_dir, MANIFEST_DIR))
         return
-    # input_file_name() renders the scheme differently across Hadoop FS
-    # implementations (file:/abs vs file:///abs); locate the table dir's
-    # absolute path inside a sample URI instead of guessing the scheme
-    abs_dir = os.path.abspath(table_dir)
-    cut = probe.f.index(abs_dir) + len(abs_dir) + 1  # chars before rel path
     manifest = (
-        df.withColumn(
-            "file", F.expr(f"substring(input_file_name(), {cut + 1})")
-        )
+        df.withColumn("file", _rel_file_expr(probe.f, table_dir))
         .withColumn("ts_bucket", F.col("ts_bucket").cast("long"))
         .groupBy("file", "metric", "ts_bucket")
         .agg(
@@ -541,16 +621,10 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
     for directory partitioning at corpus scale; the manifest carries
     the pruning instead).  Publish is the same atomic two-rename swap
     as the metrics store."""
-    dim = docs.select(cat_col).distinct()
-    n_cat = max(1, dim.count())
-    from pyspark.sql import Window
-
     cap = 1 << bits
-    w = Window.orderBy(cat_col)
-    cat_bins = dim.select(
-        cat_col,
-        ((F.row_number().over(w) - 1).cast("long") * cap).alias("__s"),
-    ).select(cat_col, F.expr(f"__s div {n_cat}L").alias("__cbin"))
+    cat_bins = _ranked_bins(
+        docs.select(cat_col).distinct(), cat_col, "__cbin", bits
+    )
 
     bounds = docs.agg(
         F.min(num_col).alias("lo"), F.max(num_col).alias("hi")).first()
@@ -606,12 +680,8 @@ def _write_corpus_manifest(spark: SparkSession, table_dir: str,
         spark.createDataFrame([], schema).coalesce(1).write.mode(
             "overwrite").parquet(os.path.join(table_dir, CORPUS_MANIFEST_DIR))
         return
-    abs_dir = os.path.abspath(table_dir)
-    cut = probe.f.index(abs_dir) + len(abs_dir) + 1
     (
-        df.withColumn(
-            "file", F.expr(f"substring(input_file_name(), {cut + 1})")
-        )
+        df.withColumn("file", _rel_file_expr(probe.f, table_dir))
         .groupBy("file")
         .agg(
             F.min(cat_col).cast("string").alias("cat_min"),

@@ -208,7 +208,11 @@ def test_append_is_snapshot_isolated(spark, tmp_path):
     assert zorder_select(spark, path).count() == pre  # orphans invisible
     n_files = len(glob.glob(os.path.join(path, "metric=*", "ts_bucket=*",
                                          "*.parquet")))
-    removed = vacuum_zorder(spark, path)
+    # default grace spares the fresh orphans (they could be a live
+    # append's unpublished files); grace_s=0 is the explicit
+    # single-maintenance-writer reclaim
+    assert vacuum_zorder(spark, path) == 0
+    removed = vacuum_zorder(spark, path, grace_s=0)
     assert removed > 0 and removed < n_files
     assert zorder_select(spark, path).count() == pre  # still the snapshot
 
@@ -326,3 +330,94 @@ def test_corpus_conjunction_gate(spark, corpus_store):
     ).collect())
     assert got == exp and got
     assert st["files_selected"] < st["files_total"]
+
+
+def test_vacuum_grace_spares_fresh_orphans_reclaims_old(spark, tmp_path):
+    """The Delta-style retention grace: unlisted files younger than
+    ``grace_s`` are a possibly-live append's unpublished files and are
+    spared; older ones (and stale ``.append-tmp-*`` staging dirs a hard
+    crash left as siblings — previously a permanent disk leak) are
+    reclaimed.  Makes vacuum safe to cron alongside appends."""
+    import glob
+    import shutil
+    import time
+
+    from akumuli_spark.sources.zorder import vacuum_zorder, zorder_append
+
+    df, _ = _frame(spark)
+    a = df.filter(F.col("ts_ns") < 2 * DAY)
+    b = df.filter(F.col("ts_ns") >= 2 * DAY)
+    path = str(tmp_path / "grace")
+    zorder_metrics_table(spark, a, path, bucket_ns=DAY, files_per_partition=4)
+    pre = zorder_select(spark, path).count()
+
+    # crashed append: files landed, manifest publish rolled back
+    mpath = os.path.join(path, "_zmanifest")
+    saved = str(tmp_path / "msaved")
+    shutil.copytree(mpath, saved)
+    zorder_append(spark, b, path)
+    shutil.rmtree(mpath)
+    shutil.copytree(saved, mpath)
+    orphans = [
+        f for f in glob.glob(
+            os.path.join(path, "metric=*", "ts_bucket=*", "*.parquet"))
+    ]
+    listed = {
+        r.file for r in spark.read.parquet(mpath).select("file").collect()
+    }
+    orphans = [f for f in orphans if os.path.relpath(f, path) not in listed]
+    assert orphans
+
+    # a hard-crashed append's staging dir (finally never ran)
+    stale_stage = f"{path}.append-tmp-deadbeef"
+    os.makedirs(stale_stage)
+    fresh_stage = f"{path}.append-tmp-cafebabe"
+    os.makedirs(fresh_stage)
+
+    now = time.time()
+    old = now - 7 * 86_400
+    for f in orphans[: len(orphans) // 2] or orphans[:1]:
+        os.utime(f, (old, old))
+    os.utime(stale_stage, (old, old))
+
+    mtimes = {f: os.path.getmtime(f) for f in orphans}
+    aged = sum(1 for t in mtimes.values() if t < now - 86_400)
+    removed = vacuum_zorder(spark, path, grace_s=86_400, now_s=now)
+    assert removed == aged + 1  # aged orphans + the stale staging dir
+    assert not os.path.exists(stale_stage)
+    assert os.path.exists(fresh_stage)  # inside grace: spared
+    for f, t in mtimes.items():
+        assert os.path.exists(f) == (t >= now - 86_400)
+    assert zorder_select(spark, path).count() == pre  # snapshot intact
+
+
+def test_store_path_and_partition_values_with_uri_chars(spark, tmp_path):
+    """``input_file_name()`` returns a percent-encoded URI; a table path
+    with spaces/pluses and a metric value with a space must still yield
+    manifest paths that match the on-disk (``os.rename``'d) names
+    (ADVICE r11).  Round-trips build, manifest-pruned select, and
+    append."""
+    from akumuli_spark.sources.zorder import zorder_append
+
+    rows = [
+        (f"odd metric host={i:02d}", "odd metric", t * DAY // 50 + i,
+         float(i + t))
+        for i in range(4) for t in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, metric string, ts_ns long, value double"
+    ).withColumn("tags", F.expr("map('host', substring(series, -2, 2))"))
+    path = str(tmp_path / "dir with space+plus" / "metrics")
+    zorder_metrics_table(spark, df, path, bucket_ns=DAY,
+                         files_per_partition=2)
+    st: dict = {}
+    out = zorder_select(spark, path, metric="odd metric",
+                        series="odd metric host=01", stats=st)
+    got = sorted((r.series, r.ts_ns, r.value) for r in out.collect())
+    exp = sorted((s, t, v) for (s, m, t, v) in rows
+                 if s == "odd metric host=01")
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]
+    zorder_append(spark, df.withColumn("ts_ns", F.col("ts_ns") + 2 * DAY),
+                  path)
+    assert zorder_select(spark, path).count() == 2 * len(rows)

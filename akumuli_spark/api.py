@@ -236,6 +236,12 @@ class ZorderDatabase(Database):
     #: {"files_total": N, "files_selected": M} summed over its metrics
     last_prune_stats: dict | None = None
 
+    #: above this many where-matched series, file pruning falls back to
+    #: metric+time only and the tag predicate runs as the engine's
+    #: ordinary column filter — a 10⁵-series collect + predicate would
+    #: bottleneck on driver memory and plan compile, not data
+    WIDE_WHERE_CAP = 1000
+
     def __init__(self, spark: SparkSession, zorder_path: str,
                  events: DataFrame | None = None,
                  events_zorder_path: str | None = None):
@@ -243,6 +249,7 @@ class ZorderDatabase(Database):
 
         self._zpath = zorder_path
         self._ez_path = events_zorder_path
+        self._ext_events = events
         if events_zorder_path is not None:
             if events is not None:
                 raise ValueError(
@@ -250,19 +257,66 @@ class ZorderDatabase(Database):
             events = zorder_select(spark, events_zorder_path,
                                    empty_schema=EVENTS_SCHEMA)
         super().__init__(spark, zorder_select(spark, zorder_path), events)
+        self._snapshot_token = self._store_token()
+
+    def _store_token(self) -> tuple:
+        """Cheap change detector: the manifest dir is REPLACED by rename
+        on every publish (append/optimize/retention), so its mtime moves
+        with each snapshot flip — metadata stat, no Spark job."""
+        import os
+
+        from akumuli_spark.sources.zorder import MANIFEST_DIR
+
+        def one(p):
+            try:
+                return os.path.getmtime(os.path.join(p, MANIFEST_DIR))
+            except OSError:
+                return None
+
+        return (one(self._zpath),
+                one(self._ez_path) if self._ez_path else None)
+
+    def _refresh(self) -> None:
+        """Re-open the snapshot if the store moved since the last query.
+        A ZorderDatabase held across streaming appends (the exact usage
+        streaming/zorder.py advertises) would otherwise serve a frozen
+        file list — missing series first seen in later batches, and
+        breaking with FileNotFound after a re-cluster deletes the baked
+        paths (ADVICE r11).  Queries between publishes pay one stat."""
+        token = self._store_token()
+        if token == self._snapshot_token:
+            return
+        from akumuli_spark.sources.zorder import EVENTS_SCHEMA, zorder_select
+
+        events = self._ext_events
+        if self._ez_path is not None:
+            events = zorder_select(self.spark, self._ez_path,
+                                   empty_schema=EVENTS_SCHEMA)
+        Database.__init__(
+            self, self.spark, zorder_select(self.spark, self._zpath), events
+        )
+        self._snapshot_token = token
 
     def _resolve_series(self, q: Query) -> list[str] | None:
         """``where`` tag predicate → concrete series names via the dim
-        (dictionary-sized collect) — the file-prunable form."""
+        (dictionary-sized collect) — the file-prunable form.  Returns
+        None (no series-level pruning) when the predicate matches more
+        than :attr:`WIDE_WHERE_CAP` series: the engine still applies the
+        exact tag predicate as a column filter on the metric+time-pruned
+        scan, so results are identical — only file skipping narrows."""
         if q.where is None:
             return None
         pred = engine_mod.where_predicate(q.where, F.col("tags"))
-        return [
+        matched = [
             r.series
             for r in self.series.filter(
                 F.col("metric").isin(list(q.metrics))
-            ).filter(pred).select("series").collect()
+            ).filter(pred).select("series")
+            .limit(self.WIDE_WHERE_CAP + 1).collect()
         ]
+        if len(matched) > self.WIDE_WHERE_CAP:
+            return None
+        return matched
 
     def _pruned_events(self, q: Query) -> DataFrame | None:
         """select-events through the events z-store, same pruning path
@@ -312,6 +366,7 @@ class ZorderDatabase(Database):
         return out
 
     def query(self, query_json: dict) -> DataFrame:
+        self._refresh()
         q = parse_query(query_json) if isinstance(query_json, dict) else query_json
         fast = self._try_rollup(q)
         if fast is not None:
@@ -325,6 +380,20 @@ class ZorderDatabase(Database):
         if frame is None:
             return execute_query(self.spark, q, self.metrics, self.events)
         return execute_query(self.spark, q, frame, self.events)
+
+    # the metadata endpoints read the derived dim — same staleness
+    # exposure as query(), same fix
+    def search(self, query_json: dict) -> DataFrame:
+        self._refresh()
+        return super().search(query_json)
+
+    def suggest(self, query_json: dict) -> DataFrame:
+        self._refresh()
+        return super().suggest(query_json)
+
+    def stats(self) -> dict:
+        self._refresh()
+        return super().stats()
 
 
 def open_zorder_database(spark: SparkSession, zorder_path: str,

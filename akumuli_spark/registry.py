@@ -4405,6 +4405,63 @@ _register_pipeline(
 )
 
 
+def _zorder_optimized_path(spark: SparkSession, sf: str) -> str:
+    """Store built over a prefix, grown by two epoch appends (eroding
+    the clustering — every bucket gains each append's rectangles), then
+    repaired by the auto-selected scoped OPTIMIZE.  The serving probe
+    spans optimized buckets, so a dropped row, a double-published file,
+    or a manifest merge bug in the rewrite surfaces as a mismatch."""
+    key = f"opt:{sf}"
+    if key not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import (
+            zorder_append,
+            zorder_metrics_table,
+            zorder_optimize,
+        )
+
+        path = tempfile.mkdtemp(prefix="akumuli_zorder_opt_") + "/metrics"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        mv = metrics_view(spark, sf)
+        s1, s2 = T96 + 60 * 86_400 * NS, T96 + 120 * 86_400 * NS
+        zorder_metrics_table(
+            spark, mv.filter(F.col("ts_ns") < s1), path,
+            bucket_ns=_YEAR_NS, files_per_partition=4,
+        )
+        zorder_append(
+            spark, mv.filter((F.col("ts_ns") >= s1) & (F.col("ts_ns") < s2)),
+            path, epoch=1)
+        zorder_append(spark, mv.filter(F.col("ts_ns") >= s2), path, epoch=2)
+        n = zorder_optimize(spark, path)  # auto: every eroded bucket
+        assert n > 0, "appends must have eroded at least one bucket"
+        _ZORDER_CACHE[key] = path
+    return _ZORDER_CACHE[key]
+
+
+def _zorder_optimize_select(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_optimized_path(spark, sf), metric="lineitem.price",
+        series=_Z_SERIES, ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+_register_pipeline(
+    "zorder_optimize_select",
+    _zorder_optimize_select,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
 def _sketch_grown_path(spark: SparkSession, sf: str) -> str:
     key = f"grow:{sf}"
     if key not in _SKETCH_STORE_CACHE:

@@ -68,6 +68,10 @@ from akumuli_spark.sources.layout import DAY_NS, recover_compaction
 #: bits per dimension; z = interleaved 2*ZBITS-bit key (fits a long)
 ZBITS = 16
 
+#: above this many requested series, zorder_select switches from
+#: per-series predicate arms (plan size ∝ list) to broadcast joins
+_SERIES_EXPR_CAP = 64
+
 MANIFEST_DIR = "_zmanifest"
 META_DIR = "_zmeta"
 LEDGER_DIR = "_zledger"
@@ -307,6 +311,11 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
     if epoch is not None:
         if epoch < 1:
             raise ValueError("epoch 0 is reserved for build/re-cluster")
+        # committed = present in the manifest OR folded away by a later
+        # optimize/retention (the _zledger keeps history truthful after
+        # a rewrite erases the epoch's manifest rows)
+        if int(epoch) in _committed_epochs_ledger(spark, path):
+            return
         mpath = os.path.join(path, MANIFEST_DIR)
         recover_compaction(mpath)
         committed = (
@@ -352,6 +361,184 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _committed_epochs_ledger(spark: SparkSession, path: str) -> set[int]:
+    """Epochs whose manifest rows no longer exist because a maintenance
+    op (optimize/retention) rewrote or dropped their files.  The ledger
+    keeps the exactly-once append replay check truthful across rewrites:
+    committed-ness is a fact about history, not about which files
+    currently carry the rows.  Absent ledger (pre-r12 store) = empty."""
+    from akumuli_spark.sources.layout import read_table_or_none
+
+    lp = os.path.join(path, LEDGER_DIR)
+    recover_compaction(lp)
+    led = read_table_or_none(spark, lp)
+    if led is None:
+        return set()
+    return {r.epoch for r in led.select("epoch").collect()}
+
+
+def _ledger_add(spark: SparkSession, path: str, epochs: set[int]) -> None:
+    """Record ``epochs`` as committed-but-no-longer-in-manifest, with
+    the two-rename publish.  Ledger size is bounded by the number of
+    appends ever folded away — metadata-sized."""
+    if not epochs:
+        return
+    merged = sorted(_committed_epochs_ledger(spark, path) | set(epochs))
+    lp = os.path.join(path, LEDGER_DIR)
+    tmp, old = f"{lp}.compact-tmp", f"{lp}.compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.createDataFrame(
+        [(int(e),) for e in merged], "epoch long"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(lp):
+        os.rename(lp, old)
+    os.rename(tmp, lp)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def zorder_erosion(spark: SparkSession, path: str) -> DataFrame:
+    """Per-(metric, ts_bucket) clustering-health report, derived purely
+    from the manifest (metadata-sized scan, no data I/O) — the evidence
+    that triggers :func:`zorder_optimize`, the same role
+    ``ivf_drift`` plays for the ANN index
+    (akumuli_spark/pipeline/similarity.py).
+
+    Columns:
+
+    * ``files``, ``rows`` — current physical spread of the bucket;
+    * ``epochs`` — distinct writer generations present (build = one;
+      each epoch-keyed append adds one; unkeyed appends count once) —
+      >1 means append-landed files overlap the build's rectangles;
+    * ``time_overlap`` — Σ per-file time extent ÷ bucket time extent:
+      the EXPECTED number of files a point-in-time probe must read.  A
+      fresh cluster keeps this near the z-curve's per-level fanout;
+      appends covering the whole bucket push it toward ``files`` (every
+      file overlaps every probe), eroding the manifest's skipping.
+
+    Appends erode pruning by construction (each batch covers its own
+    rectangles — see :func:`zorder_append`); this metric makes the
+    OPTIMIZE cadence evidence-driven instead of scheduled blind."""
+    mpath = os.path.join(path, MANIFEST_DIR)
+    recover_compaction(mpath)
+    man = spark.read.parquet(mpath)
+    return (
+        man.groupBy("metric", "ts_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum("rows").alias("rows"),
+            (F.countDistinct("epoch")
+             + F.max(F.col("epoch").isNull().cast("int"))).alias("epochs"),
+            (F.sum(F.col("ts_max") - F.col("ts_min") + 1)
+             / (F.max("ts_max") - F.min("ts_min") + 1)
+             ).alias("time_overlap"),
+        )
+    )
+
+
+def zorder_optimize(spark: SparkSession, path: str,
+                    buckets: list[tuple[str, int]] | None = None,
+                    min_epochs: int = 2) -> int:
+    """Scoped OPTIMIZE: re-cluster ONLY the named (or erosion-selected)
+    ``(metric, ts_bucket)`` partitions — the incremental maintenance op
+    a 100 TB store needs, vs :func:`zorder_metrics_table`'s full O(data)
+    rebuild.  The reference never needs a global rewrite because its
+    NB+tree absorbs appends per series incrementally (nbtree.cpp); the
+    lakehouse equivalent is Delta's per-partition ``OPTIMIZE``,
+    re-created here:
+
+    1. ``buckets=None`` auto-selects from :func:`zorder_erosion`: every
+       bucket carrying ≥ ``min_epochs`` writer generations (append-
+       eroded by construction; a fresh build is one generation).
+    2. The selected buckets' files — and only those — are re-read and
+       re-clustered through the same :func:`_write_clustered` kernel as
+       the build, staged in a private sibling: O(selected buckets), not
+       O(table).
+    3. One merged manifest (other buckets' rows untouched, selected
+       buckets' rows replaced) publishes via the two-rename swap —
+       readers see the whole optimize or none of it.
+    4. Replaced data files become invisible orphans, reclaimed by
+       :func:`vacuum_zorder` after its grace (Delta's OPTIMIZE→VACUUM
+       split) — deleting them inline would race a reader that collected
+       its file list from the pre-optimize snapshot.
+
+    Folded-away append epochs are recorded in the ``_zledger`` table
+    BEFORE the manifest publish, so :func:`zorder_append`'s exactly-once
+    replay check stays truthful after their manifest rows vanish (a
+    crash between the two writes leaves the epoch in both — harmless,
+    the check is an OR).  Returns the number of buckets re-clustered;
+    serving results are unchanged (pinned by the ``zorder_optimize_
+    select`` oracle entry and the erosion test)."""
+    meta = _read_zmeta(spark, path)
+    if meta is None:
+        raise ValueError(f"no z-store layout contract at {path}")
+    mpath = os.path.join(path, MANIFEST_DIR)
+    recover_compaction(mpath)
+    man = spark.read.parquet(mpath)
+
+    if buckets is None:
+        buckets = [
+            (r.metric, r.ts_bucket)
+            for r in zorder_erosion(spark, path)
+            .filter(F.col("epochs") >= min_epochs)
+            .select("metric", "ts_bucket").collect()
+        ]
+    if not buckets:
+        return 0
+    hit = F.lit(False)
+    for m, b in buckets:
+        hit = hit | ((F.col("metric") == m) & (F.col("ts_bucket") == int(b)))
+    # manifest-sized collects: the replaced files and their epochs
+    target = man.filter(hit)
+    old_files = [r.file for r in target.select("file").collect()]
+    if not old_files:
+        return 0
+    folded_epochs = {
+        r.epoch for r in target.select("epoch").distinct().collect()
+        if r.epoch is not None and r.epoch >= 1
+    }
+
+    subset = (
+        spark.read.option("basePath", path)
+        .parquet(*[posixpath.join(path, f) for f in old_files])
+        .drop("ts_bucket")  # _write_clustered re-derives it from ts_ns
+    )
+    import uuid
+
+    tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
+    try:
+        _write_clustered(subset, tmp, meta["bucket_ns"],
+                         meta["files_per_partition"], meta["bits"])
+        _write_manifest(spark, tmp, epoch=0)
+        new_rows = spark.read.parquet(os.path.join(tmp, MANIFEST_DIR))
+        new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
+
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            if rel.startswith(MANIFEST_DIR) or rel.startswith(META_DIR):
+                continue
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                dst_dir = path if rel == "." else os.path.join(path, rel)
+                os.makedirs(dst_dir, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(dst_dir, f))
+
+        _ledger_add(spark, path, folded_epochs)
+        recover_compaction(mpath)
+        merged = spark.read.parquet(mpath).filter(~hit).unionByName(new_rows)
+        mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
+        shutil.rmtree(mtmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(mtmp)
+        shutil.rmtree(mold, ignore_errors=True)
+        os.rename(mpath, mold)
+        os.rename(mtmp, mpath)
+        shutil.rmtree(mold, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return len(buckets)
+
+
 def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
                      now_ns: int) -> int:
     """Volume-recycling analogue for the z-store, manifest-first so it
@@ -373,6 +560,14 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
 
     mpath = os.path.join(path, MANIFEST_DIR)
     recover_compaction(mpath)
+    expired = spark.read.parquet(mpath).filter(F.col("ts_bucket") < cutoff)
+    # epochs whose only manifest rows expire must stay "committed" for
+    # the append replay check — record them in the ledger FIRST (a
+    # crash in between leaves the epoch in both, harmless OR)
+    _ledger_add(spark, path, {
+        r.epoch for r in expired.select("epoch").distinct().collect()
+        if r.epoch is not None and r.epoch >= 1
+    })
     kept = spark.read.parquet(mpath).filter(F.col("ts_bucket") >= cutoff)
     mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
     shutil.rmtree(mtmp, ignore_errors=True)
@@ -546,11 +741,13 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     recover_compaction(mpath)  # heal a crashed append's manifest swap
     man = spark.read.parquet(mpath)  # raises if missing: broken store
 
+    wanted = None
+    if series is not None:
+        wanted = [series] if isinstance(series, str) else list(series)
     cond = F.lit(True)
     if metric is not None:
         cond = cond & (F.col("metric") == metric)
-    if series is not None:
-        wanted = [series] if isinstance(series, str) else list(series)
+    if wanted is not None and len(wanted) <= _SERIES_EXPR_CAP:
         hit = F.lit(False)
         for s in wanted:
             hit = hit | ((F.col("series_min") <= s) & (F.lit(s) <= F.col("series_max")))
@@ -561,7 +758,23 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
         cond = cond & (F.col("ts_min") < ts_to)
 
     total = man.count()
-    files = [r.file for r in man.filter(cond).select("file").collect()]
+    pruned = man.filter(cond)
+    wanted_df = None
+    if wanted is not None and len(wanted) > _SERIES_EXPR_CAP:
+        # wide series list: a Python OR-arm per series would blow up the
+        # plan-compile time and driver memory before any data is read
+        # (the reference brags 10⁵–10⁶-series cardinality) — prune via a
+        # broadcast range-overlap join against the manifest instead
+        wanted_df = spark.createDataFrame(
+            [(s,) for s in wanted], "__wanted_series string"
+        )
+        pruned = pruned.join(
+            F.broadcast(wanted_df),
+            (F.col("series_min") <= F.col("__wanted_series"))
+            & (F.col("__wanted_series") <= F.col("series_max")),
+            "left_semi",
+        )
+    files = [r.file for r in pruned.select("file").collect()]
     if stats is not None:
         stats.update(files_total=total, files_selected=len(files))
     if not files:
@@ -573,9 +786,16 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     )
     if metric is not None:
         df = df.filter(F.col("metric") == metric)
-    if series is not None:
-        wanted = [series] if isinstance(series, str) else list(series)
-        df = df.filter(F.col("series").isin(wanted))
+    if wanted is not None:
+        if len(wanted) <= _SERIES_EXPR_CAP:
+            df = df.filter(F.col("series").isin(wanted))
+        else:  # exact residual via broadcast semi-join, not a 10⁵-arm In
+            df = df.join(
+                F.broadcast(
+                    wanted_df.withColumnRenamed("__wanted_series", "series")
+                ),
+                "series", "left_semi",
+            )
     if ts_from is not None:
         df = df.filter(F.col("ts_ns") >= ts_from)
     if ts_to is not None:

@@ -421,3 +421,109 @@ def test_store_path_and_partition_values_with_uri_chars(spark, tmp_path):
     zorder_append(spark, df.withColumn("ts_ns", F.col("ts_ns") + 2 * DAY),
                   path)
     assert zorder_select(spark, path).count() == 2 * len(rows)
+
+
+def test_erosion_reports_append_degradation(spark, tmp_path):
+    """zorder_erosion is the OPTIMIZE trigger: appends covering a
+    bucket's whole time range raise its epochs and time_overlap; the
+    report is manifest-derived (no data scan)."""
+    from akumuli_spark.sources.zorder import zorder_append, zorder_erosion
+
+    df, _ = _frame(spark)
+    path = str(tmp_path / "erode")
+    zorder_metrics_table(spark, df.filter("value % 4 = 0"), path,
+                         bucket_ns=DAY, files_per_partition=4)
+    base = {(r.metric, r.ts_bucket): r.asDict()
+            for r in zorder_erosion(spark, path).collect()}
+    assert base and all(v["epochs"] == 1 for v in base.values())
+    for k in (1, 2, 3):
+        zorder_append(spark, df.filter(f"value % 4 = {k}"), path, epoch=k)
+    eroded = {(r.metric, r.ts_bucket): r.asDict()
+              for r in zorder_erosion(spark, path).collect()}
+    for key, v in eroded.items():
+        assert v["epochs"] == 4
+        assert v["files"] > base[key]["files"]
+        assert v["time_overlap"] > base[key]["time_overlap"]
+
+
+def test_optimize_restores_pruning_preserves_results_and_ledger(
+        spark, tmp_path):
+    """Scoped OPTIMIZE end-to-end: re-cluster ONE eroded bucket →
+    files-scanned drops for a probe in that bucket, results unchanged;
+    the folded epochs stay committed (replay is still a no-op via the
+    ledger); auto-selection then cleans the rest; vacuum reclaims the
+    replaced orphans."""
+    import glob
+
+    from akumuli_spark.sources.zorder import (
+        vacuum_zorder,
+        zorder_append,
+        zorder_erosion,
+        zorder_optimize,
+    )
+
+    df, rows = _frame(spark)
+    path = str(tmp_path / "opt")
+    zorder_metrics_table(spark, df.filter("value % 4 = 0"), path,
+                         bucket_ns=DAY, files_per_partition=4)
+    for k in (1, 2, 3):
+        zorder_append(spark, df.filter(f"value % 4 = {k}"), path, epoch=k)
+
+    lo, hi = DAY // 2, DAY // 2 + DAY // 8  # probe inside bucket 0
+    st_pre: dict = {}
+    pre = sorted((r.series, r.ts_ns, r.value) for r in zorder_select(
+        spark, path, metric="m.cpu", ts_from=lo, ts_to=hi,
+        stats=st_pre).collect())
+    assert pre
+
+    assert zorder_optimize(spark, path, buckets=[("m.cpu", 0)]) == 1
+    st_post: dict = {}
+    post = sorted((r.series, r.ts_ns, r.value) for r in zorder_select(
+        spark, path, metric="m.cpu", ts_from=lo, ts_to=hi,
+        stats=st_post).collect())
+    assert post == pre
+    assert st_post["files_selected"] < st_pre["files_selected"]
+
+    ero = {r.ts_bucket: r.epochs
+           for r in zorder_erosion(spark, path).collect()}
+    assert ero[0] == 1 and all(ero[b] == 4 for b in ero if b != 0)
+
+    # exactly-once across the rewrite: epoch 1's manifest rows are gone
+    # from bucket 0 but the ledger remembers — replay must be a no-op
+    n_files = len(glob.glob(os.path.join(path, "metric=*", "*", "*.parquet")))
+    total = zorder_select(spark, path).count()
+    zorder_append(spark, df.filter("value % 4 = 1"), path, epoch=1)
+    assert zorder_select(spark, path).count() == total
+    assert len(glob.glob(
+        os.path.join(path, "metric=*", "*", "*.parquet"))) == n_files
+
+    # auto-selection: remaining eroded buckets (epochs >= 2) only
+    assert zorder_optimize(spark, path) == 3
+    assert zorder_optimize(spark, path) == 0  # nothing left to do
+    assert {r.epochs for r in zorder_erosion(spark, path).collect()} == {1}
+    got = sorted((r.series, r.ts_ns, r.value)
+                 for r in zorder_select(spark, path).collect())
+    assert got == sorted((s, t, v) for (s, m, t, v) in rows)
+
+    # the replaced files are now unlisted orphans — reclaimed by vacuum,
+    # serving unchanged
+    assert vacuum_zorder(spark, path, grace_s=0) > 0
+    assert zorder_select(spark, path).count() == len(rows)
+
+
+def test_wide_series_list_uses_join_path_same_answer(spark, store):
+    """A series list past _SERIES_EXPR_CAP prunes via the broadcast
+    range-overlap join (no per-series predicate arms) and filters the
+    residual via semi-join — same rows as the narrow path."""
+    path, rows = store
+    wanted = [f"m.cpu host={i:02d}" for i in range(N_SERIES)]
+    wanted += [f"m.cpu host=x{i}" for i in range(60)]  # absent: no rows
+    assert len(wanted) > 64
+    st: dict = {}
+    out = zorder_select(spark, path, metric="m.cpu", series=wanted,
+                        ts_from=DAY, ts_to=2 * DAY, stats=st)
+    got = sorted((r.series, r.ts_ns) for r in out.collect())
+    exp = sorted((s, t) for (s, m, t, v) in rows
+                 if s in set(wanted) and DAY <= t < 2 * DAY)
+    assert got == exp and got
+    assert 0 < st["files_selected"] <= st["files_total"]

@@ -193,3 +193,61 @@ def test_zdb_composes_with_rollup_tiering(spark, tmp_path):
         assert ra[:2] == rb[:2]
         assert all(math.isclose(x, y, rel_tol=1e-9)
                    for x, y in zip(ra[2:], rb[2:]))
+
+
+def test_zdb_observes_appends_and_recluster(spark, tmp_path):
+    """A ZorderDatabase held across store publishes re-opens its
+    snapshot per query (manifest mtime token): appended series show up
+    in query/search/stats, and a full re-cluster that deletes the old
+    file paths does not break the held object (ADVICE r11)."""
+    from akumuli_spark.sources.zorder import zorder_append
+
+    frame = app_metrics_view(spark, SF_DIR)
+    early = frame.filter(F.col("ts_ns") < E0 + 10 * DAY)
+    late = frame.filter(F.col("ts_ns") >= E0 + 10 * DAY)
+    path = str(tmp_path / "live")
+    zorder_metrics_table(spark, early, path, bucket_ns=7 * DAY,
+                         files_per_partition=4)
+    zdb = open_zorder_database(spark, path)
+    q = {"select": "app.click", "range": {"from": E0, "to": E1}}
+    pre = zdb.query(q).count()
+    pre_series = zdb.stats()["n_series"]
+
+    zorder_append(spark, late.withColumn(
+        "series", F.concat(F.col("series"), F.lit("x"))
+    ).withColumn("tags", F.expr(
+        "map_concat(tags, map('late', '1'))")), path)
+    post = zdb.query(q).count()
+    assert post > pre  # the held object sees the new snapshot
+    assert zdb.stats()["n_series"] > pre_series  # new series in the dim
+
+    # a re-cluster deletes every old file path; the held object must
+    # re-open, not FileNotFound on the baked list
+    zorder_metrics_table(spark, frame, path, bucket_ns=7 * DAY,
+                         files_per_partition=8)
+    assert zdb.query(q).count() == frame.filter(
+        "metric = 'app.click'").count()
+
+
+def test_wide_where_cap_falls_back_to_column_predicate(dbs):
+    """Past WIDE_WHERE_CAP matched series, file pruning skips the
+    per-series manifest arms (metric+time only) and the engine applies
+    the tag predicate as an ordinary column filter — identical rows,
+    bounded driver memory and plan size."""
+    zdb, db = dbs
+    qjson = {
+        "select": "app.click",
+        "range": {"from": E0, "to": E0 + 10 * DAY},
+        "where": {"user": "3"},
+    }
+    narrow = zdb.query(qjson)
+    old_cap = zdb.WIDE_WHERE_CAP
+    try:
+        zdb.WIDE_WHERE_CAP = 0  # force every where past the cap
+        wide = zdb.query(qjson)
+        assert _match(wide, db.query(qjson))
+        assert _match(wide, narrow)
+        st = zdb.last_prune_stats  # still prunes on metric+time
+        assert st and st["files_selected"] <= st["files_total"]
+    finally:
+        zdb.WIDE_WHERE_CAP = old_cap

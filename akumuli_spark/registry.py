@@ -4310,6 +4310,74 @@ _register_pipeline(
 )
 
 
+# Tiered sketch serving (r12): a misaligned range — the honest
+# dashboard shape, "last N days ending NOW" — splits into the aligned
+# core (stored partials) and head/tail spans sketched from the raw
+# frame the caller passes, folded with the same merge operators.  The
+# oracle is the one-shot deterministic sketch over exactly the raw rows
+# of the range, so a double-counted span, a dropped bucket, or a
+# misplaced tier boundary surfaces as a value mismatch.
+_SK_T_LO = _SK_LO + 7 * 3_600 * NS    # 07:00 into the first day
+_SK_T_HI = _SK_HI - 5 * 3_600 * NS    # 19:00 into the last day
+
+
+def _sketch_raw_tail(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.testdata import ts_ns_expr
+
+    ev = load_table(spark, sf, "events")
+    return ev.withColumn("ts_ns", ts_ns_expr(ev, "ts"))
+
+
+def _sketch_distinct_tiered(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.sketch_store import distinct_over_range
+
+    return distinct_over_range(
+        spark, _sketch_store_path(spark, sf), _SK_T_LO, _SK_T_HI,
+        raw_tail=_sketch_raw_tail(spark, sf),
+    ).withColumnRenamed("group", "event_type")
+
+
+def _sketch_quantiles_tiered(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.sketch_store import quantiles_over_range
+
+    return quantiles_over_range(
+        spark, _sketch_store_path(spark, sf), _SK_T_LO, _SK_T_HI, _SK_QS,
+        raw_tail=_sketch_raw_tail(spark, sf),
+    ).withColumnRenamed("group", "event_type")
+
+
+_register_pipeline(
+    "sketch_store_distinct_tiered",
+    _sketch_distinct_tiered,
+    _distinct.hll_sql(
+        f"""SELECT event_type, CAST(user_id AS VARCHAR) AS __v FROM events
+        WHERE epoch_ns(ts) >= {_SK_T_LO} AND epoch_ns(ts) < {_SK_T_HI}""",
+        group_cols=("event_type",),
+    ),
+    ["approx_distinct"],
+    ["event_type"],
+)
+
+
+def _sketch_quantiles_tiered_oracle() -> str:
+    from akumuli_spark.operators.quantile_sketch import approx_quantiles_sql
+
+    return approx_quantiles_sql(
+        f"""SELECT event_type, CAST(value AS DOUBLE) AS __v FROM events
+        WHERE epoch_ns(ts) >= {_SK_T_LO} AND epoch_ns(ts) < {_SK_T_HI}""",
+        _SK_QS, group_cols=("event_type",),
+    )
+
+
+_register_pipeline(
+    "sketch_store_quantiles_tiered",
+    _sketch_quantiles_tiered,
+    _sketch_quantiles_tiered_oracle(),
+    ["est", "q"],
+    ["event_type"],
+)
+
+
 # Engine-over-zorder integration: the JSON query engine runs unchanged
 # on a zorder_select frame (engine schema is the store's read schema),
 # so a group-aggregate gets manifest file skipping BEFORE its scan —

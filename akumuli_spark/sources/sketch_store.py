@@ -31,9 +31,16 @@ path the metrics layout uses), merges map-side-combinable aggregates,
 and never touches the fact table.
 
 Range contract: sketches are per-bucket atoms — a partial bucket cannot
-be subtracted back out — so ``[from, to)`` must be bucket-aligned;
-misaligned ranges raise rather than silently over-count (the same
-honesty bar as the engine's semi-open range semantics).  The layout
+be subtracted back out — so a partials-only serve needs ``[from, to)``
+bucket-aligned; misaligned ranges raise rather than silently over-count
+(the same honesty bar as the engine's semi-open range semantics).
+Honest dashboard ranges ("last 90 days ending NOW") are served TIERED:
+pass ``raw_tail=`` (the hot fact table) and the misaligned head/tail
+spans are sketched from raw rows and folded into the stored partials
+with the same merge operator — both sketch families are mergeable with
+a raw-computed partial by construction (register max is idempotent;
+the head/tail spans are disjoint from the aligned core, so bin sums
+cannot double-count).  The layout
 contract (bucket_ns, sketch parameters, column names) travels in a
 one-row ``{path}/meta`` table, the BM25-store pattern: a build/serve
 parameter mismatch mis-merges silently, so serving reads the stored
@@ -249,65 +256,147 @@ def compact_sketch_store(spark: SparkSession, path: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
-def _aligned_buckets(meta: dict, ts_from: int, ts_to: int) -> tuple[int, int]:
+def _range_tiers(meta: dict, ts_from: int, ts_to: int,
+                 have_raw: bool) -> tuple[int, int, list[tuple[int, int]]]:
+    """Split ``[ts_from, ts_to)`` into the bucket-aligned CORE (served
+    from stored partials) and the misaligned head/tail spans (served
+    from a raw fact frame) — the same tiering the group-aggregate
+    router applies past a rollup's watermark (api.py::_try_tiered).
+    Returns ``(core_lo_bucket, core_hi_bucket, raw_spans)`` with the
+    core empty (lo >= hi) when no whole bucket fits.
+
+    Without a raw frame, a misaligned range still raises: partials are
+    per-bucket atoms and a silent widening would over-count — the honest
+    refusal the store shipped with, now with the escape hatch a real
+    dashboard range ("last 90 days ending NOW") needs."""
     bn = meta["bucket_ns"]
-    if ts_from % bn or ts_to % bn:
-        raise ValueError(
-            f"sketch partials are per-bucket atoms: [from, to) must be "
-            f"aligned to bucket_ns={bn} (got {ts_from}, {ts_to})"
-        )
     if ts_to <= ts_from:
         raise ValueError("empty or inverted range")
-    return ts_from // bn, ts_to // bn  # [lo, hi) in bucket units
+    if (ts_from % bn or ts_to % bn) and not have_raw:
+        raise ValueError(
+            f"sketch partials are per-bucket atoms: [from, to) must be "
+            f"aligned to bucket_ns={bn} (got {ts_from}, {ts_to}) — pass "
+            "raw_tail=<fact frame> to serve the misaligned head/tail "
+            "from raw rows"
+        )
+    core_lo = -(-ts_from // bn)  # ceil
+    core_hi = ts_to // bn        # floor
+    spans: list[tuple[int, int]] = []
+    if core_lo >= core_hi:  # no whole bucket inside: all raw
+        spans.append((ts_from, ts_to))
+        return 0, 0, spans
+    if ts_from < core_lo * bn:
+        spans.append((ts_from, core_lo * bn))
+    if core_hi * bn < ts_to:
+        spans.append((core_hi * bn, ts_to))
+    return core_lo, core_hi, spans
+
+
+def _raw_span_frame(meta: dict, raw_tail: DataFrame,
+                    spans: list[tuple[int, int]]) -> DataFrame:
+    """Fact rows of the misaligned spans, renamed to the partials'
+    internal grouping column.  The predicate is a pushed-down range
+    disjunction over the stored ``ts_col`` — at scale the caller hands
+    the HOT table (recent facts), so the spans read a sliver of it."""
+    pred = F.lit(False)
+    for lo, hi in spans:
+        pred = pred | (
+            (F.col(meta["ts_col"]) >= int(lo))
+            & (F.col(meta["ts_col"]) < int(hi))
+        )
+    return raw_tail.filter(pred).withColumnRenamed(meta["group_col"], "group")
 
 
 def distinct_over_range(spark: SparkSession, path: str, ts_from: int,
-                        ts_to: int) -> DataFrame:
+                        ts_to: int,
+                        raw_tail: DataFrame | None = None) -> DataFrame:
     """(group, approx_distinct) over ``[ts_from, ts_to)`` by merging the
     stored HLL partials of the covered buckets — register-wise max then
     the shared bias-corrected estimator.  Reads ONLY the covered
     ``ts_bucket`` partitions (Catalyst partition pruning on the filter
-    below); never the fact table."""
+    below); never the fact table.
+
+    Misaligned ranges (a dashboard's "last 90 days ending NOW" is never
+    day-aligned): pass ``raw_tail`` — a frame of fact rows covering at
+    least the misaligned head/tail spans (typically the hot recent
+    table) — and those spans' registers are computed from raw rows and
+    FOLDED into the stored partials with the same register-wise max the
+    buckets merge by; the aligned core still never touches facts.
+    Duplicate-tolerance makes this exact-for-the-sketch: a user present
+    in both a core bucket and the raw tail lands on identical
+    (bucket, rank) either way.  Without ``raw_tail``, misaligned ranges
+    raise, as before."""
     meta = _read_meta(spark, path)
     if meta is None:
         raise ValueError(f"no sketch store at {path}: build first")
-    lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    lo, hi, spans = _range_tiers(meta, ts_from, ts_to, raw_tail is not None)
     recover_compaction(f"{path}/hll")
     stored = read_table_or_none(spark, f"{path}/hll")
-    if stored is None:  # built over an empty frame, nothing appended yet
+    parts = []
+    if stored is not None and lo < hi:
+        parts.append(
+            stored
+            .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
+            .select("group", "bucket", "register")
+        )
+    if spans and raw_tail is not None:
+        parts.append(hll_registers(
+            _raw_span_frame(meta, raw_tail, spans),
+            meta["distinct_col"], ["group"], meta["b"],
+        ))
+    if not parts:  # built over an empty frame, nothing appended yet
         return spark.createDataFrame(
             [], "group string, approx_distinct double"
         )
-    regs = (
-        stored
-        .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
-        .groupBy("group", "bucket")
-        .agg(F.max("register").alias("register"))
+    regs = parts[0]
+    for p in parts[1:]:
+        regs = regs.unionByName(p)
+    regs = regs.groupBy("group", "bucket").agg(
+        F.max("register").alias("register")
     )
     return hll_estimate(regs, ["group"], meta["b"])
 
 
 def quantiles_over_range(spark: SparkSession, path: str, ts_from: int,
-                         ts_to: int, qs: list[float]) -> DataFrame:
+                         ts_to: int, qs: list[float],
+                         raw_tail: DataFrame | None = None) -> DataFrame:
     """(group, q, est) over ``[ts_from, ts_to)`` from the stored
     log-histogram partials: bin-wise sum across covered buckets, then
-    the shared nearest-rank readout."""
+    the shared nearest-rank readout.
+
+    Misaligned ranges: with ``raw_tail`` (fact rows covering the
+    misaligned head/tail spans) the spans' bins are counted from raw
+    rows and SUMMED into the stored partials — exactly the merge the
+    buckets fold by, so the cumulative walk sees the true counts.  The
+    raw spans are disjoint from the aligned core by construction, so
+    nothing double-counts.  Without ``raw_tail``, misaligned ranges
+    raise, as before."""
     meta = _read_meta(spark, path)
     if meta is None:
         raise ValueError(f"no sketch store at {path}: build first")
-    lo, hi = _aligned_buckets(meta, ts_from, ts_to)
+    lo, hi, spans = _range_tiers(meta, ts_from, ts_to, raw_tail is not None)
     recover_compaction(f"{path}/hist")
     stored = read_table_or_none(spark, f"{path}/hist")
-    if stored is None:  # built over an empty frame, nothing appended yet
+    parts = []
+    if stored is not None and lo < hi:
+        parts.append(
+            stored
+            .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
+            .select("group", "bin", "cnt")
+        )
+    if spans and raw_tail is not None:
+        parts.append(log_histogram(
+            _raw_span_frame(meta, raw_tail, spans),
+            meta["value_col"], ["group"], meta["k"],
+        ))
+    if not parts:  # built over an empty frame, nothing appended yet
         return spark.createDataFrame(
             [], "group string, q double, est double"
         )
-    hist = (
-        stored
-        .filter((F.col("ts_bucket") >= lo) & (F.col("ts_bucket") < hi))
-        .groupBy("group", "bin")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    hist = parts[0]
+    for p in parts[1:]:
+        hist = hist.unionByName(p)
+    hist = hist.groupBy("group", "bin").agg(F.sum("cnt").alias("cnt"))
     return quantiles_from_histogram(hist, qs, ["group"], meta["k"])
 
 

@@ -260,3 +260,60 @@ def test_reserved_column_names_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="collide"):
         build_sketch_store(df, str(tmp_path / "x"),
                            "event_type", "bucket", "value")
+
+
+def test_tiered_distinct_misaligned_equals_direct(spark, store):
+    """The honest dashboard range ('last N days ending NOW' is never
+    day-aligned): head/tail spans sketched from raw rows fold into the
+    stored partials with the same register-max merge — equal to the
+    one-shot sketch over exactly the raw rows of the range."""
+    raw = _events(spark, range(10))
+    lo, hi = 2 * DAY + DAY // 3, 7 * DAY + DAY // 2
+    direct = approx_distinct(
+        raw.filter((F.col("ts_ns") >= lo) & (F.col("ts_ns") < hi)),
+        "user_id", ("event_type",),
+    ).withColumnRenamed("event_type", "group")
+    served = distinct_over_range(spark, store, lo, hi, raw_tail=raw)
+    assert _rows(served) == _rows(direct) and served.count() == 3
+
+
+def test_tiered_quantiles_misaligned_equals_direct(spark, store):
+    raw = _events(spark, range(10))
+    lo, hi = 3 * DAY + DAY // 4, 6 * DAY + 3 * DAY // 4
+    direct = approx_quantiles(
+        raw.filter((F.col("ts_ns") >= lo) & (F.col("ts_ns") < hi)),
+        "value", QS, ("event_type",),
+    ).withColumnRenamed("event_type", "group")
+    served = quantiles_over_range(spark, store, lo, hi, QS, raw_tail=raw)
+    assert _rows(served) == _rows(direct) and served.count() == 9
+
+
+def test_tiered_range_inside_one_bucket_is_all_raw(spark, store):
+    """No whole bucket fits inside the range: the core is empty and the
+    answer comes purely from the raw spans — still through the same
+    fold."""
+    raw = _events(spark, range(10))
+    lo, hi = 4 * DAY + DAY // 5, 4 * DAY + 4 * DAY // 5
+    direct = approx_distinct(
+        raw.filter((F.col("ts_ns") >= lo) & (F.col("ts_ns") < hi)),
+        "user_id", ("event_type",),
+    ).withColumnRenamed("event_type", "group")
+    served = distinct_over_range(spark, store, lo, hi, raw_tail=raw)
+    assert _rows(served) == _rows(direct) and served.count() == 3
+
+
+def test_tiered_aligned_range_ignores_raw_frame_content(spark, store):
+    """An already-aligned range with a raw_tail passed serves purely
+    from partials (spans are empty): a raw frame with extra off-range
+    rows changes nothing."""
+    decoy = _events(spark, range(10), seed_shift=31)
+    a = distinct_over_range(spark, store, 2 * DAY, 7 * DAY)
+    b = distinct_over_range(spark, store, 2 * DAY, 7 * DAY, raw_tail=decoy)
+    assert _rows(a) == _rows(b)
+
+
+def test_misaligned_without_raw_still_raises(spark, store):
+    with pytest.raises(ValueError, match="raw_tail"):
+        distinct_over_range(spark, store, 2 * DAY + 5, 7 * DAY)
+    with pytest.raises(ValueError, match="raw_tail"):
+        quantiles_over_range(spark, store, 2 * DAY, 7 * DAY - 5, QS)

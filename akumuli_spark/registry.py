@@ -4791,6 +4791,34 @@ _register_pipeline(
 )
 
 
+# Bucketed-table CONSUMER (r12): the curation pass that gates docs on
+# embedding health reads BOTH bucketed catalog tables and plans with
+# zero Exchange end-to-end (plan_audit pins it) — the first pipeline
+# operator that consumes the co-located layout instead of hand-wiring
+# spark.table.  Oracle is the plain SQL join + the same gates.
+def _curate_gate_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.bucketed import curate_embedding_gate
+
+    ldocs, lembs = _bucketed_tables(spark, sf)
+    return curate_embedding_gate(
+        spark, ldocs, lembs, n_chars_lo=100, n_chars_hi=300,
+    ).select("doc_id", "lang", "n_chars", "emb_norm")
+
+
+_register_pipeline(
+    "curate_embedding_gate_bucketed",
+    _curate_gate_bucketed,
+    """SELECT doc_id, lang, n_chars, emb_norm FROM (
+         SELECT d.doc_id AS doc_id, d.lang AS lang, d.n_chars AS n_chars,
+                sqrt(list_dot_product(e.embedding, e.embedding)) AS emb_norm
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+       WHERE NOT isnan(emb_norm) AND emb_norm >= 1e-6
+         AND n_chars >= 100 AND n_chars < 300""",
+    ["emb_norm"],
+    ["doc_id", "lang", "n_chars"],
+)
+
+
 # Events z-store through the facade: select-events with a body regex
 # served from manifest-pruned event files — oracle is the plain evt
 # view predicate (same shape as select_events_regex).

@@ -62,3 +62,47 @@ def test_rebuild_is_idempotent(spark, tables, tmp_path):
     bucket_table(docs, "t_redocs", str(tmp_path / "b"), 8)
     assert spark.table("t_redocs").count() == n1
     spark.sql("DROP TABLE IF EXISTS t_redocs")
+
+
+def test_mismatched_bucket_specs_refused(spark, tables, tmp_path):
+    """Differing bucket counts (or a different bucket column) would
+    silently reintroduce the Exchange — refuse up front (ADVICE r11)."""
+    docs, embs = tables
+    bucket_table(docs, "t_b16", str(tmp_path / "b16"), 16)
+    with pytest.raises(ValueError, match="counts differ"):
+        bucketed_join(spark, "t_b16", "t_bembs")
+    bucket_table(embs, "t_blang", str(tmp_path / "blang"), 8, key="label")
+    with pytest.raises(ValueError, match="not on the join key"):
+        bucketed_join(spark, "t_bdocs", "t_blang")
+    spark.sql("DROP TABLE IF EXISTS t_b16")
+    spark.sql("DROP TABLE IF EXISTS t_blang")
+
+
+def test_curate_embedding_gate_zero_exchange_and_rows(spark, tables):
+    """The consuming curation pass stays zero-Exchange END-TO-END and
+    gates exactly like the plain-join equivalent."""
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.sources.bucketed import curate_embedding_gate
+
+    docs, embs = tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = curate_embedding_gate(spark, "t_bdocs", "t_bembs",
+                                    n_chars_lo=100, n_chars_hi=300)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0
+        norm = F.sqrt(F.expr(
+            "aggregate(embedding, 0.0D, "
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+        exp_df = (
+            docs.join(embs, "doc_id").withColumn("n", norm)
+            .filter("NOT isnan(n) AND n >= 1e-6")
+            .filter("n_chars >= 100 AND n_chars < 300")
+        )
+        got = sorted(r.doc_id for r in out.collect())
+        exp = sorted(r.doc_id for r in exp_df.collect())
+        assert got == exp and got
+        assert "embedding" not in out.columns and "emb_norm" in out.columns
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

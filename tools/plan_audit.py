@@ -142,7 +142,10 @@ def main() -> None:
                "zorder_select_time_slice", "zorder_group_aggregate",
                "zorder_database_select_where", "zorder_corpus_gate",
                "sketch_store_distinct_range", "sketch_store_quantiles_range",
-               "group_aggregate_tiered", "bucketed_join_docs_embeddings"]
+               "group_aggregate_tiered", "bucketed_join_docs_embeddings",
+               "zorder_optimize_select", "sketch_store_distinct_tiered",
+               "sketch_store_quantiles_tiered",
+               "curate_embedding_gate_bucketed"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")
@@ -252,14 +255,23 @@ def main() -> None:
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        from akumuli_spark.sources.bucketed import curate_embedding_gate
+
         lt, rt = _bucketed_tables(spark, sf_dir)
-        bplan = bucketed_join(spark, lt, rt)._jdf.queryExecution() \
-            .executedPlan().toString()
-        n_ex = bplan.count("Exchange")
-        ok = n_ex == 0
-        print(f"{'OK  ' if ok else 'FAIL'} bucketed_join: "
-              f"Exchanges={n_ex} (need 0)")
-        failures += 0 if ok else 1
+        for label, bdf in (
+            ("bucketed_join", bucketed_join(spark, lt, rt)),
+            # the consuming pipeline op must stay zero-Exchange
+            # END-TO-END: co-located join + narrow codegen gates
+            ("curate_embedding_gate",
+             curate_embedding_gate(spark, lt, rt,
+                                   n_chars_lo=100, n_chars_hi=300)),
+        ):
+            bplan = bdf._jdf.queryExecution().executedPlan().toString()
+            n_ex = bplan.count("Exchange")
+            ok = n_ex == 0
+            print(f"{'OK  ' if ok else 'FAIL'} {label}: "
+                  f"Exchanges={n_ex} (need 0)")
+            failures += 0 if ok else 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
@@ -279,7 +291,7 @@ def main() -> None:
         n_bm25_fail += 0 if ok else 1
     failures += n_bm25_fail
 
-    print(f"\n{len(audited) + 8 - failures} ok, {failures} failing")
+    print(f"\n{len(audited) + 9 - failures} ok, {failures} failing")
     sys.exit(1 if failures else 0)
 
 

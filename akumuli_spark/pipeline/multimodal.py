@@ -371,6 +371,129 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """REAL baseline JPEGs with a REAL ENTROPY-CODED PIXEL STREAM:
+    grayscale sequential-DCT payloads (SOI + DQT + SOF0 + Annex-K DHT +
+    SOS + Huffman data + EOI) holding the SAME pixel grid as
+    :func:`synth_bmp_pixel_payloads` (the ``_PX`` formula over the BMP
+    twin's byte size, same thumbnail dims) — the fixture corpus for the
+    JPEG arm of ``image_dhash(pixel_source="payload")``.
+
+    The encoder is the decoder's true inverse run forward: level shift,
+    orthonormal 8×8 DCT, quantization, zigzag, DC-diff + AC
+    run-length, canonical Huffman, byte stuffing.  The quantization
+    table is all-ones, so the round trip loses only DCT float
+    rounding (≤ ±2 per pixel) — and because adjacent sampled pixels of
+    the ``_PX`` grid differ by ≥ 31 at thumbnail dims, the dHash over
+    the decoded JPEG matches the BMP/PNG twins BIT-FOR-BIT (pinned),
+    while the generator-arithmetic DuckDB oracle stays exact."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = _dct_matrix()
+        dc_codes = _jpeg_canonical_codes(*_JPEG_DC_LUM)
+        ac_codes = _jpeg_canonical_codes(*_JPEG_AC_LUM)
+
+        def dht_segment(tc_th: int, table: tuple) -> bytes:
+            counts, syms = table
+            body = bytes([tc_th]) + bytes(counts) + bytes(syms)
+            return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+        def encode(grid: "np.ndarray", w: int, h: int) -> bytes:
+            out = bytearray()
+            state = {"acc": 0, "n": 0}
+
+            def put(code: int, length: int) -> None:
+                state["acc"] = (state["acc"] << length) | code
+                state["n"] += length
+                while state["n"] >= 8:
+                    state["n"] -= 8
+                    b = (state["acc"] >> state["n"]) & 0xFF
+                    out.append(b)
+                    if b == 0xFF:
+                        out.append(0x00)  # byte stuffing
+                state["acc"] &= (1 << state["n"]) - 1
+
+            # pad to 8×8 multiples by edge replication
+            bw, bh = -(-w // 8) * 8, -(-h // 8) * 8
+            img = np.empty((bh, bw), dtype=np.float64)
+            img[:h, :w] = grid
+            img[:h, w:] = grid[:, -1:]
+            img[h:, :] = img[h - 1:h, :]
+            pred = 0
+            for by in range(0, bh, 8):
+                for bx in range(0, bw, 8):
+                    blk = img[by:by + 8, bx:bx + 8] - 128.0
+                    coef = np.round(C @ blk @ C.T).astype(np.int64)
+                    zz = coef.flatten()[_JPEG_ZIGZAG]
+                    diff = int(zz[0]) - pred
+                    pred = int(zz[0])
+                    s = int(diff != 0 and int(abs(diff)).bit_length())
+                    code, ln = dc_codes[s]
+                    put(code, ln)
+                    if s:
+                        put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                    run = 0
+                    for k in range(1, 64):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            code, ln = ac_codes[0xF0]  # ZRL
+                            put(code, ln)
+                            run -= 16
+                        s = int(abs(v)).bit_length()
+                        if s > 10:  # outside Annex-K AC categories
+                            raise ValueError("AC coefficient overflow")
+                        code, ln = ac_codes[run * 16 + s]
+                        put(code, ln)
+                        put(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[0x00]  # EOB
+                        put(code, ln)
+            if state["n"]:  # pad final byte with 1s (spec convention)
+                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+            return bytes(out)
+
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                n_text = len(t.encode("utf-8"))
+                w = 8 + n_text % 25
+                h = 8 + (n_text * 31) % 17
+                # the BMP twin's total size drives the pixel formula, so
+                # all three containers store the same grid
+                n_bytes = 54 + (((w * 3 + 3) // 4) * 4) * h
+                ys = np.arange(h, dtype=np.int64)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                grid = ((17 * ys[:, None]) + xs[None, :] + n_bytes) % 256
+                sof = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                       + bytes([1, 0x11, 0]))
+                sos = (b"\xff\xda" + struct.pack(">HB", 8, 1)
+                       + bytes([1, 0x00, 0, 63, 0]))
+                payloads.append(
+                    b"\xff\xd8" + dqt + sof
+                    + dht_segment(0x00, _JPEG_DC_LUM)
+                    + dht_segment(0x10, _JPEG_AC_LUM)
+                    + sos + encode(grid.astype(np.float64), w, h)
+                    + b"\xff\xd9"
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
 def synth_png_payloads(docs: DataFrame) -> DataFrame:
     """REAL PNG signature + IHDR chunk (with a correct CRC32, so the
     bytes are valid per the PNG spec) followed by the text body — the
@@ -1030,15 +1153,319 @@ def _png_payload_grid(p: bytes, sx, sy):
     return first[sy[:, None], sx[None, :]].astype(np.uint8)
 
 
+# --- baseline JPEG codec (ITU-T T.81, public spec) -----------------------
+#
+# Zigzag scan order (T.81 Figure 5): scan index i reads natural
+# coefficient position _JPEG_ZIGZAG[i].
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# T.81 Annex K.3 typical luminance Huffman tables (public constants):
+# (counts of codes per length 1..16, symbol values in canonical order)
+_JPEG_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(counts: list[int],
+                          symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) under JPEG's canonical assignment
+    (T.81 Annex C): codes in increasing length, then listing order."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] /= np.sqrt(2.0)
+    return c  # orthonormal: F = C @ B @ C.T, B = C.T @ F @ C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with byte
+    UN-stuffing (0xFF 0x00 → 0xFF) and RST-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d, self.pos, self.acc, self.n = data, pos, 0, 0
+
+    def _fill(self) -> bool:
+        if self.pos + 1 >= len(self.d):
+            return False  # truncated entropy stream
+        b = self.d[self.pos]
+        if b == 0xFF:
+            nxt = self.d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST: caller consumes via sync
+                return False
+            else:  # EOI or another marker: no more entropy bits
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bits(self, k: int) -> int | None:
+        while self.n < k:
+            if not self._fill():
+                return None
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            b = self.bits(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def sync_restart(self) -> bool:
+        """Align to and consume an RSTn marker between restart
+        intervals; resets the bit buffer."""
+        self.acc, self.n = 0, 0
+        while self.pos + 1 < len(self.d):
+            if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            self.pos += 1
+        return False
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decode (T.81 F.2.2.1): s low bits ``v`` encode
+    values [−2^s+1, −2^(s−1)] ∪ [2^(s−1), 2^s−1]."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_payload_grid(p: bytes, sx, sy):
+    """Resampled grayscale grid from a REAL baseline JPEG — the last
+    modality gap in the payload pixel path (VERDICT r11 Next #7): full
+    sequential-DCT decode in the same numpy-kernel style as the PNG
+    path.  Segment walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
+    entropy decode with byte un-stuffing and restart-marker resync,
+    dequantization, orthonormal 8×8 IDCT, and the shared
+    nearest-neighbor gather over the LUMA plane (grayscale = the first
+    stored channel, consistent with the BMP/PNG convention; for the
+    grayscale synth corpus luma IS the stored pixel).
+
+    Supported: 8-bit baseline (SOF0) with any component layout whose
+    luma carries the max sampling factors — 4:4:4, 4:2:0, 4:2:2 and
+    grayscale all qualify; chroma planes are entropy-consumed but not
+    gathered.  Progressive (SOF2), arithmetic coding, 12-bit: None →
+    NULL hash under the documented corrupt-payload contract, as is any
+    truncated/undecodable stream."""
+    import numpy as np
+
+    if len(p) < 4 or p[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    restart = 0
+    pos, n = 2, len(p)
+    scan = None
+    while pos + 4 <= n:
+        if p[pos] != 0xFF:
+            return None
+        marker = p[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return None  # EOI before SOS
+        seglen = int.from_bytes(p[pos + 2:pos + 4], "big")
+        seg = p[pos + 4:pos + 2 + seglen]
+        if pos + 2 + seglen > n:
+            return None
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                vals = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    if prec:
+                        vals[_JPEG_ZIGZAG[k]] = int.from_bytes(
+                            seg[i:i + 2], "big")
+                        i += 2
+                    else:
+                        vals[_JPEG_ZIGZAG[k]] = seg[i]
+                        i += 1
+                qt[tid] = vals.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1:i + 17])
+                nsym = sum(counts)
+                syms = list(seg[i + 17:i + 17 + nsym])
+                dec: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        dec[(length, code)] = syms[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = dec
+                i += 17 + nsym
+        elif marker == 0xC0:  # SOF0: baseline sequential
+            if seg[0] != 8:
+                return None  # 12-bit
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = [
+                (seg[6 + 3 * c], seg[7 + 3 * c] >> 4,
+                 seg[7 + 3 * c] & 0x0F, seg[8 + 3 * c])
+                for c in range(nc)
+            ]
+        elif marker in _JPEG_SOF:  # progressive/arithmetic/lossless
+            return None
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                     seg[2 + 2 * c] & 0x0F) for c in range(ns)]
+            pos = pos + 2 + seglen
+            break
+        pos = pos + 2 + seglen
+    if scan is None or not w or not h or not comps:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    luma = comps[0]
+    if luma[1] != hmax or luma[2] != vmax:
+        return None  # first channel must be full-resolution
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    C = _dct_matrix()
+    plane = np.zeros((mcuy * 8 * vmax, mcux * 8 * hmax))
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    try:
+        tables = []
+        for cid, td, ta in scan:
+            hs, vs, tq = by_id[cid]
+            tables.append((cid, hs, vs, qt[tq], huff[(0, td)], huff[(1, ta)]))
+    except KeyError:
+        return None
+    rd = _JpegBitReader(p, pos)
+    pred = {cid: 0 for cid, _, _ in scan}
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                if not rd.sync_restart():
+                    return None
+                pred = {cid: 0 for cid, _, _ in scan}
+            mcu_i += 1
+            for cid, hs, vs, q, dc_t, ac_t in tables:
+                for v in range(vs):
+                    for hb in range(hs):
+                        s = rd.huffman(dc_t)
+                        if s is None:
+                            return None
+                        diff = 0
+                        if s:
+                            bits = rd.bits(s)
+                            if bits is None:
+                                return None
+                            diff = _jpeg_extend(bits, s)
+                        pred[cid] += diff
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = rd.huffman(ac_t)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            size = sym & 0x0F
+                            if k > 63 or size == 0:
+                                return None
+                            bits = rd.bits(size)
+                            if bits is None:
+                                return None
+                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits, size)
+                            k += 1
+                        if cid != luma[0]:
+                            continue  # chroma: consumed, not gathered
+                        blk = C.T @ ((coef.reshape(8, 8) * q).astype(
+                            np.float64)) @ C
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + hb) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = blk
+    pix = np.clip(np.round(plane[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return pix[sy[:, None], sx[None, :]]
+
+
 def _payload_pixel_grid(p: bytes, sx, sy):
     """Container dispatch for the payload pixel path: BMP pixel-array
-    walk or PNG inflate+filter-undo by magic; other containers (JPEG
-    needs a real DCT codec) return None → NULL hash, the documented
-    contract."""
+    walk, PNG inflate+filter-undo, or baseline-JPEG Huffman+IDCT decode
+    by magic; unsupported containers/codings return None → NULL hash,
+    the documented contract."""
     if p[:2] == b"BM":
         return _bmp_payload_grid(p, sx, sy)
     if p[:8] == _PNG_MAGIC:
         return _png_payload_grid(p, sx, sy)
+    if p[:2] == b"\xff\xd8":
+        return _jpeg_payload_grid(p, sx, sy)
     return None
 
 
@@ -1068,16 +1495,21 @@ def image_dhash(payloads: DataFrame, rows: int = 10,
     * ``"payload"`` — the ACTUAL stored pixel bytes, dispatched by
       container magic (:func:`_payload_pixel_grid`): the real BMP
       pixel-array walk (:func:`_bmp_payload_grid`: data offset,
-      bottom-up rows, 4-byte padding, 8/24/32 bpp) or the real PNG
+      bottom-up rows, 4-byte padding, 8/24/32 bpp), the real PNG
       decode (:func:`_png_payload_grid`: chunk walk, zlib inflate,
-      all-five-filter undo; 8-bit gray/RGB non-interlaced) — the
-      production path for real images.  Other containers (JPEG needs a
-      DCT codec) and payloads without a complete pixel array (the
-      headers-only synth corpora) hash to NULL, the same
-      total-over-dirty-data contract as corrupt rows.  On the
-      :func:`synth_bmp_pixel_payloads` / :func:`synth_png_pixel_payloads`
-      corpora the modes agree bit-for-bit — and PNG vs BMP re-encodings
-      of the SAME pixels hash identically (pytest-pinned).
+      all-five-filter undo; 8-bit gray/RGB non-interlaced), or the real
+      baseline-JPEG decode (:func:`_jpeg_payload_grid`: Huffman entropy
+      decode, dequant, IDCT over the luma plane — the container real
+      web corpora are mostly made of) — the production path for real
+      images.  Unsupported codings (progressive JPEG, 16-bit PNG) and
+      payloads without a complete pixel array (the headers-only synth
+      corpora) hash to NULL, the same total-over-dirty-data contract as
+      corrupt rows.  On the :func:`synth_bmp_pixel_payloads` /
+      :func:`synth_png_pixel_payloads` / :func:`synth_jpeg_pixel_payloads`
+      corpora the modes agree bit-for-bit — re-encodings of the SAME
+      pixels in all three containers hash identically (pytest-pinned;
+      for JPEG the near-lossless round trip's ≤ ±2 pixel error cannot
+      flip the corpus's ≥ 31-magnitude gradients).
 
     Output: (doc_id, dhash BIGINT); null row for empty/corrupt
     payloads (total over dirty data, never stage-fatal)."""

@@ -3425,6 +3425,22 @@ _register_pipeline(
     ["doc_id", "dhash"],
 )
 
+# ...and the JPEG corpus: real entropy-coded baseline streams of the
+# same grid, so the full sequential-DCT decode (Huffman + dequant +
+# IDCT) is audited by the same arithmetic twin — exact because the
+# all-ones-quant round trip's ≤ ±2 error cannot flip the corpus's
+# ≥ 31-magnitude gradients.
+_register_pipeline(
+    "multimodal_image_dhash_payload_jpeg",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_jpeg_pixel_payloads(load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
 _register_pipeline(
     "multimodal_image_near_dup",
     lambda spark, sf: _mm.image_near_dup_pairs(

@@ -1513,6 +1513,61 @@ def test_image_dhash_png_payload_real_decode(spark):
     assert all(v is not None for v in png_hash.values())
 
 
+def test_image_dhash_jpeg_payload_real_decode(spark):
+    """The JPEG payload path performs a REAL baseline decode — segment
+    walk, canonical Huffman entropy decode with byte un-stuffing,
+    dequantization, 8x8 IDCT (VERDICT r11 Next #7):
+
+    * on :func:`synth_jpeg_pixel_payloads` (real entropy-coded
+      grayscale SOF0 streams of the shared ``_PX`` grid) the JPEG hash
+      equals BOTH the BMP and PNG hashes of the SAME pixels bit-for-bit
+      — the near-lossless round trip's <= +-2 error cannot flip the
+      corpus's >= 31-magnitude gradients, which is exactly the lossy
+      robustness dHash exists for;
+    * a truncated entropy stream and a progressive (SOF2) frame hash
+      NULL, never a task failure."""
+    from akumuli_spark.pipeline import multimodal as mm
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    jpeg_corpus = mm.synth_jpeg_pixel_payloads(docs)
+    jpg_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(jpeg_corpus, pixel_source="payload").collect()
+    }
+    bmp_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_bmp_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    png_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_png_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    assert jpg_hash == bmp_hash == png_hash and len(jpg_hash) == 60
+    assert all(v is not None for v in jpg_hash.values())
+
+    # dirty payloads: truncated entropy data / progressive frame -> NULL
+    (sample,) = jpeg_corpus.limit(1).collect()
+    good = bytes(sample["payload"])
+    truncated = good[: len(good) // 2]
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    dirty = spark.createDataFrame(
+        [(1, truncated), (2, progressive), (3, good)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(dirty, pixel_source="payload").collect()
+    }
+    assert got[1] is None and got[2] is None
+    assert got[3] == jpg_hash[sample["doc_id"]]
+
+
 def test_sample_audio_frames_crafted(spark):
     """Synth WAV over known text: frame size from the real header walk,
     stride-4 sampling, trailing partial frame ignored."""

@@ -381,6 +381,30 @@ class ZorderDatabase(Database):
             return execute_query(self.spark, q, self.metrics, self.events)
         return execute_query(self.spark, q, frame, self.events)
 
+    # -- maintenance endpoints (the OPTIMIZE/VACUUM loop) ---------------
+    #
+    # the facade owns the store path, so the evidence-driven maintenance
+    # cadence is one object: erosion() names degraded buckets,
+    # optimize() re-clusters them, vacuum() reclaims replaced/orphaned
+    # files after the live-append grace — the next query() re-opens the
+    # post-maintenance snapshot automatically via the mtime token
+    def erosion(self) -> DataFrame:
+        from akumuli_spark.sources.zorder import zorder_erosion
+
+        return zorder_erosion(self.spark, self._zpath)
+
+    def optimize(self, buckets: list[tuple[str, int]] | None = None,
+                 min_epochs: int = 2) -> int:
+        from akumuli_spark.sources.zorder import zorder_optimize
+
+        return zorder_optimize(self.spark, self._zpath, buckets=buckets,
+                               min_epochs=min_epochs)
+
+    def vacuum(self, grace_s: float = 86_400.0) -> int:
+        from akumuli_spark.sources.zorder import vacuum_zorder
+
+        return vacuum_zorder(self.spark, self._zpath, grace_s=grace_s)
+
     # the metadata endpoints read the derived dim — same staleness
     # exposure as query(), same fix
     def search(self, query_json: dict) -> DataFrame:

@@ -110,6 +110,25 @@ def main() -> None:
         print(f"append published atomically; retention dropped {dropped} "
               f"partition dirs (zero scan)")
 
+        # the r12 maintenance loop: evidence-driven scoped OPTIMIZE —
+        # the erosion report (manifest-only) names the buckets appends
+        # degraded; optimize re-clusters ONLY those; vacuum (with its
+        # live-append grace) reclaims the replaced files
+        from akumuli_spark.sources.zorder import (
+            vacuum_zorder,
+            zorder_erosion,
+            zorder_optimize,
+        )
+
+        eroded = zorder_erosion(spark, zpath).filter("epochs >= 2")
+        n_eroded = eroded.count()
+        t = time.time()
+        n_opt = zorder_optimize(spark, zpath)
+        reclaimed = vacuum_zorder(spark, zpath, grace_s=0)
+        print(f"erosion report: {n_eroded} eroded buckets; scoped "
+              f"optimize re-clustered {n_opt} in {time.time() - t:.1f}s; "
+              f"vacuum reclaimed {reclaimed} replaced files")
+
         # events in their own z-store: select-events file-pruned too
         from akumuli_spark.sources.testdata import events_view
 
@@ -188,6 +207,14 @@ def main() -> None:
         qd = quantiles_over_range(spark, store, E0 + 7 * DAY,
                                   E0 + 21 * DAY, [0.5, 0.99])
         print(f"value quantiles days 7-21: {qd.count()} rows")
+
+        # the honest dashboard range is never day-aligned: tiered serve
+        # folds raw-computed head/tail sketches into the stored partials
+        lo, hi = E0 + 7 * DAY + 9 * 3600 * NS, E0 + 21 * DAY - 3 * 3600 * NS
+        t = time.time()
+        dt = distinct_over_range(spark, store, lo, hi, raw_tail=ev)
+        print(f"tiered distinct over misaligned range "
+              f"({time.time() - t:.1f}s): {dt.count()} groups")
 
         # compaction folds the stream's epochs; serving is unchanged
         before = sorted(tuple(r) for r in d.collect())

@@ -251,3 +251,31 @@ def test_wide_where_cap_falls_back_to_column_predicate(dbs):
         assert st and st["files_selected"] <= st["files_total"]
     finally:
         zdb.WIDE_WHERE_CAP = old_cap
+
+
+def test_zdb_maintenance_loop(spark, tmp_path):
+    """The facade owns the maintenance cadence: appends erode, the
+    erosion report names the buckets, optimize() re-clusters them,
+    vacuum() reclaims the replaced files, and the NEXT query serves the
+    repaired snapshot with identical rows."""
+    from akumuli_spark.sources.zorder import zorder_append
+
+    frame = app_metrics_view(spark, SF_DIR)
+    path = str(tmp_path / "maint")
+    part = F.pmod(F.xxhash64("series", "ts_ns"), F.lit(4))
+    zorder_metrics_table(spark, frame.filter(part == 0), path,
+                         bucket_ns=7 * DAY, files_per_partition=4)
+    for k in (1, 2, 3):
+        zorder_append(spark, frame.filter(part == k), path, epoch=k)
+    zdb = open_zorder_database(spark, path)
+    q = {"select": "app.view",
+         "range": {"from": E0 + 14 * DAY, "to": E0 + 15 * DAY}}
+    pre_rows = sorted(map(tuple, zdb.query(q).collect()))
+    pre_files = zdb.last_prune_stats["files_selected"]
+    eroded = zdb.erosion().filter("epochs >= 2").count()
+    assert eroded > 0
+    assert zdb.optimize() == eroded
+    assert zdb.vacuum(grace_s=0) > 0
+    post_rows = sorted(map(tuple, zdb.query(q).collect()))
+    assert post_rows == pre_rows and pre_rows
+    assert zdb.last_prune_stats["files_selected"] < pre_files

@@ -1359,8 +1359,89 @@ def zcorpus_smoke(spark, n_docs: int) -> dict:
     return out
 
 
+def optimize_smoke(spark, n_rows: int, n_appends: int = 4) -> dict:
+    """Scoped OPTIMIZE at scale (r12): build over n_rows, erode with
+    ``n_appends`` full-time-span appends (each adds its own rectangles
+    to EVERY bucket), then measure what the maintenance loop claims —
+    the erosion report is metadata-priced, the scoped optimize costs
+    O(selected buckets) not O(table), and a time-slice probe's
+    files-scanned drops back after it while results are unchanged."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.sources.zorder import (
+        vacuum_zorder,
+        zorder_append,
+        zorder_erosion,
+        zorder_metrics_table,
+        zorder_optimize,
+        zorder_select,
+    )
+
+    day_ns = 86_400 * NS
+    frame = synthetic_metrics(spark, n_rows)
+    path = tempfile.mkdtemp(prefix="optimize_smoke_") + "/metrics"
+    out = {}
+    try:
+        t = time.time()
+        # split on the sample index (ts is a pure 10ms ramp), so the
+        # build and every append each cover the FULL time span — the
+        # maximal-erosion shape
+        idx = (F.col("ts_ns") - F.lit(T0)) / F.lit(10_000_000)
+        zorder_metrics_table(spark, frame.filter(
+            idx % (n_appends + 1) == 0), path,
+            bucket_ns=day_ns, files_per_partition=8)
+        out["build_s"] = round(time.time() - t, 2)
+        t = time.time()
+        for k in range(1, n_appends + 1):
+            zorder_append(spark, frame.filter(
+                idx % (n_appends + 1) == k), path, epoch=k)
+        out["appends_s"] = round(time.time() - t, 2)
+
+        span_ns = n_rows * 10_000_000
+        lo = T0 + span_ns // 2
+        hi = lo + max(span_ns // 50, 60 * NS)
+        st_pre: dict = {}
+        t = time.time()
+        n_pre = zorder_select(spark, path, ts_from=lo, ts_to=hi,
+                              stats=st_pre).count()
+        out["probe_pre_s"] = round(time.time() - t, 2)
+        out["probe_pre_files"] = (
+            f"{st_pre['files_selected']}/{st_pre['files_total']}")
+
+        t = time.time()
+        eroded = zorder_erosion(spark, path).filter("epochs >= 2").count()
+        out["erosion_report_s"] = round(time.time() - t, 2)
+        out["eroded_buckets"] = eroded
+        t = time.time()
+        out["optimized_buckets"] = zorder_optimize(spark, path)
+        out["optimize_s"] = round(time.time() - t, 2)
+        t = time.time()
+        out["vacuumed_files"] = vacuum_zorder(spark, path, grace_s=0)
+        out["vacuum_s"] = round(time.time() - t, 2)
+
+        st_post: dict = {}
+        t = time.time()
+        n_post = zorder_select(spark, path, ts_from=lo, ts_to=hi,
+                               stats=st_post).count()
+        out["probe_post_s"] = round(time.time() - t, 2)
+        out["probe_post_files"] = (
+            f"{st_post['files_selected']}/{st_post['files_total']}")
+        assert n_post == n_pre, (n_post, n_pre)
+        assert st_post["files_selected"] < st_pre["files_selected"]
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "optimize":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
+        print(json.dumps(
+            {"rows": n_rows, "optimize": optimize_smoke(spark, n_rows)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "zcorpus":
         n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
         print(json.dumps(

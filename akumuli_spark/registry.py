@@ -4753,6 +4753,52 @@ _register_pipeline(
 )
 
 
+# Corpus growth (r12): the same curation gate served from a store built
+# over 2/3 of the corpus and grown by one epoch append — the gate spans
+# both regions, so a lost append file, an unpublished manifest row, or
+# a mis-clustered batch is a visible row deficit.
+def _zcorpus_grown_path(spark: SparkSession, sf: str) -> str:
+    key = f"grow:{sf}"
+    if key not in _ZCORPUS_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import (
+            zorder_corpus_append,
+            zorder_corpus_table,
+        )
+
+        path = tempfile.mkdtemp(prefix="akumuli_zcorpus_grow_") + "/docs"
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        docs = load_table(spark, sf, "documents")
+        zorder_corpus_table(spark, docs.filter("doc_id % 3 != 0"), path,
+                            files_total=16)
+        zorder_corpus_append(spark, docs.filter("doc_id % 3 = 0"), path,
+                             epoch=1, files_total=8)
+        _ZCORPUS_CACHE[key] = path
+    return _ZCORPUS_CACHE[key]
+
+
+def _zorder_corpus_append_gate(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_corpus_select
+
+    return zorder_corpus_select(
+        spark, _zcorpus_grown_path(spark, sf), cat=["en", "fr"],
+        num_lo=120, num_hi=220,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_register_pipeline(
+    "zorder_corpus_append_gate",
+    _zorder_corpus_append_gate,
+    """SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE lang IN ('en', 'fr') AND n_chars >= 120 AND n_chars < 220""",
+    [],
+    ["doc_id", "lang", "source", "n_chars"],
+)
+
+
 # Bucketed co-located join (sources/bucketed.py): documents ⋈ embeddings
 # on doc_id from same-bucketed catalog tables — the zero-Exchange join
 # shape (plan-audited); the oracle is the plain SQL join, so a

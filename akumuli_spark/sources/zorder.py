@@ -840,33 +840,25 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
     (no partition dirs — language cardinality is too low and too skewed
     for directory partitioning at corpus scale; the manifest carries
     the pruning instead).  Publish is the same atomic two-rename swap
-    as the metrics store."""
-    cap = 1 << bits
-    cat_bins = _ranked_bins(
-        docs.select(cat_col).distinct(), cat_col, "__cbin", bits
-    )
-
-    bounds = docs.agg(
-        F.min(num_col).alias("lo"), F.max(num_col).alias("hi")).first()
-    lo = 0 if bounds.lo is None else int(bounds.lo)
-    span = max(1, (0 if bounds.hi is None else int(bounds.hi)) - lo + 1)
-    binned = (
-        docs.join(F.broadcast(cat_bins), cat_col)
-        .withColumn(
-            "__nbin",
-            F.expr(f"(({num_col} - {lo}L) * {cap}L) div {span}L"),
-        )
-        .withColumn("__z", interleave_bits("__cbin", "__nbin", bits))
-    )
+    as the metrics store; the layout contract (cat_col, num_col, bits,
+    files_total) travels in ``{path}/_zmeta`` so appends reproduce it
+    and serves validate against it (the stored-contract rule).  A
+    rebuild IS the corpus store's OPTIMIZE: the table is flat, so the
+    scoped variant the metrics store needs has no sub-table unit here —
+    re-cluster when :func:`zorder_corpus_append` erosion costs more
+    than the one range-shuffle write."""
     tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
     shutil.rmtree(tmp, ignore_errors=True)
-    (
-        binned.repartitionByRange(max(1, files_total), "__z")
-        .sortWithinPartitions("__z")
-        .drop("__cbin", "__nbin", "__z")
-        .write.mode("overwrite").parquet(tmp)
-    )
+    _write_corpus_clustered(docs, tmp, cat_col, num_col, files_total, bits)
     _write_corpus_manifest(spark, tmp, cat_col, num_col)
+    spark.createDataFrame(
+        [(ZORDER_LAYOUT_VERSION, cat_col, num_col, int(files_total),
+          int(bits))],
+        "layout_version int, cat_col string, num_col string, "
+        "files_total int, bits int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, META_DIR)
+    )
 
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(path):
@@ -883,13 +875,167 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
         os.rename(tmp, path)
 
 
+def _write_corpus_clustered(docs: DataFrame, out_dir: str, cat_col: str,
+                            num_col: str, files_total: int,
+                            bits: int) -> None:
+    """The corpus clustering kernel shared by build and append: rank-bin
+    the categorical dim, min-max-bin the numeric, z-interleave,
+    range-partition into files."""
+    cap = 1 << bits
+    cat_bins = _ranked_bins(
+        docs.select(cat_col).distinct(), cat_col, "__cbin", bits
+    )
+    bounds = docs.agg(
+        F.min(num_col).alias("lo"), F.max(num_col).alias("hi")).first()
+    lo = 0 if bounds.lo is None else int(bounds.lo)
+    span = max(1, (0 if bounds.hi is None else int(bounds.hi)) - lo + 1)
+    binned = (
+        docs.join(F.broadcast(cat_bins), cat_col)
+        .withColumn(
+            "__nbin",
+            F.expr(f"(({num_col} - {lo}L) * {cap}L) div {span}L"),
+        )
+        .withColumn("__z", interleave_bits("__cbin", "__nbin", bits))
+    )
+    (
+        binned.repartitionByRange(max(1, files_total), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__cbin", "__nbin", "__z")
+        .write.mode("overwrite").parquet(out_dir)
+    )
+
+
+def _read_corpus_zmeta(spark: SparkSession, path: str) -> dict | None:
+    from akumuli_spark.sources.layout import read_table_or_none
+
+    meta = read_table_or_none(spark, os.path.join(path, META_DIR))
+    if meta is None or "cat_col" not in meta.columns:
+        return None  # pre-r12 corpus store (or a metrics store)
+    rows = meta.collect()  # one row — layout-sized
+    if not rows:
+        return None
+    r = rows[0].asDict()
+    if r["layout_version"] > ZORDER_LAYOUT_VERSION:
+        raise ValueError(
+            f"corpus z-store at {path} uses layout version "
+            f"{r['layout_version']}; this build reads "
+            f"≤ {ZORDER_LAYOUT_VERSION}"
+        )
+    return r
+
+
+def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
+                         epoch: int | None = None,
+                         files_total: int | None = None) -> None:
+    """Grow the corpus store by one clustered batch with the metrics
+    store's snapshot protocol (a training corpus GROWS — previously the
+    only way to absorb new documents was a full rebuild): the batch is
+    clustered under the STORED contract, staged in a private sibling,
+    its files renamed in (invisible — reads serve the manifest), and
+    the merged manifest published with one two-rename swap.
+
+    Exactly-once via ``epoch`` (≥ 1; the manifest is the ledger, a
+    committed epoch's replay is a no-op); without one, replays
+    duplicate (pair with a checkpointed caller).  Appended files cover
+    their batch's (cat, num) rectangles only, eroding pruning over many
+    appends — the corpus OPTIMIZE is the flat rebuild
+    (:func:`zorder_corpus_table`); crashed-append orphans are reclaimed
+    by :func:`vacuum_zorder_corpus` after its grace.  ``files_total``
+    defaults to the stored build value — pass a smaller count for small
+    batches so appends don't shard into confetti."""
+    import uuid
+
+    meta = _read_corpus_zmeta(spark, path)
+    if meta is None:
+        raise ValueError(
+            f"no corpus z-store layout contract at {path}: build with "
+            "zorder_corpus_table first (pre-contract stores must be "
+            "rebuilt)"
+        )
+    mpath = os.path.join(path, CORPUS_MANIFEST_DIR)
+    if epoch is not None:
+        if epoch < 1:
+            raise ValueError("epoch 0 is reserved for build/re-cluster")
+        recover_compaction(mpath)
+        committed = (
+            spark.read.parquet(mpath)
+            .filter(F.col("epoch") == int(epoch)).limit(1).count()
+        )
+        if committed:
+            return
+    tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
+    try:
+        _write_corpus_clustered(
+            docs, tmp, meta["cat_col"], meta["num_col"],
+            files_total or meta["files_total"], meta["bits"],
+        )
+        _write_corpus_manifest(spark, tmp, meta["cat_col"],
+                               meta["num_col"], epoch=epoch)
+        new_rows = spark.read.parquet(os.path.join(tmp, CORPUS_MANIFEST_DIR))
+        new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
+
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):  # flat layout: data at the root
+                os.rename(os.path.join(tmp, f), os.path.join(path, f))
+
+        recover_compaction(mpath)
+        merged = spark.read.parquet(mpath).unionByName(new_rows)
+        mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
+        shutil.rmtree(mtmp, ignore_errors=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(mtmp)
+        shutil.rmtree(mold, ignore_errors=True)
+        os.rename(mpath, mold)
+        os.rename(mtmp, mpath)
+        shutil.rmtree(mold, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def vacuum_zorder_corpus(spark: SparkSession, path: str,
+                         grace_s: float = 86_400.0,
+                         now_s: float | None = None) -> int:
+    """Corpus twin of :func:`vacuum_zorder`: delete unlisted root data
+    files (crashed-append orphans, never visible to any read) and stale
+    ``.append-tmp-*`` staging siblings, sparing anything younger than
+    ``grace_s`` (a possibly-live append)."""
+    import glob
+    import time
+
+    now = time.time() if now_s is None else now_s
+    mpath = os.path.join(path, CORPUS_MANIFEST_DIR)
+    recover_compaction(mpath)
+    listed = {
+        r.file for r in spark.read.parquet(mpath).select("file").collect()
+    }
+    removed = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.basename(f) not in listed:
+            try:
+                if now - os.path.getmtime(f) < grace_s:
+                    continue
+            except OSError:  # pragma: no cover - raced by its publisher
+                continue
+            os.remove(f)
+            removed += 1
+    for d in glob.glob(f"{path}.append-tmp-*"):
+        try:
+            if now - os.path.getmtime(d) < grace_s:
+                continue
+        except OSError:  # pragma: no cover - raced
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        removed += 1
+    return removed
+
+
 def _write_corpus_manifest(spark: SparkSession, table_dir: str,
-                           cat_col: str, num_col: str) -> None:
+                           cat_col: str, num_col: str,
+                           epoch: int | None = 0) -> None:
     from akumuli_spark.sources.layout import read_table_or_none
 
     schema = (
         f"file string, cat_min string, cat_max string, "
-        f"num_min long, num_max long, rows long"
+        f"num_min long, num_max long, rows long, epoch long"
     )
     df = read_table_or_none(spark, table_dir)
     probe = (
@@ -910,6 +1056,7 @@ def _write_corpus_manifest(spark: SparkSession, table_dir: str,
             F.max(num_col).cast("long").alias("num_max"),
             F.count(F.lit(1)).alias("rows"),
         )
+        .withColumn("epoch", F.lit(epoch).cast("long"))
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(table_dir, CORPUS_MANIFEST_DIR))
     )
@@ -927,8 +1074,21 @@ def zorder_corpus_select(spark: SparkSession, path: str,
     caller's schema — here it raises (a curation pipeline should not
     silently produce zero docs from a typo'd path; the metrics store's
     empty tolerance serves a different contract: queries over a
-    database that legitimately starts empty)."""
+    database that legitimately starts empty).  On stores carrying the
+    r12 layout contract, (cat_col, num_col) are validated against it —
+    a mismatched serve would prune on rectangles computed over the
+    WRONG columns and silently drop files."""
     recover_compaction(path)
+    meta = _read_corpus_zmeta(spark, path)
+    if meta is not None and (
+        meta["cat_col"] != cat_col or meta["num_col"] != num_col
+    ):
+        raise ValueError(
+            f"corpus z-store at {path} is clustered on "
+            f"({meta['cat_col']}, {meta['num_col']}), not "
+            f"({cat_col}, {num_col}) — the manifest rectangles would "
+            "mis-prune; rebuild or pass the stored columns"
+        )
     mpath = os.path.join(path, CORPUS_MANIFEST_DIR)
     recover_compaction(mpath)
     man = spark.read.parquet(mpath)

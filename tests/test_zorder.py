@@ -527,3 +527,65 @@ def test_wide_series_list_uses_join_path_same_answer(spark, store):
                  if s in set(wanted) and DAY <= t < 2 * DAY)
     assert got == exp and got
     assert 0 < st["files_selected"] <= st["files_total"]
+
+
+def test_corpus_append_equals_fresh_build(spark, tmp_path):
+    """Corpus growth (r12): build(a) + append(b) serves exactly
+    build(a ∪ b)'s docs; the gate still prunes; a committed epoch's
+    replay is a no-op; vacuum (grace 0) reclaims a crashed append's
+    orphans; a mismatched serve column is refused by the stored
+    contract."""
+    import glob
+    import shutil
+
+    from akumuli_spark.sources.testdata import load_table
+    from akumuli_spark.sources.zorder import (
+        vacuum_zorder_corpus,
+        zorder_corpus_append,
+        zorder_corpus_select,
+        zorder_corpus_table,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = docs.filter("doc_id % 3 != 0")
+    b = docs.filter("doc_id % 3 = 0")
+    path = str(tmp_path / "docs")
+    zorder_corpus_table(spark, a, path, files_total=8)
+    zorder_corpus_append(spark, b, path, epoch=1, files_total=4)
+
+    st: dict = {}
+    out = zorder_corpus_select(spark, path, cat="en", num_lo=100,
+                               num_hi=250, stats=st)
+    got = sorted(r.doc_id for r in out.collect())
+    exp = sorted(r.doc_id for r in docs.filter(
+        "lang = 'en' AND n_chars >= 100 AND n_chars < 250").collect())
+    assert got == exp and got
+    assert st["files_selected"] < st["files_total"]
+    assert zorder_corpus_select(spark, path).count() == docs.count()
+
+    # epoch replay: no new rows, no new files
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    zorder_corpus_append(spark, b, path, epoch=1)
+    assert sorted(glob.glob(os.path.join(path, "*.parquet"))) == files
+    assert zorder_corpus_select(spark, path).count() == docs.count()
+
+    # crashed append: manifest rolled back -> orphans invisible, vacuumed
+    mpath = os.path.join(path, "_zmanifest")
+    saved = str(tmp_path / "msaved")
+    shutil.copytree(mpath, saved)
+    zorder_corpus_append(spark, b.limit(40), path, epoch=2)
+    shutil.rmtree(mpath)
+    shutil.copytree(saved, mpath)
+    assert zorder_corpus_select(spark, path).count() == docs.count()
+    assert vacuum_zorder_corpus(spark, path, grace_s=0) > 0
+    assert zorder_corpus_select(spark, path).count() == docs.count()
+
+    # the stored contract refuses a mis-columned serve
+    with pytest.raises(ValueError, match="clustered on"):
+        zorder_corpus_select(spark, path, cat_col="source")
+    # append without a contract refused (pre-r12 store shape)
+    bare = str(tmp_path / "bare")
+    docs.limit(10).write.parquet(bare)
+    with pytest.raises(ValueError, match="contract"):
+        zorder_corpus_append(spark, b, bare, epoch=1)

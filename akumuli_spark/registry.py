@@ -4519,8 +4519,10 @@ def _zorder_optimized_path(spark: SparkSession, sf: str) -> str:
             spark, mv.filter((F.col("ts_ns") >= s1) & (F.col("ts_ns") < s2)),
             path, epoch=1)
         zorder_append(spark, mv.filter(F.col("ts_ns") >= s2), path, epoch=2)
-        n = zorder_optimize(spark, path)  # auto: every eroded bucket
-        assert n > 0, "appends must have eroded at least one bucket"
+        # auto-selects every eroded bucket; an EMPTY corpus erodes none
+        # and optimize is a no-op — totality over degenerate inputs
+        # (the non-empty erosion itself is pinned by pytest)
+        zorder_optimize(spark, path)
         _ZORDER_CACHE[key] = path
     return _ZORDER_CACHE[key]
 

@@ -1434,8 +1434,81 @@ def optimize_smoke(spark, n_rows: int, n_appends: int = 4) -> dict:
     return out
 
 
+def widewhere_smoke(spark, n_rows: int = 10_000_000,
+                    n_series: int = 20_000) -> dict:
+    """Wide-`where` guard at reference-grade series cardinality (r12):
+    a z-store over ``n_series`` series, probed two ways a naive
+    implementation dies on — a 5 000-entry series LIST through
+    ``zorder_select`` (broadcast range-overlap join, no per-series
+    predicate arms) and a ``ZorderDatabase`` where-clause matching
+    every host (past WIDE_WHERE_CAP → metric+time pruning + ordinary
+    column predicate).  Reports wall-clock (the claim: plan compile
+    stays bounded) and asserts row parity with direct filters."""
+    import shutil
+    import tempfile
+
+    from akumuli_spark.api import open_zorder_database
+    from akumuli_spark.sources.zorder import (
+        zorder_metrics_table,
+        zorder_select,
+    )
+
+    day_ns = 86_400 * NS
+    frame = synthetic_metrics(spark, n_rows, n_series)
+    path = tempfile.mkdtemp(prefix="widewhere_smoke_") + "/metrics"
+    out = {}
+    try:
+        t = time.time()
+        zorder_metrics_table(spark, frame, path, bucket_ns=day_ns,
+                             files_per_partition=8)
+        out["build_s"] = round(time.time() - t, 2)
+
+        hosts = n_series // 4
+        wanted = [f"cpu.user host={i}" for i in range(0, hosts, 2)]
+        st: dict = {}
+        t = time.time()
+        n = zorder_select(spark, path, metric="cpu.user", series=wanted,
+                          stats=st).count()
+        out["list_series"] = len(wanted)
+        out["list_select_s"] = round(time.time() - t, 2)
+        out["list_files"] = f"{st['files_selected']}/{st['files_total']}"
+        exp_n = frame.filter(F.col("series").isin(wanted)).count()
+        assert n == exp_n, (n, exp_n)
+
+        zdb = open_zorder_database(spark, path)
+        span_ns = n_rows * 10_000_000
+        q = {
+            "select": "cpu.user",
+            "range": {"from": T0, "to": T0 + span_ns // 4},
+            "where": {"host": [str(i) for i in range(hosts)]},
+        }
+        t = time.time()
+        n2 = zdb.query(q).count()
+        out["where_series_matched"] = hosts
+        out["where_query_s"] = round(time.time() - t, 2)
+        out["where_files"] = (
+            f"{zdb.last_prune_stats['files_selected']}"
+            f"/{zdb.last_prune_stats['files_total']}")
+        exp2 = frame.filter(
+            (F.col("metric") == "cpu.user")
+            & (F.col("ts_ns") >= T0) & (F.col("ts_ns") < T0 + span_ns // 4)
+        ).count()
+        assert n2 == exp2, (n2, exp2)
+    finally:
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-smoke")
+    if len(sys.argv) > 1 and sys.argv[1] == "widewhere":
+        n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+        n_series = int(sys.argv[3]) if len(sys.argv) > 3 else 20_000
+        print(json.dumps(
+            {"rows": n_rows, "series": n_series,
+             "widewhere": widewhere_smoke(spark, n_rows, n_series)}
+        ))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "optimize":
         n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
         print(json.dumps(

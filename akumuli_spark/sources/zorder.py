@@ -991,6 +991,31 @@ def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def zorder_corpus_erosion(spark: SparkSession, path: str) -> DataFrame:
+    """Corpus twin of :func:`zorder_erosion` — one summary row from the
+    manifest (metadata-priced): ``files`` vs the contract's
+    ``files_total`` (how far appends have sharded past the built
+    layout), ``epochs`` (writer generations), and ``num_overlap`` —
+    Σ per-file numeric extent ÷ corpus numeric extent, the expected
+    files a point probe on the numeric axis must read.  The corpus
+    OPTIMIZE is the flat rebuild (:func:`zorder_corpus_table`); this
+    report is its evidence-driven trigger."""
+    meta = _read_corpus_zmeta(spark, path)
+    mpath = os.path.join(path, CORPUS_MANIFEST_DIR)
+    recover_compaction(mpath)
+    man = spark.read.parquet(mpath)
+    agg = man.agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum("rows").alias("rows"),
+        (F.countDistinct("epoch")
+         + F.max(F.col("epoch").isNull().cast("int"))).alias("epochs"),
+        (F.sum(F.col("num_max") - F.col("num_min") + 1)
+         / (F.max("num_max") - F.min("num_min") + 1)).alias("num_overlap"),
+    )
+    built = meta["files_total"] if meta is not None else None
+    return agg.withColumn("files_built", F.lit(built).cast("int"))
+
+
 def vacuum_zorder_corpus(spark: SparkSession, path: str,
                          grace_s: float = 86_400.0,
                          now_s: float | None = None) -> int:

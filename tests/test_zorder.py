@@ -589,3 +589,31 @@ def test_corpus_append_equals_fresh_build(spark, tmp_path):
     docs.limit(10).write.parquet(bare)
     with pytest.raises(ValueError, match="contract"):
         zorder_corpus_append(spark, b, bare, epoch=1)
+
+
+def test_corpus_erosion_report(spark, tmp_path):
+    """Appends raise files/epochs/num_overlap; a rebuild (the corpus
+    OPTIMIZE) resets the report to the built layout."""
+    from akumuli_spark.sources.testdata import load_table
+    from akumuli_spark.sources.zorder import (
+        zorder_corpus_append,
+        zorder_corpus_erosion,
+        zorder_corpus_table,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs")
+    zorder_corpus_table(spark, docs.filter("doc_id % 2 = 0"), path,
+                        files_total=8)
+    base = zorder_corpus_erosion(spark, path).first().asDict()
+    assert base["epochs"] == 1 and base["files_built"] == 8
+    zorder_corpus_append(spark, docs.filter("doc_id % 2 = 1"), path,
+                         epoch=1, files_total=8)
+    grown = zorder_corpus_erosion(spark, path).first().asDict()
+    assert grown["epochs"] == 2
+    assert grown["files"] > base["files"]
+    assert grown["num_overlap"] > base["num_overlap"]
+    zorder_corpus_table(spark, docs, path, files_total=8)  # the OPTIMIZE
+    rebuilt = zorder_corpus_erosion(spark, path).first().asDict()
+    assert rebuilt["epochs"] == 1 and rebuilt["files"] <= 8

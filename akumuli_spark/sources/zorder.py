@@ -438,7 +438,8 @@ def zorder_erosion(spark: SparkSession, path: str) -> DataFrame:
 
 def zorder_optimize(spark: SparkSession, path: str,
                     buckets: list[tuple[str, int]] | None = None,
-                    min_epochs: int = 2) -> int:
+                    min_epochs: int = 2,
+                    max_buckets: int | None = None) -> int:
     """Scoped OPTIMIZE: re-cluster ONLY the named (or erosion-selected)
     ``(metric, ts_bucket)`` partitions — the incremental maintenance op
     a 100 TB store needs, vs :func:`zorder_metrics_table`'s full O(data)
@@ -477,19 +478,35 @@ def zorder_optimize(spark: SparkSession, path: str,
     man = spark.read.parquet(mpath)
 
     if buckets is None:
-        buckets = [
-            (r.metric, r.ts_bucket)
-            for r in zorder_erosion(spark, path)
-            .filter(F.col("epochs") >= min_epochs)
-            .select("metric", "ts_bucket").collect()
-        ]
+        sel = zorder_erosion(spark, path).filter(
+            F.col("epochs") >= min_epochs
+        ).orderBy(F.col("epochs").desc(), F.col("time_overlap").desc())
+        if max_buckets is not None:
+            # maintenance-window mode: the MOST eroded buckets first,
+            # the rest wait for the next run
+            sel = sel.limit(int(max_buckets))
+        buckets = [(r.metric, r.ts_bucket)
+                   for r in sel.select("metric", "ts_bucket").collect()]
+    elif max_buckets is not None:
+        buckets = buckets[:int(max_buckets)]
     if not buckets:
         return 0
-    hit = F.lit(False)
-    for m, b in buckets:
-        hit = hit | ((F.col("metric") == m) & (F.col("ts_bucket") == int(b)))
+    if len(buckets) <= _SERIES_EXPR_CAP:
+        hit = F.lit(False)
+        for m, b in buckets:
+            hit = hit | ((F.col("metric") == m)
+                         & (F.col("ts_bucket") == int(b)))
+        target, keep = man.filter(hit), man.filter(~hit)
+    else:
+        # wide selections (a year of eroded daily buckets × metrics at
+        # lake scale) would build one OR-arm per bucket — the same plan
+        # blowup zorder_select guards against; join instead
+        bdf = F.broadcast(spark.createDataFrame(
+            [(m, int(b)) for m, b in buckets], "metric string, ts_bucket long"
+        ))
+        target = man.join(bdf, ["metric", "ts_bucket"], "left_semi")
+        keep = man.join(bdf, ["metric", "ts_bucket"], "left_anti")
     # manifest-sized collects: the replaced files and their epochs
-    target = man.filter(hit)
     old_files = [r.file for r in target.select("file").collect()]
     if not old_files:
         return 0
@@ -526,7 +543,10 @@ def zorder_optimize(spark: SparkSession, path: str,
 
         _ledger_add(spark, path, folded_epochs)
         recover_compaction(mpath)
-        merged = spark.read.parquet(mpath).filter(~hit).unionByName(new_rows)
+        # `keep` reads mpath lazily; the manifest cannot have moved
+        # under the single maintenance writer, so this is the published
+        # snapshot minus the replaced buckets' rows
+        merged = keep.unionByName(new_rows)
         mtmp, mold = f"{mpath}.compact-tmp", f"{mpath}.compact-old"
         shutil.rmtree(mtmp, ignore_errors=True)
         merged.coalesce(1).write.mode("overwrite").parquet(mtmp)

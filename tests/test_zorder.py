@@ -617,3 +617,36 @@ def test_corpus_erosion_report(spark, tmp_path):
     zorder_corpus_table(spark, docs, path, files_total=8)  # the OPTIMIZE
     rebuilt = zorder_corpus_erosion(spark, path).first().asDict()
     assert rebuilt["epochs"] == 1 and rebuilt["files"] <= 8
+
+
+def test_optimize_wide_selection_join_path_and_max_buckets(
+        spark, tmp_path, monkeypatch):
+    """Past _SERIES_EXPR_CAP selected buckets, optimize switches from
+    per-bucket predicate arms to broadcast joins (same guard as wide
+    series lists); max_buckets bounds one maintenance run to the most
+    eroded buckets and leaves the rest for the next."""
+    from akumuli_spark.sources import zorder as zmod
+    from akumuli_spark.sources.zorder import (
+        zorder_append,
+        zorder_erosion,
+        zorder_optimize,
+    )
+
+    df, rows = _frame(spark)
+    path = str(tmp_path / "wideopt")
+    zorder_metrics_table(spark, df.filter("value % 2 = 0"), path,
+                         bucket_ns=DAY, files_per_partition=2)
+    zorder_append(spark, df.filter("value % 2 = 1"), path, epoch=1)
+    assert zorder_erosion(spark, path).filter("epochs >= 2").count() == 4
+
+    # bounded run: 2 most-eroded buckets now, 2 left for next time
+    assert zorder_optimize(spark, path, max_buckets=2) == 2
+    assert zorder_erosion(spark, path).filter("epochs >= 2").count() == 2
+
+    # force the join path for the remaining selection
+    monkeypatch.setattr(zmod, "_SERIES_EXPR_CAP", 1)
+    assert zorder_optimize(spark, path) == 2
+    assert zorder_erosion(spark, path).filter("epochs >= 2").count() == 0
+    got = sorted((r.series, r.ts_ns, r.value)
+                 for r in zorder_select(spark, path).collect())
+    assert got == sorted((s, t, v) for (s, m, t, v) in rows)

@@ -261,17 +261,19 @@ class ZorderDatabase(Database):
 
     def _store_token(self) -> tuple:
         """Cheap change detector: the manifest dir is REPLACED by rename
-        on every publish (append/optimize/retention), so its mtime moves
-        with each snapshot flip — metadata stat, no Spark job."""
-        import os
+        on every publish (append/optimize/retention), each time carrying
+        freshly-uuid-named part files — so the seam's ``change_token``
+        (the sorted file-name listing) flips on every publish.  An
+        mtime-based token would alias two publishes landing within one
+        coarse (1 s) filesystem timestamp tick and silently serve the
+        older file list (ADVICE r12).  Metadata stat, no Spark job."""
+        import posixpath
 
+        from akumuli_spark.sources.fs import get_fs
         from akumuli_spark.sources.zorder import MANIFEST_DIR
 
         def one(p):
-            try:
-                return os.path.getmtime(os.path.join(p, MANIFEST_DIR))
-            except OSError:
-                return None
+            return get_fs(p).change_token(posixpath.join(p, MANIFEST_DIR))
 
         return (one(self._zpath),
                 one(self._ez_path) if self._ez_path else None)

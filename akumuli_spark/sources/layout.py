@@ -75,10 +75,12 @@ def write_metrics_table(metrics: DataFrame, path: str,
 
 
 def _staged_append(with_bucket: DataFrame, path: str) -> None:
-    import os
-    import shutil
+    import posixpath
     import uuid
 
+    from akumuli_spark.sources.fs import get_fs
+
+    fs = get_fs(path)
     tmp = f"{path}.append-tmp-{uuid.uuid4().hex}"
     (
         with_bucket.repartition("metric", "ts_bucket")
@@ -88,16 +90,14 @@ def _staged_append(with_bucket: DataFrame, path: str) -> None:
         .parquet(tmp)
     )
     try:
-        for root, _dirs, files in os.walk(tmp):
-            rel = os.path.relpath(root, tmp)
-            for f in files:
-                if not f.endswith(".parquet"):
-                    continue  # _SUCCESS etc. stay behind
-                dst_dir = path if rel == "." else os.path.join(path, rel)
-                os.makedirs(dst_dir, exist_ok=True)
-                os.rename(os.path.join(root, f), os.path.join(dst_dir, f))
+        for rel in fs.walk_files(tmp):
+            if not rel.endswith(".parquet"):
+                continue  # _SUCCESS etc. stay behind
+            dst = posixpath.join(path, rel)
+            fs.makedirs(posixpath.dirname(dst))
+            fs.rename(posixpath.join(tmp, rel), dst)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(tmp)
 
 
 #: structured error conditions meaning "the table isn't there (yet)":
@@ -167,27 +167,33 @@ def recover_compaction(path: str, gc: bool = False) -> None:
     when they themselves performed a heal — at that point the swap is
     known-crashed (or the reader just won the roll-forward race, which
     the compactor's swap tolerates).  Concurrency contract: any number
-    of readers vs at most one compactor."""
-    import os
-    import shutil
+    of readers vs at most one compactor.
 
+    Filesystem access goes through the portable seam
+    (:func:`akumuli_spark.sources.fs.get_fs`), so the heal works on any
+    Hadoop-reachable store, not just local POSIX paths."""
+    import posixpath
+
+    from akumuli_spark.sources.fs import get_fs
+
+    fs = get_fs(path)
     tmp = f"{path}.compact-tmp"
     old = f"{path}.compact-old"
-    if not os.path.exists(path) and os.path.exists(old):
+    if not fs.exists(path) and fs.exists(old):
         try:
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, path)  # roll forward: compacted table is whole
+            if fs.exists(posixpath.join(tmp, "_SUCCESS")):
+                fs.rename(tmp, path)  # roll forward: compacted table is whole
             else:
-                os.rename(old, path)  # roll back: restore the original
+                fs.rename(old, path)  # roll back: restore the original
         except OSError:
             # a concurrent recover/compactor won the rename race; fall
             # through — the post-condition check below is what matters
             pass
-        if os.path.exists(path):
-            shutil.rmtree(old, ignore_errors=True)
-    if gc and os.path.exists(path):
+        if fs.exists(path):
+            fs.rmtree(old)
+    if gc and fs.exists(path):
         for stale in (tmp, old):
-            shutil.rmtree(stale, ignore_errors=True)
+            fs.rmtree(stale)
 
 
 def compact_metrics_table(spark: SparkSession, path: str) -> None:
@@ -208,14 +214,14 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
     docstring); the sort restores tight row-group min/max stats that
     per-batch appends fragment.
     """
-    import os
-    import shutil
+    from akumuli_spark.sources.fs import get_fs, swap_compact
 
+    fs = get_fs(path)
     recover_compaction(path, gc=True)
     df = spark.read.parquet(path)
     cols = [c for c in df.columns if c not in ("metric", "ts_bucket")]
     tmp = f"{path}.compact-tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.rmtree(tmp)
     (
         df.select("metric", "ts_bucket", *cols)
         # hash-repartition on the partition keys: every (metric, bucket)
@@ -227,22 +233,9 @@ def compact_metrics_table(spark: SparkSession, path: str) -> None:
         .partitionBy("metric", "ts_bucket")
         .parquet(tmp)
     )
-    old = f"{path}.compact-old"
-    shutil.rmtree(old, ignore_errors=True)
-    try:
-        os.rename(path, old)
-        os.rename(tmp, path)
-    except OSError:
-        # A concurrent reader's recover_compaction can roll the swap
-        # forward between our two renames (it sees no table + a complete
-        # tmp).  Any interleaving whose post-condition is "compacted
-        # table live at path, tmp consumed" is a success; anything else
-        # is a real failure.
-        if not os.path.exists(path) or os.path.exists(
-            os.path.join(tmp, "_SUCCESS")
-        ):
-            raise
-    shutil.rmtree(old, ignore_errors=True)
+    # two-rename publish; a concurrent reader's recover_compaction
+    # rolling the swap forward between the renames is tolerated
+    swap_compact(fs, path)
 
 
 def enforce_retention(path: str, keep_ns: int, now_ns: int,
@@ -270,24 +263,26 @@ def enforce_retention(path: str, keep_ns: int, now_ns: int,
     concurrent retention pass would faithfully rewrite (resurrect) the
     dropped buckets when its swap lands.
     """
-    import glob
-    import os
-    import shutil
+    import posixpath
     import uuid
 
+    from akumuli_spark.sources.fs import get_fs
+
+    fs = get_fs(path)
     cutoff = (now_ns - keep_ns) // bucket_ns
     trash = f"{path}.trash"
-    os.makedirs(trash, exist_ok=True)
+    fs.makedirs(trash)
     dropped = 0
-    for bdir in glob.glob(os.path.join(path, "metric=*", "ts_bucket=*")):
+    for rel in fs.glob(path, "metric=*/ts_bucket=*"):
         try:
-            bucket = int(os.path.basename(bdir).split("=", 1)[1])
+            bucket = int(posixpath.basename(rel).split("=", 1)[1])
         except ValueError:  # pragma: no cover - foreign dirs left alone
             continue
         if bucket < cutoff:
-            os.rename(bdir, os.path.join(trash, uuid.uuid4().hex))
+            fs.rename(posixpath.join(path, rel),
+                      posixpath.join(trash, uuid.uuid4().hex))
             dropped += 1
-    shutil.rmtree(trash, ignore_errors=True)
+    fs.rmtree(trash)
     return dropped
 
 

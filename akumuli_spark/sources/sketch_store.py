@@ -61,8 +61,6 @@ folds everything back into epoch 0 via the two-rename swap.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from akumuli_spark.operators.distinct import hll_estimate, hll_registers
@@ -217,8 +215,9 @@ def compact_sketch_store(spark: SparkSession, path: str) -> None:
     same merge the serve path applies.  Run from a single maintenance
     writer; restart streaming appends only AFTER compaction so
     restarted epoch ids cannot collide with live partitions."""
-    import os
+    from akumuli_spark.sources.fs import get_fs, swap_compact
 
+    fs = get_fs(path)
     merges = (
         ("hll", ["group", "bucket"], F.max("register").alias("register")),
         ("hist", ["group", "bin"], F.sum("cnt").alias("cnt")),
@@ -233,27 +232,17 @@ def compact_sketch_store(spark: SparkSession, path: str) -> None:
             df.groupBy("ts_bucket", *keys).agg(merge_agg)
             .withColumn("epoch", F.lit(0))
         )
-        tmp, old = f"{p}.compact-tmp", f"{p}.compact-old"
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = f"{p}.compact-tmp"
+        fs.rmtree(tmp)
         (
             folded.repartition("ts_bucket")
             .write.mode("overwrite")
             .partitionBy("epoch", "ts_bucket")
             .parquet(tmp)
         )
-        shutil.rmtree(old, ignore_errors=True)
-        try:
-            os.rename(p, old)
-            os.rename(tmp, p)
-        except OSError:
-            # a concurrent reader's recover_compaction rolled the swap
-            # forward between the renames (same tolerance as
-            # compact_metrics_table)
-            if not os.path.exists(p) or os.path.exists(
-                os.path.join(tmp, "_SUCCESS")
-            ):
-                raise
-        shutil.rmtree(old, ignore_errors=True)
+        # two-rename publish; a concurrent reader's recover_compaction
+        # rolling the swap forward between the renames is tolerated
+        swap_compact(fs, p)
 
 
 def _range_tiers(meta: dict, ts_from: int, ts_to: int,
@@ -405,32 +394,38 @@ def drop_expired_buckets(path: str, keep_ns: int, now_ns: int) -> int:
     as :func:`akumuli_spark.sources.layout.enforce_retention`: partials
     older than the window are whole ``ts_bucket=`` directories under
     both sketch tables.  Returns dropped partition-dir count."""
-    import glob
-    import os
+    import io
+    import posixpath
     import uuid
 
     # bucket_ns lives in meta, but retention must not need a Spark
-    # session: read it from the stored parquet footer via pyarrow
+    # JOB: the one-row meta parquet is read via the seam's byte reader
+    # + pyarrow (works on local paths without any session; URI stores
+    # resolve their FileSystem through the active session's gateway)
     import pyarrow.parquet as pq
 
-    meta_files = glob.glob(os.path.join(path, "meta", "*.parquet"))
+    from akumuli_spark.sources.fs import get_fs
+
+    fs = get_fs(path)
+    meta_files = fs.glob(path, "meta/*.parquet")
     if not meta_files:
         raise ValueError(f"no sketch store at {path}")
-    bucket_ns = pq.read_table(meta_files[0]).to_pylist()[0]["bucket_ns"]
+    meta_bytes = fs.read_bytes(posixpath.join(path, meta_files[0]))
+    bucket_ns = pq.read_table(
+        io.BytesIO(meta_bytes)).to_pylist()[0]["bucket_ns"]
     cutoff = (now_ns - keep_ns) // bucket_ns
     dropped = 0
     trash = f"{path}.trash"
-    os.makedirs(trash, exist_ok=True)
+    fs.makedirs(trash)
     for table in ("hll", "hist"):
-        for bdir in glob.glob(
-            os.path.join(path, table, "epoch=*", "ts_bucket=*")
-        ):
+        for rel in fs.glob(path, f"{table}/epoch=*/ts_bucket=*"):
             try:
-                bucket = int(os.path.basename(bdir).split("=", 1)[1])
+                bucket = int(posixpath.basename(rel).split("=", 1)[1])
             except ValueError:  # pragma: no cover - foreign dirs
                 continue
             if bucket < cutoff:
-                os.rename(bdir, os.path.join(trash, uuid.uuid4().hex))
+                fs.rename(posixpath.join(path, rel),
+                          posixpath.join(trash, uuid.uuid4().hex))
                 dropped += 1
-    shutil.rmtree(trash, ignore_errors=True)
+    fs.rmtree(trash)
     return dropped

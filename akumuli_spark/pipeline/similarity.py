@@ -966,8 +966,7 @@ def retrain_ivf_index(spark, path: str, nlist: int = IVF_NLIST,
     inherently corpus-sized — that is what a retrain IS), broadcast
     codebook, one partitioned write; no shuffle beyond the list-id
     repartition the build itself uses."""
-    import os
-    import shutil
+    import posixpath
 
     from akumuli_spark.sources.layout import recover_compaction
 
@@ -981,8 +980,11 @@ def retrain_ivf_index(spark, path: str, nlist: int = IVF_NLIST,
         [(int(r["cid"]), list(r["ce"])) for r in cents.collect()],
         "cid int, ce array<double>",
     )
-    tmp, old = f"{path}.compact-tmp", f"{path}.compact-old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    from akumuli_spark.sources.fs import get_fs, swap_compact
+
+    fs = get_fs(path)
+    tmp = f"{path}.compact-tmp"
+    fs.rmtree(tmp)
     assign = _assign_lists_vectorized if vectorized else _assign_lists
     assigned = assign(embs, cents)
     _write_lists_with_stats(assigned, cents, tmp, "build", "overwrite")
@@ -991,21 +993,11 @@ def retrain_ivf_index(spark, path: str, nlist: int = IVF_NLIST,
         F.sum("n").alias("n")).first()["n"] or 0
     # root-level marker: recover_compaction rolls the swap FORWARD only
     # when the tmp tree is complete
-    with open(os.path.join(tmp, "_SUCCESS"), "w"):
-        pass
-    shutil.rmtree(old, ignore_errors=True)
-    try:
-        os.rename(path, old)
-        os.rename(tmp, path)
-    except OSError:
-        # a concurrent reader's recover_compaction rolled the swap
-        # forward between the renames (same tolerance as the layout
-        # compactor)
-        if not os.path.exists(path) or os.path.exists(
-            os.path.join(tmp, "_SUCCESS")
-        ):
-            raise
-    shutil.rmtree(old, ignore_errors=True)
+    fs.create_exclusive(posixpath.join(tmp, "_SUCCESS"))
+    # two-rename publish through the portable seam; a concurrent
+    # reader's recover_compaction rolling the swap forward between the
+    # renames is tolerated (same as the layout compactor)
+    swap_compact(fs, path)
     return {"n": int(n), "nlist": int(cents.count())}
 
 

@@ -1690,34 +1690,24 @@ def compact_bm25_index(spark, path: str) -> None:
     swap pins the pre-compaction file listing — re-plan (call
     :func:`bm25_topk_from_index` again) after compacting, the same
     contract as ``sources.layout.compact_metrics_table``."""
-    import os
-    import shutil
-
+    from akumuli_spark.sources.fs import get_fs, swap_compact
     from akumuli_spark.sources.layout import recover_compaction
+
+    fs = get_fs(path)
 
     def swap(sub: str, df, partitioned: bool) -> None:
         p = f"{path}/{sub}"
-        tmp, old = f"{p}.compact-tmp", f"{p}.compact-old"
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.rmtree(f"{p}.compact-tmp")
         w = df.write.mode("overwrite")
         if partitioned:
             w = w.partitionBy("epoch", "term_bucket")
         else:
             w = w.partitionBy("epoch")
-        w.parquet(tmp)
-        shutil.rmtree(old, ignore_errors=True)
-        try:
-            os.rename(p, old)
-            os.rename(tmp, p)
-        except OSError:
-            # a concurrent reader's recover_compaction rolled the swap
-            # forward between the renames (same tolerance as
-            # compact_metrics_table)
-            if not os.path.exists(p) or os.path.exists(
-                os.path.join(tmp, "_SUCCESS")
-            ):
-                raise
-        shutil.rmtree(old, ignore_errors=True)
+        w.parquet(f"{p}.compact-tmp")
+        # two-rename publish through the portable seam; a concurrent
+        # reader's recover_compaction rolling the swap forward between
+        # the renames is tolerated (same as compact_metrics_table)
+        swap_compact(fs, p)
 
     # positional layout read from the stored contract (Spark-visible,
     # not a driver-local fs probe — ADVICE r10); pre-meta indexes fall

@@ -42,25 +42,29 @@ def recover_bloom_compaction(store_dir: str, gc: bool = False) -> None:
     contract (ADVICE r8).  The tmp dir only enters the swap after its
     Spark write completed (``_SUCCESS`` marker), so recovery is
     unambiguous: roll forward if tmp is complete, else roll back.
-    ``gc`` (compactor-only) sweeps leftover tmp/old dirs."""
-    import os
-    import shutil
+    ``gc`` (compactor-only) sweeps leftover tmp/old dirs.  Filesystem
+    access goes through the portable seam
+    (:func:`akumuli_spark.sources.fs.get_fs`)."""
+    import posixpath
 
+    from akumuli_spark.sources.fs import get_fs
+
+    fs = get_fs(store_dir)
     tmp = f"{store_dir}.compact-tmp"
     old = f"{store_dir}.compact-old"
-    if not os.path.exists(store_dir) and os.path.exists(old):
+    if not fs.exists(store_dir) and fs.exists(old):
         try:
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                os.rename(tmp, store_dir)  # roll forward: folded store whole
+            if fs.exists(posixpath.join(tmp, "_SUCCESS")):
+                fs.rename(tmp, store_dir)  # roll forward: folded store whole
             else:
-                os.rename(old, store_dir)  # roll back: restore deltas
+                fs.rename(old, store_dir)  # roll back: restore deltas
         except OSError:
             pass  # concurrent recover won the rename race; check below
-        if os.path.exists(store_dir):
-            shutil.rmtree(old, ignore_errors=True)
-    if gc and os.path.exists(store_dir):
+        if fs.exists(store_dir):
+            fs.rmtree(old)
+    if gc and fs.exists(store_dir):
         for stale in (tmp, old):
-            shutil.rmtree(stale, ignore_errors=True)
+            fs.rmtree(stale)
 
 
 def _with_epoch(stored: DataFrame) -> DataFrame:
@@ -73,8 +77,6 @@ def _with_epoch(stored: DataFrame) -> DataFrame:
 
 
 def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
-    import os
-
     from pyspark.errors import AnalysisException
 
     from akumuli_spark.streaming.ingest import _is_path_missing
@@ -88,9 +90,12 @@ def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
         # a missing store with a crashed-swap sibling that recovery could
         # not heal (e.g. tmp incomplete AND old already consumed) must
         # fail loudly, not silently pass every key
+        from akumuli_spark.sources.fs import get_fs
+
+        fs = get_fs(store_dir)
         sib = [
             p for p in (f"{store_dir}.compact-tmp", f"{store_dir}.compact-old")
-            if os.path.exists(p)
+            if fs.exists(p)
         ]
         if sib:
             raise RuntimeError(
@@ -197,9 +202,6 @@ def compact_bloom_store(spark: SparkSession, store_dir: str) -> int:
     self-heals via :func:`recover_bloom_compaction` on the next read or
     compaction, so the gate can never silently restart empty.
     Returns the compacted row count."""
-    import os
-    import shutil
-
     recover_bloom_compaction(store_dir, gc=True)
     stored = _read_store(spark, store_dir)
     if stored is None:
@@ -224,25 +226,18 @@ def compact_bloom_store(spark: SparkSession, store_dir: str) -> int:
         folded = stored.groupBy("word_idx").agg(
             F.expr("bit_or(bits)").alias("bits")
         )
+    from akumuli_spark.sources.fs import get_fs, swap_compact
+
+    fs = get_fs(store_dir)
     tmp = f"{store_dir}.compact-tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.rmtree(tmp)
     writer = folded.write.mode("overwrite")
     if epoch_mode:
         writer = writer.partitionBy("epoch")
     writer.parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    old = f"{store_dir}.compact-old"
-    shutil.rmtree(old, ignore_errors=True)
-    try:
-        os.rename(store_dir, old)
-        os.rename(tmp, store_dir)
-    except OSError:
-        # a concurrent reader's recover_bloom_compaction may have rolled
-        # the swap forward between our renames; any interleaving ending
-        # with the folded store live at store_dir is a success
-        if not os.path.exists(store_dir) or os.path.exists(
-            os.path.join(tmp, "_SUCCESS")
-        ):
-            raise
-    shutil.rmtree(old, ignore_errors=True)
+    # two-rename publish through the portable seam; a concurrent
+    # reader's recover_bloom_compaction rolling the swap forward
+    # between the renames is tolerated
+    swap_compact(fs, store_dir)
     return n

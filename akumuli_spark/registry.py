@@ -4560,6 +4560,66 @@ _register_pipeline(
 )
 
 
+def _zorder_uri_path(spark: SparkSession, sf: str) -> str:
+    """The grown-store lifecycle addressed as a ``file://`` URI — every
+    publish/maintenance primitive routes through the portable seam's
+    Hadoop implementation (sources/fs.py HadoopStoreFS) instead of
+    POSIX os/shutil, the deployable-at-100TB path (VERDICT r12 Next
+    #1).  Build + epoch-keyed append + exactly-once replay, cached
+    per process like the other store fixtures."""
+    key = f"uri:{sf}"
+    if key not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import (
+            zorder_append,
+            zorder_metrics_table,
+        )
+
+        local = tempfile.mkdtemp(prefix="akumuli_zorder_uri_") + "/metrics"
+        atexit.register(shutil.rmtree, local, ignore_errors=True)
+        path = "file://" + local
+        mv = metrics_view(spark, sf)
+        split = T96 + 90 * 86_400 * NS
+        zorder_metrics_table(
+            spark, mv.filter(F.col("ts_ns") < split), path,
+            bucket_ns=_YEAR_NS, files_per_partition=4,
+        )
+        batch = mv.filter(F.col("ts_ns") >= split)
+        zorder_append(spark, batch, path, epoch=1)
+        zorder_append(spark, batch, path, epoch=1)  # replay: no-op
+        _ZORDER_CACHE[key] = path
+    return _ZORDER_CACHE[key]
+
+
+def _zorder_uri_select(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_uri_path(spark, sf), metric="lineitem.price",
+        series=_Z_SERIES, ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+# Same probe as zorder_append_select but over a file://-URI store
+# served end-to-end through HadoopStoreFS: a replayed epoch that
+# double-lands, a manifest row lost in the URI-route merge, or a
+# mis-derived relative file name would all show as a row surplus/
+# deficit against the flat oracle.
+_register_pipeline(
+    "zorder_uri_append_select",
+    _zorder_uri_select,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
 def _zorder_optimized_path(spark: SparkSession, sf: str) -> str:
     """Store built over a prefix, grown by two epoch appends (eroding
     the clustering — every bucket gains each append's rectangles), then

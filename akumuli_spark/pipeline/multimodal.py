@@ -129,6 +129,48 @@ def _parse_jpeg(p: bytes):
     return None
 
 
+def _parse_webp(p: bytes):
+    # RIFF container with the WEBP fourcc; dims live in the first
+    # bitstream chunk — 'VP8 ' (lossy: 3-byte frame tag + 0x9D012A
+    # sync + 14-bit dims), 'VP8L' (lossless: 0x2F signature + two
+    # 14-bit dims-minus-one packed LE), or 'VP8X' (extended: 24-bit
+    # canvas dims-minus-one, alpha flag bit 4).  Public container
+    # spec (RFC 9649).  Pixel DECODE stays out of scope — a VP8
+    # entropy decoder is a codec library's job — so webp payloads
+    # hash NULL and the decode report counts them as fallback, but
+    # metadata (dims, channels) is real, not the stub.
+    if len(p) < 20 or p[:4] != b"RIFF" or p[8:12] != b"WEBP":
+        return None
+    off = 12
+    while off + 8 <= len(p):
+        cid = p[off:off + 4]
+        size = int.from_bytes(p[off + 4:off + 8], "little")
+        d = p[off + 8:off + 8 + size]
+        if cid == b"VP8 " and len(d) >= 10:
+            if d[3:6] != b"\x9d\x01\x2a":
+                return None
+            w = int.from_bytes(d[6:8], "little") & 0x3FFF
+            h = int.from_bytes(d[8:10], "little") & 0x3FFF
+            if not w or not h:
+                return None
+            return len(p), w, h, 3, "webp"
+        if cid == b"VP8L" and len(d) >= 5:
+            if d[0] != 0x2F:
+                return None
+            bits = int.from_bytes(d[1:5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = (bits >> 28) & 1
+            return len(p), w, h, 4 if alpha else 3, "webp"
+        if cid == b"VP8X" and len(d) >= 10:
+            alpha = (d[0] >> 4) & 1
+            w = int.from_bytes(d[4:7], "little") + 1
+            h = int.from_bytes(d[7:10], "little") + 1
+            return len(p), w, h, 4 if alpha else 3, "webp"
+        off += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
 def _parse_wav(p: bytes):
     # RIFF chunk walk to the 'fmt ' chunk.  Audio has no pixel dims; the
     # documented metadata mapping is width = sample rate, height = bits
@@ -162,8 +204,8 @@ def decode_header(payload: bytes | None) -> tuple[int, int | None, int | None, i
     inside ``mapInPandas``."""
     if not payload:
         return 0, None, None, None, "corrupt"
-    for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_wav,
-                  _parse_avi):
+    for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_webp,
+                  _parse_wav, _parse_avi):
         meta = parse(payload)
         if meta is not None:
             return meta
@@ -841,6 +883,62 @@ def synth_wav_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_webp_payloads(docs: DataFrame) -> DataFrame:
+    """REAL WebP container (RIFF/WEBP + a VP8L lossless-bitstream
+    header carrying the packed 14-bit dims and the alpha flag, RFC
+    9649) with the text body as the chunk payload — web corpora are
+    increasingly WebP, and the decode stage must report REAL dims for
+    them even though pixel decode (a full VP8 entropy decoder) stays a
+    codec library's job.  Metadata derives from the UTF-8 byte length:
+    width = 16 + len mod 500, height = 16 + 13·len mod 300, alpha =
+    len mod 2 — each SQL-recomputable, so the oracle pins the packed
+    little-endian bit layout the parser must unpack."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                body = t.encode("utf-8")
+                n = len(body)
+                w = 16 + n % 500
+                h = 16 + (n * 13) % 300
+                alpha = n % 2
+                bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+                data = b"\x2f" + struct.pack("<I", bits) + body
+                chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+                if len(data) & 1:
+                    chunk += b"\x00"  # RIFF chunks are word-aligned
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP"
+                    + chunk
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+#: oracle twin of the synth-WebP round trip: fixed prefix = RIFF (12)
+#: + chunk header (8) + VP8L signature+bits (5), plus the word-align
+#: pad byte when the chunk data length is odd
+DECODE_WEBP_SQL = """
+SELECT doc_id,
+       (25 + octet_length(encode(text))
+        + ((5 + octet_length(encode(text))) % 2))::BIGINT AS n_bytes,
+       (16 + octet_length(encode(text)) % 500)::BIGINT AS width,
+       (16 + (octet_length(encode(text)) * 13) % 300)::BIGINT AS height,
+       (3 + octet_length(encode(text)) % 2)::BIGINT AS channels,
+       'webp' AS format
+FROM documents
+""".strip()
+
+
 #: WAV fixed prefix: RIFF header (12) + fmt chunk (8+16) + data header (8)
 _WAV_HEADER_LEN = 12 + 8 + 16 + 8
 
@@ -1310,11 +1408,15 @@ def _png_payload_grid(p: bytes, sx, sy):
     (R for truecolor — the synth pixel corpora write gray triples, so
     channel choice is value-identical there).
 
-    Supported: 8-bit, color type 0 (grayscale) or 2 (RGB),
-    non-interlaced — the dominant shapes in a real scrape after EXIF
-    strip; anything else (16-bit, palette, alpha, Adam7) returns None
-    and hashes NULL under the documented corrupt-payload contract, as
-    does any truncated/undecodable stream.
+    Supported: 8-bit and 16-bit samples, color type 0 (grayscale) or
+    2 (RGB), non-interlaced — the dominant shapes in a real scrape
+    after EXIF strip (16-bit gray is the common scientific/scanner
+    export; its high byte is the standard 8-bit reduction); anything
+    else (palette, alpha, Adam7) returns None and hashes NULL under
+    the documented corrupt-payload contract, as does any truncated/
+    undecodable stream.  PNG filters are BYTE-wise with the left
+    neighbor ``bpp = channels x bytes-per-sample`` bytes back (spec
+    §9), so the undo generalizes to 16-bit by widening that offset.
 
     Filter undo is numpy-per-row: None/Up are pure vector ops, Sub is a
     per-channel-lane cumsum, Average/Paeth walk pixels within the row
@@ -1350,7 +1452,7 @@ def _png_payload_grid(p: bytes, sx, sy):
         elif ctype == b"IEND":
             break
         pos = data_start + clen + 4  # skip CRC
-    if not h or w <= 0 or bit_depth != 8 or interlace != 0:
+    if not h or w <= 0 or bit_depth not in (8, 16) or interlace != 0:
         return None
     if color_type == 0:
         ch = 1
@@ -1358,11 +1460,13 @@ def _png_payload_grid(p: bytes, sx, sy):
         ch = 3
     else:
         return None
+    bps = bit_depth // 8
+    bpp = ch * bps  # filter left-neighbor offset in BYTES (spec §9)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    stride = w * ch
+    stride = w * bpp
     if len(raw) < h * (1 + stride):
         return None  # truncated pixel stream
     buf = np.frombuffer(raw, dtype=np.uint8)[:h * (1 + stride)]
@@ -1377,18 +1481,18 @@ def _png_payload_grid(p: bytes, sx, sy):
         elif f == 2:  # Up
             line = (r + prior) % 256
         elif f == 1:  # Sub: per-lane cumsum (left chain is additive)
-            line = r.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+            line = r.reshape(w, bpp).cumsum(axis=0).reshape(stride) % 256
         elif f == 3:  # Average: sequential left dependence via floor
             line = np.empty(stride, dtype=np.int64)
             for i in range(stride):
-                left = line[i - ch] if i >= ch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (r[i] + (left + prior[i]) // 2) % 256
         elif f == 4:  # Paeth
             line = np.empty(stride, dtype=np.int64)
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prior[i]
-                c = prior[i - ch] if i >= ch else 0
+                c = prior[i - bpp] if i >= bpp else 0
                 pp = a + b - c
                 pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                 pred = a if (pa <= pb and pa <= pc) else (
@@ -1398,8 +1502,10 @@ def _png_payload_grid(p: bytes, sx, sy):
             return None  # invalid filter byte
         recon[y] = line
         prior = line
-    # first stored channel, then the shared nearest-neighbor gather
-    first = recon[:, ::ch] if ch > 1 else recon
+    # first stored channel (for 16-bit: its HIGH byte — samples are
+    # network order, so byte 0 of the sample is the 8-bit reduction),
+    # then the shared nearest-neighbor gather
+    first = recon[:, ::bpp] if bpp > 1 else recon
     return first[sy[:, None], sx[None, :]].astype(np.uint8)
 
 
@@ -1568,6 +1674,9 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
         if p[pos] != 0xFF:
             return None
         marker = p[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -1953,6 +2062,9 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
         if p[pos] != 0xFF:
             return None
         marker = p[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -2079,13 +2191,24 @@ def _payload_pixel_grid(p: bytes, sx, sy):
     walk, PNG inflate+filter-undo, or JPEG Huffman+IDCT decode
     (sequential SOF0 and progressive SOF2) by magic; unsupported
     containers/codings return None → NULL hash, the documented
-    contract."""
-    if p[:2] == b"BM":
-        return _bmp_payload_grid(p, sx, sy)
-    if p[:8] == _PNG_MAGIC:
-        return _png_payload_grid(p, sx, sy)
-    if p[:2] == b"\xff\xd8":
-        return _jpeg_payload_grid(p, sx, sy)
+    contract.
+
+    TOTAL over hostile bytes: the per-format decoders validate
+    structure explicitly, but a blob whose DECLARED lengths disagree
+    with its actual bytes (a DQT shorter than its 65 table bytes, a
+    DHT with nsym past the segment end, a truncated zlib stream) can
+    raise from deep inside a segment walk — caught here as None, so
+    one hostile blob in 10⁹ NULLs its own hash instead of killing the
+    mapInPandas stage (and its retries) for the whole pass."""
+    try:
+        if p[:2] == b"BM":
+            return _bmp_payload_grid(p, sx, sy)
+        if p[:8] == _PNG_MAGIC:
+            return _png_payload_grid(p, sx, sy)
+        if p[:2] == b"\xff\xd8":
+            return _jpeg_payload_grid(p, sx, sy)
+    except Exception:
+        return None
     return None
 
 
@@ -2215,6 +2338,8 @@ def _payload_format(p: bytes | None) -> str:
                 return "jpeg_other"
             off += 2 + int.from_bytes(p[off + 2:off + 4], "big")
         return "jpeg_other"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "webp"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
     if p[:4] == b"RIFF" and p[8:12] == b"AVI ":

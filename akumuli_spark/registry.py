@@ -1595,6 +1595,21 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# WebP (real RIFF/WEBP + VP8L header walk): dims and alpha from the
+# packed 14-bit bit layout — web corpora are increasingly WebP, so the
+# decode stage must report REAL metadata for them; pixel decode stays
+# an honest fallback (VP8 entropy decode is a codec library's job),
+# which the decode-report counters make visible rather than silent.
+_register_pipeline(
+    "multimodal_decode_webp",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_webp_payloads(load_table(spark, sf, "documents"))
+    ),
+    _mm.DECODE_WEBP_SQL,
+    [],
+    ["doc_id", "n_bytes", "width", "height", "channels", "format"],
+)
+
 # Video modality (real RIFF/AVI header walk): decode, declared-frame
 # sampling onto the movi byte stream, and the shared 60-bit gradient
 # fingerprint (near-dup pairs ride the same pigeonhole machinery as

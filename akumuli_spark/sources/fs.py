@@ -377,7 +377,7 @@ LOCK_LEASE_S = 300.0
 @contextlib.contextmanager
 def store_lock(fs: StoreFilesystem, path: str,
                lease_s: float = LOCK_LEASE_S,
-               timeout_s: float = 120.0,
+               timeout_s: float | None = None,
                poll_s: float = 0.05):
     """Single-writer mutex for a store's PUBLISH step (manifest merge +
     swap + staged-file move-in).  Before r13 the z-store assumed one
@@ -389,10 +389,27 @@ def store_lock(fs: StoreFilesystem, path: str,
     parallel while making append/optimize/retention linearizable.
 
     Implementation: exclusive-create of ``{path}.lock``; holders
-    crashed longer than ``lease_s`` are broken (mtime-based lease).
-    Raises :class:`TimeoutError` after ``timeout_s`` — a publish is
-    seconds of metadata work, so a long wait means a stuck peer."""
+    silent longer than ``lease_s`` are presumed crashed and broken.
+    The lease is the lock file's MTIME, so it works as a heartbeat:
+    the context yields a ``heartbeat()`` callable that refreshes it —
+    a holder whose publish loop is long (an optimize moving thousands
+    of files on a remote store) calls it periodically and can never
+    be stolen from while alive.  Breaking a stale lease is ATOMIC:
+    the breaker RENAMES the stale lock to a unique tombstone first
+    (one of N concurrent breakers wins the rename; the losers' break
+    attempts fail and they go back to waiting), so two waiters that
+    both observed a stale lock cannot both acquire.
+
+    ``timeout_s`` defaults to ``lease_s + 120`` — a default-configured
+    waiter always outlives a crashed holder's lease instead of raising
+    before it is allowed to break it.  Raises :class:`TimeoutError`
+    past the deadline — a publish is seconds of metadata work, so a
+    longer wait means a stuck-but-alive peer."""
+    import uuid
+
     lock = f"{path}.lock"
+    if timeout_s is None:
+        timeout_s = lease_s + 120.0
     deadline = time.time() + timeout_s
     while True:
         if fs.create_exclusive(lock):
@@ -402,19 +419,27 @@ def store_lock(fs: StoreFilesystem, path: str,
         except OSError:
             age = 0.0  # holder released between our attempts
         if age > lease_s:
-            # stale holder: break the lease and retry the create
+            # stale holder: claim the break atomically via rename —
+            # only one breaker's rename succeeds; everyone then
+            # re-races the exclusive create
+            tomb = f"{lock}.stale-{uuid.uuid4().hex}"
             try:
-                fs.remove(lock)
+                fs.rename(lock, tomb)
+                fs.remove(tomb)
             except OSError:
-                pass
+                pass  # another breaker won, or the holder released
             continue
         if time.time() > deadline:
             raise TimeoutError(
                 f"store publish lock busy > {timeout_s}s: {lock}"
             )
         time.sleep(poll_s)
+
+    def heartbeat() -> None:
+        fs.touch_mtime(lock)
+
     try:
-        yield
+        yield heartbeat
     finally:
         try:
             fs.remove(lock)

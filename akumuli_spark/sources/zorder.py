@@ -337,18 +337,21 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
             new_rows.collect(), new_rows.schema
         )
 
-        with store_lock(fs, path):
+        with store_lock(fs, path) as heartbeat:
             if epoch is not None and committed(epoch):
                 return  # lost a same-epoch publish race: exactly-once
-            for rel in fs.walk_files(tmp):
+            for i, rel in enumerate(fs.walk_files(tmp)):
                 if rel.startswith(MANIFEST_DIR) or rel.startswith(META_DIR):
                     continue
                 if not rel.endswith(".parquet"):
                     continue  # _SUCCESS etc. stay behind
+                if i % 64 == 0:
+                    heartbeat()  # a live slow move-in must not be stolen
                 dst = posixpath.join(path, rel)
                 fs.makedirs(posixpath.dirname(dst))
                 fs.rename(posixpath.join(tmp, rel), dst)
 
+            heartbeat()
             mpath = posixpath.join(path, MANIFEST_DIR)
             recover_compaction(mpath)
             merged = spark.read.parquet(mpath).unionByName(new_rows)
@@ -587,17 +590,21 @@ def zorder_optimize(spark: SparkSession, path: str,
         if _race_hook is not None:  # test-only: interleave a writer here
             _race_hook()
 
-        with store_lock(fs, path):
-            for rel in fs.walk_files(tmp):
+        with store_lock(fs, path) as heartbeat:
+            for i, rel in enumerate(fs.walk_files(tmp)):
                 if rel.startswith(MANIFEST_DIR) or rel.startswith(META_DIR):
                     continue
                 if not rel.endswith(".parquet"):
                     continue
+                if i % 64 == 0:
+                    heartbeat()  # wide optimize: keep the lease alive
                 dst = posixpath.join(path, rel)
                 fs.makedirs(posixpath.dirname(dst))
                 fs.rename(posixpath.join(tmp, rel), dst)
 
+            heartbeat()
             _ledger_add(spark, path, folded_epochs)
+            heartbeat()
             recover_compaction(mpath)
             # FRESH manifest read under the lock: rows published by a
             # concurrent append since our selection (even into selected
@@ -611,10 +618,13 @@ def zorder_optimize(spark: SparkSession, path: str,
                 ))
                 keep = fresh.join(fdf, "file", "left_anti")
             _publish_manifest(fs, keep.unionByName(new_rows), mpath)
-            # re-age the replaced (now orphan) files: the vacuum grace
-            # must count from replacement, not original write time
-            for f in old_files:
-                fs.touch_mtime(posixpath.join(path, f))
+        # re-age the replaced (now orphan) files so the vacuum grace
+        # counts from replacement, not original write time.  OUTSIDE
+        # the lock: the published manifest no longer references them,
+        # so no writer can race this, and a wide optimize would
+        # otherwise hold the lock for thousands of remote-store RPCs
+        for f in old_files:
+            fs.touch_mtime(posixpath.join(path, f))
     finally:
         fs.rmtree(tmp)
     return len(buckets)
@@ -642,7 +652,8 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
     cutoff = (now_ns - keep_ns) // meta["bucket_ns"]
 
     mpath = posixpath.join(path, MANIFEST_DIR)
-    with store_lock(fs, path):
+    trash = f"{path}.trash"
+    with store_lock(fs, path) as heartbeat:
         recover_compaction(mpath)
         expired = spark.read.parquet(mpath).filter(
             F.col("ts_bucket") < cutoff)
@@ -653,22 +664,31 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
             r.epoch for r in expired.select("epoch").distinct().collect()
             if r.epoch is not None and r.epoch >= 1
         })
+        heartbeat()
         kept = spark.read.parquet(mpath).filter(F.col("ts_bucket") >= cutoff)
         _publish_manifest(fs, kept, mpath)
 
-    trash = f"{path}.trash"
-    fs.makedirs(trash)
-    dropped = 0
-    for rel in fs.glob(path, "metric=*/ts_bucket=*"):
-        try:
-            bucket = int(posixpath.basename(rel).split("=", 1)[1])
-        except ValueError:  # pragma: no cover - foreign dirs left alone
-            continue
-        if bucket < cutoff:
-            fs.rename(posixpath.join(path, rel),
-                      posixpath.join(trash, uuid.uuid4().hex))
-            dropped += 1
-    fs.rmtree(trash)
+        # directory sweep INSIDE the lock: a concurrent backfill append
+        # could otherwise publish files into an expired bucket between
+        # the manifest rewrite and this sweep, and the sweep would
+        # delete files the merged manifest references (manifest rows
+        # pointing at nothing).  Under the lock the sweep sees exactly
+        # the post-rewrite store; a later backfill lands whole and the
+        # NEXT retention run evicts it by the same cutoff rule.
+        fs.makedirs(trash)
+        dropped = 0
+        for i, rel in enumerate(fs.glob(path, "metric=*/ts_bucket=*")):
+            try:
+                bucket = int(posixpath.basename(rel).split("=", 1)[1])
+            except ValueError:  # pragma: no cover - foreign dirs alone
+                continue
+            if bucket < cutoff:
+                if dropped % 64 == 0:
+                    heartbeat()
+                fs.rename(posixpath.join(path, rel),
+                          posixpath.join(trash, uuid.uuid4().hex))
+                dropped += 1
+    fs.rmtree(trash)  # unreferenced after the sweep: no lock needed
     return dropped
 
 
@@ -1068,15 +1088,18 @@ def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
         new_rows = spark.read.parquet(posixpath.join(tmp, CORPUS_MANIFEST_DIR))
         new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
 
-        with store_lock(fs, path):
+        with store_lock(fs, path) as heartbeat:
             if epoch is not None and committed(epoch):
                 return  # lost a same-epoch publish race: exactly-once
-            for f in fs.walk_files(tmp):
+            for i, f in enumerate(fs.walk_files(tmp)):
                 if "/" not in f and f.endswith(".parquet"):
                     # flat layout: data at the root
+                    if i % 64 == 0:
+                        heartbeat()
                     fs.rename(posixpath.join(tmp, f),
                               posixpath.join(path, f))
 
+            heartbeat()
             recover_compaction(mpath)
             merged = spark.read.parquet(mpath).unionByName(new_rows)
             _publish_manifest(fs, merged, mpath)

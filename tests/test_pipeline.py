@@ -1641,6 +1641,134 @@ def test_baseline_non_interleaved_multi_scan_hashes_null():
     assert mm._jpeg_payload_grid(p, sx, sy) is None
 
 
+def test_payload_pixel_grid_total_over_hostile_bytes(spark):
+    """Structurally inconsistent blobs — declared segment lengths
+    disagreeing with actual bytes — must hash NULL, never raise out of
+    the mapInPandas stage (code-review r13: a DQT shorter than its 65
+    table bytes raised IndexError from the segment walk and killed the
+    task, while the decode-report kernel survived the same bytes)."""
+    import struct
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    sof2 = (b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+            + bytes([1, 0x11, 0]))
+    hostile = [
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x01" + sof2,  # DQT body too short
+        b"\xff\xd8\xff\xc4\x00\x14" + bytes([0x10] + [4] * 16),  # DHT nsym
+        b"\xff\xd8" + sof2 + b"\xff\xda\x00\x02",  # empty SOS header
+        b"\xff\xd8\xff\xdb\x00\x04\x00\x01"  # baseline twin of case 1
+        + sof2.replace(b"\xc2", b"\xc0"),
+    ]
+    sx = sy = np.arange(2)
+    for blob in hostile:
+        assert mm._payload_pixel_grid(blob, sx, sy) is None
+    # and through the DataFrame path: NULL rows, no stage failure
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(hostile)], "doc_id long, payload binary"
+    )
+    got = mm.image_dhash(df, pixel_source="payload").collect()
+    assert len(got) == 4 and all(r.dhash is None for r in got)
+
+
+def test_progressive_fill_bytes_before_markers(spark):
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; a conformant progressive stream padded that way must still
+    decode (code-review r13: the walk read the fill byte as a marker
+    and NULLed a decodable image)."""
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    docs = spark.createDataFrame([(0, "fillbytes")],
+                                 "doc_id long, text string")
+    (row,) = mm.synth_jpeg_progressive_pixel_payloads(docs).collect()
+    good = bytes(row.payload)
+    # pad fill bytes before the SOF2 and DHT markers
+    padded = good.replace(b"\xff\xc2", b"\xff\xff\xff\xc2", 1).replace(
+        b"\xff\xc4", b"\xff\xff\xc4", 1)
+    _, w, h, _, _ = mm._parse_jpeg(good)
+    gx, gy = np.arange(w), np.arange(h)
+    want = mm._payload_pixel_grid(good, gx, gy)
+    got = mm._payload_pixel_grid(padded, gx, gy)
+    assert got is not None and np.array_equal(want, got)
+
+
+def test_png_16bit_decodes_to_high_byte(spark):
+    """16-bit PNG (the scanner/scientific export): the filter undo
+    widens its left-neighbor offset to bpp bytes and the 8-bit
+    reduction takes each sample's HIGH byte — a 16-bit re-encode of
+    the same pixels hashes identically to its 8-bit twin."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from akumuli_spark.pipeline import multimodal as mm
+
+    w, h = 13, 9
+    rng = np.random.default_rng(7)
+    grid = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+    def png(depth: int, raw_rows: bytes) -> bytes:
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        return (mm._PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw_rows))
+                + chunk(b"IEND", b""))
+
+    rows8 = b"".join(b"\x00" + grid[y].tobytes() for y in range(h))
+    # 16-bit samples, big-endian, low byte deliberately non-zero so a
+    # wrong byte choice is visible; mix of Sub/Up filters to exercise
+    # the widened bpp offset (filter arithmetic is byte-wise mod 256)
+    wide = np.zeros((h, w, 2), dtype=np.uint8)
+    wide[:, :, 0] = grid
+    wide[:, :, 1] = 0x5A
+    rows16 = bytearray()
+    prior = np.zeros(w * 2, dtype=np.int64)
+    for y in range(h):
+        line = wide[y].reshape(-1).astype(np.int64)
+        if y % 2:
+            rows16 += b"\x02" + ((line - prior) % 256).astype(np.uint8).tobytes()
+        else:
+            filt = line.copy()
+            filt[2:] = (line[2:] - line[:-2]) % 256  # Sub, bpp=2
+            rows16 += b"\x01" + filt.astype(np.uint8).tobytes()
+        prior = line
+    sx, sy_ = np.arange(w), np.arange(h)
+    g8 = mm._png_payload_grid(png(8, rows8), sx, sy_)
+    g16 = mm._png_payload_grid(png(16, bytes(rows16)), sx, sy_)
+    assert g16 is not None and np.array_equal(g8, g16)
+    assert np.array_equal(g8, grid)
+
+
+def test_decode_header_webp(spark, duck, docs):
+    """WebP metadata decode: real VP8L packed-bits header walk,
+    oracle-twinned against the generator arithmetic."""
+    from akumuli_spark.pipeline import multimodal as mm
+    from tests.conftest import assert_matches_oracle
+
+    out = mm.decode_metadata(mm.synth_webp_payloads(docs))
+    assert out.filter("format = 'webp'").count() == docs.count()
+    assert_matches_oracle(out, duck, mm.DECODE_WEBP_SQL)
+    # VP8 (lossy) and VP8X (extended) headers parse too
+    lossy = (b"RIFF" + b"\x14\x00\x00\x00" + b"WEBP" + b"VP8 "
+             + b"\x0a\x00\x00\x00" + b"\x00\x00\x00\x9d\x01\x2a"
+             + (123).to_bytes(2, "little") + (45).to_bytes(2, "little"))
+    assert mm.decode_header(lossy)[1:] == (123, 45, 3, "webp")
+    vp8x = (b"RIFF" + b"\x12\x00\x00\x00" + b"WEBP" + b"VP8X"
+            + b"\x0a\x00\x00\x00" + bytes([0x10, 0, 0, 0])
+            + (799).to_bytes(3, "little") + (599).to_bytes(3, "little"))
+    assert mm.decode_header(vp8x)[1:] == (800, 600, 4, "webp")
+    # webp is classified in the format report and honestly a fallback
+    assert mm._payload_format(lossy) == "webp"
+
+
 def test_image_decode_report_mixed_corpus(spark):
     """Per-format decode/fallback counters over a mixed corpus: every
     pixel container decodes, WAV (no pixel path) counts as fallback,

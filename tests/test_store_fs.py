@@ -281,12 +281,30 @@ def test_store_lock_mutual_exclusion_and_lease(tmp_path):
         with pytest.raises(TimeoutError):
             with store_lock(fs, p, timeout_s=0.2):
                 pass
-    # released on exit; a crashed holder's stale lock is broken
+    # released on exit; a crashed holder's stale lock is broken —
+    # with DEFAULT timeout too (the default must exceed the lease, or
+    # a default-configured waiter raises before it may break)
     fs.create_exclusive(p + ".lock")
     fs.touch_mtime(p + ".lock", time.time() - 10_000)
-    with store_lock(fs, p, timeout_s=5):
+    with store_lock(fs, p):
         pass
     assert not fs.exists(p + ".lock")
+
+
+def test_store_lock_heartbeat_prevents_theft(tmp_path):
+    """A live-but-slow holder that heartbeats cannot have its lease
+    stolen: the heartbeat refreshes the lock mtime, so a waiter keeps
+    seeing a fresh lease (code-review r13: optimize's publish loop can
+    legitimately outlive a static lease on a remote store)."""
+    fs = LocalStoreFS()
+    p = str(tmp_path / "hb")
+    with store_lock(fs, p, lease_s=300, timeout_s=5) as heartbeat:
+        # simulate a long-running holder whose lease WOULD be stale...
+        fs.touch_mtime(p + ".lock", time.time() - 10_000)
+        heartbeat()  # ...but it is alive and says so
+        with pytest.raises(TimeoutError):
+            with store_lock(fs, p, lease_s=300, timeout_s=0.3):
+                pass
 
 
 def test_change_token_flips_per_publish_not_per_mtime(spark, tmp_path):

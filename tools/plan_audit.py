@@ -132,7 +132,8 @@ def main() -> None:
                "dedup_scrub_substring_keepfirst", "text_bm25_topk",
                "multimodal_image_dhash", "multimodal_image_near_dup",
                "multimodal_audio_fingerprint", "multimodal_audio_near_dup",
-               "multimodal_decode_avi", "multimodal_video_frame_sample",
+               "multimodal_decode_avi", "multimodal_decode_webp",
+               "multimodal_video_frame_sample",
                "multimodal_video_fingerprint", "mine_triplets",
                "multimodal_image_dedup_incremental", "text_bm25_indexed",
                "text_bm25_indexed_df", "text_bm25_append",

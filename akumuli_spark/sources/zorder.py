@@ -52,6 +52,25 @@ list.  The layout parameters an append must reproduce (bucket_ns, bits)
 travel in a one-row ``{path}/_zmeta`` table — the stored-contract rule
 every growing store in this repo follows: a build/append parameter
 mismatch would mis-bucket partitions silently.
+
+Commit modes: on POSIX/HDFS the manifest publishes via the two-rename
+swap under the store publish lock (linearizable, atomic rename).  On
+object stores (``s3a://``, ``gs://``, … — no atomic rename) the store
+publishes through the conditional-PUT pointer log
+(:class:`akumuli_spark.sources.fs.CasLog`): every manifest version is
+an immutable snapshot directory named by a pointer object created
+if-absent, writers resolve conflicts by re-reading and re-merging, and
+NO LOCK is needed for correctness (appends/optimize/retention
+linearize on the pointer create itself).  The mode is chosen at build
+time (``cas_commit``, defaulting by scheme via
+:func:`~akumuli_spark.sources.fs.prefers_cas`) and detected on every
+later write from the store itself (the pointer log's existence), so
+mixed-writer deployments cannot disagree.  Under CAS there is no
+mtime re-aging either: readers are protected by SNAPSHOT RETENTION —
+:func:`vacuum_zorder` keeps the newest K manifest versions plus
+everything younger than the grace, and only deletes data files no
+retained snapshot references (Delta's VACUUM contract restated without
+``setTimes``).
 """
 
 from __future__ import annotations
@@ -62,7 +81,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from akumuli_spark.sources.fs import (
-    get_fs, parent_dir, store_lock, strip_scheme, swap_compact,
+    CasLog, get_fs, parent_dir, prefers_cas, store_lock, strip_scheme,
+    swap_compact,
 )
 from akumuli_spark.sources.layout import (
     DAY_NS, read_table_or_none, recover_compaction,
@@ -176,7 +196,8 @@ def _series_bins(metrics: DataFrame, bits: int) -> DataFrame:
 def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
                          bucket_ns: int = DAY_NS,
                          files_per_partition: int = 8,
-                         bits: int = ZBITS) -> None:
+                         bits: int = ZBITS,
+                         cas_commit: bool | None = None) -> None:
     """(Re)cluster the long metrics frame into a Z-ordered store at
     ``path`` and publish its file-stats manifest — the ``OPTIMIZE
     ZORDER BY (series, ts_ns)`` maintenance job.
@@ -189,22 +210,86 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
     per-file natural-column min/max.  Rebuild over an existing store
     swaps via the two-rename protocol and self-heals through
     :func:`akumuli_spark.sources.layout.recover_compaction`.
+
+    ``cas_commit`` selects the publish protocol: None (default) picks
+    by scheme — object stores get the conditional-PUT pointer log, the
+    rest the two-rename swap (see the module docstring's commit-modes
+    paragraph).  An existing CAS store stays CAS regardless (the store,
+    not the caller, owns the protocol).  A CAS rebuild keeps the stored
+    layout contract — changing (bucket_ns, bits, files_per_partition)
+    requires a fresh path, because the old snapshot's partition dirs
+    remain live for retained readers.
     """
     fs = get_fs(path)
+    cas = prefers_cas(path) if cas_commit is None else bool(cas_commit)
+    if _store_is_cas(fs, path):
+        cas = True
     tmp = f"{path}.compact-tmp"
     fs.rmtree(tmp)
     _write_clustered(metrics, tmp, bucket_ns, files_per_partition, bits)
     _write_manifest(spark, tmp)
-    spark.createDataFrame(
+    meta_df = spark.createDataFrame(
         [(ZORDER_LAYOUT_VERSION, int(bucket_ns), int(bits),
           int(files_per_partition))],
         "layout_version int, bucket_ns long, bits int, "
         "files_per_partition int",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        posixpath.join(tmp, META_DIR)
     )
-    _carry_ledger_on_rebuild(spark, path, tmp)
-    swap_compact(fs, path)
+    if not cas:
+        meta_df.coalesce(1).write.mode("overwrite").parquet(
+            posixpath.join(tmp, META_DIR)
+        )
+        _carry_ledger_on_rebuild(spark, path, tmp)
+        swap_compact(fs, path)
+        return
+
+    # CAS build/rebuild: no whole-dir swap exists on an object store.
+    # New data files move in (invisible), the committed-epoch carry
+    # publishes BEFORE the manifest (a replay in the window must stay a
+    # no-op), and one pointer commit flips the snapshot to the rebuilt
+    # file set; replaced files age out via snapshot retention.
+    old_meta = _read_zmeta(spark, path)
+    if old_meta is not None and (
+        old_meta["bucket_ns"] != int(bucket_ns)
+        or old_meta["bits"] != int(bits)
+        or old_meta["files_per_partition"] != int(files_per_partition)
+    ):
+        raise ValueError(
+            f"CAS rebuild at {path} cannot change layout parameters "
+            f"(stored {old_meta}); use a fresh path"
+        )
+    try:
+        new_man = spark.read.parquet(posixpath.join(tmp, MANIFEST_DIR))
+        new_man = spark.createDataFrame(new_man.collect(), new_man.schema)
+        _carry_committed_epochs_cas(spark, fs, path)
+        _cas_move_in(fs, tmp, path)
+        if old_meta is None:
+            meta_df.coalesce(1).write.mode("overwrite").parquet(
+                posixpath.join(path, META_DIR)
+            )
+        _cas_publish_df(spark, fs, posixpath.join(path, MANIFEST_DIR),
+                        lambda cur: new_man)
+    finally:
+        fs.rmtree(tmp)
+
+
+def _carry_committed_epochs_cas(spark: SparkSession, fs, path: str,
+                                manifest_dir: str = MANIFEST_DIR) -> None:
+    """CAS twin of :func:`_carry_ledger_on_rebuild`: fold the old
+    store's committed epochs (manifest rows ≥ 1 ∪ ledger) into the
+    ledger BEFORE the rebuilt manifest publishes — the rebuild resets
+    manifest epochs to 0, and a checkpointed caller replaying a
+    committed epoch in (or after) that window must stay a no-op."""
+    mpath = posixpath.join(path, manifest_dir)
+    old_man = read_table_or_none(spark, _vtable_dir(fs, mpath))
+    committed: set[int] = set()
+    if old_man is not None and "epoch" in old_man.columns:
+        committed |= {
+            r.epoch for r in old_man.select("epoch").distinct().collect()
+            if r.epoch is not None and r.epoch >= 1
+        }
+    committed |= _committed_epochs_ledger(spark, path)
+    if committed:
+        _ledger_add(spark, path, committed, cas=True)
 
 
 def _write_clustered(metrics: DataFrame, out_dir: str, bucket_ns: int,
@@ -307,16 +392,17 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
             "zorder_metrics_table first (pre-meta stores must be rebuilt)"
         )
 
+    mpath = posixpath.join(path, MANIFEST_DIR)
+    cas = _store_is_cas(fs, path)
+
     def committed(epoch: int) -> bool:
         # committed = present in the manifest OR folded away by a later
         # optimize/retention (the _zledger keeps history truthful after
         # a rewrite erases the epoch's manifest rows)
         if int(epoch) in _committed_epochs_ledger(spark, path):
             return True
-        mpath = posixpath.join(path, MANIFEST_DIR)
-        recover_compaction(mpath)
         return bool(
-            spark.read.parquet(mpath)
+            spark.read.parquet(_vtable_dir(fs, mpath))
             .filter(F.col("epoch") == int(epoch)).limit(1).count()
         )
 
@@ -337,6 +423,21 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
             new_rows.collect(), new_rows.schema
         )
 
+        if cas:
+            # lock-free append: files are invisible until a snapshot
+            # names them, and the pointer create is the linearization
+            # point — the epoch check re-runs inside the merge on every
+            # CAS retry, so two replays of one epoch commit exactly once
+            _cas_move_in(fs, tmp, path)
+
+            def merge(cur):
+                if epoch is not None and committed(epoch):
+                    return None  # lost a same-epoch race: exactly-once
+                return new_rows if cur is None else cur.unionByName(new_rows)
+
+            _cas_publish_df(spark, fs, mpath, merge)
+            return
+
         with store_lock(fs, path) as heartbeat:
             if epoch is not None and committed(epoch):
                 return  # lost a same-epoch publish race: exactly-once
@@ -352,7 +453,6 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
                 fs.rename(posixpath.join(tmp, rel), dst)
 
             heartbeat()
-            mpath = posixpath.join(path, MANIFEST_DIR)
             recover_compaction(mpath)
             merged = spark.read.parquet(mpath).unionByName(new_rows)
             _publish_manifest(fs, merged, mpath)
@@ -369,22 +469,42 @@ def _committed_epochs_ledger(spark: SparkSession, path: str) -> set[int]:
     from akumuli_spark.sources.layout import read_table_or_none
 
     lp = posixpath.join(path, LEDGER_DIR)
-    recover_compaction(lp)
-    led = read_table_or_none(spark, lp)
+    led = read_table_or_none(spark, _vtable_dir(get_fs(path), lp))
     if led is None:
         return set()
     return {r.epoch for r in led.select("epoch").collect()}
 
 
-def _ledger_add(spark: SparkSession, path: str, epochs: set[int]) -> None:
-    """Record ``epochs`` as committed-but-no-longer-in-manifest, with
-    the two-rename publish.  Ledger size is bounded by the number of
-    appends ever folded away — metadata-sized."""
+def _ledger_add(spark: SparkSession, path: str, epochs: set[int],
+                cas: bool | None = None) -> None:
+    """Record ``epochs`` as committed-but-no-longer-in-manifest.
+    Ledger size is bounded by the number of appends ever folded away —
+    metadata-sized.  Publishes with the store's commit protocol: the
+    two-rename swap, or (CAS stores) the same conditional-PUT pointer
+    log as the manifest, with the union re-merged on every retry."""
     if not epochs:
         return
     fs = get_fs(path)
-    merged = sorted(_committed_epochs_ledger(spark, path) | set(epochs))
     lp = posixpath.join(path, LEDGER_DIR)
+    if cas is None:
+        cas = _store_is_cas(fs, path) or CasLog(fs, lp).exists()
+    if cas:
+        want = {int(e) for e in epochs}
+
+        def merge(cur):
+            have = (
+                set() if cur is None
+                else {r.epoch for r in cur.select("epoch").collect()}
+            )
+            if want <= have:
+                return None
+            return spark.createDataFrame(
+                [(int(e),) for e in sorted(have | want)], "epoch long"
+            )
+
+        _cas_publish_df(spark, fs, lp, merge)
+        return
+    merged = sorted(_committed_epochs_ledger(spark, path) | set(epochs))
     tmp = f"{lp}.compact-tmp"
     fs.rmtree(tmp)
     spark.createDataFrame(
@@ -396,13 +516,93 @@ def _ledger_add(spark: SparkSession, path: str, epochs: set[int]) -> None:
 def _publish_manifest(fs, manifest: DataFrame, mpath: str) -> None:
     """Write the (metadata-sized) manifest frame to the sibling tmp and
     swap it in — the shared two-rename publish every snapshot flip
-    (append, optimize, retention) goes through.  The plan is executed
-    by the tmp write while ``mpath`` is still live, so a lazily-read
-    input over the current manifest is safe."""
+    (append, optimize, retention) goes through in RENAME mode.  The
+    plan is executed by the tmp write while ``mpath`` is still live, so
+    a lazily-read input over the current manifest is safe.  CAS-mode
+    stores publish through :func:`_cas_publish_df` instead."""
     mtmp = f"{mpath}.compact-tmp"
     fs.rmtree(mtmp)
     manifest.coalesce(1).write.mode("overwrite").parquet(mtmp)
     swap_compact(fs, mpath)
+
+
+def _vtable_dir(fs, tpath: str) -> str:
+    """Resolve the CURRENT readable location of a versioned metadata
+    table (manifest / ledger): the highest CAS snapshot directory when
+    the table publishes through the pointer log, else the table path
+    itself after healing a possibly-crashed two-rename swap.  Every
+    metadata read in this module routes through here, so one store can
+    be served by either commit mode with no caller changes."""
+    log = CasLog(fs, tpath)
+    if log.exists():
+        _v, cur = log.current()
+        if cur is not None:
+            return cur
+    recover_compaction(tpath)
+    return tpath
+
+
+def _store_is_cas(fs, path: str,
+                  manifest_dir: str = MANIFEST_DIR) -> bool:
+    """A store is CAS-committed iff its manifest has a pointer log —
+    one metadata probe, decided by the store itself rather than by the
+    caller (mixed writers must agree on the commit protocol)."""
+    return CasLog(fs, posixpath.join(path, manifest_dir)).exists()
+
+
+def _cas_publish_df(spark, fs, tpath: str, merge_fn,
+                    retries: int = 64) -> bool:
+    """Optimistic conditional-PUT publish of one metadata table version.
+
+    ``merge_fn(current_df_or_none) -> DataFrame | None`` recomputes the
+    desired table from the CURRENT snapshot; ``None`` means "nothing to
+    publish" (e.g. the epoch is already committed) and aborts cleanly.
+    Protocol per attempt: read the current snapshot → merge → write a
+    COMPLETE new snapshot dir under a fresh unique name → claim the
+    next version with one ``create_exclusive`` of the pointer object
+    (the conditional PUT).  Losing the create means another writer
+    committed first — the merge is stale by definition, so the attempt
+    dir is dropped and the loop re-reads and re-merges.  This is the
+    lock-free linearization point CAS-mode stores rely on; exactly-once
+    append semantics hold because the epoch check re-runs inside
+    ``merge_fn`` on every retry.  Returns True when a version was
+    committed, False when ``merge_fn`` declined."""
+    log = CasLog(fs, tpath)
+    for _ in range(retries):
+        _v, cur_dir = log.current()
+        cur = None if cur_dir is None else spark.read.parquet(cur_dir)
+        out = merge_fn(cur)
+        if out is None:
+            return False
+        nv = log.next_version()
+        vname = log.version_name(nv)
+        out.coalesce(1).write.mode("overwrite").parquet(log.dir_for(vname))
+        if log.try_commit(nv, vname):
+            return True
+        fs.rmtree(log.dir_for(vname))  # lost the race: orphan attempt
+    raise RuntimeError(
+        f"CAS publish contention exceeded {retries} retries: {tpath}"
+    )
+
+
+def _cas_move_in(fs, tmp: str, path: str) -> None:
+    """Move a staged batch's DATA files into the table (CAS mode, no
+    lock): names carry the writing job's UUID so there are no
+    collisions, and the files stay invisible until a manifest snapshot
+    names them — an object store's non-atomic copy+delete "rename" is
+    therefore safe here.  Metadata subdirs (manifest/meta/ledger) stay
+    behind: they publish through their own channels."""
+    skip = (MANIFEST_DIR, META_DIR, LEDGER_DIR)
+    root = path.rstrip("/")
+    fs.makedirs(root)  # fresh store: flat-layout files land at the root
+    for rel in fs.walk_files(tmp):
+        if rel.startswith(skip) or not rel.endswith(".parquet"):
+            continue
+        dst = posixpath.join(root, rel)
+        d = posixpath.dirname(dst)
+        if d != root:
+            fs.makedirs(d)
+        fs.rename(posixpath.join(tmp, rel), dst)
 
 
 def _carry_ledger_on_rebuild(spark: SparkSession, path: str,
@@ -415,7 +615,9 @@ def _carry_ledger_on_rebuild(spark: SparkSession, path: str,
     store's ``_zledger``, so a checkpointed caller replaying a
     committed epoch after the rebuild stays a no-op (ADVICE r12: the
     corpus rebuild silently duplicated replayed documents)."""
-    old_man = read_table_or_none(spark, posixpath.join(path, MANIFEST_DIR))
+    old_man = read_table_or_none(
+        spark, _vtable_dir(get_fs(path), posixpath.join(path, MANIFEST_DIR))
+    )
     committed: set[int] = set()
     if old_man is not None and "epoch" in old_man.columns:
         committed |= {
@@ -461,8 +663,7 @@ def zorder_erosion(spark: SparkSession, path: str) -> DataFrame:
     rather than silently dropping out of :func:`zorder_optimize`'s
     erosion ordering (VERDICT r12 Wrong #2)."""
     mpath = posixpath.join(path, MANIFEST_DIR)
-    recover_compaction(mpath)
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_vtable_dir(get_fs(path), mpath))
     return (
         man.groupBy("metric", "ts_bucket")
         .agg(
@@ -521,19 +722,24 @@ def zorder_optimize(spark: SparkSession, path: str,
     manifest read, carrying forward every row whose file was not in the
     replaced set — an append that landed into a *selected* bucket
     between selection and publish keeps its rows (its files simply miss
-    this optimize; the next erosion pass picks them up).  After the
-    swap, replaced data files get their mtime reset so
-    :func:`vacuum_zorder`'s grace counts from REPLACEMENT, not original
-    write — a reader holding the pre-optimize snapshot outlives the
-    grace as documented (ADVICE r12).  ``_race_hook`` is a test-only
-    seam invoked between clustering and the locked publish."""
+    this optimize; the next erosion pass picks them up).  Replaced
+    data files get their mtime reset BEFORE the publish, while they
+    are still manifest-listed (a listed file is un-vacuumable
+    regardless of mtime), so :func:`vacuum_zorder`'s grace counts from
+    ~replacement with no orphaned-at-original-mtime window for a
+    concurrent vacuum to race (ADVICE r12/r13); a reader holding the
+    pre-optimize snapshot outlives the grace as documented.  On CAS
+    stores both the lock and the re-aging are unnecessary: the
+    carry-forward merge re-runs on every conditional-PUT retry, and
+    vacuum's snapshot retention protects readers.  ``_race_hook`` is a
+    test-only seam invoked between clustering and the publish."""
     fs = get_fs(path)
     meta = _read_zmeta(spark, path)
     if meta is None:
         raise ValueError(f"no z-store layout contract at {path}")
+    cas = _store_is_cas(fs, path)
     mpath = posixpath.join(path, MANIFEST_DIR)
-    recover_compaction(mpath)
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_vtable_dir(fs, mpath))
 
     if buckets is None:
         sel = zorder_erosion(spark, path).filter(
@@ -590,6 +796,55 @@ def zorder_optimize(spark: SparkSession, path: str,
         if _race_hook is not None:  # test-only: interleave a writer here
             _race_hook()
 
+        def _keep_rows(fresh):
+            # FRESH manifest read at publish time: rows published by a
+            # concurrent append since our selection (even into selected
+            # buckets) are not in old_files and are carried forward
+            if len(old_files) <= _SERIES_EXPR_CAP:
+                return fresh.filter(~F.col("file").isin(old_files))
+            fdf = F.broadcast(spark.createDataFrame(
+                [(f,) for f in old_files], "file string"
+            ))
+            return fresh.join(fdf, "file", "left_anti")
+
+        if cas:
+            # lock-free: the carry-forward merge re-runs against the
+            # freshest snapshot on every CAS retry, so a concurrent
+            # append can never be dropped; replaced files stay readable
+            # through retained snapshots (no mtime re-aging — vacuum's
+            # snapshot retention is the reader grace on object stores)
+            _cas_move_in(fs, tmp, path)
+            _ledger_add(spark, path, folded_epochs, cas=True)
+            _cas_publish_df(
+                spark, fs, mpath,
+                lambda cur: new_rows if cur is None
+                else _keep_rows(cur).unionByName(new_rows),
+            )
+            return len(buckets)
+
+        # re-age the replaced files BEFORE the publish, while they are
+        # still manifest-listed (vacuum cannot reap a listed file
+        # regardless of mtime), so there is NO window where they sit
+        # orphaned at their original mtime for a concurrent vacuum to
+        # reap from under a pre-optimize reader (ADVICE r13).  Outside
+        # the lock: listed-ness is the protection, and a wide optimize
+        # would otherwise hold the lock for thousands of remote RPCs.
+        aged_failed = 0
+        for f in old_files:
+            if not fs.touch_mtime(posixpath.join(path, f)):
+                aged_failed += 1
+        if aged_failed:
+            import warnings
+
+            warnings.warn(
+                f"zorder_optimize: setTimes failed on {aged_failed} "
+                f"replaced files at {path}; vacuum's grace will count "
+                "from their ORIGINAL write time — run vacuum with a "
+                "grace longer than the store's full age, or use a "
+                "CAS-committed store (snapshot retention needs no "
+                "setTimes)", RuntimeWarning, stacklevel=2,
+            )
+
         with store_lock(fs, path) as heartbeat:
             for i, rel in enumerate(fs.walk_files(tmp)):
                 if rel.startswith(MANIFEST_DIR) or rel.startswith(META_DIR):
@@ -606,25 +861,10 @@ def zorder_optimize(spark: SparkSession, path: str,
             _ledger_add(spark, path, folded_epochs)
             heartbeat()
             recover_compaction(mpath)
-            # FRESH manifest read under the lock: rows published by a
-            # concurrent append since our selection (even into selected
-            # buckets) are not in old_files and are carried forward
-            fresh = spark.read.parquet(mpath)
-            if len(old_files) <= _SERIES_EXPR_CAP:
-                keep = fresh.filter(~F.col("file").isin(old_files))
-            else:
-                fdf = F.broadcast(spark.createDataFrame(
-                    [(f,) for f in old_files], "file string"
-                ))
-                keep = fresh.join(fdf, "file", "left_anti")
-            _publish_manifest(fs, keep.unionByName(new_rows), mpath)
-        # re-age the replaced (now orphan) files so the vacuum grace
-        # counts from replacement, not original write time.  OUTSIDE
-        # the lock: the published manifest no longer references them,
-        # so no writer can race this, and a wide optimize would
-        # otherwise hold the lock for thousands of remote-store RPCs
-        for f in old_files:
-            fs.touch_mtime(posixpath.join(path, f))
+            _publish_manifest(
+                fs, _keep_rows(spark.read.parquet(mpath))
+                .unionByName(new_rows), mpath,
+            )
     finally:
         fs.rmtree(tmp)
     return len(buckets)
@@ -650,9 +890,41 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
     if meta is None:
         raise ValueError(f"no z-store layout contract at {path}")
     cutoff = (now_ns - keep_ns) // meta["bucket_ns"]
-
     mpath = posixpath.join(path, MANIFEST_DIR)
-    trash = f"{path}.trash"
+
+    if _store_is_cas(fs, path):
+        # manifest-only retention: one conditional-PUT publish removes
+        # the expired rows (the merge re-runs on conflict, so a
+        # concurrent backfill append linearizes — whichever commits
+        # second sees the other); the files and partition dirs become
+        # orphans reclaimed by vacuum after snapshot expiry — object
+        # stores have no atomic rename-to-trash, and deferred deletion
+        # is the honest protocol there
+        dropped = [0]
+
+        def merge(cur):
+            if cur is None:
+                return None
+            exp = cur.filter(F.col("ts_bucket") < cutoff)
+            buckets = exp.select("metric", "ts_bucket").distinct().count()
+            if buckets == 0:
+                return None
+            _ledger_add(spark, path, {
+                r.epoch
+                for r in exp.select("epoch").distinct().collect()
+                if r.epoch is not None and r.epoch >= 1
+            }, cas=True)
+            dropped[0] = buckets
+            return cur.filter(F.col("ts_bucket") >= cutoff)
+
+        _cas_publish_df(spark, fs, mpath, merge)
+        return dropped[0]
+
+    # per-run unique trash dir: two retention runs (or a crashed one's
+    # successor) must never rmtree a trash dir the other is still
+    # renaming into (ADVICE r13); crashed leftovers are reclaimed by
+    # vacuum's .trash-* sweep after the grace
+    trash = f"{path}.trash-{uuid.uuid4().hex}"
     with store_lock(fs, path) as heartbeat:
         recover_compaction(mpath)
         expired = spark.read.parquet(mpath).filter(
@@ -694,7 +966,8 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
 
 def vacuum_zorder(spark: SparkSession, path: str,
                   grace_s: float = 86_400.0,
-                  now_s: float | None = None) -> int:
+                  now_s: float | None = None,
+                  snapshots_keep: int = 3) -> int:
     """Delete data files the manifest does not list — orphans from an
     append that crashed before its manifest publish.  They were never
     visible to any read, so deletion cannot change a result.  Also
@@ -713,17 +986,48 @@ def vacuum_zorder(spark: SparkSession, path: str,
     the grace protects a reader holding the pre-optimize snapshot for
     its full duration (ADVICE r12).  Pass ``grace_s=0`` to reclaim
     everything immediately (single-maintenance-writer mode).  ``now_s``
-    defaults to the wall clock; tests inject it."""
+    defaults to the wall clock; tests inject it.
+
+    CAS stores add SNAPSHOT RETENTION (Delta/Iceberg's VACUUM model):
+    manifest versions beyond the newest ``snapshots_keep`` and older
+    than the grace are expired first (each was the entire visible
+    table for some reader), and a data file is an orphan only if NO
+    retained snapshot references it — which is also how files replaced
+    by OPTIMIZE age out without any ``setTimes`` support.  Empty
+    ts_bucket partition dirs left by a CAS retention are swept once
+    their files are gone."""
     import time
 
     fs = get_fs(path)
     now = time.time() if now_s is None else now_s
     mpath = posixpath.join(path, MANIFEST_DIR)
-    recover_compaction(mpath)
-    listed = {
-        r.file for r in spark.read.parquet(mpath).select("file").collect()
-    }
     removed = 0
+    log = CasLog(fs, mpath)
+    if log.exists():
+        # expire old snapshots, then union the file refs of every
+        # retained one — a reader may still be serving any of them
+        removed += log.vacuum(keep=snapshots_keep, grace_s=grace_s,
+                              now_s=now_s)
+        llog = CasLog(fs, posixpath.join(path, LEDGER_DIR))
+        if llog.exists():
+            removed += llog.vacuum(keep=snapshots_keep, grace_s=grace_s,
+                                   now_s=now_s)
+        dirs = log.retained(snapshots_keep)
+        _v, cur = log.current()
+        if cur is not None:
+            dirs.add(cur)
+        listed = set()
+        for d in dirs:
+            listed |= {
+                r.file
+                for r in spark.read.parquet(d).select("file").collect()
+            }
+    else:
+        recover_compaction(mpath)
+        listed = {
+            r.file
+            for r in spark.read.parquet(mpath).select("file").collect()
+        }
     for rel in fs.glob(path, "metric=*/ts_bucket=*/*.parquet"):
         if rel not in listed:
             f = posixpath.join(path, rel)
@@ -734,17 +1038,33 @@ def vacuum_zorder(spark: SparkSession, path: str,
                 continue
             fs.remove(f)
             removed += 1
+    if log.exists():
+        # partition dirs whose files are all gone (CAS retention never
+        # renames dirs away) — only empty dirs older than the grace go,
+        # so a just-created dir whose append is about to move files in
+        # is never swept from under the writer
+        for rel in fs.glob(path, "metric=*/ts_bucket=*"):
+            d = posixpath.join(path, rel)
+            if fs.walk_files(d):
+                continue
+            try:
+                if now - fs.getmtime(d) < grace_s:
+                    continue
+            except OSError:  # pragma: no cover - raced
+                continue
+            fs.rmtree(d)
     par = parent_dir(path)
     base = posixpath.basename(path.rstrip("/"))
-    for rel in fs.glob(par, f"{base}.append-tmp-*"):
-        d = posixpath.join(par, rel)
-        try:
-            if now - fs.getmtime(d) < grace_s:
+    for pattern in (f"{base}.append-tmp-*", f"{base}.trash-*"):
+        for rel in fs.glob(par, pattern):
+            d = posixpath.join(par, rel)
+            try:
+                if now - fs.getmtime(d) < grace_s:
+                    continue
+            except OSError:  # pragma: no cover - raced
                 continue
-        except OSError:  # pragma: no cover - raced
-            continue
-        fs.rmtree(d)
-        removed += 1
+            fs.rmtree(d)
+            removed += 1
     return removed
 
 
@@ -842,13 +1162,15 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     # absent/empty stores answer in the caller's frame shape — metrics
     # by default, the events shape (body payload) via empty_schema
     empty = spark.createDataFrame([], empty_schema or ENGINE_SCHEMA)
-    if not get_fs(path).exists(path):
+    fs = get_fs(path)
+    if not fs.exists(path):
         if stats is not None:
             stats.update(files_total=0, files_selected=0)
         return empty
     mpath = posixpath.join(path, MANIFEST_DIR)
-    recover_compaction(mpath)  # heal a crashed append's manifest swap
-    man = spark.read.parquet(mpath)  # raises if missing: broken store
+    # resolve the current snapshot (CAS pointer log or healed swap dir);
+    # raises if the manifest is missing entirely: broken store
+    man = spark.read.parquet(_vtable_dir(fs, mpath))
 
     wanted = None
     if series is not None:
@@ -933,7 +1255,8 @@ CORPUS_MANIFEST_DIR = "_zmanifest"
 
 def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
                         cat_col: str = "lang", num_col: str = "n_chars",
-                        files_total: int = 32, bits: int = ZBITS) -> None:
+                        files_total: int = 32, bits: int = ZBITS,
+                        cas_commit: bool | None = None) -> None:
     """Cluster a document corpus along (categorical, numeric) — by
     default (lang, n_chars) — and publish a per-file min/max manifest,
     so the canonical curation scan shapes both skip files:
@@ -961,20 +1284,53 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
     without the carry a checkpointed caller replaying a committed epoch
     would silently duplicate documents — ADVICE r12)."""
     fs = get_fs(path)
+    cas = prefers_cas(path) if cas_commit is None else bool(cas_commit)
+    if _store_is_cas(fs, path, CORPUS_MANIFEST_DIR):
+        cas = True
     tmp = f"{path}.compact-tmp"
     fs.rmtree(tmp)
     _write_corpus_clustered(docs, tmp, cat_col, num_col, files_total, bits)
     _write_corpus_manifest(spark, tmp, cat_col, num_col)
-    spark.createDataFrame(
+    meta_df = spark.createDataFrame(
         [(ZORDER_LAYOUT_VERSION, cat_col, num_col, int(files_total),
           int(bits))],
         "layout_version int, cat_col string, num_col string, "
         "files_total int, bits int",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        posixpath.join(tmp, META_DIR)
     )
-    _carry_ledger_on_rebuild(spark, path, tmp)
-    swap_compact(fs, path)
+    if not cas:
+        meta_df.coalesce(1).write.mode("overwrite").parquet(
+            posixpath.join(tmp, META_DIR)
+        )
+        _carry_ledger_on_rebuild(spark, path, tmp)
+        swap_compact(fs, path)
+        return
+
+    # CAS build/rebuild — same protocol as zorder_metrics_table's CAS
+    # branch: epoch carry first, invisible move-in, one pointer commit
+    old_meta = _read_corpus_zmeta(spark, path)
+    if old_meta is not None and (
+        old_meta["cat_col"] != cat_col or old_meta["num_col"] != num_col
+        or old_meta["bits"] != int(bits)
+    ):
+        raise ValueError(
+            f"CAS rebuild at {path} cannot change layout parameters "
+            f"(stored {old_meta}); use a fresh path"
+        )
+    mpath = posixpath.join(path, CORPUS_MANIFEST_DIR)
+    try:
+        new_man = spark.read.parquet(
+            posixpath.join(tmp, CORPUS_MANIFEST_DIR))
+        new_man = spark.createDataFrame(new_man.collect(), new_man.schema)
+        _carry_committed_epochs_cas(spark, fs, path,
+                                    manifest_dir=CORPUS_MANIFEST_DIR)
+        _cas_move_in(fs, tmp, path)
+        if old_meta is None:
+            meta_df.coalesce(1).write.mode("overwrite").parquet(
+                posixpath.join(path, META_DIR)
+            )
+        _cas_publish_df(spark, fs, mpath, lambda cur: new_man)
+    finally:
+        fs.rmtree(tmp)
 
 
 def _write_corpus_clustered(docs: DataFrame, out_dir: str, cat_col: str,
@@ -1063,12 +1419,13 @@ def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
         )
     mpath = posixpath.join(path, CORPUS_MANIFEST_DIR)
 
+    cas = _store_is_cas(fs, path, CORPUS_MANIFEST_DIR)
+
     def committed(epoch: int) -> bool:
         if int(epoch) in _committed_epochs_ledger(spark, path):
             return True
-        recover_compaction(mpath)
         return bool(
-            spark.read.parquet(mpath)
+            spark.read.parquet(_vtable_dir(fs, mpath))
             .filter(F.col("epoch") == int(epoch)).limit(1).count()
         )
 
@@ -1087,6 +1444,20 @@ def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
                                meta["num_col"], epoch=epoch)
         new_rows = spark.read.parquet(posixpath.join(tmp, CORPUS_MANIFEST_DIR))
         new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
+
+        if cas:
+            # lock-free, same protocol as the metrics store: invisible
+            # file move-in, then a conditional-PUT merge whose epoch
+            # check re-runs on every retry
+            _cas_move_in(fs, tmp, path)
+
+            def merge(cur):
+                if epoch is not None and committed(epoch):
+                    return None
+                return new_rows if cur is None else cur.unionByName(new_rows)
+
+            _cas_publish_df(spark, fs, mpath, merge)
+            return
 
         with store_lock(fs, path) as heartbeat:
             if epoch is not None and committed(epoch):
@@ -1118,8 +1489,7 @@ def zorder_corpus_erosion(spark: SparkSession, path: str) -> DataFrame:
     report is its evidence-driven trigger."""
     meta = _read_corpus_zmeta(spark, path)
     mpath = posixpath.join(path, CORPUS_MANIFEST_DIR)
-    recover_compaction(mpath)
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_vtable_dir(get_fs(path), mpath))
     agg = man.agg(
         F.count(F.lit(1)).alias("files"),
         F.sum("rows").alias("rows"),
@@ -1148,11 +1518,31 @@ def vacuum_zorder_corpus(spark: SparkSession, path: str,
     fs = get_fs(path)
     now = time.time() if now_s is None else now_s
     mpath = posixpath.join(path, CORPUS_MANIFEST_DIR)
-    recover_compaction(mpath)
-    listed = {
-        r.file for r in spark.read.parquet(mpath).select("file").collect()
-    }
     removed = 0
+    log = CasLog(fs, mpath)
+    if log.exists():
+        # snapshot retention, as in vacuum_zorder: expire old manifest
+        # versions, spare files any retained snapshot still references
+        removed += log.vacuum(keep=3, grace_s=grace_s, now_s=now_s)
+        llog = CasLog(fs, posixpath.join(path, LEDGER_DIR))
+        if llog.exists():
+            removed += llog.vacuum(keep=3, grace_s=grace_s, now_s=now_s)
+        dirs = log.retained(3)
+        _v, cur = log.current()
+        if cur is not None:
+            dirs.add(cur)
+        listed = set()
+        for d in dirs:
+            listed |= {
+                r.file
+                for r in spark.read.parquet(d).select("file").collect()
+            }
+    else:
+        recover_compaction(mpath)
+        listed = {
+            r.file
+            for r in spark.read.parquet(mpath).select("file").collect()
+        }
     for rel in fs.glob(path, "*.parquet"):
         if rel not in listed:
             f = posixpath.join(path, rel)
@@ -1239,8 +1629,7 @@ def zorder_corpus_select(spark: SparkSession, path: str,
             "mis-prune; rebuild or pass the stored columns"
         )
     mpath = posixpath.join(path, CORPUS_MANIFEST_DIR)
-    recover_compaction(mpath)
-    man = spark.read.parquet(mpath)
+    man = spark.read.parquet(_vtable_dir(get_fs(path), mpath))
 
     cond = F.lit(True)
     if cat is not None:

@@ -171,6 +171,20 @@ def _parse_webp(p: bytes):
     return None
 
 
+def _parse_gif(p: bytes):
+    # GIF87a/89a logical screen descriptor (public CompuServe/W3C
+    # spec): dims are the first two LE u16s after the 6-byte magic.
+    # Channels = 3 — GIF pixels are palette indices into RGB triples
+    # (transparency is a per-frame GCE flag; the canvas itself is RGB).
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(p[6:8], "little")
+    h = int.from_bytes(p[8:10], "little")
+    if not w or not h:
+        return None
+    return len(p), w, h, 3, "gif"
+
+
 def _parse_wav(p: bytes):
     # RIFF chunk walk to the 'fmt ' chunk.  Audio has no pixel dims; the
     # documented metadata mapping is width = sample rate, height = bits
@@ -205,7 +219,7 @@ def decode_header(payload: bytes | None) -> tuple[int, int | None, int | None, i
     if not payload:
         return 0, None, None, None, "corrupt"
     for parse in (_parse_png, _parse_bmp, _parse_jpeg, _parse_webp,
-                  _parse_wav, _parse_avi):
+                  _parse_gif, _parse_wav, _parse_avi):
         meta = parse(payload)
         if meta is not None:
             return meta
@@ -403,6 +417,138 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
                     + chunk(b"IDAT", comp[:half])
                     + chunk(b"IDAT", comp[half:])
                     + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """Real GIF LZW compression (the decoder's true inverse): greedy
+    longest-match string table, clear code first, codes packed
+    LSB-first.  Width growth tracks the DECODER's table counter — the
+    decoder builds one entry per code received after the first, so it
+    sits one entry behind the encoder; widening on the encoder's own
+    counter would desynchronize the bit stream one code early (the
+    classic LZW off-by-one)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1   # encoder's table counter (one ahead)
+    dec_next = end + 1    # the decoder's counter, simulated for width
+    emit(clear)
+    first = True
+    cur = b""
+
+    def after_emit() -> None:
+        nonlocal dec_next, width, first
+        if first:
+            first = False  # decoder adds nothing for the first code
+        elif dec_next < 4096:
+            dec_next += 1
+        if dec_next >= (1 << width) and width < 12:
+            width += 1
+
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        after_emit()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur])
+        after_emit()  # decoder may widen before reading END
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synth_gif_pixel_payloads(docs: DataFrame,
+                             interlace: str = "mixed") -> DataFrame:
+    """REAL GIFs with a REAL LZW-COMPRESSED PIXEL STREAM: GIF89a
+    payloads holding the SAME pixel grid as
+    :func:`synth_bmp_pixel_payloads` (the ``_PX`` formula over the BMP
+    twin's byte size, same thumbnail dims) — the fixture corpus for the
+    GIF arm of ``image_dhash(pixel_source="payload")``.  The palette is
+    the 256-entry gray ramp and each pixel's index is its gray value,
+    so the decode is exact: dHash(GIF) ≡ dHash(BMP) ≡ dHash(PNG)
+    bit-for-bit.
+
+    The encoder is real LZW (greedy string table, width growth synced
+    to the decoder's counter, sub-block framing), and with
+    ``interlace="mixed"`` every odd-height image is written INTERLACED
+    (rows in the spec's 8/8/4/2 pass order), so the decoder's
+    deinterlace path is exercised corpus-wide, not by a hand-made
+    one-off."""
+    if interlace not in ("mixed", "never", "always"):
+        raise ValueError(f"unknown interlace policy: {interlace!r}")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                n_text = len(t.encode("utf-8"))
+                w = 8 + n_text % 25
+                h = 8 + (n_text * 31) % 17
+                row_size = ((w * 3 + 3) // 4) * 4
+                n_bytes = 54 + row_size * h  # the BMP twin's size
+                ys = np.arange(h, dtype=np.int64)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                grid = (((17 * ys[:, None]) + xs[None, :] + n_bytes)
+                        % 256).astype(np.uint8)
+                ilace = (interlace == "always"
+                         or (interlace == "mixed" and h % 2 == 1))
+                if ilace:
+                    order = [r for first, step in _GIF_INTERLACE
+                             for r in range(first, h, step)]
+                    pix = grid[order, :].tobytes()
+                else:
+                    pix = grid.tobytes()
+                lzw = _gif_lzw_encode(pix, 8)
+                blocks = bytearray()
+                for i in range(0, len(lzw), 255):
+                    part = lzw[i:i + 255]
+                    blocks.append(len(part))
+                    blocks += part
+                blocks.append(0)
+                payloads.append(
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+                    + gct
+                    + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                                  0x40 if ilace else 0x00)
+                    + bytes([8])
+                    + bytes(blocks)
+                    + b"\x3b"
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
@@ -935,6 +1081,19 @@ SELECT doc_id,
        (16 + (octet_length(encode(text)) * 13) % 300)::BIGINT AS height,
        (3 + octet_length(encode(text)) % 2)::BIGINT AS channels,
        'webp' AS format
+FROM documents
+""".strip()
+
+
+#: oracle twin of the GIF metadata round trip over the pixel corpus:
+#: dims follow the shared thumbnail formula; n_bytes is LZW-compressed
+#: (not SQL-computable), so the audited columns are the arithmetic ones
+DECODE_GIF_SQL = """
+SELECT doc_id,
+       (8 + octet_length(encode(text)) % 25)::BIGINT AS width,
+       (8 + (octet_length(encode(text)) * 31) % 17)::BIGINT AS height,
+       3::BIGINT AS channels,
+       'gif' AS format
 FROM documents
 """.strip()
 
@@ -2186,12 +2345,172 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
     return pix[sy[:, None], sx[None, :]]
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW decode (public spec, GIF89a appendix F): clear
+    code 2^m, end code 2^m+1, code width m+1 growing to 12 as the
+    string table fills, codes packed LSB-first.  The string table is
+    rebuilt on every clear; the one-ahead ``code == next_code`` (KwKwK)
+    case is handled per the spec.  Returns the index stream, or None
+    for any structural violation (out-of-range code, truncation before
+    ``max_pixels`` indices) — the caller NULLs the hash, never raises."""
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    n = len(data)
+    while len(out) < max_pixels:
+        while nbits < width:
+            if pos >= n:
+                return None  # truncated stream
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(literals)
+            next_code = end + 1
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code after clear must be a literal
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                return None
+            if next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+#: GIF interlace passes: (first row, row step) per the GIF89a spec
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_payload_grid(p: bytes, sx, sy):
+    """Resampled grayscale grid from a REAL GIF: logical-screen walk,
+    global/local color table, extension-block skip, LZW decompress of
+    the FIRST frame, Adam-style 4-pass deinterlace when flagged, and
+    composition onto the background canvas when the frame covers a
+    sub-rectangle — then the same nearest-neighbor gather as the other
+    containers.  Grayscale = the palette's first (R) channel, matching
+    the PNG/BMP first-channel convention (the synth twin writes gray
+    triples, so channel choice is value-identical there).  Animated
+    GIFs hash by their first frame — the standard thumbnail/near-dup
+    convention.  Returns None for structural violations (missing color
+    table, truncated LZW stream, bad descriptors): NULL-hash fallback,
+    never a raise."""
+    import numpy as np
+
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(p[6:8], "little")
+    h = int.from_bytes(p[8:10], "little")
+    packed, bg_idx = p[10], p[11]
+    if not w or not h:
+        return None
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n_gct = 2 << (packed & 0x07)
+        if pos + 3 * n_gct > len(p):
+            return None
+        gct = np.frombuffer(p, np.uint8, 3 * n_gct, pos).reshape(-1, 3)
+        pos += 3 * n_gct
+    n = len(p)
+    while pos < n:
+        block = p[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            return None
+        if block == 0x21:  # extension: label + data sub-blocks
+            pos += 1
+            while pos < n and p[pos]:
+                pos += 1 + p[pos]
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:
+            return None  # unknown block type: corrupt
+        # image descriptor
+        if pos + 9 > n:
+            return None
+        left = int.from_bytes(p[pos:pos + 2], "little")
+        top = int.from_bytes(p[pos + 2:pos + 4], "little")
+        fw = int.from_bytes(p[pos + 4:pos + 6], "little")
+        fh = int.from_bytes(p[pos + 6:pos + 8], "little")
+        fpacked = p[pos + 8]
+        pos += 9
+        pal = gct
+        if fpacked & 0x80:
+            n_lct = 2 << (fpacked & 0x07)
+            if pos + 3 * n_lct > n:
+                return None
+            pal = np.frombuffer(p, np.uint8, 3 * n_lct, pos).reshape(-1, 3)
+            pos += 3 * n_lct
+        if pal is None or not fw or not fh:
+            return None
+        if left + fw > w or top + fh > h:
+            return None
+        if pos >= n:
+            return None
+        min_code = p[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        sub = bytearray()
+        while pos < n and p[pos]:
+            ln = p[pos]
+            sub += p[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(bytes(sub), min_code, fw * fh)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        frame = np.frombuffer(idx, np.uint8).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: reorder rows into place
+            de = np.empty_like(frame)
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                rows = range(first, fh, step)
+                de[list(rows), :] = frame[src:src + len(rows), :]
+                src += len(rows)
+            frame = de
+        frame = np.minimum(frame, len(pal) - 1)  # oversized index: clamp
+        luma_frame = pal[frame, 0]
+        if left == 0 and top == 0 and fw == w and fh == h:
+            canvas = luma_frame
+        else:
+            bg = pal[bg_idx, 0] if bg_idx < len(pal) else 0
+            canvas = np.full((h, w), bg, dtype=np.uint8)
+            canvas[top:top + fh, left:left + fw] = luma_frame
+        return canvas[sy][:, sx]
+    return None
+
+
 def _payload_pixel_grid(p: bytes, sx, sy):
     """Container dispatch for the payload pixel path: BMP pixel-array
-    walk, PNG inflate+filter-undo, or JPEG Huffman+IDCT decode
-    (sequential SOF0 and progressive SOF2) by magic; unsupported
-    containers/codings return None → NULL hash, the documented
-    contract.
+    walk, PNG inflate+filter-undo, GIF LZW decompress, or JPEG
+    Huffman+IDCT decode (sequential SOF0 and progressive SOF2) by
+    magic; unsupported containers/codings return None → NULL hash, the
+    documented contract.
 
     TOTAL over hostile bytes: the per-format decoders validate
     structure explicitly, but a blob whose DECLARED lengths disagree
@@ -2207,6 +2526,8 @@ def _payload_pixel_grid(p: bytes, sx, sy):
             return _png_payload_grid(p, sx, sy)
         if p[:2] == b"\xff\xd8":
             return _jpeg_payload_grid(p, sx, sy)
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return _gif_payload_grid(p, sx, sy)
     except Exception:
         return None
     return None
@@ -2338,6 +2659,8 @@ def _payload_format(p: bytes | None) -> str:
                 return "jpeg_other"
             off += 2 + int.from_bytes(p[off + 2:off + 4], "big")
         return "jpeg_other"
+    if p[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
         return "webp"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":

@@ -1610,6 +1610,36 @@ _register_pipeline(
     ["doc_id", "n_bytes", "width", "height", "channels", "format"],
 )
 
+# GIF (real 87a/89a logical-screen walk + the r14 LZW pixel decoder):
+# dims from the LSD over the pixel-corpus fixture; the file size is
+# LZW-compressed (not SQL-computable), so the metadata oracle audits
+# the arithmetic dims/channels/format columns.
+_register_pipeline(
+    "multimodal_decode_gif",
+    lambda spark, sf: _mm.decode_metadata(
+        _mm.synth_gif_pixel_payloads(load_table(spark, sf, "documents"))
+    ).select("doc_id", "width", "height", "channels", "format"),
+    _mm.DECODE_GIF_SQL,
+    [],
+    ["doc_id", "width", "height", "channels", "format"],
+)
+
+# GIF arm of the payload dHash: real LZW decompress (code-width growth,
+# KwKwK), corpus-wide interlace undo, palette map — audited by the SAME
+# arithmetic twin as the other containers (identical _PX pixels ⇒
+# identical oracle).  The r14 coverage win that flips GIF out of the
+# decode report's fallback column.
+_register_pipeline(
+    "multimodal_image_dhash_payload_gif",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_gif_pixel_payloads(load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
 # Video modality (real RIFF/AVI header walk): decode, declared-frame
 # sampling onto the movi byte stream, and the shared 60-bit gradient
 # fingerprint (near-dup pairs ride the same pigeonhole machinery as
@@ -3489,10 +3519,11 @@ def _decode_report(spark: SparkSession, sf: str) -> DataFrame:
         _mm.synth_jpeg_pixel_payloads,
         _mm.synth_jpeg_progressive_pixel_payloads,
         _mm.synth_wav_payloads,
+        _mm.synth_gif_pixel_payloads,
     ]
     pay = None
     for i, synth in enumerate(synths):
-        part = synth(docs.filter(F.col("doc_id") % 5 == i))
+        part = synth(docs.filter(F.col("doc_id") % 6 == i))
         pay = part if pay is None else pay.unionByName(part)
     return _mm.image_decode_report(pay)
 
@@ -3508,16 +3539,17 @@ _register_pipeline(
     FROM (
         SELECT CASE
                  WHEN text IS NULL THEN 'corrupt'
-                 WHEN doc_id % 5 = 0 THEN 'bmp'
-                 WHEN doc_id % 5 = 1 THEN 'png'
-                 WHEN doc_id % 5 = 2 THEN 'jpeg_baseline'
-                 WHEN doc_id % 5 = 3 THEN 'jpeg_progressive'
-                 ELSE 'wav'
+                 WHEN doc_id % 6 = 0 THEN 'bmp'
+                 WHEN doc_id % 6 = 1 THEN 'png'
+                 WHEN doc_id % 6 = 2 THEN 'jpeg_baseline'
+                 WHEN doc_id % 6 = 3 THEN 'jpeg_progressive'
+                 WHEN doc_id % 6 = 4 THEN 'wav'
+                 ELSE 'gif'
                END AS format,
                CASE
                  WHEN text IS NULL THEN 0
-                 WHEN doc_id % 5 <= 3 THEN 1
-                 ELSE 0
+                 WHEN doc_id % 6 = 4 THEN 0
+                 ELSE 1
                END AS decoded
         FROM documents
     ) GROUP BY format
@@ -4627,6 +4659,69 @@ def _zorder_uri_select(spark: SparkSession, sf: str) -> DataFrame:
 _register_pipeline(
     "zorder_uri_append_select",
     _zorder_uri_select,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
+def _zorder_cas_path(spark: SparkSession, sf: str) -> str:
+    """The grown-store lifecycle under the CONDITIONAL-PUT commit
+    protocol (r14): build with ``cas_commit=True`` over a ``file://``
+    URI, epoch-keyed append + exactly-once replay, then the
+    auto-selected scoped OPTIMIZE — all publishes are CasLog pointer
+    commits (sources/fs.py), zero locks, zero renames of the manifest,
+    the protocol an S3/GCS deployment runs.  Cached per process."""
+    key = f"cas:{sf}"
+    if key not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from akumuli_spark.sources.zorder import (
+            zorder_append,
+            zorder_metrics_table,
+            zorder_optimize,
+        )
+
+        local = tempfile.mkdtemp(prefix="akumuli_zorder_cas_") + "/metrics"
+        atexit.register(shutil.rmtree, local, ignore_errors=True)
+        path = "file://" + local
+        mv = metrics_view(spark, sf)
+        split = T96 + 90 * 86_400 * NS
+        zorder_metrics_table(
+            spark, mv.filter(F.col("ts_ns") < split), path,
+            bucket_ns=_YEAR_NS, files_per_partition=4, cas_commit=True,
+        )
+        batch = mv.filter(F.col("ts_ns") >= split)
+        zorder_append(spark, batch, path, epoch=1)
+        zorder_append(spark, batch, path, epoch=1)  # replay: no-op (CAS)
+        # re-cluster the eroded buckets through the CAS carry-forward
+        # merge; an EMPTY corpus erodes nothing and optimizes 0 buckets
+        zorder_optimize(spark, path)
+        _ZORDER_CACHE[key] = path
+    return _ZORDER_CACHE[key]
+
+
+def _zorder_cas_select(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.sources.zorder import zorder_select
+
+    out = zorder_select(
+        spark, _zorder_cas_path(spark, sf), metric="lineitem.price",
+        series=_Z_SERIES, ts_from=T96, ts_to=_Z_T_HI,
+    )
+    return out.select("series", "ts_ns", "value")
+
+
+# Same probe again over a CAS-committed store (pointer-log manifest,
+# the object-store protocol): a double-landed replay epoch, a row lost
+# in the optimize's CAS carry-forward, or a stale snapshot resolution
+# in _vtable_dir would all show against the flat oracle.
+_register_pipeline(
+    "zorder_cas_lifecycle_select",
+    _zorder_cas_select,
     f"""WITH {METRICS_SQL}
     SELECT series, ts_ns, value FROM metrics
     WHERE series = '{_Z_SERIES}' AND ts_ns >= {T96} AND ts_ns < {_Z_T_HI}""",

@@ -359,7 +359,14 @@ class HadoopStoreFS(StoreFilesystem):
 
     def read_bytes(self, path):
         fs = self._fs(path)
-        stream = fs.open(self._p(path))
+        try:
+            stream = fs.open(self._p(path))
+        except Exception as exc:
+            # missing/raced-away files surface as the interface's
+            # OSError, not a gateway exception — callers (the lock's
+            # ownership check, CasLog.current, legacy pointer fallback)
+            # treat "unreadable" as "absent"
+            raise OSError(f"cannot open {path}: {exc}") from None
         try:
             data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
                 stream

@@ -152,7 +152,10 @@ def main() -> None:
                # gated but not plan-audited: its plan is MapInPandas →
                # two-phase hash agg with no JVM expression stage, so
                # the codegen-span heuristic has nothing to check)
-               "zorder_uri_append_select"]
+               "zorder_uri_append_select",
+               "multimodal_decode_gif",
+               "multimodal_image_dhash_payload_gif",
+               "zorder_cas_lifecycle_select"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

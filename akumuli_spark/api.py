@@ -427,3 +427,115 @@ def open_zorder_database(spark: SparkSession, zorder_path: str,
                          events_zorder_path: str | None = None,
                          ) -> ZorderDatabase:
     return ZorderDatabase(spark, zorder_path, events, events_zorder_path)
+
+
+class ZorderCatalog:
+    """Multi-store CATALOG: the tiny ``name → (kind, path, layout)``
+    routing table a deployment with many z-stores needs, so opening a
+    database (and everything search/suggest/query route through) stops
+    being driver-side path convention (VERDICT r13 Next #7).  The
+    reference's analogue is the metadata storage that maps series/volume
+    ids to files (libakumuli/metadatastorage.cpp — SQLite there); here
+    the catalog is itself a one-file parquet table versioned through the
+    conditional-PUT pointer log (:class:`akumuli_spark.sources.fs.
+    CasLog`), so REGISTRATION IS LOCK-FREE AND SAFE ON ANY FILESYSTEM:
+    two concurrent ``register`` calls linearize on the pointer create
+    and the loser re-merges — the same protocol the CAS z-store publish
+    uses, reused rather than re-invented.
+
+    Each row carries the store's layout contract (bucket_ns / bits /
+    files_per_partition from its ``_zmeta``) plus ``layout`` — the
+    canonical rendering of the whole contract row, the schema-hash that
+    lets an operator detect a store swapped out from under its name.
+    Catalog reads are metadata-sized (rows = number of stores)."""
+
+    TABLE = "_zcatalog"
+    _SCHEMA = ("name string, kind string, path string, bucket_ns long, "
+               "bits int, files_per_partition int, layout string")
+
+    def __init__(self, spark: SparkSession, root: str):
+        import posixpath
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._table = posixpath.join(self.root, self.TABLE)
+
+    def _publish(self, merge_fn) -> None:
+        from akumuli_spark.sources.fs import get_fs
+        from akumuli_spark.sources.zorder import _cas_publish_df
+
+        fs = get_fs(self.root)
+        fs.makedirs(self.root)
+        _cas_publish_df(self.spark, fs, self._table, merge_fn)
+
+    def entries(self) -> DataFrame:
+        """The current catalog snapshot (empty before any register)."""
+        from akumuli_spark.sources.fs import CasLog, get_fs
+
+        log = CasLog(get_fs(self.root), self._table)
+        _v, cur = log.current()
+        if cur is None:
+            return self.spark.createDataFrame([], self._SCHEMA)
+        return self.spark.read.parquet(cur)
+
+    def register(self, name: str, path: str, kind: str = "metrics") -> None:
+        """Add or replace one store under ``name``.  The store must
+        already carry a layout contract (``_zmeta``) — registering a
+        path that is not a z-store is a typo this catches immediately,
+        not at first query."""
+        from akumuli_spark.sources.zorder import (
+            _read_corpus_zmeta, _read_zmeta,
+        )
+
+        if kind not in ("metrics", "events", "corpus"):
+            raise ValueError(f"unknown store kind: {kind!r}")
+        meta = (_read_corpus_zmeta(self.spark, path) if kind == "corpus"
+                else _read_zmeta(self.spark, path))
+        if meta is None:
+            raise ValueError(
+                f"no z-store layout contract at {path}: build the store "
+                "before registering it"
+            )
+        layout = ",".join(f"{k}={meta[k]}" for k in sorted(meta))
+        row = self.spark.createDataFrame(
+            [(name, kind, path, meta.get("bucket_ns"), meta.get("bits"),
+              meta.get("files_per_partition"), layout)], self._SCHEMA,
+        )
+
+        def merge(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return row
+            return cur.filter(F.col("name") != name).unionByName(row)
+
+        self._publish(merge)
+
+    def unregister(self, name: str) -> None:
+        def merge(cur: DataFrame | None) -> DataFrame | None:
+            if cur is None:
+                return None
+            if not cur.filter(F.col("name") == name).limit(1).count():
+                return None  # absent: nothing to publish
+            return cur.filter(F.col("name") != name)
+
+        self._publish(merge)
+
+    def path_of(self, name: str) -> str:
+        rows = self.entries().filter(F.col("name") == name).collect()
+        if not rows:
+            raise KeyError(f"no store named {name!r} in catalog "
+                           f"{self.root}")
+        return rows[0].path
+
+    def open_database(self, name: str,
+                      events_name: str | None = None) -> ZorderDatabase:
+        """Open a :class:`ZorderDatabase` by NAME — query/search/suggest
+        route through the catalog instead of a caller-held path."""
+        return ZorderDatabase(
+            self.spark, self.path_of(name),
+            events_zorder_path=(self.path_of(events_name)
+                                if events_name else None),
+        )
+
+
+def open_zorder_catalog(spark: SparkSession, root: str) -> ZorderCatalog:
+    return ZorderCatalog(spark, root)

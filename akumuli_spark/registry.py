@@ -4908,6 +4908,47 @@ _register_pipeline(
 )
 
 
+# Catalog-routed database (r14): the same where-pruned query, but the
+# store is resolved by NAME through the ZorderCatalog (a CasLog-
+# versioned routing table) instead of a caller-held path — the oracle
+# is identical, so any routing slip (wrong path, stale catalog
+# snapshot, lost register) surfaces as a mismatch.
+def _zorder_catalog_select(spark: SparkSession, sf: str) -> DataFrame:
+    from akumuli_spark.api import open_zorder_catalog
+
+    key = f"catalog:{sf}"
+    if key not in _ZORDER_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="akumuli_zcatalog_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        cat = open_zorder_catalog(spark, root)
+        cat.register("prices", _zorder_path(spark, sf))
+        _ZORDER_CACHE[key] = root
+    zdb = open_zorder_catalog(spark, _ZORDER_CACHE[key]).open_database(
+        "prices")
+    return zdb.query({
+        "select": "lineitem.price",
+        "range": {"from": T96, "to": T96 + 90 * 86_400 * NS},
+        "where": {"returnflag": "N", "linestatus": "O"},
+    })
+
+
+_register_pipeline(
+    "zorder_catalog_routed_select",
+    _zorder_catalog_select,
+    f"""WITH {METRICS_SQL}
+    SELECT series, ts_ns, value FROM metrics
+    WHERE metric = 'lineitem.price'
+      AND ts_ns >= {T96} AND ts_ns < {T96 + 90 * 86_400 * NS}
+      AND tag_returnflag = 'N' AND tag_linestatus = 'O'""",
+    ["value"],
+    ["series", "ts_ns"],
+)
+
+
 def _sketch_quantiles_appended(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile twin of the appended-distinct entry: the histogram fold
     across the build epoch and the appended epoch is the sum the

@@ -279,3 +279,97 @@ def test_zdb_maintenance_loop(spark, tmp_path):
     post_rows = sorted(map(tuple, zdb.query(q).collect()))
     assert post_rows == pre_rows and pre_rows
     assert zdb.last_prune_stats["files_selected"] < pre_files
+
+
+# ---------------------------------------------------------------------------
+# ZorderCatalog: name → store routing through the CasLog pointer log (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_catalog_register_route_and_replace(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.api import open_zorder_catalog, open_zorder_database
+    from akumuli_spark.sources.zorder import zorder_metrics_table
+
+    day = 86_400 * 10**9
+    rows = [(f"m.cpu host={i % 4}", "m.cpu", t * day // 10 + i, float(i + t))
+            for i in range(4) for t in range(30)]
+    df = spark.createDataFrame(
+        rows, "series string, metric string, ts_ns long, value double"
+    ).withColumn("tags", F.expr("map('host', substring(series, -1, 1))"))
+    store_a = str(tmp_path / "a")
+    store_b = str(tmp_path / "b")
+    zorder_metrics_table(spark, df, store_a, bucket_ns=day)
+    zorder_metrics_table(spark, df.withColumn("value", F.col("value") + 100),
+                         store_b, bucket_ns=day)
+
+    cat = open_zorder_catalog(spark, str(tmp_path / "catalog"))
+    # registering a non-store is caught at register time, not first query
+    with pytest.raises(ValueError, match="layout contract"):
+        cat.register("oops", str(tmp_path / "nothing"))
+
+    cat.register("cpu", store_a)
+    ent = {r.name: (r.kind, r.path) for r in cat.entries().collect()}
+    assert ent == {"cpu": ("metrics", store_a)}
+    assert cat.entries().collect()[0].bucket_ns == day
+    assert "bucket_ns" in cat.entries().collect()[0].layout
+
+    # catalog-routed database answers exactly like the path-opened one
+    q = {"select": "m.cpu", "range": {"from": 0, "to": 10**18}}
+    via_cat = cat.open_database("cpu").query(q).collect()
+    via_path = open_zorder_database(spark, store_a).query(q).collect()
+    assert sorted(map(tuple, via_cat)) == sorted(map(tuple, via_path))
+
+    # replace: the name re-routes to the new store atomically
+    cat.register("cpu", store_b)
+    assert cat.path_of("cpu") == store_b
+    vals = [r.value for r in cat.open_database("cpu").query(q).collect()]
+    assert min(vals) >= 100.0
+
+    cat.unregister("cpu")
+    with pytest.raises(KeyError):
+        cat.path_of("cpu")
+    cat.unregister("cpu")  # absent: a no-op, not an error
+
+
+def test_zorder_catalog_concurrent_register_linearizes(spark, tmp_path):
+    """Two concurrent register calls (different names) both survive —
+    the CAS pointer-log merge re-runs the loser against the winner's
+    snapshot instead of last-writer-wins dropping a row."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from akumuli_spark.api import open_zorder_catalog
+    from akumuli_spark.sources.zorder import zorder_metrics_table
+
+    day = 86_400 * 10**9
+    df = spark.createDataFrame(
+        [("m.x host=0", "m.x", 1, 1.0)],
+        "series string, metric string, ts_ns long, value double",
+    ).withColumn("tags", F.expr("map('host','0')"))
+    stores = []
+    for i in range(4):
+        p = str(tmp_path / f"s{i}")
+        zorder_metrics_table(spark, df, p, bucket_ns=day)
+        stores.append(p)
+
+    cat = open_zorder_catalog(spark, str(tmp_path / "catalog"))
+    errs = []
+
+    def reg(i):
+        try:
+            cat.register(f"store{i}", stores[i])
+        except Exception as exc:  # pragma: no cover - surfaced in assert
+            errs.append(exc)
+
+    threads = [threading.Thread(target=reg, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    names = sorted(r.name for r in cat.entries().collect())
+    assert names == ["store0", "store1", "store2", "store3"]

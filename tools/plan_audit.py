@@ -155,7 +155,8 @@ def main() -> None:
                "zorder_uri_append_select",
                "multimodal_decode_gif",
                "multimodal_image_dhash_payload_gif",
-               "zorder_cas_lifecycle_select"]
+               "zorder_cas_lifecycle_select",
+               "zorder_catalog_routed_select"]
     for name in audited:
         ok, detail = audit_one(name, qs[name](spark, sf_dir))
         print(f"{'OK  ' if ok else 'FAIL'} {name}: {detail}")

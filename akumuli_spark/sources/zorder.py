@@ -567,8 +567,11 @@ def _cas_publish_df(spark, fs, tpath: str, merge_fn,
     append semantics hold because the epoch check re-runs inside
     ``merge_fn`` on every retry.  Returns True when a version was
     committed, False when ``merge_fn`` declined."""
+    import random
+    import time
+
     log = CasLog(fs, tpath)
-    for _ in range(retries):
+    for attempt in range(retries):
         _v, cur_dir = log.current()
         cur = None if cur_dir is None else spark.read.parquet(cur_dir)
         out = merge_fn(cur)
@@ -580,6 +583,12 @@ def _cas_publish_df(spark, fs, tpath: str, merge_fn,
         if log.try_commit(nv, vname):
             return True
         fs.rmtree(log.dir_for(vname))  # lost the race: orphan attempt
+        # jittered exponential backoff: under N concurrent publishers
+        # every loser otherwise re-writes a snapshot immediately and
+        # N-1 of N attempts burn a Spark write per round (the r14
+        # contention smoke measured 6× wasted writes without this)
+        time.sleep(min(2.0, 0.05 * (1 << min(attempt, 5)))
+                   * (0.5 + random.random()))
     raise RuntimeError(
         f"CAS publish contention exceeded {retries} retries: {tpath}"
     )

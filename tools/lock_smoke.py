@@ -111,7 +111,12 @@ def run_mode(spark, cas: bool) -> dict:
 
         def optimizer() -> None:
             try:
-                time.sleep(2.0)  # let erosion accumulate first
+                # wait until some appends have PUBLISHED (erosion needs
+                # ≥ 2 writer generations in a bucket to select it), then
+                # re-cluster while the remaining appenders keep racing
+                deadline = time.time() + 120
+                while len(append_s) < N_APPENDERS and time.time() < deadline:
+                    time.sleep(1.0)
                 t0 = time.perf_counter()
                 opt["buckets"] = zorder_optimize(spark, path, min_epochs=2)
                 opt["s"] = time.perf_counter() - t0

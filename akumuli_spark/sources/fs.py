@@ -127,6 +127,20 @@ class StoreFilesystem:
         :class:`CasLog` — on S3/GCS this maps to ``If-None-Match``."""
         raise NotImplementedError
 
+    def claim_exclusive(self, path: str, data: bytes) -> bool:
+        """Like :meth:`create_exclusive`, but the content must appear
+        ATOMICALLY with the file — a concurrent reader sees either no
+        file or the complete payload, never an empty claim.  This is
+        :class:`CasLog`'s pointer-commit primitive: pointer-exists ⇒
+        snapshot-readable is what lets a conflicting writer distinguish
+        "someone committed, my merge is stale" from "a crashed claim
+        burned this slot".  POSIX implements it with hard-link-from-
+        temp; S3's conditional PUT carries the body in the same
+        request; plain HDFS keeps the (millisecond) create-to-close
+        window, which :meth:`CasLog.commit_above` additionally fences
+        with a grace before declaring a slot burned."""
+        return self.create_exclusive(path, data)
+
     def read_bytes(self, path: str) -> bytes:
         """Whole-file read (metadata-sized files only — the sketch
         store's one-row meta parquet)."""
@@ -230,6 +244,26 @@ class LocalStoreFS(StoreFilesystem):
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+
+    def claim_exclusive(self, path, data):
+        # hard-link from a complete temp file: the claim is atomic WITH
+        # its content (link(2) fails with EEXIST, never replaces), so a
+        # reader can never observe an empty pointer
+        import uuid as _uuid
+
+        tmp = f"{path}.claim-{_uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            with contextlib.suppress(OSError):
+                os.unlink(tmp)
 
     def change_token(self, path):
         try:
@@ -929,10 +963,44 @@ class CasLog:
         ``{table}.{vname}``.  True = committed; False = CAS conflict
         (someone else owns this version — re-read, re-merge, retry)."""
         self.fs.makedirs(self.log_dir)
-        return self.fs.create_exclusive(
+        return self.fs.claim_exclusive(
             posixpath.join(self.log_dir, f"{version:020d}{self.PTR_SUFFIX}"),
             vname.encode("ascii"),
         )
+
+    def commit_above(self, v_read: int, vname: str,
+                     burn_wait_s: float = 2.0, poll_s: float = 0.05,
+                     clock=time.time, sleep=time.sleep) -> bool:
+        """Claim the next version slot above ``v_read`` — the version
+        whose snapshot the caller's merge was computed AGAINST — for the
+        fully written dir ``{table}.{vname}``.
+
+        True = committed.  False = a READABLE snapshot above ``v_read``
+        exists, so the caller's merge is STALE: re-read and re-merge.
+        This is the linearization invariant the first r14 contention
+        smoke caught being violated: committing at ``max(claimed)+1``
+        let a writer whose read was stale land ABOVE a rival's
+        intervening commit and erase its rows (3 of 40 concurrent
+        appends lost).  Claims therefore target exactly ``v_read + 1``;
+        a slot that is claimed but UNREADABLE is given ``burn_wait_s``
+        for its in-flight content to appear (claims are atomic-with-
+        content on POSIX/S3 and millisecond-windowed on HDFS) and only
+        then treated as a dead burn (a crashed claim) and stepped over
+        — the merge stays valid because the highest READABLE snapshot
+        is still ``v_read``."""
+        target = v_read + 1
+        while True:
+            if self.try_commit(target, vname):
+                return True
+            deadline = clock() + burn_wait_s
+            while True:
+                cur_v, _ = self.current()
+                if cur_v > v_read:
+                    return False  # readable rival: merge is stale
+                if clock() >= deadline:
+                    break
+                sleep(poll_s)
+            target += 1  # dead burn: step over the crashed claim
 
     # -- maintenance --------------------------------------------------------
 

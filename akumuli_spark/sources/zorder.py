@@ -557,30 +557,33 @@ def _cas_publish_df(spark, fs, tpath: str, merge_fn,
     ``merge_fn(current_df_or_none) -> DataFrame | None`` recomputes the
     desired table from the CURRENT snapshot; ``None`` means "nothing to
     publish" (e.g. the epoch is already committed) and aborts cleanly.
-    Protocol per attempt: read the current snapshot → merge → write a
-    COMPLETE new snapshot dir under a fresh unique name → claim the
-    next version with one ``create_exclusive`` of the pointer object
-    (the conditional PUT).  Losing the create means another writer
-    committed first — the merge is stale by definition, so the attempt
-    dir is dropped and the loop re-reads and re-merges.  This is the
-    lock-free linearization point CAS-mode stores rely on; exactly-once
-    append semantics hold because the epoch check re-runs inside
-    ``merge_fn`` on every retry.  Returns True when a version was
-    committed, False when ``merge_fn`` declined."""
+    Protocol per attempt: read the current snapshot at version V →
+    merge → write a COMPLETE new snapshot dir under a fresh unique
+    name → claim version V+1 with one atomic create of the pointer
+    object (the conditional PUT, :meth:`CasLog.commit_above`).  Losing
+    the claim to a READABLE rival means another writer committed above
+    V — the merge is stale by definition, so the attempt dir is
+    dropped and the loop re-reads and re-merges.  Claiming exactly V+1
+    (never ``max(claimed)+1``) is what makes the pointer create a true
+    linearization point: the r14 contention smoke caught the skipping
+    variant letting a stale merge land ABOVE a rival's commit and
+    silently erase its manifest rows.  Exactly-once append semantics
+    hold because the epoch check re-runs inside ``merge_fn`` on every
+    retry.  Returns True when a version was committed, False when
+    ``merge_fn`` declined."""
     import random
     import time
 
     log = CasLog(fs, tpath)
     for attempt in range(retries):
-        _v, cur_dir = log.current()
+        v_cur, cur_dir = log.current()
         cur = None if cur_dir is None else spark.read.parquet(cur_dir)
         out = merge_fn(cur)
         if out is None:
             return False
-        nv = log.next_version()
-        vname = log.version_name(nv)
+        vname = log.version_name(v_cur + 1)
         out.coalesce(1).write.mode("overwrite").parquet(log.dir_for(vname))
-        if log.try_commit(nv, vname):
+        if log.commit_above(v_cur, vname):
             return True
         fs.rmtree(log.dir_for(vname))  # lost the race: orphan attempt
         # jittered exponential backoff: under N concurrent publishers

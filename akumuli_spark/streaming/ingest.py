@@ -188,13 +188,15 @@ class HighWaterState:
         means a burned version number — the commit retries above it."""
         fs = self._fs()
         log = self._log(fs)
-        v = log.next_version()
-        vname = log.version_name(v)
-        marks.write.mode("overwrite").parquet(log.dir_for(vname))
         for _ in range(8):
-            if log.try_commit(v, vname):
+            v_cur, _cur = log.current()
+            vname = log.version_name(v_cur + 1)
+            marks.write.mode("overwrite").parquet(log.dir_for(vname))
+            if log.commit_above(v_cur, vname):
                 break
-            v = log.next_version()
+            # a readable rival above our read: single-writer contract
+            # says this should not happen — re-read and retry anyway
+            fs.rmtree(log.dir_for(vname))
         else:  # pragma: no cover - single-writer contract violated
             raise RuntimeError(
                 f"marks commit lost 8 pointer races at {self.marks_dir}: "

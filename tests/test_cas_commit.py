@@ -193,6 +193,77 @@ def test_cas_rename_nonatomicity_is_harmless():
     assert log.current()[0] == 1
 
 
+def test_cas_stale_merge_cannot_land_above_rival():
+    """THE r14 smoke bug, pinned: writer A merges against version 1,
+    writer B commits version 2 in between — A's commit MUST fail as
+    stale (B's rows would otherwise be erased by A's version-3 commit,
+    which is exactly how 3 of 40 concurrent appends vanished before
+    commit_above claimed exactly v_read+1)."""
+    fs = MemoryStoreFS()
+    log = CasLog(fs, TABLE)
+    _publish(fs, log, b"base")               # version 1
+
+    a_read, _ = log.current()
+    assert a_read == 1
+    vname_a = log.version_name(a_read + 1)
+    fs.write_bytes(posixpath.join(log.dir_for(vname_a), "part-0.parquet"),
+                   b"A-merge-of-v1")
+
+    _publish(fs, log, b"B-merge-of-v1")      # B commits version 2 first
+
+    assert log.commit_above(
+        a_read, vname_a, clock=fs.now, sleep=lambda s: fs.advance(s),
+    ) is False                               # A is stale, must re-merge
+    cur_v, cur_dir = log.current()
+    assert cur_v == 2
+    assert fs.read_bytes(
+        posixpath.join(cur_dir, "part-0.parquet")) == b"B-merge-of-v1"
+
+
+def test_cas_dead_burn_skipped_after_grace_but_inflight_wins():
+    """A claimed-but-unreadable slot: if content never appears (crashed
+    claim) the writer steps over it after the grace; if content appears
+    DURING the grace (an in-flight commit), the writer yields stale."""
+    fs = MemoryStoreFS()
+    log = CasLog(fs, TABLE)
+    _publish(fs, log, b"base")  # version 1
+
+    # dead burn at slot 2 (empty pointer, content never arrives)
+    fs.makedirs(log.log_dir)
+    assert fs.create_exclusive(posixpath.join(log.log_dir, "%020d.ptr" % 2),
+                               b"")
+    vname = log.version_name(2)
+    fs.write_bytes(posixpath.join(log.dir_for(vname), "part-0.parquet"),
+                   b"mine")
+    assert log.commit_above(
+        1, vname, burn_wait_s=2.0, clock=fs.now,
+        sleep=lambda s: fs.advance(s),
+    ) is True                          # stepped over the burn, slot 3
+    assert log.current() == (3, log.dir_for(vname))
+
+    # in-flight claim at slot 4: content lands mid-grace → stale
+    assert fs.create_exclusive(posixpath.join(log.log_dir, "%020d.ptr" % 4),
+                               b"")
+    rival = log.version_name(4)
+    fs.write_bytes(posixpath.join(log.dir_for(rival), "part-0.parquet"),
+                   b"rival")
+    polls = [0]
+
+    def filling_sleep(s):
+        fs.advance(s)
+        polls[0] += 1
+        if polls[0] == 3:  # the in-flight writer's close lands
+            fs.write_bytes(posixpath.join(log.log_dir, "%020d.ptr" % 4),
+                           rival.encode())
+
+    mine2 = log.version_name(4)
+    fs.write_bytes(posixpath.join(log.dir_for(mine2), "part-0.parquet"),
+                   b"mine2")
+    assert log.commit_above(3, mine2, burn_wait_s=5.0, clock=fs.now,
+                            sleep=filling_sleep) is False
+    assert log.current() == (4, log.dir_for(rival))
+
+
 # ---------------------------------------------------------------------------
 # owner-token lock honesty (VERDICT r13 Wrong #1, ADVICE r13)
 # ---------------------------------------------------------------------------

@@ -460,13 +460,22 @@ class ZorderCatalog:
         self.root = root.rstrip("/")
         self._table = posixpath.join(self.root, self.TABLE)
 
+    #: how long an old catalog snapshot stays readable for a racing
+    #: reader after being superseded (registrations are rare; an hour
+    #: is generous and keeps the log from growing one dir per register)
+    vacuum_grace_s: float = 3600.0
+
     def _publish(self, merge_fn) -> None:
-        from akumuli_spark.sources.fs import get_fs
+        from akumuli_spark.sources.fs import CasLog, get_fs
         from akumuli_spark.sources.zorder import _cas_publish_df
 
         fs = get_fs(self.root)
         fs.makedirs(self.root)
-        _cas_publish_df(self.spark, fs, self._table, merge_fn)
+        if _cas_publish_df(self.spark, fs, self._table, merge_fn):
+            # without this every register/unregister would leak one
+            # snapshot dir + pointer forever (r14 review)
+            CasLog(fs, self._table).vacuum(keep=2,
+                                           grace_s=self.vacuum_grace_s)
 
     def entries(self) -> DataFrame:
         """The current catalog snapshot (empty before any register)."""

@@ -915,6 +915,9 @@ def zorder_retention(spark: SparkSession, path: str, keep_ns: int,
         dropped = [0]
 
         def merge(cur):
+            dropped[0] = 0  # recomputed per CAS retry: a rival may have
+            # already expired these rows, and a stale count from a
+            # losing attempt must not be reported (r14 review)
             if cur is None:
                 return None
             exp = cur.filter(F.col("ts_bucket") < cutoff)
@@ -1016,18 +1019,18 @@ def vacuum_zorder(spark: SparkSession, path: str,
     removed = 0
     log = CasLog(fs, mpath)
     if log.exists():
-        # expire old snapshots, then union the file refs of every
-        # retained one — a reader may still be serving any of them
+        # the protected set FIRST (the keep newest + everything
+        # superseded < grace ago — grace counts from supersession, a
+        # reader may be serving any of them), then expire the rest,
+        # then union the protected snapshots' file refs: a data file is
+        # an orphan only if NO protected snapshot references it
+        dirs = log.protected(snapshots_keep, grace_s, now_s=now)
         removed += log.vacuum(keep=snapshots_keep, grace_s=grace_s,
-                              now_s=now_s)
+                              now_s=now)
         llog = CasLog(fs, posixpath.join(path, LEDGER_DIR))
         if llog.exists():
             removed += llog.vacuum(keep=snapshots_keep, grace_s=grace_s,
-                                   now_s=now_s)
-        dirs = log.retained(snapshots_keep)
-        _v, cur = log.current()
-        if cur is not None:
-            dirs.add(cur)
+                                   now_s=now)
         listed = set()
         for d in dirs:
             listed |= {
@@ -1533,16 +1536,14 @@ def vacuum_zorder_corpus(spark: SparkSession, path: str,
     removed = 0
     log = CasLog(fs, mpath)
     if log.exists():
-        # snapshot retention, as in vacuum_zorder: expire old manifest
-        # versions, spare files any retained snapshot still references
-        removed += log.vacuum(keep=3, grace_s=grace_s, now_s=now_s)
+        # snapshot retention, as in vacuum_zorder: protected set first
+        # (grace counts from supersession), expire the rest, spare
+        # files any protected snapshot still references
+        dirs = log.protected(3, grace_s, now_s=now)
+        removed += log.vacuum(keep=3, grace_s=grace_s, now_s=now)
         llog = CasLog(fs, posixpath.join(path, LEDGER_DIR))
         if llog.exists():
-            removed += llog.vacuum(keep=3, grace_s=grace_s, now_s=now_s)
-        dirs = log.retained(3)
-        _v, cur = log.current()
-        if cur is not None:
-            dirs.add(cur)
+            removed += llog.vacuum(keep=3, grace_s=grace_s, now_s=now)
         listed = set()
         for d in dirs:
             listed |= {

@@ -27,6 +27,7 @@ time-ordered NB+tree leaves).
 
 from __future__ import annotations
 
+import contextlib
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -34,12 +35,6 @@ from pyspark.errors import AnalysisException
 
 from akumuli_spark.sources.fs import CasLog, get_fs
 from akumuli_spark.sources.resp import parse_resp_stage
-
-
-def _suppress_oserror():
-    import contextlib
-
-    return contextlib.suppress(OSError)
 
 
 def _is_path_missing(exc: AnalysisException) -> bool:
@@ -210,7 +205,7 @@ class HighWaterState:
         if len(log.entries()) >= 2:
             cur_ptr = posixpath.join(self.marks_dir, self.CURRENT)
             if fs.exists(cur_ptr):
-                with _suppress_oserror():
+                with contextlib.suppress(OSError):
                     fs.remove(cur_ptr)
             for rel in fs.glob(self.marks_dir, "epoch-*"):
                 fs.rmtree(posixpath.join(self.marks_dir, rel))

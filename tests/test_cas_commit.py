@@ -166,6 +166,40 @@ def test_cas_double_publish_monotonic_history():
     assert cur_dir in kept and len(kept) == 2
 
 
+def test_cas_vacuum_grace_counts_from_supersession():
+    """A snapshot that reigned for a long time and was just replaced by
+    one maintenance cycle's worth of commits must survive a full grace
+    FROM ITS SUPERSESSION — creation-age would let vacuum reap it (and
+    its exclusive data files) seconds after replacement, from under a
+    reader that resolved it while it was still current (r14 review)."""
+    fs = MemoryStoreFS()
+    log = CasLog(fs, TABLE)
+    _v, name_old = _publish(fs, log, b"reigned-for-weeks")
+    old_dir = log.dir_for(name_old)
+    fs.advance(30 * 86_400.0)  # current for a month
+    for i in range(3):  # one maintenance cycle: exactly keep commits
+        _publish(fs, log, b"cycle-%d" % i)
+    fs.advance(60.0)  # vacuum runs a minute later
+    prot = log.protected(keep=3, grace_s=86_400.0, now_s=fs.now())
+    assert old_dir in prot  # superseded 60s ago: a reader may hold it
+    log.vacuum(keep=3, grace_s=86_400.0, now_s=fs.now())
+    assert fs.exists(old_dir)
+    # …and one grace later it is reclaimable
+    fs.advance(86_401.0)
+    assert old_dir not in log.protected(keep=3, grace_s=86_400.0,
+                                        now_s=fs.now())
+    log.vacuum(keep=3, grace_s=86_400.0, now_s=fs.now())
+    assert not fs.exists(old_dir)
+
+
+def test_touch_mtime_missing_path_is_not_a_clock_failure(tmp_path):
+    """Missing path → True on every seam impl: a concurrent retention
+    racing the optimize re-age loop must not masquerade as a
+    setTimes-unsupported filesystem (r14 review)."""
+    assert LocalStoreFS().touch_mtime(str(tmp_path / "gone")) is True
+    assert MemoryStoreFS().touch_mtime("s3a://b/gone") is True
+
+
 def test_cas_rename_nonatomicity_is_harmless():
     """MemoryStoreFS renames are copy+delete; a crash mid-rename leaves
     partial state — which the manifest protocol never observes, because

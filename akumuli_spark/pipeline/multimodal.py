@@ -427,6 +427,114 @@ def synth_png_pixel_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_filter_forward(grid_rows, bpp: int) -> bytes:
+    """Forward PNG filtering for an encoder: row y gets filter type
+    y mod 5, computed from the ORIGINAL bytes (spec §9 — predictors use
+    reconstructed neighbors, which for an encoder are the raw bytes).
+    ``grid_rows`` is a (h, stride) uint8 array of one (sub-)image."""
+    import numpy as np
+
+    h, stride = grid_rows.shape
+    out = bytearray()
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        r = grid_rows[y].astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), r[:-bpp]]) \
+            if stride > bpp else np.zeros(stride, np.int64)
+        f = y % 5
+        if f == 0:
+            filt = r
+        elif f == 1:
+            filt = (r - left) % 256
+        elif f == 2:
+            filt = (r - prior) % 256
+        elif f == 3:
+            filt = (r - (left + prior) // 2) % 256
+        else:
+            up_left = np.concatenate(
+                [np.zeros(bpp, np.int64), prior[:-bpp]]) \
+                if stride > bpp else np.zeros(stride, np.int64)
+            pp = left + prior - up_left
+            pa = np.abs(pp - left)
+            pb = np.abs(pp - prior)
+            pc = np.abs(pp - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, up_left))
+            filt = (r - pred) % 256
+        out.append(f)
+        out += filt.astype(np.uint8).tobytes()
+        prior = r
+    return bytes(out)
+
+
+def synth_png_variant_pixel_payloads(docs: DataFrame) -> DataFrame:
+    """REAL PNGs in the r14 VARIANT shapes: even-length texts become
+    8-bit PALETTE images (gray-ramp PLTE, pixel index = gray value) and
+    odd-length texts become Adam7-INTERLACED truecolor images (all
+    seven passes independently filtered, every pass cycling the five
+    filter types) — both carrying the SAME ``_PX`` grid as
+    :func:`synth_bmp_pixel_payloads`, so
+    ``image_dhash(pixel_source="payload")`` must hash them identically
+    to the BMP/PNG/JPEG/GIF twins bit-for-bit, and the DuckDB oracle
+    replays the corpus with the same arithmetic twin."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        import numpy as np
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        plte = bytes(v for i in range(256) for v in (i, i, i))
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                if t is None:
+                    payloads.append(None)
+                    continue
+                n_text = len(t.encode("utf-8"))
+                w = 8 + n_text % 25
+                h = 8 + (n_text * 31) % 17
+                row_size = ((w * 3 + 3) // 4) * 4
+                n_bytes = 54 + row_size * h  # the BMP twin's size
+                ys = np.arange(h, dtype=np.int64)
+                xs = (31 * np.arange(w, dtype=np.int64)) % 256
+                grid = (((17 * ys[:, None]) + xs[None, :] + n_bytes)
+                        % 256).astype(np.uint8)
+                if n_text % 2 == 0:  # palette, non-interlaced
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+                    raw = _png_filter_forward(grid, 1)
+                    payloads.append(
+                        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+                        + chunk(b"PLTE", plte)
+                        + chunk(b"IDAT", zlib.compress(raw, 6))
+                        + chunk(b"IEND", b"")
+                    )
+                else:  # Adam7-interlaced truecolor
+                    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+                    raw = bytearray()
+                    for x0, y0, dx, dy in _PNG_ADAM7:
+                        sub = grid[y0::dy, x0::dx]
+                        if sub.size == 0:
+                            continue
+                        rgb = np.repeat(sub, 3, axis=1)  # gray triples
+                        raw += _png_filter_forward(rgb, 3)
+                    payloads.append(
+                        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                        + chunk(b"IEND", b"")
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        synth, schema="doc_id long, payload binary"
+    )
+
+
 def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
     """Real GIF LZW compression (the decoder's true inverse): greedy
     longest-match string table, clear code first, codes packed
@@ -1558,77 +1666,22 @@ def _bmp_payload_grid(p: bytes, sx, sy):
     return b[off + file_rows[:, None] * row_size + sx[None, :] * step]
 
 
-def _png_payload_grid(p: bytes, sx, sy):
-    """Resampled grayscale grid from a REAL PNG pixel array — the first
-    compressed codec in the payload pixel path (VERDICT r10 Next #3):
-    chunk walk → IDAT concatenation → zlib inflate → per-row filter
-    undo (all five PNG filter types), then the same nearest-neighbor
-    gather the BMP walk performs.  Grayscale = the first stored channel
-    (R for truecolor — the synth pixel corpora write gray triples, so
-    channel choice is value-identical there).
-
-    Supported: 8-bit and 16-bit samples, color type 0 (grayscale) or
-    2 (RGB), non-interlaced — the dominant shapes in a real scrape
-    after EXIF strip (16-bit gray is the common scientific/scanner
-    export; its high byte is the standard 8-bit reduction); anything
-    else (palette, alpha, Adam7) returns None and hashes NULL under
-    the documented corrupt-payload contract, as does any truncated/
-    undecodable stream.  PNG filters are BYTE-wise with the left
-    neighbor ``bpp = channels x bytes-per-sample`` bytes back (spec
-    §9), so the undo generalizes to 16-bit by widening that offset.
-
-    Filter undo is numpy-per-row: None/Up are pure vector ops, Sub is a
-    per-channel-lane cumsum, Average/Paeth walk pixels within the row
-    (spec-sequential left dependence); rows stream in image order so Up
-    chains correctly."""
-    import zlib
-
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
+    """Undo PNG scanline filtering (spec §9) for one (sub-)image of
+    ``h`` rows × ``w`` pixels × ``bpp`` filter-unit bytes: every row is
+    one filter byte + ``w*bpp`` data bytes.  Returns the reconstructed
+    (h, w*bpp) int64 array, or None for a truncated buffer / invalid
+    filter byte.  Filters are BYTE-wise with the left neighbor ``bpp``
+    bytes back, so 8- and 16-bit samples share the code by widening the
+    offset.  None/Up are pure vector ops, Sub a per-lane cumsum,
+    Average/Paeth walk pixels within the row (spec-sequential left
+    dependence); rows stream in image order so Up chains correctly."""
     import numpy as np
 
-    if len(p) < 8 or p[:8] != _PNG_MAGIC:
-        return None
-    # chunk walk: IHDR first (per spec), IDATs concatenate in order
-    pos, w = 8, 0
-    h = bit_depth = color_type = interlace = None
-    idat = bytearray()
-    n = len(p)
-    while pos + 8 <= n:
-        clen = int.from_bytes(p[pos:pos + 4], "big")
-        ctype = p[pos + 4:pos + 8]
-        data_start = pos + 8
-        if data_start + clen > n:
-            return None  # truncated chunk
-        if ctype == b"IHDR":
-            if clen != 13:
-                return None
-            w = int.from_bytes(p[data_start:data_start + 4], "big")
-            h = int.from_bytes(p[data_start + 4:data_start + 8], "big")
-            bit_depth = p[data_start + 8]
-            color_type = p[data_start + 9]
-            interlace = p[data_start + 12]
-        elif ctype == b"IDAT":
-            idat += p[data_start:data_start + clen]
-        elif ctype == b"IEND":
-            break
-        pos = data_start + clen + 4  # skip CRC
-    if not h or w <= 0 or bit_depth not in (8, 16) or interlace != 0:
-        return None
-    if color_type == 0:
-        ch = 1
-    elif color_type == 2:
-        ch = 3
-    else:
-        return None
-    bps = bit_depth // 8
-    bpp = ch * bps  # filter left-neighbor offset in BYTES (spec §9)
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error:
-        return None
     stride = w * bpp
     if len(raw) < h * (1 + stride):
         return None  # truncated pixel stream
-    buf = np.frombuffer(raw, dtype=np.uint8)[:h * (1 + stride)]
+    buf = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride))
     scan = buf.reshape(h, 1 + stride)
     filters, rows = scan[:, 0], scan[:, 1:].astype(np.int64)
     recon = np.zeros((h, stride), dtype=np.int64)
@@ -1661,11 +1714,115 @@ def _png_payload_grid(p: bytes, sx, sy):
             return None  # invalid filter byte
         recon[y] = line
         prior = line
+    return recon
+
+
+#: Adam7 interlace passes (x0, y0, dx, dy), PNG spec §8.2
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_payload_grid(p: bytes, sx, sy):
+    """Resampled grayscale grid from a REAL PNG pixel array — the first
+    compressed codec in the payload pixel path (VERDICT r10 Next #3):
+    chunk walk → IDAT concatenation → zlib inflate → per-(sub)image
+    filter undo (all five PNG filter types), then the same
+    nearest-neighbor gather the BMP walk performs.  Grayscale = the
+    first stored channel (R for truecolor; the palette entry's R for
+    indexed — the synth pixel corpora write gray values, so channel
+    choice is value-identical there).
+
+    Supported: 8-bit and 16-bit samples; color type 0 (grayscale),
+    2 (RGB), and — r14 — 3 (8-bit palette); both non-interlaced and
+    Adam7-INTERLACED streams (each of the seven passes is its own
+    independently filtered sub-image, reconstructed and scattered into
+    place).  Anything else (alpha color types, packed palette depths
+    1/2/4) returns None and hashes NULL under the documented
+    corrupt-payload contract, as does any truncated/undecodable
+    stream."""
+    import zlib
+
+    import numpy as np
+
+    if len(p) < 8 or p[:8] != _PNG_MAGIC:
+        return None
+    # chunk walk: IHDR first (per spec), IDATs concatenate in order
+    pos, w = 8, 0
+    h = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    n = len(p)
+    while pos + 8 <= n:
+        clen = int.from_bytes(p[pos:pos + 4], "big")
+        ctype = p[pos + 4:pos + 8]
+        data_start = pos + 8
+        if data_start + clen > n:
+            return None  # truncated chunk
+        if ctype == b"IHDR":
+            if clen != 13:
+                return None
+            w = int.from_bytes(p[data_start:data_start + 4], "big")
+            h = int.from_bytes(p[data_start + 4:data_start + 8], "big")
+            bit_depth = p[data_start + 8]
+            color_type = p[data_start + 9]
+            interlace = p[data_start + 12]
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0:
+                return None
+            plte = np.frombuffer(p, np.uint8, clen, data_start)
+        elif ctype == b"IDAT":
+            idat += p[data_start:data_start + clen]
+        elif ctype == b"IEND":
+            break
+        pos = data_start + clen + 4  # skip CRC
+    if not h or w <= 0 or bit_depth not in (8, 16) or interlace not in (0, 1):
+        return None
+    if color_type == 0:
+        ch = 1
+    elif color_type == 2:
+        ch = 3
+    elif color_type == 3:
+        if bit_depth != 8 or plte is None:  # packed 1/2/4-bit: out of scope
+            return None
+        ch = 1
+    else:
+        return None
+    bps = bit_depth // 8
+    bpp = ch * bps  # filter left-neighbor offset in BYTES (spec §9)
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if interlace == 0:
+        recon = _png_unfilter(raw, h, w, bpp)
+        if recon is None:
+            return None
+        first = recon[:, ::bpp] if bpp > 1 else recon
+    else:
+        # Adam7: seven independently filtered sub-images scattered into
+        # place; passes whose sub-dims are zero contribute no bytes
+        first = np.zeros((h, w), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(raw[off:], ph, pw, bpp)
+            if sub is None:
+                return None
+            off += ph * (1 + pw * bpp)
+            first[y0::dy, x0::dx] = sub[:, ::bpp] if bpp > 1 else sub
+    if color_type == 3:
+        # palette map: grayscale = the entry's first (R) byte; an
+        # out-of-range index clamps rather than crashing the stage
+        first = plte[np.minimum(first, len(plte) // 3 - 1) * 3]
     # first stored channel (for 16-bit: its HIGH byte — samples are
     # network order, so byte 0 of the sample is the 8-bit reduction),
     # then the shared nearest-neighbor gather
-    first = recon[:, ::bpp] if bpp > 1 else recon
-    return first[sy[:, None], sx[None, :]].astype(np.uint8)
+    return np.asarray(first)[sy[:, None], sx[None, :]].astype(np.uint8)
 
 
 # --- baseline JPEG codec (ITU-T T.81, public spec) -----------------------
@@ -2566,9 +2723,12 @@ def image_dhash(payloads: DataFrame, rows: int = 10,
       Huffman entropy decode, dequant, IDCT over the luma plane) and
       progressive SOF2 (:func:`_jpeg_progressive_grid`: the same
       machinery plus scan accumulation over coefficient passes — the
-      coding real web crawls are mostly made of) — the production path
-      for real images.  Unsupported codings (16-bit PNG, arithmetic
-      JPEG) and
+      coding real web crawls are mostly made of), or the real GIF
+      decode (:func:`_gif_payload_grid`: LZW, deinterlace, palette) —
+      the production path for real images.  PNG covers 8/16-bit
+      gray/RGB, 8-bit palette, and Adam7 interlacing (r14).
+      Unsupported codings (arithmetic JPEG, packed-depth palette PNG,
+      WebP pixel data) and
       payloads without a complete pixel array (the headers-only synth
       corpora) hash to NULL, the same total-over-dirty-data contract as
       corrupt rows.  On the :func:`synth_bmp_pixel_payloads` /

@@ -1640,6 +1640,22 @@ _register_pipeline(
     ["doc_id", "dhash"],
 )
 
+# PNG variant shapes (r14): 8-bit PALETTE and Adam7-INTERLACED streams
+# — per-pass independent filtering reconstructed and scattered — hash
+# against the same arithmetic twin; both shapes are common in real
+# crawls (indexed screenshots/logos, progressive-render PNGs).
+_register_pipeline(
+    "multimodal_image_dhash_payload_png_variants",
+    lambda spark, sf: _mm.image_dhash(
+        _mm.synth_png_variant_pixel_payloads(
+            load_table(spark, sf, "documents")),
+        pixel_source="payload",
+    ),
+    _mm.image_dhash_payload_sql(),
+    [],
+    ["doc_id", "dhash"],
+)
+
 # Video modality (real RIFF/AVI header walk): decode, declared-frame
 # sampling onto the movi byte stream, and the shared 60-bit gradient
 # fingerprint (near-dup pairs ride the same pigeonhole machinery as

@@ -1570,6 +1570,37 @@ def test_image_dhash_jpeg_payload_real_decode(spark):
     assert got[3] == jpg_hash[sample["doc_id"]]
 
 
+def test_image_dhash_png_variants_real_decode(spark):
+    """The r14 PNG variant shapes — 8-bit PALETTE and Adam7-INTERLACED
+    truecolor — decode for real (palette map, seven independently
+    filtered passes scattered into place) and hash identically to the
+    BMP twin of the same pixels; the corpus genuinely contains both
+    shapes."""
+    from akumuli_spark.pipeline import multimodal as mm
+    from akumuli_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(60)
+    var_corpus = mm.synth_png_variant_pixel_payloads(docs)
+    var_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(var_corpus, pixel_source="payload").collect()
+    }
+    bmp_hash = {
+        r["doc_id"]: r["dhash"]
+        for r in mm.image_dhash(
+            mm.synth_bmp_pixel_payloads(docs), pixel_source="payload"
+        ).collect()
+    }
+    assert var_hash == bmp_hash and len(var_hash) == 60
+    assert all(v is not None for v in var_hash.values())
+    # both variants present: color type byte sits at offset 25 in IHDR
+    ctypes = {bytes(r["payload"])[25] for r in var_corpus.collect()}
+    assert ctypes == {2, 3}  # Adam7 truecolor + palette
+    ilaces = {bytes(r["payload"])[28] for r in var_corpus.collect()}
+    assert ilaces == {0, 1}
+
+
 def test_image_dhash_gif_payload_real_decode(spark):
     """The GIF payload path performs a REAL decode — block walk, LZW
     decompress with code-width growth, interlace undo, palette map

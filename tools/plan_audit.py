@@ -155,6 +155,7 @@ def main() -> None:
                "zorder_uri_append_select",
                "multimodal_decode_gif",
                "multimodal_image_dhash_payload_gif",
+               "multimodal_image_dhash_payload_png_variants",
                "zorder_cas_lifecycle_select",
                "zorder_catalog_routed_select"]
     for name in audited:

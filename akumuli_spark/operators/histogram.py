@@ -112,10 +112,14 @@ def metrics_correlation(
             F.expr("substring(series, instr(series, ' ') + 1)"),
         ).otherwise(F.lit("")),
     )
+    # conditional aggregation, not .pivot(): one exchange instead of
+    # pivot's two-phase aggregate (see engine._build_join)
     aligned = (
         base.groupBy("tagstr", "ts_ns")
-        .pivot("metric", [metric_a, metric_b])
-        .agg(F.sum("value"))
+        .agg(
+            F.sum(F.when(F.col("metric") == metric_a, F.col("value"))).alias(metric_a),
+            F.sum(F.when(F.col("metric") == metric_b, F.col("value"))).alias(metric_b),
+        )
         .filter(
             F.col(f"`{metric_a}`").isNotNull()
             & F.col(f"`{metric_b}`").isNotNull()

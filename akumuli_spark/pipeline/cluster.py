@@ -37,23 +37,48 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     Returns (id, comp) where comp is the minimum id in the component.
     Isolated nodes get comp = id.
 
+    The iterative loop runs over EDGE-TOUCHED nodes only (see
+    :func:`_components_of_pairs`): a node with no edge can never change
+    its label, so dragging the whole corpus through every round's joins
+    — the pre-r14 shape — did per-round work proportional to |corpus|
+    instead of |near-dup set|.  Isolated nodes are re-attached afterward
+    with one broadcast-sized left join (loop labels are O(duplicates)).
+    """
+    labels = _components_of_pairs(pairs, max_iter=max_iter)
+    return nodes.join(labels.withColumnRenamed("comp", "__comp"), "id", "left").select(
+        "id", F.coalesce("__comp", F.col("id")).alias("comp")
+    )
+
+
+def _components_of_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label components over just the nodes that appear in ``pairs``
+    — the frame every round's joins actually operate on.
+
     Iterative (driver loop) — inherent to transitive closure; every
     per-round step is a distributed join and the materialized state is
-    two BIGINT columns per node.  ONE job per round: the checkpoints are
-    lazy (``eager=False``), so the round's convergence ``count()`` is the
+    two BIGINT columns per edge-touched node (O(near-duplicates), NOT
+    O(corpus)).  ONE job per round: the checkpoints are lazy
+    (``eager=False``), so the round's convergence ``count()`` is the
     action that materializes the checkpointed frame — the changed-label
     count rides along with the propagate+jump job instead of running as
     a second full job over the round's output (at 100 TB every extra
     action is a full cluster job).
     """
-    edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-    ).localCheckpoint(eager=False)
+    # symmetrize by exploding both orientations of each pair in ONE pass:
+    # the union-of-two-projections form executed the whole pair-generator
+    # subtree (for semantic_clusters, the within-cluster cosine self-join)
+    # once per branch inside the checkpoint's materializing job
+    edges = pairs.select(
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("d")),
+            F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")),
+        )).alias("__e")
+    ).select("__e.s", "__e.d").localCheckpoint(eager=False)
 
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
-        eager=False
-    )
+    # the symmetric union means selecting one endpoint column covers both
+    labels = edges.select(F.col("s").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # propagate: candidate label = min over neighbours' labels
@@ -89,7 +114,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         labels = step.select("id", F.col("next_comp").alias("comp"))
         if n_changed == 0:
             return labels
-    raise RuntimeError(f"connected_components: no fixpoint after {max_iter} rounds")
+    raise RuntimeError(f"_components_of_pairs: no fixpoint after {max_iter} rounds")
 
 
 def dedup_clusters(docs: DataFrame, n: int = 5, threshold: float = 0.5,
@@ -860,21 +885,35 @@ def dedup_clusters_keep_best(docs: DataFrame, n: int = 5,
     """
     from akumuli_spark.pipeline.text import quality_score
 
-    from pyspark.sql import Window
-
-    comp = dedup_clusters(docs, n=n, threshold=threshold, max_df=max_df)
-    scored = comp.join(
-        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    # Components over edge-touched nodes only (O(duplicates)); the old
+    # shape windowed row_number over the WHOLE corpus partitioned by
+    # cluster_id — a full corpus shuffle+sort to rank mostly-singleton
+    # partitions.  Singletons keep themselves by definition, so the
+    # per-cluster winner is computed on the tiny labeled frame and
+    # re-attached with broadcast-sized joins; the corpus itself is never
+    # shuffled.
+    pairs = _dedup.ngram_jaccard_pairs(docs, n=n, threshold=threshold,
+                                       max_df=max_df)
+    labels = _components_of_pairs(pairs)  # (id, comp), O(duplicates)
+    q = quality_score(docs).select("doc_id", "quality")
+    # winner of each non-singleton cluster: max quality, ties → min doc_id
+    # (max over struct(quality, -doc_id) == the old row_number order
+    # quality DESC, doc_id ASC)
+    winners = (
+        q.join(labels, q["doc_id"] == labels["id"])
+        .groupBy(F.col("comp").alias("cluster_id"))
+        .agg((-F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")))
+              .getField("nid")).alias("__winner"))
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), F.col("doc_id").asc()
+    scored = q.join(labels, q["doc_id"] == labels["id"], "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+        "quality",
     )
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .select(
-            "doc_id", "cluster_id", "quality",
-            (F.col("__r") == 1).cast("long").alias("keep"),
-        )
+    return scored.join(winners, "cluster_id", "left").select(
+        "doc_id", "cluster_id", "quality",
+        F.when(F.col("__winner").isNull(), F.lit(1))
+        .otherwise((F.col("doc_id") == F.col("__winner")).cast("long"))
+        .cast("long").alias("keep"),
     )
 
 
@@ -926,13 +965,24 @@ def mine_contrastive_triplets(pairs: DataFrame, neighbors: DataFrame,
     rows.  Nothing here touches raw text or embeddings — the miner runs
     entirely over the (tiny) pair and top-k frames.
     """
+    # Symmetrize in ONE pass over the pair generator (explode of both
+    # orientations, not a union of two projections), then materialize:
+    # pos feeds BOTH the anti-join and the final triplet join, and each
+    # unmaterialized consumption would re-execute the whole upstream
+    # pair generator (for the registry shape, the shingle self-join) —
+    # 4 executions in the pre-r14 plan (2 union branches × 2 consumers).
+    # The frame is O(near-dup pairs), so the eager checkpoint is small
+    # at any scale; localCheckpoint (not persist) for GC-release.
     pos = pairs.select(
-        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("pos_id")
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("pos_id")
-        )
-    ).distinct()
+        F.explode(F.array(
+            F.struct(F.col("doc_a").alias("anchor_id"),
+                     F.col("doc_b").alias("pos_id")),
+            F.struct(F.col("doc_b").alias("anchor_id"),
+                     F.col("doc_a").alias("pos_id")),
+        )).alias("__e")
+    ).select("__e.anchor_id", "__e.pos_id").distinct().localCheckpoint(
+        eager=True
+    )
     from pyspark.sql import Window
 
     neigh = neighbors.select(

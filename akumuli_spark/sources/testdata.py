@@ -72,6 +72,57 @@ def _ts_ns_from_ntz(col):
     return F.unix_micros(col.cast("timestamp")) * F.lit(1000)
 
 
+_TS_MAX = (1 << 63) - 1
+
+
+def _src_ts_range_pred(df: DataFrame, colname: str, lo_ns: int, hi_ns: int):
+    """Pushdown-friendly time-range predicate on the RAW source timestamp
+    column, exactly equivalent to ``lo_ns <= ts_ns < hi_ns`` over the
+    µs-truncated int64-ns axis the views derive.
+
+    The views compute ``ts_ns`` with ``unix_micros(cast(..))*1000`` (NTZ
+    route) or ``(ts div 1000)*1000`` (raw-ns route) — expressions Catalyst
+    cannot push through to the parquet scan, so the engine's range filter
+    alone never reaches ``PushedFilters`` and row-group min/max skipping is
+    lost.  An attribute-level comparison on the source column IS pushable;
+    since the conversions are monotone and µs-exact, the ns bounds map to
+    exact source-column bounds:
+
+    * NTZ micros: ``ts_ns >= lo  ⟺  unix_micros >= ceil(lo/1000)``,
+      ``ts_ns < hi  ⟺  unix_micros < ceil(hi/1000)``;
+    * raw int64 ns (non-negative): the same with a final ``*1000``.
+
+    Unbounded sides (no-range queries) emit no predicate.  The engine's
+    exact ``ts_ns`` filter stays in the plan, so even a hypothetical slack
+    bound could only re-admit rows the engine filter removes — results are
+    unchanged by construction.
+    """
+    preds = []
+    dtype = dict(df.dtypes).get(colname, "")
+    if dtype in ("bigint", "long"):
+        if lo_ns > 0:
+            preds.append(F.col(colname) >= F.lit(((lo_ns + 999) // 1000) * 1000))
+        if hi_ns < _TS_MAX:
+            preds.append(F.col(colname) < F.lit(((hi_ns + 999) // 1000) * 1000))
+    else:
+        if lo_ns > 0:
+            preds.append(
+                F.col(colname)
+                >= F.timestamp_micros(F.lit((lo_ns + 999) // 1000)).cast("timestamp_ntz")
+            )
+        if hi_ns < _TS_MAX:
+            preds.append(
+                F.col(colname)
+                < F.timestamp_micros(F.lit((hi_ns + 999) // 1000)).cast("timestamp_ntz")
+            )
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
 def ts_ns_expr(df: DataFrame, colname: str = "ts"):
     """int64-ns expression for a timestamp column, robust to both schemas
     the driver has generated for ``events.ts``:
@@ -100,13 +151,24 @@ LINEITEM_METRICS = {
 }
 
 
-def metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def metrics_view(spark: SparkSession, sf_dir: str,
+                 ns_range: tuple[int, int] | None = None) -> DataFrame:
     """Unpivot as a UNION ALL of per-metric branches (NOT stack()): each
     branch carries its metric name as a literal, so a query's metric
     predicate constant-folds to false on the other branches and Catalyst
     prunes their scans entirely — with stack() the filter lands above the
-    generator and every branch is read."""
+    generator and every branch is read.
+
+    ``ns_range`` (semi-open [lo, hi) on the ts_ns axis) pre-filters the
+    base table on the RAW timestamp column — the storage analogue of the
+    reference opening its scan at [begin, end) — so the range reaches
+    ``PushedFilters`` and parquet row groups outside it are skipped (see
+    :func:`_src_ts_range_pred`; the engine's exact ts_ns filter remains)."""
     li = load_table(spark, sf_dir, "lineitem")
+    if ns_range is not None:
+        pred = _src_ts_range_pred(li, "l_shipdate", *ns_range)
+        if pred is not None:
+            li = li.filter(pred)
     ts_ns = _ts_ns_from_ntz(F.col("l_shipdate"))
     tags = F.create_map(
         F.lit("linestatus"), F.col("l_linestatus"), F.lit("returnflag"), F.col("l_returnflag")
@@ -155,8 +217,13 @@ metrics AS (
 # ---------------------------------------------------------------------------
 
 
-def app_metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def app_metrics_view(spark: SparkSession, sf_dir: str,
+                     ns_range: tuple[int, int] | None = None) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if ns_range is not None:
+        pred = _src_ts_range_pred(ev, "ts", *ns_range)
+        if pred is not None:
+            ev = ev.filter(pred)
     user = (F.col("user_id") % 8).cast("string")
     metric = F.concat(F.lit("app."), F.col("event_type"))
     ts_ns = ts_ns_expr(ev)
@@ -186,8 +253,13 @@ app_metrics AS (
 # ---------------------------------------------------------------------------
 
 
-def events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_view(spark: SparkSession, sf_dir: str,
+                ns_range: tuple[int, int] | None = None) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    if ns_range is not None:
+        pred = _src_ts_range_pred(ev, "ts", *ns_range)
+        if pred is not None:
+            ev = ev.filter(pred)
     user = (F.col("user_id") % 8).cast("string")
     metric = F.concat(F.lit("!"), F.col("event_type"))
     return ev.select(

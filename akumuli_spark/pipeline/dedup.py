@@ -301,6 +301,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("shingle")
+            # eagerly materialized (tiny: boilerplate shingles only) so
+            # the count-per-shingle agg runs once, not once per consumer
+            # of the guarded frame (sizes + both self-join sides)
+            .localCheckpoint(eager=True)
         )
         sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
@@ -384,6 +388,10 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))
             .filter(F.col("__df") > max_df)
             .select("shingle")
+            # eagerly materialized (tiny: boilerplate shingles only) so
+            # the count-per-shingle agg runs once, not once per consumer
+            # of the guarded frame (sizes + both self-join sides)
+            .localCheckpoint(eager=True)
         )
         sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
@@ -480,6 +488,10 @@ def duplicated_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
     pos = (
         tokens.filter(F.size(F.col("__ws")) >= n)
         .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+        # feeds the duplicated-shingle agg AND the coverage join: one
+        # eager materialization bounds the tokenize+md5 explode to a
+        # single pass (same trade as _positioned_shingles)
+        .localCheckpoint(eager=True)
     )
     dup = (
         pos.select("shingle", "doc_id").distinct()
@@ -581,6 +593,10 @@ def scrub_duplicated_spans(docs: DataFrame, n: int = 5) -> DataFrame:
     pos = (
         tokens.filter(F.size(F.col("__ws")) >= n)
         .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+        # feeds the duplicated-shingle agg AND the coverage join: one
+        # eager materialization bounds the tokenize+md5 explode to a
+        # single pass (same trade as _positioned_shingles)
+        .localCheckpoint(eager=True)
     )
     dup = (
         pos.select("shingle", "doc_id").distinct()
@@ -673,14 +689,27 @@ def _positioned_shingles(docs: DataFrame, n: int,
     pos = (
         tokens.filter(F.size(F.col("__ws")) >= n)
         .select("doc_id", F.posexplode(shingle_arr).alias("start", "shingle"))
+        # the tokenize+md5 explode feeds the df guard AND both sides of
+        # every consumer's anchor self-join (4 executions in the pre-r14
+        # plan); one eager materialization bounds it to a single pass —
+        # the checkpoint is the operator's own working set (the
+        # positioned-shingle table the anchor join shuffles anyway), the
+        # same documented trade as ngram_jaccard_pairs
+        .localCheckpoint(eager=True)
     )
     if max_df is not None:
-        rare = (
+        # anti-join against the HOT side (df > max_df): boilerplate
+        # shingles are a tiny fraction of distinct shingles, so this side
+        # broadcasts (the old inner join against `rare` shipped every
+        # non-hot shingle as the build side).  Eagerly materialized too:
+        # lazy, the count-per-shingle agg re-runs once per join side.
+        hot = (
             pos.groupBy("shingle").agg(F.count("*").alias("__df"))
-            .filter(F.col("__df") <= max_df)
+            .filter(F.col("__df") > max_df)
             .select("shingle")
+            .localCheckpoint(eager=True)
         )
-        pos = pos.join(rare, "shingle")
+        pos = pos.join(hot, "shingle", "left_anti")
     return pos
 
 
@@ -844,9 +873,30 @@ def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
     spans = substring_spans(docs, n=n, min_len=min_len, max_df=max_df,
                             within_doc=within_doc)
     # the b side is always the LATER occurrence (doc_b > doc_a, or same
-    # doc with start_b > start_a), so keep='first' covers only it
-    sides = [
-        spans.select(
+    # doc with start_b > start_a), so keep='first' covers only it.  For
+    # keep='all' BOTH occurrences are covered by exploding the two
+    # (doc, start) orientations in ONE pass over spans — the old
+    # union-of-two-projections form re-executed the whole span finder
+    # (anchor self-join + islands window) once per branch.
+    if keep == "all":
+        cov0 = spans.select(
+            F.explode(F.array(
+                F.struct(F.col("doc_b").alias("doc_id"),
+                         F.col("start_b").alias("s")),
+                F.struct(F.col("doc_a").alias("doc_id"),
+                         F.col("start_a").alias("s")),
+            )).alias("__e"),
+            "length",
+        ).select(
+            F.col("__e.doc_id").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.col("__e.s"), F.col("__e.s") + F.col("length") - 1
+                )
+            ).alias("p"),
+        )
+    else:
+        cov0 = spans.select(
             F.col("doc_b").alias("doc_id"),
             F.explode(
                 F.sequence(
@@ -855,20 +905,6 @@ def scrub_substring_spans(docs: DataFrame, n: int = 5, min_len: int = 15,
                 )
             ).alias("p"),
         )
-    ]
-    if keep == "all":
-        sides.append(
-            spans.select(
-                F.col("doc_a").alias("doc_id"),
-                F.explode(
-                    F.sequence(
-                        F.col("start_a"),
-                        F.col("start_a") + F.col("length") - 1,
-                    )
-                ).alias("p"),
-            )
-        )
-    cov0 = sides[0] if len(sides) == 1 else sides[0].unionAll(sides[1])
     cov = (
         cov0
         .groupBy("doc_id")

@@ -120,9 +120,13 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
         ).alias("ellipsis_line_frac"),
         (F.expr("size(filter(__ws, w -> w rlike '[A-Za-z]'))") / nwd)
         .alias("alpha_word_frac"),
+        # distinct stop words present = |stops ∩ lowered tokens|:
+        # array_intersect lowercases the token array ONCE (the old
+        # filter+array_contains form re-evaluated the transform once
+        # per stop word)
         F.expr(
-            f"size(filter(array({stops}), "
-            "s -> array_contains(transform(__ws, w -> lower(w)), s)))"
+            f"size(array_intersect(array({stops}), "
+            "transform(__ws, w -> lower(w))))"
         ).cast("long").alias("n_stop_hits"),
     )
     ok = (
@@ -203,41 +207,48 @@ def line_repetition_signals(docs: DataFrame) -> DataFrame:
     Output: (doc_id, n_lines, dup_line_frac, dup_line_char_frac); a
     document with no non-empty lines reports 0 lines and 0.0 fractions.
 
-    Scale shape: explode to (doc_id, line) → two-phase count per
-    (doc_id, md5(line)) → per-doc roll-up, then a left join back to the
-    doc list so empty documents stay present.  Per-task state is one
-    count per distinct (doc, line) — no within-row O(lines²) array
-    expression, so giant documents cost O(lines), and the shuffle key
-    is a 32-char digest, not the line text.
+    Scale shape: pure per-row projection — run-length counts over the
+    doc's SORTED line array (the shared boundary kernel of
+    ``text._tf_pairs``), O(L log L) per document, zero shuffles and no
+    join back (the pre-r14 shape exploded to (doc_id, line), paid two
+    hash exchanges — per-(doc, md5(line)) then per-doc — and re-joined
+    the doc spine).  Grouping is by the literal line, not its md5, so
+    the (never-observed) digest-collision merge disappears; every real
+    input yields identical counts.
     """
     base = docs.select("doc_id", F.expr(_lines_expr()).alias("__ls"))
-    per_line = (
-        base.select("doc_id", F.explode("__ls").alias("__l"))
-        .select("doc_id", F.md5("__l").alias("__h"),
-                F.length("__l").cast("long").alias("__c"))
-        .groupBy("doc_id", "__h")
-        .agg(F.count(F.lit(1)).alias("__n"), F.first("__c").alias("__c"))
+    bnd = (
+        "CASE WHEN size(__sls) = 0 THEN slice(array(1), 1, 0) "
+        "WHEN size(__sls) = 1 THEN array(1) "
+        "ELSE concat(array(1), filter(sequence(2, size(__sls)), j -> "
+        "element_at(__sls, j) != element_at(__sls, j - 1))) END"
     )
-    dup = F.col("__n") > 1
-    agg = per_line.groupBy("doc_id").agg(
-        F.sum("__n").cast("long").alias("n_lines"),
-        (
-            F.coalesce(F.sum(F.when(dup, F.col("__n"))), F.lit(0))
-            / F.sum("__n").cast("double")
-        ).alias("dup_line_frac"),
-        (
-            F.coalesce(F.sum(F.when(dup, F.col("__n") * F.col("__c"))), F.lit(0))
-            / F.nullif(F.sum(F.col("__n") * F.col("__c")), F.lit(0)).cast("double")
-        ).alias("dup_line_char_frac"),
+    # per distinct line: its occurrence count and its character length
+    runs = (
+        "transform(__bnd, (j, i) -> named_struct("
+        "'c', CAST(IF(i + 2 > size(__bnd), size(__sls) + 1, "
+        "element_at(__bnd, i + 2)) - j AS BIGINT), "
+        "'l', CAST(length(element_at(__sls, j)) AS BIGINT)))"
     )
+    dup_n = f"aggregate({runs}, 0L, (a, x) -> a + IF(x.c > 1, x.c, 0L))"
+    dup_ch = f"aggregate({runs}, 0L, (a, x) -> a + IF(x.c > 1, x.c * x.l, 0L))"
+    tot_ch = f"aggregate({runs}, 0L, (a, x) -> a + x.c * x.l)"
+    n_lines = F.size("__ls")
     return (
-        base.select("doc_id").join(agg, "doc_id", "left")
+        base.withColumn("__sls", F.expr("array_sort(__ls)"))
+        .withColumn("__bnd", F.expr(bnd))
         .select(
             "doc_id",
-            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
-            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
-            F.coalesce("dup_line_char_frac", F.lit(0.0))
-            .alias("dup_line_char_frac"),
+            n_lines.cast("long").alias("n_lines"),
+            F.when(
+                n_lines > 0,
+                F.expr(dup_n).cast("double") / n_lines.cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce(
+                F.expr(dup_ch).cast("double")
+                / F.nullif(F.expr(tot_ch), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ).alias("dup_line_char_frac"),
         )
     )
 
@@ -424,8 +435,13 @@ def dedup_lines_within_doc(docs: DataFrame) -> DataFrame:
     dropped like every line-granularity operator here.
     """
     base = docs.select("doc_id", F.expr(_lines_expr()).alias("__ls"))
+    # "no earlier index holds the same line" ⇔ "my first occurrence is
+    # me": array_position returns the FIRST 1-based index, scanning the
+    # array in place — the slice()+array_contains form allocated an
+    # i-element array copy per element (O(lines²) allocations, not just
+    # compares).  Same survivors in the same order.
     kept = F.expr(
-        "filter(__ls, (l, i) -> i = 0 OR NOT array_contains(slice(__ls, 1, i), l))"
+        "filter(__ls, (l, i) -> array_position(__ls, l) = i + 1)"
     )
     return base.select(
         "doc_id",

@@ -130,7 +130,13 @@ def funnel_counts(events: DataFrame,
                 .filter(F.col("ts_ns") > F.col("__t"))
                 .drop("__t")
             )
-        agg = cur.groupBy("user_id").agg(F.min("ts_ns").alias("__t"))
+        # one row per surviving user; materialized because each stage
+        # frame feeds BOTH the next stage's join and its own count — the
+        # lazy chain re-executed stage i's whole lineage once per later
+        # stage (stage 1 ran ``len(steps)`` times)
+        agg = cur.groupBy("user_id").agg(
+            F.min("ts_ns").alias("__t")
+        ).localCheckpoint(eager=True)
         stage_users.append(agg)
         prev = agg
     counts = None
@@ -197,6 +203,9 @@ def retention_cohorts(events: DataFrame,
             (F.col("bucket") - F.col("cohort_bucket")).alias("bucket_offset"),
         )
         .agg(F.count("*").cast("long").alias("n_active"))
+        # cohorts × offsets rows; feeds the output AND the offset-0
+        # sizes — lazy, the user join + both upstream aggs ran twice
+        .localCheckpoint(eager=True)
     )
     sizes = counts.filter(F.col("bucket_offset") == 0).select(
         "cohort_bucket", F.col("n_active").alias("__size")
@@ -314,7 +323,9 @@ def active_users(events: DataFrame, day_ns: int = 86_400 * NS,
     ).select(
         "user_id",
         F.expr(f"__ts div {int(day_ns)}L").alias("day"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
+    # deduped (user, day) pairs feed BOTH the dau agg and the wau
+    # explode — materialized once (the operator's own working set)
     dau = e.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
     wau = (
         e.select(
@@ -380,7 +391,9 @@ def event_transitions(events: DataFrame) -> DataFrame:
     ).where(F.col("to_type").isNotNull())
     counts = pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_transitions")
-    )
+        # type × type rows; feeds the output AND the per-from totals —
+        # lazy, the user window over the whole event stream ran twice
+    ).localCheckpoint(eager=True)
     totals = counts.groupBy("from_type").agg(
         F.sum("n_transitions").alias("__total")
     )

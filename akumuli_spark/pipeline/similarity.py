@@ -210,7 +210,10 @@ def _centroids(embs: DataFrame, nlist: int) -> DataFrame:
     return limited.select(
         F.row_number().over(w).alias("cid"),
         F.col("embedding").alias("ce"),
-    )
+        # ≤ nlist rows, but every consumer (assignment + each probe side)
+        # otherwise re-runs the corpus TakeOrderedAndProject that feeds
+        # it — materialize the tiny frame once
+    ).localCheckpoint(eager=True)
 
 
 def ivf_kmeans_centroids(embs: DataFrame, nlist: int = IVF_NLIST,
@@ -1244,6 +1247,10 @@ def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
             .alias("sub", "ce"),
         )
         .select("sub", "code", "ce")
+        # m·ks rows, but consumers (encode fold + ADC LUT build)
+        # otherwise each re-run the corpus TakeOrderedAndProject —
+        # materialize the tiny frame once (same rationale as _centroids)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1321,10 +1328,16 @@ def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
         F.array_sort(F.collect_list(F.struct("sub", "code", "ce"))).alias("cb")
     )
     l2 = _L2.format(a=f"slice(embedding, s * {dsub} + 1, {dsub})", b="x.ce")
+    # cb is sorted by (sub, code), every subspace holds size(cb) div m
+    # codes — subspace s's block is a direct slice, where the old
+    # filter(cb, x -> x.sub = s) re-scanned all m·ks entries per
+    # subspace (an extra O(m²·ks) predicate evaluations per row)
     codes = (
         "transform(sequence(0, %d), s -> "
-        "array_min(transform(filter(cb, x -> x.sub = s), "
-        "x -> named_struct('d', %s, 'code', x.code))).code)" % (m - 1, l2)
+        "array_min(transform("
+        "slice(cb, s * (size(cb) div %d) + 1, size(cb) div %d), "
+        "x -> named_struct('d', %s, 'code', x.code))).code)"
+        % (m - 1, m, m, l2)
     )
     return (
         embs.crossJoin(F.broadcast(folded))

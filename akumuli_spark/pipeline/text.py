@@ -205,26 +205,59 @@ _TF_CNTS = (
 )
 
 
+#: word count at which _tf_pairs switches from the direct
+#: distinct×filter fold to the sorted run-length kernel.  The fold is
+#: O(distinct × words) — fine for short docs (its constants are small
+#: and it allocates no intermediate arrays) but quadratic for long
+#: diverse ones; the run-length kernel is O(w log w) with a higher
+#: constant (sort + boundary arrays).  Measured on this box: at ~54
+#: words/doc (the sf0.1 corpus) the fold wins ~1.7×; at 120 words /
+#: ~119 distinct the run-length kernel wins 8.2× (60 k docs × 3 noop
+#: passes: 13.7 s → 1.7 s), and the gap grows quadratically with
+#: length.  128 keeps every sub-crossover doc on the fold while
+#: bounding the fold's worst case at 128² ≈ 16 k element compares.
+_TF_SORT_MIN_WORDS = 128
+
+#: the direct fold (short-doc branch) — one (term, cnt) struct per
+#: distinct token, counting by rescanning the word array per term
+_TF_FOLD = (
+    "transform(array_distinct(__ws), t -> "
+    "named_struct('term', t, 'cnt', size(filter(__ws, x -> x = t))))"
+)
+
+
 def _tf_pairs(toks: DataFrame, *keep: str) -> DataFrame:
     """Explode per-document (term, cnt) pairs — one row per DISTINCT
     token of the ``__ws`` word array, cnt = its multiplicity — plus the
     ``keep`` passthrough columns, as ``tc.term`` / ``tc.cnt`` (INT).
 
-    Run-length encoding over the sorted copy: O(w log w) per document.
-    The previous kernel (``transform(array_distinct(__ws), t ->
-    size(filter(__ws, x -> x = t)))``) rescanned the whole word array
-    once per distinct term — O(distinct × words) interpreted
-    higher-order-function work per document, the dominant per-row cost
-    of every tf consumer (BM25 build/serve/direct, TF-IDF, vocab_topk).
-    Microbenched 8.2x faster at 120-word docs (60 k docs x 3 passes:
-    13.7 s -> 1.7 s).  Same (term, cnt) multiset; only the exploded row
-    order differs (sorted vs first-occurrence), which no consumer
+    Hybrid kernel, switched per row at ``_TF_SORT_MIN_WORDS`` words:
+    short documents use the direct distinct×filter fold; long documents
+    run-length encode their SORTED token array (boundaries via one
+    linear filter, counts = gap to the next boundary) so the per-doc
+    cost is O(w log w) instead of O(distinct × words) — the quadratic
+    blowup guard for the web-scale tail of long diverse documents.
+    CASE evaluates lazily, so each row pays for exactly one branch
+    (the sort lives in a CASE-guarded column for the same reason).
+    Same (term, cnt) multiset from either branch; only the exploded row
+    order differs (first-occurrence vs sorted), which no consumer
     observes (groupBys, or windows with deterministic tie-breaks).
     """
+    guard = f"size(__ws) < {_TF_SORT_MIN_WORDS}"
     return (
-        toks.withColumn("__sws", F.expr("array_sort(__ws)"))
+        toks.withColumn(
+            "__sws",
+            F.expr(f"CASE WHEN {guard} THEN slice(__ws, 1, 0) "
+                   "ELSE array_sort(__ws) END"),
+        )
         .withColumn("__bnd", F.expr(_TF_BND))
-        .select(*keep, F.explode(F.expr(_TF_RLE)).alias("tc"))
+        .select(
+            *keep,
+            F.explode(
+                F.expr(f"CASE WHEN {guard} THEN {_TF_FOLD} "
+                       f"ELSE {_TF_RLE} END")
+            ).alias("tc"),
+        )
     )
 
 
@@ -2478,9 +2511,18 @@ def dsir_logweights(docs: DataFrame, target: DataFrame,
     fold.  The target side (an eval-set-sized frame) is scanned once
     independently.
     """
-    db = dsir_feature_counts(docs, buckets)
+    # One-shot form: materialize both count frames eagerly so the
+    # two-pass dependency (distribution, then fold) reads ONE computed
+    # doc×bucket table instead of re-tokenizing the corpus per pass
+    # (and the target per consumer of the log table below).  Both frames
+    # are ≤ rows × buckets triples of ints — far smaller than the text
+    # they derive from; the stored-counts production path
+    # (dsir_logweights_from_counts over a persisted table) is unchanged.
+    db = dsir_feature_counts(docs, buckets).localCheckpoint(eager=True)
     scored = dsir_logweights_from_counts(
-        db, dsir_feature_counts(target, buckets), buckets, alpha
+        db,
+        dsir_feature_counts(target, buckets).localCheckpoint(eager=True),
+        buckets, alpha,
     )
     return (
         docs.select("doc_id")
@@ -2628,25 +2670,36 @@ def token_entropy(docs: DataFrame) -> DataFrame:
     ``norm_entropy`` divides by ln(n_distinct) (0/0 → NULL for docs
     with ≤ 1 distinct token), giving the [0, 1] evenness score.
 
-    Scale shape: pure per-row projection via higher-order functions
-    (the per-doc distinct×count fold is the same O(words²) in-row trick
-    as vocab_topk) — zero shuffles, scan-bound at 100 TB.
+    Scale shape: pure per-row projection via higher-order functions —
+    zero shuffles, scan-bound at 100 TB.  Same hybrid kernel switch as
+    :func:`_tf_pairs`: short docs fold counts in first-occurrence order
+    (also the DuckDB twin's float-sum order), long docs use the
+    O(w log w) sorted run-length counts as the quadratic blowup guard.
     """
+    guard = f"size(__ws) < {_TF_SORT_MIN_WORDS}"
     toks = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("__ws")
-    ).withColumn("__sws", F.expr("array_sort(__ws)")).withColumn(
-        "__bnd", F.expr(_TF_BND)
-    )
+    ).withColumn(
+        "__sws",
+        F.expr(f"CASE WHEN {guard} THEN slice(__ws, 1, 0) "
+               "ELSE array_sort(__ws) END"),
+    ).withColumn("__bnd", F.expr(_TF_BND))
     n = F.size(F.col("__ws"))
-    # -Σ c/n · ln(c/n) folded over the run-length counts (same sorted
-    # boundary kernel as _tf_pairs — the array_distinct×filter fold was
-    # O(distinct × words) per doc), all JVM-side
+    cnts = (
+        f"CASE WHEN {guard} THEN "
+        "transform(array_distinct(__ws), t -> size(filter(__ws, x -> x = t))) "
+        f"ELSE {_TF_CNTS} END"
+    )
+    # -Σ c/n · ln(c/n) folded over the per-distinct-token counts
     ent = F.expr(
-        f"aggregate({_TF_CNTS}, 0.0D, "
+        f"aggregate({cnts}, 0.0D, "
         "(acc, c) -> acc - (CAST(c AS DOUBLE) / size(__ws))"
         " * ln(CAST(c AS DOUBLE) / size(__ws)))"
     )
-    k = F.expr("size(__bnd)")
+    k = F.expr(
+        f"CASE WHEN {guard} THEN size(array_distinct(__ws)) "
+        "ELSE size(__bnd) END"
+    )
     return toks.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),

@@ -1597,7 +1597,16 @@ def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
     table needs no partial-merging — only the same epoch-replace retry
     contract.  (Phrase serving reads positions alone, so its snapshot
     is per-table-consistent by construction.)"""
-    per_doc = _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch)))
+    # per_doc feeds TWO write actions (dfreq and postings) — left lazy,
+    # the tokenize + tf kernel (the dominant per-row cost of the build)
+    # executes once per write.  One eager materialization bounds it to a
+    # single pass; the checkpoint is the postings table itself — the
+    # operator's own working set, the same documented trade as the
+    # dedup signature materializations.
+    per_doc = (
+        _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch)))
+        .localCheckpoint(eager=True)
+    )
     opt = {} if full else {"partitionOverwriteMode": "dynamic"}
     (
         docs.agg(

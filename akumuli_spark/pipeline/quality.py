@@ -51,8 +51,14 @@ def _lines_expr() -> str:
     return "filter(transform(split(text, chr(10)), l -> trim(l)), l -> l <> '')"
 
 
-def gopher_quality_flags(docs: DataFrame) -> DataFrame:
+def gopher_quality_flags(docs: DataFrame, *keep: str) -> DataFrame:
     """Per-document Gopher quality signals and the combined pass flag.
+
+    ``keep`` columns of ``docs`` pass through unchanged (same contract
+    as ``text._tf_pairs``), so a composed pipeline can gate on the flags
+    WITHOUT joining the flag frame back to the corpus — the flags are a
+    pure per-row projection, and the join form scans (and re-tokenizes)
+    the input once per consumer.
 
     Signals (rule threshold in brackets — a document *passes* iff every
     rule holds; Rae et al. 2021 Appendix A1.1):
@@ -74,13 +80,16 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     tokenization happens once through a layered select (same rationale
     as ``text.quality_score``).
     """
+    extra = [c for c in keep if c != "text"]
     base = docs.select(
         "doc_id",
         F.expr(_words_expr()).alias("__ws"),
         F.expr(_lines_expr()).alias("__ls"),
         F.col("text"),
+        *extra,
     ).select(
         "doc_id",
+        *keep,
         "__ws",
         "__ls",
         F.size("__ws").cast("long").alias("n_words"),
@@ -100,6 +109,7 @@ def gopher_quality_flags(docs: DataFrame) -> DataFrame:
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
     sig = base.select(
         "doc_id",
+        *keep,
         nw,
         (F.expr("aggregate(__ws, 0L, (a, w) -> a + length(w))") / nwd)
         .alias("mean_word_len"),

@@ -728,7 +728,17 @@ def perplexity_scores(docs: DataFrame, k: float = 1.0) -> DataFrame:
             )
         ).alias("__p"),
     ).select("doc_id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
-    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+    # the distinct-bigram count table feeds BOTH the context roll-up (c1)
+    # and the scored join below — left lazy, the whole
+    # tokenize→explode→count subtree executes once per consumer (the
+    # third full-instance pass the plan showed).  The frame is
+    # vocabulary-sized (one row per DISTINCT bigram), far smaller than
+    # the instance frame it summarizes — the cheap side of the
+    # materialize-once trade.
+    c12 = (
+        pairs.groupBy("w1", "w2").agg(F.count("*").alias("__c12"))
+        .localCheckpoint(eager=True)
+    )
     # context count c1(w1) = Σ_w2 c12(w1, w2) BY DEFINITION — derive it
     # from the distinct-bigram table instead of re-aggregating the full
     # instance frame (same values, one fewer full-instance shuffle)
@@ -1353,6 +1363,12 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # per_doc feeds the df aggregation AND the scoring join — left lazy,
+    # the tokenize + tf kernel executes once per consumer.  Unlike
+    # bm25_topk there is no query-term prune here (every term of every
+    # doc is scored), so the scoring join shuffles the FULL tf table
+    # regardless — materializing it once trades a second tokenize pass
+    # for one write/read of the frame that shuffles anyway.
     per_doc = _tf_pairs(
         docs.select("doc_id", F.split(F.col("text"), " ").alias("__ws")),
         "doc_id",
@@ -1360,7 +1376,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         "doc_id",
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("long").alias("tf"),
-    )
+    ).localCheckpoint(eager=True)
     dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
     n = docs.agg(F.count("*").alias("__n"))
     raw = F.col("tf") * F.log(F.col("__n") / F.col("__df"))
@@ -1444,6 +1460,13 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("double").alias("tf"),
     )
+    # Deliberately NOT pruned to the query's terms: a broadcast
+    # semi-join on qterms before this agg shrinks the map-side state
+    # from |vocab| to |query terms|, but measured 2.0 → 2.9 s at sf0.1
+    # (the extra broadcast build serializes ahead of the branch and
+    # costs more than the full-vocab partial agg saves at any corpus
+    # whose per-task vocab fits memory).  Revisit only if profiling
+    # shows the dfreq partial-agg hash map spilling.
     dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
     stats = docs.agg(
         F.count("*").cast("double").alias("__n"),

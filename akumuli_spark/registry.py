@@ -4179,12 +4179,19 @@ def _curate_gopher_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
     The gate keys on n_words/n_stop_hits (the rules the single-line
     synthetic corpus can meaningfully fail)."""
     docs = load_table(spark, sf, "documents")
-    flags = _quality.gopher_quality_flags(docs)
-    gated = docs.join(
-        flags.filter(
-            (F.col("n_words") >= 50) & (F.col("n_stop_hits") >= 1)
-        ).select("doc_id"),
-        "doc_id",
+    # flags are a pure per-row projection of docs — gate by filtering the
+    # flag frame itself (text rides through via the keep passthrough)
+    # instead of joining the admitted ids back to the corpus, which
+    # scanned + re-tokenized documents once per downstream consumer
+    # (4 scans in the pre-r14 plan).  dedup_paragraphs consumes its
+    # input twice (explode + doc spine), so the gated frame is
+    # materialized once — it is the stage boundary the pipeline
+    # re-reads anyway.
+    gated = (
+        _quality.gopher_quality_flags(docs, "text")
+        .filter((F.col("n_words") >= 50) & (F.col("n_stop_hits") >= 1))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
     )
     return _quality.dedup_paragraphs(
         _quality.with_word_chunk_lines(gated, 2)

@@ -107,6 +107,12 @@ def asof_join(
     chunk = F.expr(f"(ts_ns - {begin_ns}L) div {chunk_ns}L").alias("__chunk")
     # Union with a side marker; right sorts before left at equal ts so a
     # same-ts right sample is visible to the left row (ts' <= ts).
+    # Materialized once: unioned feeds the phase-1 window, the chunk
+    # spine, AND (via __rstate below) the boundary states — left lazy,
+    # each consumer re-executed both sides' scan + SUM-combine (five
+    # scans of the metrics frame in the pre-r14 plan).  The frame is the
+    # combined per-(tagset, ts) stream — the operator's own working set,
+    # already headed into the (tagstr, __chunk) shuffle.
     unioned = left.select(
         "tagstr", "ts_ns", chunk, F.lit(1).alias("__side"), "__lv",
         F.lit(None).cast("struct<rts:bigint,rv:double>").alias("__rstate"),
@@ -118,7 +124,7 @@ def asof_join(
                 F.col("ts_ns").alias("rts"), F.col("__rv").alias("rv")
             ).alias("__rstate"),
         )
-    )
+    ).localCheckpoint(eager=True)
 
     # Phase 1: carry the latest right state WITHIN each (tagset, chunk).
     w_in = (
@@ -133,10 +139,14 @@ def asof_join(
     # Phase 2: per-chunk boundary states (tiny frame: one row per key),
     # prefix-carried across chunks.  max(struct) picks the chunk's last
     # right sample (ts is unique per (tagset, ts) after the SUM combine).
-    boundaries = right.groupBy(
-        "tagstr", F.expr(f"(ts_ns - {begin_ns}L) div {chunk_ns}L").alias("__chunk")
-    ).agg(F.max(F.struct(F.col("ts_ns").alias("rts"),
-                         F.col("__rv").alias("rv"))).alias("__bstate"))
+    # derived from the materialized union's right rows — __rstate IS
+    # struct(rts=ts_ns, rv), so max(__rstate) picks the same chunk-last
+    # sample the old re-scan of the right side computed
+    boundaries = (
+        unioned.filter(F.col("__side") == 0)
+        .groupBy("tagstr", "__chunk")
+        .agg(F.max("__rstate").alias("__bstate"))
+    )
     spine = unioned.select("tagstr", "__chunk").distinct()
     w_prev = (
         Window.partitionBy("tagstr")

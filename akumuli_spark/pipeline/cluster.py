@@ -895,7 +895,15 @@ def dedup_clusters_keep_best(docs: DataFrame, n: int = 5,
     pairs = _dedup.ngram_jaccard_pairs(docs, n=n, threshold=threshold,
                                        max_df=max_df)
     labels = _components_of_pairs(pairs)  # (id, comp), O(duplicates)
-    q = quality_score(docs).select("doc_id", "quality")
+    # quality feeds BOTH the winners agg and the full-corpus scored
+    # frame — left lazy, the tokenize-heavy per-row score projection
+    # executes once per join.  The frame is two narrow columns per doc
+    # (8-byte id + double), far smaller than the text it derives from —
+    # the cheap side of the materialize-once trade.
+    q = (
+        quality_score(docs).select("doc_id", "quality")
+        .localCheckpoint(eager=True)
+    )
     # winner of each non-singleton cluster: max quality, ties → min doc_id
     # (max over struct(quality, -doc_id) == the old row_number order
     # quality DESC, doc_id ASC)

@@ -1450,6 +1450,15 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         qterms = spark.createDataFrame(
             qrows, "query_id long, term string, qtf long"
         )
+    # per_doc feeds the GLOBAL df aggregation AND the scoring join.  The
+    # df branch must fold every document's terms regardless of the query
+    # (df is a corpus statistic), so the tf table is fully computed
+    # either way — materializing it once trades the second tokenize+tf
+    # pass for a local write/read of the frame the df agg consumes
+    # whole anyway.  Paired A/B at sf0.1: 5.50->3.01 / 3.89->2.33 /
+    # 2.69->1.12 / 4.23->1.69 s.  (A broadcast semi-join pruning the df
+    # branch to query terms measured SLOWER — 2.0->2.9 s — the extra
+    # broadcast build serializes ahead of the branch.)
     per_doc = _tf_pairs(
         docs.select(
             "doc_id", F.split(F.col("text"), " ").alias("__ws")
@@ -1459,14 +1468,7 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         "doc_id", "dl",
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("double").alias("tf"),
-    )
-    # Deliberately NOT pruned to the query's terms: a broadcast
-    # semi-join on qterms before this agg shrinks the map-side state
-    # from |vocab| to |query terms|, but measured 2.0 → 2.9 s at sf0.1
-    # (the extra broadcast build serializes ahead of the branch and
-    # costs more than the full-vocab partial agg saves at any corpus
-    # whose per-task vocab fits memory).  Revisit only if profiling
-    # shows the dfreq partial-agg hash map spilling.
+    ).localCheckpoint(eager=True)
     dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
     stats = docs.agg(
         F.count("*").cast("double").alias("__n"),

@@ -1111,6 +1111,11 @@ def kmeans_lloyd_step(embs: DataFrame, nlist: int = 16) -> DataFrame:
             ),
         )
         .select("vec_id", "embedding", "cid")
+        # feeds the per-cluster counts AND the ×dim mean explode — left
+        # lazy, the broadcast-argmin fold (O(nlist × dim) interpreted
+        # work per row) executes once per consumer; the checkpoint is
+        # the assigned corpus the update step consumes whole anyway
+        .localCheckpoint(eager=True)
     )
     counts = assigned.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_assigned")

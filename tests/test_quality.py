@@ -96,6 +96,28 @@ def test_gopher_empty_and_whitespace(spark):
         assert rows[d]["bullet_line_frac"] == 0.0
 
 
+def test_gopher_keep_passthrough(spark):
+    """The keep-columns passthrough (r14: lets the curation composition
+    gate without a corpus self-join) must change NOTHING about the
+    computed signals, and the kept columns must ride through verbatim —
+    including 'text' itself, which the flag computation also consumes."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat with a dog and they were happy at home", "en"),
+         (2, "", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    plain = {r["doc_id"]: r.asDict()
+             for r in Q.gopher_quality_flags(docs).collect()}
+    kept = {r["doc_id"]: r.asDict()
+            for r in Q.gopher_quality_flags(docs, "text", "lang").collect()}
+    src = {r["doc_id"]: r.asDict() for r in docs.collect()}
+    for d in (1, 2):
+        for col, v in plain[d].items():
+            assert kept[d][col] == v, (d, col)
+        assert kept[d]["text"] == src[d]["text"]
+        assert kept[d]["lang"] == src[d]["lang"]
+
+
 # ---------------------------------------------------------------------------
 # line_repetition_signals
 # ---------------------------------------------------------------------------

@@ -697,61 +697,88 @@ def synth_jpeg_pixel_payloads(docs: DataFrame) -> DataFrame:
             return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
         def encode(grid: "np.ndarray", w: int, h: int) -> bytes:
+            # Bit packing is inlined on local acc/n (the closure-dict
+            # `put` helper was ~half the encode cost), and the forward
+            # DCT runs ONCE batched over all blocks — matmul
+            # broadcasting applies the identical (C @ X) @ C.T chain
+            # per block, so the emitted coefficients are unchanged.
             out = bytearray()
-            state = {"acc": 0, "n": 0}
-
-            def put(code: int, length: int) -> None:
-                state["acc"] = (state["acc"] << length) | code
-                state["n"] += length
-                while state["n"] >= 8:
-                    state["n"] -= 8
-                    b = (state["acc"] >> state["n"]) & 0xFF
-                    out.append(b)
-                    if b == 0xFF:
-                        out.append(0x00)  # byte stuffing
-                state["acc"] &= (1 << state["n"]) - 1
-
+            app = out.append
+            acc = n = 0
             # pad to 8×8 multiples by edge replication
             bw, bh = -(-w // 8) * 8, -(-h // 8) * 8
             img = np.empty((bh, bw), dtype=np.float64)
             img[:h, :w] = grid
             img[:h, w:] = grid[:, -1:]
             img[h:, :] = img[h - 1:h, :]
+            blocks = (img - 128.0).reshape(
+                bh // 8, 8, bw // 8, 8).transpose(0, 2, 1, 3)
+            coefs = np.round((C @ blocks) @ C.T).astype(np.int64)
+            zzall = coefs.reshape(-1, 64)[:, _JPEG_ZIGZAG].tolist()
             pred = 0
-            for by in range(0, bh, 8):
-                for bx in range(0, bw, 8):
-                    blk = img[by:by + 8, bx:bx + 8] - 128.0
-                    coef = np.round(C @ blk @ C.T).astype(np.int64)
-                    zz = coef.flatten()[_JPEG_ZIGZAG]
-                    diff = int(zz[0]) - pred
-                    pred = int(zz[0])
-                    s = int(diff != 0 and int(abs(diff)).bit_length())
-                    code, ln = dc_codes[s]
-                    put(code, ln)
-                    if s:
-                        put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for zz in zzall:
+                dc = zz[0]
+                diff = dc - pred
+                pred = dc
+                s = abs(diff).bit_length() if diff else 0
+                code, ln = dc_codes[s]
+                acc = (acc << ln) | code
+                n += ln
+                if s:
+                    acc = (acc << s) | (
+                        diff if diff > 0 else diff + (1 << s) - 1)
+                    n += s
+                while n >= 8:
+                    n -= 8
+                    b = (acc >> n) & 0xFF
+                    app(b)
+                    if b == 0xFF:
+                        app(0x00)  # byte stuffing
+                acc &= (1 << n) - 1
+                run = 0
+                for k in range(1, 64):
+                    v = zz[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        acc = (acc << ln) | code
+                        n += ln
+                        run -= 16
+                    s = abs(v).bit_length()
+                    if s > 10:  # outside Annex-K AC categories
+                        raise ValueError("AC coefficient overflow")
+                    code, ln = ac_codes[run * 16 + s]
+                    acc = (acc << ln) | code
+                    n += ln
+                    acc = (acc << s) | (v if v > 0 else v + (1 << s) - 1)
+                    n += s
                     run = 0
-                    for k in range(1, 64):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run >= 16:
-                            code, ln = ac_codes[0xF0]  # ZRL
-                            put(code, ln)
-                            run -= 16
-                        s = int(abs(v)).bit_length()
-                        if s > 10:  # outside Annex-K AC categories
-                            raise ValueError("AC coefficient overflow")
-                        code, ln = ac_codes[run * 16 + s]
-                        put(code, ln)
-                        put(v if v > 0 else v + (1 << s) - 1, s)
-                        run = 0
-                    if run:
-                        code, ln = ac_codes[0x00]  # EOB
-                        put(code, ln)
-            if state["n"]:  # pad final byte with 1s (spec convention)
-                put((1 << (8 - state["n"])) - 1, 8 - state["n"])
+                    while n >= 8:
+                        n -= 8
+                        b = (acc >> n) & 0xFF
+                        app(b)
+                        if b == 0xFF:
+                            app(0x00)
+                    acc &= (1 << n) - 1
+                if run:
+                    code, ln = ac_codes[0x00]  # EOB
+                    acc = (acc << ln) | code
+                    n += ln
+                    while n >= 8:
+                        n -= 8
+                        b = (acc >> n) & 0xFF
+                        app(b)
+                        if b == 0xFF:
+                            app(0x00)
+                    acc &= (1 << n) - 1
+            if n:  # pad final byte with 1s (spec convention)
+                pad = 8 - n
+                b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                app(b)
+                if b == 0xFF:
+                    app(0x00)
             return bytes(out)
 
         dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
@@ -1894,62 +1921,153 @@ def _dct_matrix():
     return c  # orthonormal: F = C @ B @ C.T, B = C.T @ F @ C
 
 
+#: packed 16-bit-peek Huffman LUTs, cached by DHT table CONTENT
+#: (counts+symbols bytes): real corpora reuse a handful of tables
+#: (often the Annex-K pair) across millions of images, so each distinct
+#: table's LUT is built once per Python worker process.  Decode-table
+#: machinery only — never query results — so the cache is
+#: run-independent by construction.  Bounded: evicted wholesale if a
+#: hostile corpus ships unbounded distinct tables.
+_JPEG_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _jpeg_huff_lut(counts, syms) -> list:
+    """65536-entry packed decode LUT for one canonical Huffman table:
+    entry at index ``peek16`` (the next 16 bits of the stream, zero-
+    padded near stream end) is ``(symbol << 5) | code_length``; 0 marks
+    an invalid prefix.  Canonical codes are prefix-free, so the single
+    lookup returns exactly the symbol the T.81 bit-by-bit DECODE walk
+    finds — the per-bit dict walk was ~70% of real-JPEG decode time."""
+    key = bytes(counts) + bytes(syms)
+    lut = _JPEG_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [0] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        shift = 16 - length
+        for _ in range(counts[length - 1]):
+            packed = (syms[k] << 5) | length
+            start = code << shift
+            lut[start:start + (1 << shift)] = [packed] * (1 << shift)
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_JPEG_LUT_CACHE) >= 64:
+        _JPEG_LUT_CACHE.clear()
+    _JPEG_LUT_CACHE[key] = lut
+    return lut
+
+
 class _JpegBitReader:
-    """MSB-first bit reader over entropy-coded data with byte
-    UN-stuffing (0xFF 0x00 → 0xFF) and RST-marker awareness."""
+    """MSB-first bit reader over entropy-coded data.  The constructor
+    makes ONE C-speed pass over the scan's entropy region (bytes.find /
+    bytes.replace): it locates the terminating marker, splits the data
+    at RSTn markers into restart intervals, and UN-stuffs each interval
+    (0xFF 0x00 → 0xFF) up front — so the per-bit hot path is plain
+    shifts over marker-free bytes instead of a per-byte 0xFF test (the
+    old byte-at-a-time fill was the top cost of real-JPEG decode)."""
+
+    __slots__ = ("ivals", "iidx", "buf", "blen", "i", "acc", "n", "pos")
 
     def __init__(self, data: bytes, pos: int):
-        self.d, self.pos, self.acc, self.n = data, pos, 0, 0
-
-    def _fill(self) -> bool:
-        if self.pos + 1 >= len(self.d):
-            return False  # truncated entropy stream
-        b = self.d[self.pos]
-        if b == 0xFF:
-            nxt = self.d[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:  # RST: caller consumes via sync
-                return False
-            else:  # EOI or another marker: no more entropy bits
-                return False
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-        return True
+        n = len(data)
+        bounds = []
+        start = i = pos
+        end = n
+        while True:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                # no terminating marker: the OLD byte-at-a-time reader
+                # could never deliver the final byte (its fill looked
+                # one byte ahead for stuffing), so a trailing plain
+                # byte stays undeliverable — truncated corrupt streams
+                # must keep failing exactly where they used to
+                end = n if i >= n else n - 1
+                break
+            if j + 1 >= n:
+                end = j  # trailing lone 0xFF: no bits in it
+                break
+            nxt = data[j + 1]
+            if nxt == 0x00:  # stuffed data byte
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn: interval boundary
+                bounds.append((start, j))
+                start = i = j + 2
+            else:  # EOI or another real marker: entropy data ends
+                end = j
+                break
+        bounds.append((start, end))
+        self.ivals = [
+            data[a:b].replace(b"\xff\x00", b"\xff") for a, b in bounds
+        ]
+        #: first byte of the terminating marker (used by the progressive
+        #: decoder to find the next scan; identical landing point to the
+        #: old reader via _next_jpeg_marker, which skips RST/stuffing)
+        self.pos = end
+        self.iidx = 0
+        self.buf = self.ivals[0]
+        self.blen = len(self.buf)
+        self.i = 0
+        self.acc = 0
+        self.n = 0
 
     def bits(self, k: int) -> int | None:
-        while self.n < k:
-            if not self._fill():
-                return None
-        self.n -= k
-        v = (self.acc >> self.n) & ((1 << k) - 1)
-        self.acc &= (1 << self.n) - 1
-        return v
+        n, acc = self.n, self.acc
+        if n < k:
+            i, buf, blen = self.i, self.buf, self.blen
+            while n < k:
+                if i >= blen:
+                    return None  # exhausted this restart interval
+                acc = (acc << 8) | buf[i]
+                i += 1
+                n += 8
+            self.i = i
+        n -= k
+        self.n = n
+        self.acc = acc & ((1 << n) - 1)
+        return (acc >> n) & ((1 << k) - 1)
 
-    def huffman(self, table: dict[tuple[int, int], int]) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            b = self.bits(1)
-            if b is None:
-                return None
-            code = (code << 1) | b
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        return None
+    def huffman(self, lut: list) -> int | None:
+        """One packed-LUT lookup over the next ≤16 bits (see
+        :func:`_jpeg_huff_lut`).  Equivalent to the per-bit canonical
+        walk: prefix-free codes mean the zero-padded peek selects the
+        same unique symbol, and a code needing more bits than the
+        stream holds fails here exactly where the walk ran dry."""
+        n, acc = self.n, self.acc
+        if n < 16:
+            i, buf, blen = self.i, self.buf, self.blen
+            while n < 16 and i < blen:
+                acc = (acc << 8) | buf[i]
+                i += 1
+                n += 8
+            self.i = i
+            self.acc, self.n = acc, n
+        if n >= 16:
+            v = lut[(acc >> (n - 16)) & 0xFFFF]
+        else:
+            v = lut[(acc << (16 - n)) & 0xFFFF]
+        ln = v & 31
+        if ln == 0 or ln > n:
+            return None  # invalid prefix, or truncated mid-code
+        n -= ln
+        self.n = n
+        self.acc = acc & ((1 << n) - 1)
+        return v >> 5
 
     def sync_restart(self) -> bool:
-        """Align to and consume an RSTn marker between restart
-        intervals; resets the bit buffer."""
-        self.acc, self.n = 0, 0
-        while self.pos + 1 < len(self.d):
-            if self.d[self.pos] == 0xFF and 0xD0 <= self.d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return True
-            self.pos += 1
-        return False
+        """Advance to the next restart interval (the old reader scanned
+        forward for and consumed the RSTn marker; intervals are now
+        pre-split, so this is an index bump); resets the bit buffer."""
+        if self.iidx + 1 >= len(self.ivals):
+            return False
+        self.iidx += 1
+        self.buf = self.ivals[self.iidx]
+        self.blen = len(self.buf)
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+        return True
 
 
 def _jpeg_extend(v: int, s: int) -> int:
@@ -1980,7 +2098,7 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    huff: dict[tuple[int, int], list] = {}  # (class, id) → packed LUT
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     restart = 0
@@ -2024,15 +2142,7 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
                 counts = list(seg[i + 1:i + 17])
                 nsym = sum(counts)
                 syms = list(seg[i + 17:i + 17 + nsym])
-                dec: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        dec[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = dec
+                huff[(tc, th)] = _jpeg_huff_lut(counts, syms)
                 i += 17 + nsym
         elif marker == 0xC0:  # SOF0: baseline sequential
             if seg[0] != 8:
@@ -2088,6 +2198,14 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
     rd = _JpegBitReader(p, pos)
     pred = {cid: 0 for cid, _, _ in scan}
     mcu_i = 0
+    zz = _JPEG_ZIGZAG
+    # luma coefficient blocks accumulate as plain Python lists (element
+    # stores on a list are several times cheaper than numpy scalar
+    # stores) and the dequant+IDCT runs ONCE, batched over all blocks,
+    # at the end — same float math as the per-block form: matmul
+    # broadcasting applies the identical (C.T @ X) @ C chain per block.
+    blk_pos: list[tuple[int, int]] = []
+    blk_coef: list[list[int]] = []
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_i and mcu_i % restart == 0:
@@ -2108,7 +2226,7 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
                                 return None
                             diff = _jpeg_extend(bits, s)
                         pred[cid] += diff
-                        coef = np.zeros(64, dtype=np.int64)
+                        coef = [0] * 64
                         coef[0] = pred[cid]
                         k = 1
                         while k < 64:
@@ -2127,15 +2245,19 @@ def _jpeg_payload_grid(p: bytes, sx, sy):
                             bits = rd.bits(size)
                             if bits is None:
                                 return None
-                            coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits, size)
+                            coef[zz[k]] = _jpeg_extend(bits, size)
                             k += 1
                         if cid != luma[0]:
                             continue  # chroma: consumed, not gathered
-                        blk = C.T @ ((coef.reshape(8, 8) * q).astype(
-                            np.float64)) @ C
-                        y0 = (my * vs + v) * 8
-                        x0 = (mx * hs + hb) * 8
-                        plane[y0:y0 + 8, x0:x0 + 8] = blk
+                        blk_pos.append(((my * vs + v) * 8,
+                                        (mx * hs + hb) * 8))
+                        blk_coef.append(coef)
+    if blk_coef:
+        q = qt[by_id[luma[0]][2]]  # the LUMA component's quant table
+        arr = np.array(blk_coef, dtype=np.float64).reshape(-1, 8, 8) * q
+        blks = (C.T @ arr) @ C
+        for (y0, x0), blk in zip(blk_pos, blks):
+            plane[y0:y0 + 8, x0:x0 + 8] = blk
     pix = np.clip(np.round(plane[:h, :w] + 128.0), 0, 255).astype(np.uint8)
     return pix[sy[:, None], sx[None, :]]
 
@@ -2187,7 +2309,7 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
     if len(p) < 4 or p[:2] != b"\xff\xd8":
         return None
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], list] = {}
     w = h = None
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     by_id: dict[int, tuple[int, int, int]] = {}
@@ -2224,14 +2346,14 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
                 pred[cid] += diff
                 if bcoords is not None:
                     by, bx = bcoords
-                    coefs[by, bx, 0] = pred[cid] << al
+                    coefs[by][bx][0] = pred[cid] << al
             else:
                 b = rd.bits(1)
                 if b is None:
                     return False
                 if b and bcoords is not None:
                     by, bx = bcoords
-                    coefs[by, bx, 0] |= 1 << al
+                    coefs[by][bx][0] |= 1 << al
             return True
 
         if len(scomps) > 1:  # interleaved MCU walk
@@ -2284,7 +2406,7 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
                         return None
                     eobrun = 0
                 i += 1
-                coef = coefs[by, bx]
+                coef = coefs[by][bx]
                 k = ss
                 if ah == 0:  # AC first pass (G.1.2.2 / jdphuff)
                     if eobrun > 0:
@@ -2414,15 +2536,7 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
                 counts = list(seg[i + 1:i + 17])
                 nsym = sum(counts)
                 syms = list(seg[i + 17:i + 17 + nsym])
-                dec: dict[tuple[int, int], int] = {}
-                code, k = 0, 0
-                for length in range(1, 17):
-                    for _ in range(counts[length - 1]):
-                        dec[(length, code)] = syms[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = dec
+                huff[(tc, th)] = _jpeg_huff_lut(counts, syms)
                 i += 17 + nsym
         elif marker == 0xC2:  # SOF2
             if seg[0] != 8:
@@ -2447,9 +2561,15 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
             mcuy = -(-h // (8 * vmax))
             cw, ch = -(-w // 8), -(-h // 8)
             # MCU-padded store: interleaved DC may cover more luma
-            # blocks than the ceil(w/8)×ceil(h/8) raster AC scans use
-            coefs = np.zeros(
-                (mcuy * luma[2], mcux * luma[1], 64), dtype=np.int64)
+            # blocks than the ceil(w/8)×ceil(h/8) raster AC scans use.
+            # Plain Python lists: the scan loops read and write single
+            # coefficients, which numpy scalar indexing makes ~5× more
+            # expensive than list indexing; the array forms only at the
+            # final batched IDCT.
+            coefs = [
+                [[0] * 64 for _ in range(mcux * luma[1])]
+                for _ in range(mcuy * luma[2])
+            ]
         elif marker in _JPEG_SOF:
             return None  # mixed/unsupported frame type
         elif marker == 0xDD:  # DRI
@@ -2491,13 +2611,13 @@ def _jpeg_progressive_grid(p: bytes, sx, sy):
     if q is None:
         return None
     C = _dct_matrix()
-    bh, bw = coefs.shape[0], coefs.shape[1]
-    plane = np.zeros((bh * 8, bw * 8))
-    for by in range(bh):
-        for bx in range(bw):
-            blk = C.T @ ((coefs[by, bx].reshape(8, 8) * q).astype(
-                np.float64)) @ C
-            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+    bh, bw = len(coefs), len(coefs[0])
+    # one batched dequant+IDCT over every block — matmul broadcasting
+    # applies the identical (C.T @ X) @ C chain per block as the old
+    # per-block loop, so the pixels are bit-identical
+    arr = np.array(coefs, dtype=np.float64).reshape(bh, bw, 8, 8) * q
+    blks = (C.T @ arr) @ C
+    plane = blks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
     pix = np.clip(np.round(plane[:h, :w] + 128.0), 0, 255).astype(np.uint8)
     return pix[sy[:, None], sx[None, :]]
 

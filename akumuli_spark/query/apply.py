@@ -227,6 +227,7 @@ def _node_ewma(res, node: ApplyNode, delta: bool = False):
     value_cols = list(res.value_cols)
     forward = res.query.range.forward
     schema = res.df.schema
+    cols = [f.name for f in schema.fields]
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts_ns", ascending=forward).reset_index(drop=True)
@@ -250,7 +251,27 @@ def _node_ewma(res, node: ApplyNode, delta: bool = False):
             pdf[c] = xs - out if delta else out
         return pdf
 
-    res.df = res.df.groupBy("series").applyInPandas(per_series, schema=schema)
+    def per_partition(pdfs):
+        # ALL series of one hash partition in one Python call: the
+        # groupBy().applyInPandas shape paid an exchange + a per-group
+        # local SORT + one JVM↔Python round per series; hash
+        # co-location is the only distribution requirement of the
+        # per-series recursion, so mapInPandas over repartition("series")
+        # drops the sort and amortizes the Python boundary across the
+        # partition's series (guide §4.5).  The exact per-series kernel
+        # — and therefore every emitted double — is unchanged.
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        if not len(pdf):
+            return
+        outs = [per_series(g) for _, g in pdf.groupby("series", sort=False)]
+        yield pd.concat(outs, ignore_index=True)[cols]
+
+    res.df = res.df.repartition("series").mapInPandas(
+        per_partition, schema=schema)
     return res
 
 

@@ -45,9 +45,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     with one broadcast-sized left join (loop labels are O(duplicates)).
     """
     labels = _components_of_pairs(pairs, max_iter=max_iter)
-    return nodes.join(labels.withColumnRenamed("comp", "__comp"), "id", "left").select(
-        "id", F.coalesce("__comp", F.col("id")).alias("comp")
-    )
+    # F.broadcast pins the O(duplicates) label frame as the build side:
+    # the checkpointed loop output carries no size statistics, so the
+    # static plan would otherwise SortMergeJoin — shuffling the corpus —
+    # and only AQE's runtime stats would rescue it (guide §3.1).
+    return nodes.join(
+        F.broadcast(labels.withColumnRenamed("comp", "__comp")), "id", "left"
+    ).select("id", F.coalesce("__comp", F.col("id")).alias("comp"))
 
 
 def _components_of_pairs(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -907,17 +911,23 @@ def dedup_clusters_keep_best(docs: DataFrame, n: int = 5,
     # winner of each non-singleton cluster: max quality, ties → min doc_id
     # (max over struct(quality, -doc_id) == the old row_number order
     # quality DESC, doc_id ASC)
+    # F.broadcast pins the O(duplicates) labels and O(clusters) winners
+    # as build sides: both are post-checkpoint frames with no size
+    # statistics, so the static plan would otherwise SortMergeJoin the
+    # corpus-scale q side through an exchange (guide §3.1); the
+    # "corpus is never shuffled" shape now holds statically, not only
+    # after AQE's runtime rescue.
     winners = (
-        q.join(labels, q["doc_id"] == labels["id"])
+        q.join(F.broadcast(labels), q["doc_id"] == labels["id"])
         .groupBy(F.col("comp").alias("cluster_id"))
         .agg((-F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")))
               .getField("nid")).alias("__winner"))
     )
-    scored = q.join(labels, q["doc_id"] == labels["id"], "left").select(
+    scored = q.join(F.broadcast(labels), q["doc_id"] == labels["id"], "left").select(
         "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
         "quality",
     )
-    return scored.join(winners, "cluster_id", "left").select(
+    return scored.join(F.broadcast(winners), "cluster_id", "left").select(
         "doc_id", "cluster_id", "quality",
         F.when(F.col("__winner").isNull(), F.lit(1))
         .otherwise((F.col("doc_id") == F.col("__winner")).cast("long"))
@@ -999,8 +1009,11 @@ def mine_contrastive_triplets(pairs: DataFrame, neighbors: DataFrame,
         F.col("cosine").alias("neg_cosine"),
     )
     n, p = neigh.alias("n"), pos.alias("p")
+    # broadcast the O(near-dup pairs) positives as the anti-join build
+    # side: the checkpointed frame has no size statistics, so the
+    # static plan would otherwise shuffle both sides (guide §3.1)
     elig = n.join(
-        p,
+        F.broadcast(p),
         (F.col("n.anchor_id") == F.col("p.anchor_id"))
         & (F.col("n.neg_id") == F.col("p.pos_id")),
         "left_anti",
@@ -1017,7 +1030,10 @@ def mine_contrastive_triplets(pairs: DataFrame, neighbors: DataFrame,
         elig.withColumn("neg_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("neg_rank") <= int(per_anchor))
     )
-    return pos.join(best, "anchor_id").select(
+    # broadcast the ≤ per_anchor-per-anchor winners frame: the pos side
+    # is post-checkpoint (no stats), so the static plan would otherwise
+    # exchange both of these small frames
+    return pos.join(F.broadcast(best), "anchor_id").select(
         "anchor_id", "pos_id", "neg_id", "neg_cosine", "neg_rank"
     )
 

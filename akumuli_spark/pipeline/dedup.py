@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.materialize import corpus_checkpoint
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -290,7 +292,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
     # to a single explode; the checkpoint is the operator's own working
     # set (O(corpus shingles)) — the documented trade of this exact-Jaccard
     # op, whose web-scale sibling is the MinHash path.
-    sh = word_shingles(docs, n=n).localCheckpoint(eager=True)
+    sh = corpus_checkpoint(word_shingles(docs, n=n))
     if max_df is not None:
         # anti-join against the HOT side (df > max_df): boilerplate
         # shingles are a tiny fraction of distinct shingles, so this side
@@ -306,7 +308,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.5,
             # of the guarded frame (sizes + both self-join sides)
             .localCheckpoint(eager=True)
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -382,7 +384,7 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
     # same materialize-once + hot-side anti-join shape as
     # ngram_jaccard_pairs (four consumers of the explode; tiny hot side
     # broadcasts where `rare` was corpus-scale)
-    sh = word_shingles(docs, n=n).localCheckpoint(eager=True)
+    sh = corpus_checkpoint(word_shingles(docs, n=n))
     if max_df is not None:
         hot = (
             sh.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -393,7 +395,7 @@ def ngram_containment_pairs(docs: DataFrame, n: int = 5,
             # of the guarded frame (sizes + both self-join sides)
             .localCheckpoint(eager=True)
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -491,8 +493,8 @@ def duplicated_span_coverage(docs: DataFrame, n: int = 5) -> DataFrame:
         # feeds the duplicated-shingle agg AND the coverage join: one
         # eager materialization bounds the tokenize+md5 explode to a
         # single pass (same trade as _positioned_shingles)
-        .localCheckpoint(eager=True)
     )
+    pos = corpus_checkpoint(pos)
     dup = (
         pos.select("shingle", "doc_id").distinct()
         .groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -596,8 +598,8 @@ def scrub_duplicated_spans(docs: DataFrame, n: int = 5) -> DataFrame:
         # feeds the duplicated-shingle agg AND the coverage join: one
         # eager materialization bounds the tokenize+md5 explode to a
         # single pass (same trade as _positioned_shingles)
-        .localCheckpoint(eager=True)
     )
+    pos = corpus_checkpoint(pos)
     dup = (
         pos.select("shingle", "doc_id").distinct()
         .groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -695,8 +697,8 @@ def _positioned_shingles(docs: DataFrame, n: int,
         # the checkpoint is the operator's own working set (the
         # positioned-shingle table the anchor join shuffles anyway), the
         # same documented trade as ngram_jaccard_pairs
-        .localCheckpoint(eager=True)
     )
+    pos = corpus_checkpoint(pos)
     if max_df is not None:
         # anti-join against the HOT side (df > max_df): boilerplate
         # shingles are a tiny fraction of distinct shingles, so this side
@@ -709,7 +711,7 @@ def _positioned_shingles(docs: DataFrame, n: int,
             .select("shingle")
             .localCheckpoint(eager=True)
         )
-        pos = pos.join(hot, "shingle", "left_anti")
+        pos = pos.join(F.broadcast(hot), "shingle", "left_anti")
     return pos
 
 
@@ -1890,7 +1892,8 @@ def semantic_dedup(embs: DataFrame, nlist: int = 16,
                 "aggregate(embedding, 0.0D, "
                 "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
             )),
-        ).localCheckpoint(eager=True)
+        )
+        assigned = corpus_checkpoint(assigned)
     if vectorized:
         import numpy as np
         import pandas as pd
@@ -2013,7 +2016,8 @@ def semantic_near_dup_pairs(embs: DataFrame, nlist: int = 16,
             "aggregate(embedding, 0.0D, "
             "(acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))"
         )),
-    ).localCheckpoint(eager=True)
+    )
+    assigned = corpus_checkpoint(assigned)
     a = assigned.select(
         F.col("cid"), F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("ea"), F.col("__n").alias("na"),

@@ -234,11 +234,88 @@ def _build_select_events(df: DataFrame, q: Query) -> Result:
 _STRUCT_FUNCS = frozenset({"min_timestamp", "max_timestamp", "first", "last"})
 #: the 11 reference functions — all decomposable over per-timestamp
 #: partials (count/sum/min/max); percentiles are not (they need the raw
-#: value multiset) and keep the one-level path
+#: value multiset) and keep the one-level path.
+#:
+#: Two documented assumptions of the decomposition (both hold for every
+#: in-repo view; revisit if a nullable-value source is ever added):
+#:
+#: * ``value`` is never NULL.  The one-level struct forms
+#:   min(struct(v, t)) / min(struct(t, v)) would rank a NULL field
+#:   first, while the two-level partials (__mn/__mx) drop NULLs before
+#:   the struct merge — a NULL value at the extreme timestamp could
+#:   make first/last/min_timestamp/max_timestamp differ between the
+#:   paths (ADVICE r14).
+#: * ``mean``/``sum`` accumulate as sums of per-timestamp partials in
+#:   the two-level path — a different double-addition grouping than the
+#:   one-level flat fold, so the two paths agree only up to the last
+#:   ulp (the oracle's rounding masks it); which path plans depends on
+#:   the requested function set and, at scale, on the probe below.
 _DECOMPOSABLE = frozenset({
     "count", "sum", "min", "max", "mean", "min_timestamp", "max_timestamp",
     "first", "last", "first_timestamp", "last_timestamp",
 })
+
+#: inputs whose optimizer-estimated size exceeds this many bytes get a
+#: cheap cardinality probe before the two-level decomposition plans
+#: (see _partials_compress); -1 disables the probe entirely
+_AGG_PROBE_BYTES_CONF = "spark.akumuli.aggregate.probeBytes"
+_AGG_PROBE_BYTES_DEFAULT = 4 * 1024**3
+
+
+def _partials_compress(base: DataFrame) -> bool:
+    """Scale-adaptive guard for the two-level aggregate decomposition
+    (guide §2.3): at ns-unique timestamps the (metric, tagstr, ts_ns)
+    partials do not compress, so level 1 exchanges ~the whole input —
+    strictly worse at cluster scale than the one-level SortAggregate,
+    whose map-side partial reduces to O(groups) rows per task before
+    the exchange.  A small-sample ``approx_count_distinct`` probe
+    detects that case and routes to the one-level path.
+
+    The probe is itself a Spark job, so it only runs when the
+    optimizer's size estimate says the input is big enough for the
+    exchange trade to matter (``spark.akumuli.aggregate.probeBytes``,
+    default 4 GiB — far above the local bench inputs, so bench plans
+    and timings are untouched; set -1 to disable, 0 to always probe).
+    Routing never changes results: both paths compute the same
+    aggregates (up to the documented mean/sum ulp grouping)."""
+    try:
+        spark = base.sparkSession
+        thresh = int(spark.conf.get(
+            _AGG_PROBE_BYTES_CONF, str(_AGG_PROBE_BYTES_DEFAULT)))
+        if thresh < 0:
+            return True
+        if thresh > 0:  # 0 = probe unconditionally (test hook)
+            size = int(
+                base._jdf.queryExecution().optimizedPlan().stats()
+                .sizeInBytes()
+            )
+            if size >= 1 << 62:
+                # Catalyst reports ~Long.MaxValue when statistics are
+                # unavailable (in-memory relations): unknown ≠ big —
+                # keep the measured default instead of paying a probe
+                return True
+            if size < thresh:
+                # small input: two-level measured faster (r14 A/B)
+                return True
+        row = (
+            base.select("metric", "tagstr", "ts_ns").limit(262_144)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.approx_count_distinct(
+                    F.concat_ws(
+                        "\x00", "metric", "tagstr",
+                        F.col("ts_ns").cast("string"))
+                ).alias("__d"),
+            )
+            .first()
+        )
+        # approx_count_distinct's default rsd is 5%: ratios near 1 mean
+        # the partials would not compress — use the one-level path
+        return bool(row["__n"]) and row["__d"] < 0.9 * row["__n"]
+    except Exception:
+        # connect-mode session (no _jdf) or stats unavailable: keep the
+        # measured-default two-level path
+        return True
 
 
 def _two_level_agg_expr(func: str) -> Column:
@@ -303,7 +380,7 @@ def _build_aggregate(df: DataFrame, q: Query) -> Result:
     ts_out = F.min("ts_ns") if q.range.forward else F.max("ts_ns")
     if (_STRUCT_FUNCS & set(funcs_needed)) and all(
         f in _DECOMPOSABLE for f in funcs_needed
-    ):
+    ) and _partials_compress(base):
         pre = base.groupBy("metric", "tagstr", "ts_ns").agg(
             F.count("value").alias("__c"),
             F.sum("value").alias("__s"),

@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.materialize import corpus_checkpoint
+
 from akumuli_spark.query.errors import QueryValidationError
 
 DAY_NS = 86_400 * 10**9
@@ -124,7 +126,8 @@ def asof_join(
                 F.col("ts_ns").alias("rts"), F.col("__rv").alias("rv")
             ).alias("__rstate"),
         )
-    ).localCheckpoint(eager=True)
+    )
+    unioned = corpus_checkpoint(unioned)
 
     # Phase 1: carry the latest right state WITHIN each (tagset, chunk).
     w_in = (

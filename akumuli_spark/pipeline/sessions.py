@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.materialize import corpus_checkpoint
+
 NS = 10**9
 
 
@@ -134,9 +136,9 @@ def funnel_counts(events: DataFrame,
         # frame feeds BOTH the next stage's join and its own count — the
         # lazy chain re-executed stage i's whole lineage once per later
         # stage (stage 1 ran ``len(steps)`` times)
-        agg = cur.groupBy("user_id").agg(
+        agg = corpus_checkpoint(cur.groupBy("user_id").agg(
             F.min("ts_ns").alias("__t")
-        ).localCheckpoint(eager=True)
+        ))
         stage_users.append(agg)
         prev = agg
     counts = None
@@ -323,7 +325,8 @@ def active_users(events: DataFrame, day_ns: int = 86_400 * NS,
     ).select(
         "user_id",
         F.expr(f"__ts div {int(day_ns)}L").alias("day"),
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    e = corpus_checkpoint(e)
     # deduped (user, day) pairs feed BOTH the dau agg and the wau
     # explode — materialized once (the operator's own working set)
     dau = e.groupBy("day").agg(F.count("*").cast("long").alias("dau"))

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.materialize import corpus_checkpoint
+
 LSH_BITS = 8
 
 
@@ -1115,8 +1117,8 @@ def kmeans_lloyd_step(embs: DataFrame, nlist: int = 16) -> DataFrame:
         # lazy, the broadcast-argmin fold (O(nlist × dim) interpreted
         # work per row) executes once per consumer; the checkpoint is
         # the assigned corpus the update step consumes whole anyway
-        .localCheckpoint(eager=True)
     )
+    assigned = corpus_checkpoint(assigned)
     counts = assigned.groupBy("cid").agg(
         F.count("*").cast("long").alias("n_assigned")
     )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from akumuli_spark.materialize import corpus_checkpoint
+
 # ---------------------------------------------------------------------------
 # language id — marker-word heuristic
 # ---------------------------------------------------------------------------
@@ -1376,7 +1378,8 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         "doc_id",
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("long").alias("tf"),
-    ).localCheckpoint(eager=True)
+    )
+    per_doc = corpus_checkpoint(per_doc)
     dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
     n = docs.agg(F.count("*").alias("__n"))
     raw = F.col("tf") * F.log(F.col("__n") / F.col("__df"))
@@ -1468,7 +1471,8 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
         "doc_id", "dl",
         F.col("tc.term").alias("term"),
         F.col("tc.cnt").cast("double").alias("tf"),
-    ).localCheckpoint(eager=True)
+    )
+    per_doc = corpus_checkpoint(per_doc)
     dfreq = per_doc.groupBy("term").agg(F.count("*").alias("__df"))
     stats = docs.agg(
         F.count("*").cast("double").alias("__n"),
@@ -1622,16 +1626,36 @@ def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
     table needs no partial-merging — only the same epoch-replace retry
     contract.  (Phrase serving reads positions alone, so its snapshot
     is per-table-consistent by construction.)"""
-    # per_doc feeds TWO write actions (dfreq and postings) — left lazy,
-    # the tokenize + tf kernel (the dominant per-row cost of the build)
-    # executes once per write.  One eager materialization bounds it to a
-    # single pass; the checkpoint is the postings table itself — the
-    # operator's own working set, the same documented trade as the
-    # dedup signature materializations.
-    per_doc = (
-        _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch)))
-        .localCheckpoint(eager=True)
+    # WRITE-THEN-DERIVE, one tokenize pass (r14 used a corpus-scale
+    # localCheckpoint here; VERDICT r14 flagged it — a checkpoint pins
+    # the postings working set in executor memory-and-disk and is lost,
+    # unrecoverably, on executor death).  The per-doc tf frame IS the
+    # postings table, so the tokenize pass writes it straight to a
+    # STAGED parquet directory (underscore-prefixed: invisible to every
+    # reader of {path}/postings — Hadoop/Spark listings skip hidden
+    # paths), dfreq derives from one column-pruned scan of the staged
+    # files, and the commit is a rename of the staged epoch directory
+    # into place — still LAST in the write order, preserving the
+    # mid-append snapshot contract below.  Restart-safe: a retried
+    # build/append deletes and re-stages its own epoch.
+    from akumuli_spark.sources.fs import get_fs
+
+    spark = docs.sparkSession
+    stage = f"{path}/_postings_stage_epoch{int(epoch)}"
+    fs = get_fs(path, spark)
+    fs.rmtree(stage)
+    pf = _bm25_per_doc(docs).withColumn("epoch", F.lit(int(epoch))).select(
+        "term", "doc_id", "tf", "dl", "epoch",
+        _term_bucket_expr(buckets=buckets).alias("term_bucket"),
     )
+    (
+        pf.repartition("term_bucket")
+        .write.mode("overwrite").partitionBy("epoch", "term_bucket")
+        .parquet(stage)
+    )
+    # explicit schema: an EMPTY corpus stages zero partition directories
+    # and schema inference would refuse the read-back
+    staged = spark.read.schema(pf.schema).parquet(stage)
     opt = {} if full else {"partitionOverwriteMode": "dynamic"}
     (
         docs.agg(
@@ -1645,9 +1669,13 @@ def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
     )
     _bm25_table_written(path, "stats", epoch)
     (
-        per_doc.groupBy("epoch", "term").agg(F.count("*").alias("__df"))
-        .select("term", "__df", "epoch",
-                _term_bucket_expr(buckets=buckets).alias("term_bucket"))
+        # one scan of the staged postings; grouping by the staged
+        # term_bucket partition column keeps the bucket pruning and
+        # emits exactly the old rows (the bucket is a pure function of
+        # the term)
+        staged.groupBy("epoch", "term_bucket", "term")
+        .agg(F.count("*").alias("__df"))
+        .select("term", "__df", "epoch", "term_bucket")
         .repartition("term_bucket")
         .write.mode("overwrite").options(**opt)
         .partitionBy("epoch", "term_bucket")
@@ -1676,16 +1704,20 @@ def _write_bm25_tables(docs: DataFrame, path: str, epoch: int,
             .parquet(f"{path}/positions")
         )
         _bm25_table_written(path, "positions", epoch)
-    (
-        per_doc.select(
-            "term", "doc_id", "tf", "dl", "epoch",
-            _term_bucket_expr(buckets=buckets).alias("term_bucket"),
-        )
-        .repartition("term_bucket")
-        .write.mode("overwrite").options(**opt)
-        .partitionBy("epoch", "term_bucket")
-        .parquet(f"{path}/postings")
-    )
+    # COMMIT the staged postings LAST (see write-order note above):
+    # full build truncates the table, an append replaces only its own
+    # epoch partition — the same retry contract dynamic partition
+    # overwrite provided, now via delete-then-rename of one epoch dir.
+    postings = f"{path}/postings"
+    if full:
+        fs.rmtree(postings)
+    fs.makedirs(postings)
+    epoch_dir = f"{postings}/epoch={int(epoch)}"
+    fs.rmtree(epoch_dir)
+    staged_epoch = f"{stage}/epoch={int(epoch)}"
+    if fs.exists(staged_epoch):  # an empty corpus stages no directories
+        fs.rename(staged_epoch, epoch_dir)
+    fs.rmtree(stage)
     _bm25_table_written(path, "postings", epoch)
 
 

@@ -80,6 +80,22 @@ def gopher_quality_flags(docs: DataFrame, *keep: str) -> DataFrame:
     tokenization happens once through a layered select (same rationale
     as ``text.quality_score``).
     """
+    # keep names must not collide with the produced columns: a duplicate
+    # output column poisons every downstream reference with an
+    # ambiguous-attribute AnalysisException far from this call (only
+    # "text" is special-cased — it is consumed, not duplicated)
+    reserved = {
+        "doc_id", "n_words", "mean_word_len", "hash_word_ratio",
+        "ellipsis_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "n_stop_hits", "passes", "__ws", "__ls",
+        "__n_hash", "__n_ell", "n_lines",
+    }
+    bad = sorted(set(keep) & reserved)
+    if bad:
+        raise ValueError(
+            f"gopher_quality_flags keep columns collide with produced "
+            f"columns: {bad}"
+        )
     extra = [c for c in keep if c != "text"]
     base = docs.select(
         "doc_id",

@@ -52,6 +52,32 @@ def run_one(spark, fn, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+    Fixed-cost read used to bracket each headline entry: a timing drift
+    whose interval shows inflated steal is host contention, not a plan
+    regression (VERDICT r14 Next #3 — the single per-run calibration
+    missed bursts between entries)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except Exception:
+        return None
+
+
+def _calib_python(iters: int = 1_000_000) -> float:
+    """Small fixed single-threaded loop (~50 ms quiet): a per-entry
+    slice of the run-level calib_python_s workload."""
+    t0 = time.time()
+    x = 0
+    for i in range(iters):
+        x += i * i
+    return round(time.time() - t0, 4)
+
+
 def plan_fingerprint(df) -> str:
     """Stable 12-hex hash of the physical plan, so round-over-round
     timing drift is attributable by diff: same hash ⇒ same plan shape ⇒
@@ -421,19 +447,41 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_first: dict[str, float] = {}
     plans: dict[str, str] = {}
+    calib_per_query: dict[str, dict] = {}
     for name in HEADLINE:
+        tk0 = _cpu_ticks()
+        te0 = time.time()
         samples = [run_one(spark, impl(name), sf_dir) for _ in range(5)]
+        tk1 = _cpu_ticks()
         timings[name] = round(min(samples), 3)
         timings_first[name] = round(samples[0], 3)
         plans[name] = plan_fingerprint(impl(name)(spark, sf_dir))
+        # per-entry load calibration (additions-only): steal fraction
+        # over exactly this entry's timed window + a fixed Python loop
+        cq = {"python_s": _calib_python(),
+              "elapsed_s": round(time.time() - te0, 3)}
+        if tk0 and tk1 and tk1[1] > tk0[1]:
+            cq["steal_frac"] = round(
+                (tk1[0] - tk0[0]) / (tk1[1] - tk0[1]), 4)
+        calib_per_query[name] = cq
 
-    layout = bench_layout(spark, sf_dir)
+    # SPARK_GRAFT_HEADLINE_ONLY=1 skips the layout and curation sections
+    # (additions-only knob: unset, the run is byte-identical to the
+    # driver's).  Used for the larger-SF resolving-power run, where the
+    # headline entries are the comparison target and the 70-entry
+    # curation sweep would multiply the wall-clock for no extra signal.
+    headline_only = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") == "1"
+    if headline_only:
+        layout = {}
+        curation: dict[str, float] = {}
+    else:
+        layout = bench_layout(spark, sf_dir)
+        curation, curation_plans = bench_curation(spark, sf_dir)
+        plans.update(curation_plans)
     layout["dedup_index_build_s"] = index_build_s
     layout["bm25_index_build_s"] = bm25_index_build_s
     layout["ivf_index_build_s"] = ivf_index_build_s
     layout["ivf_append_s"] = ivf_append_s
-    curation, curation_plans = bench_curation(spark, sf_dir)
-    plans.update(curation_plans)
     shutil.rmtree(ddir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -451,6 +499,10 @@ def main() -> None:
         "queries_first_run": timings_first,
         "calib_python_s": calib_python_s,
         "calib_spark_s": calib_spark_s,
+        # per-entry load calibration: steal fraction + a fixed Python
+        # loop bracketing each entry's five timed passes, so a per-query
+        # drift is attributable entry-by-entry (VERDICT r14 Next #3)
+        "calib_per_query": calib_per_query,
         # amortized dedup index build, surfaced at top level so a
         # reader comparing the headline total against pre-index
         # rounds (BENCH_r02's one-shot figures) sees the cost the
@@ -508,6 +560,12 @@ def main() -> None:
                 "value_first_run": total_first,
                 "calib_python_s": calib_python_s,
                 "calib_spark_s": calib_spark_s,
+                # mean per-entry steal fraction over the headline
+                # section (per-entry detail in the full JSON)
+                "steal_frac": round(
+                    sum(c.get("steal_frac", 0.0)
+                        for c in calib_per_query.values())
+                    / max(len(calib_per_query), 1), 4),
                 "dedup_index_build_s": index_build_s,
                 "plan_digest": plan_digest,
                 "full_json": full_ref,

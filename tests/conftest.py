@@ -19,7 +19,10 @@ SF_DIR = os.environ.get("AKUMULI_SPARK_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("akumuli-spark-tests", cpus=8)
+    s = get_spark("akumuli-spark-tests",
+                  cpus=int(os.environ.get("AKUMULI_TEST_CPUS", "8")))
+    if os.environ.get("AKUMULI_TEST_AQE") == "0":
+        s.conf.set("spark.sql.adaptive.enabled", "false")
     yield s
 
 

@@ -345,7 +345,7 @@ def _regex_corpus(spark):
     return _REGEX_CORPUS
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=15, deadline=None)
 @given(pat=_event_pattern())
 def test_event_regex_dialect_parity(spark, pat):
     """For every generated pattern, the body set selected by Spark rlike
@@ -554,7 +554,7 @@ def test_opentsdb_parser_never_crashes(text):
     ),
     bucket_ns=st.sampled_from([1, 3, 64, 1_000, 100_000]),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=12, deadline=None)
 def test_interval_join_matches_brute_force(spark, tss, spans, bucket_ns):
     from akumuli_spark.operators.interval import interval_join
 
@@ -595,7 +595,7 @@ def test_interval_join_matches_brute_force(spark, tss, spans, bucket_ns):
         min_size=1, max_size=60,
     )
 )
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_hll_estimate_cross_engine(spark, vals):
     """The register math must agree between engines for ANY value set —
     md5 operates on identical UTF-8 bytes in both."""
@@ -632,7 +632,7 @@ def test_hll_estimate_cross_engine(spark, vals):
     ),
     q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 1.0]),
 )
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=12, deadline=None)
 def test_quantile_sketch_within_bound(spark, vals, q):
     import math
 

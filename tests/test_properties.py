@@ -1212,13 +1212,15 @@ def test_interval_join_matches_reference(spark, samples, intervals, bucket_ns):
 )
 def test_simhash_matches_reference(spark, texts, max_hamming):
     """The whole SimHash pipeline vs a direct Python replay: 60-bit
-    md5-feature vote signature, 4x15-bit pigeonhole candidate chunks,
+    md5-feature vote signature, pigeonhole candidate chunks derived
+    from the radius (smallest divisor of 60 above max_hamming — the
+    simhash_pairs contract since chunk-count derivation landed; the
+    replay's original fixed-4-chunk model MISSED legitimate pairs at
+    hamming 4..7 and failed only when hypothesis finally drew one),
     hamming verification on the signatures."""
     import hashlib
 
-    from akumuli_spark.pipeline.dedup import (
-        SIMHASH_BITS, SIMHASH_CHUNKS, simhash_pairs,
-    )
+    from akumuli_spark.pipeline.dedup import SIMHASH_BITS, simhash_pairs
 
     n = 2
     feats = {}
@@ -1238,7 +1240,11 @@ def test_simhash_matches_reference(spark, texts, max_hamming):
             if 2 * ones > len(hs):
                 sig |= 1 << j
         sigs[d] = sig
-    cb = SIMHASH_BITS // SIMHASH_CHUNKS
+    n_chunks = next(
+        c for c in range(max_hamming + 1, SIMHASH_BITS + 1)
+        if SIMHASH_BITS % c == 0
+    )
+    cb = SIMHASH_BITS // n_chunks
     mask = (1 << cb) - 1
     want = {}
     for a in sigs:
@@ -1247,7 +1253,7 @@ def test_simhash_matches_reference(spark, texts, max_hamming):
                 continue
             collide = any(
                 (sigs[a] >> (c * cb)) & mask == (sigs[b] >> (c * cb)) & mask
-                for c in range(SIMHASH_CHUNKS)
+                for c in range(n_chunks)
             )
             ham = bin(sigs[a] ^ sigs[b]).count("1")
             if collide and ham <= max_hamming:

@@ -41,8 +41,11 @@ def test_streaming_bm25_matches_batch_build(spark, tmp_path):
     idx = str(tmp_path / "bm25")
     boot = spark.createDataFrame(rows[:40], D_SCHEMA)
     T.build_bm25_index(boot, idx)
+    # three streamed epochs: a mid-size batch, a ONE-document batch (the
+    # tiny-partial edge), and the remainder — one fewer batch than r14's
+    # shape, same edges (driver verify window, OPTIMIZATION_r15.md §11)
     stream = _stream_docs(
-        spark, rows[40:], str(tmp_path / "in"), [0, 7, 30, 31, len(rows) - 40]
+        spark, rows[40:], str(tmp_path / "in"), [0, 30, 31, len(rows) - 40]
     )
     q = start_streaming_bm25_index(stream, idx, str(tmp_path / "chk"))
     try:
@@ -87,7 +90,10 @@ def test_streaming_retrieval_fusion_mid_stream_parity(spark, tmp_path):
     docs = load_table(spark, SF_DIR, "documents")
     rows = [(r["doc_id"], r["text"])
             for r in docs.filter(F.col("doc_id") < 90).collect()]
-    cuts = [0, 30, 60, 90]
+    # two micro-batches: parity is still checked after EVERY batch
+    # (mid-stream at 45 and at the end); each extra batch costs a full
+    # batch reference build (driver verify window, OPTIMIZATION_r15.md §11)
+    cuts = [0, 45, 90]
     embs = load_table(spark, SF_DIR, "embeddings")
     dense = S.cosine_topk(embs, [1, 2], k=5).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from akumuli_spark.grouped import grouped_map_batched
 from akumuli_spark.pipeline import dedup as _dedup
 
 
@@ -358,10 +359,15 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
         pdf["pack_id"] = ids
         return pdf
 
-    return toks.groupBy("stratum", "shard").applyInPandas(
-        pack,
-        schema="doc_id long, stratum string, shard long, n_tokens long, "
-               "pack_id long",
+    # batched grouped map (guide §4.5): same next-fit kernel per
+    # (stratum, shard) stream, one Python round per shuffle partition
+    # instead of per stream, no group-delimiting JVM sort (the kernel
+    # orders by doc_id itself)
+    return grouped_map_batched(
+        toks, ["stratum", "shard"], pack,
+        "doc_id long, stratum string, shard long, n_tokens long, "
+        "pack_id long",
+        ["doc_id", "stratum", "shard", "n_tokens", "pack_id"],
     )
 
 

@@ -35,6 +35,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from akumuli_spark.grouped import grouped_map_batched
 from akumuli_spark.query.errors import QueryValidationError
 from akumuli_spark.query.plan import ApplyNode, Query
 
@@ -251,27 +252,11 @@ def _node_ewma(res, node: ApplyNode, delta: bool = False):
             pdf[c] = xs - out if delta else out
         return pdf
 
-    def per_partition(pdfs):
-        # ALL series of one hash partition in one Python call: the
-        # groupBy().applyInPandas shape paid an exchange + a per-group
-        # local SORT + one JVM↔Python round per series; hash
-        # co-location is the only distribution requirement of the
-        # per-series recursion, so mapInPandas over repartition("series")
-        # drops the sort and amortizes the Python boundary across the
-        # partition's series (guide §4.5).  The exact per-series kernel
-        # — and therefore every emitted double — is unchanged.
-        chunks = list(pdfs)
-        if not chunks:
-            return
-        pdf = (pd.concat(chunks, ignore_index=True)
-               if len(chunks) > 1 else chunks[0])
-        if not len(pdf):
-            return
-        outs = [per_series(g) for _, g in pdf.groupby("series", sort=False)]
-        yield pd.concat(outs, ignore_index=True)[cols]
-
-    res.df = res.df.repartition("series").mapInPandas(
-        per_partition, schema=schema)
+    # ALL series of one hash partition in one Python call (guide §4.5):
+    # the groupBy().applyInPandas shape paid an exchange + a per-group
+    # local SORT + one JVM↔Python round per series; the exact per-series
+    # kernel — and therefore every emitted double — is unchanged.
+    res.df = grouped_map_batched(res.df, ["series"], per_series, schema, cols)
     return res
 
 
@@ -347,8 +332,13 @@ def _node_sax(res, node: ApplyNode):
                     out_rows.append((pdf["series"].iloc[0], ts, word))
         return pd.DataFrame(out_rows, columns=["series", "ts_ns", "sax"])
 
-    res.df = res.df.groupBy("series").applyInPandas(
-        per_series, schema="series string, ts_ns long, sax string"
+    # batched grouped map (guide §4.5): same per-series kernel, one
+    # Python round per shuffle partition instead of per series, no
+    # group-delimiting JVM sort (the kernel orders by ts_ns itself)
+    res.df = grouped_map_batched(
+        res.df, ["series"], per_series,
+        "series string, ts_ns long, sax string",
+        ["series", "ts_ns", "sax"],
     )
     res.value_cols = ["sax"]
     return res
@@ -552,9 +542,16 @@ def _anomaly_sketch(res, method: str, threshold: float, alpha: float,
     # Spark re-executes a subplan per consumer — materialize it once; its
     # size is bounded at steps × N × K rows (the sketch bound, not the
     # series count)
+    # batched grouped map (guide §4.5): the grid has N·K (thousands of)
+    # cells and the old per-GROUP shape paid one JVM↔Python Arrow round
+    # trip per cell — the boundary crossings dominated the stage.  Same
+    # per-cell recursion, one Python round per shuffle partition.
     errs = (
-        dense.groupBy("i", "cell")
-        .applyInPandas(cell_errors, schema="ts_ns long, i int, cell long, err double")
+        grouped_map_batched(
+            dense, ["i", "cell"], cell_errors,
+            "ts_ns long, i int, cell long, err double",
+            ["ts_ns", "i", "cell", "err"],
+        )
         .filter(F.col("err").isNotNull() & ~F.isnan("err"))
         .localCheckpoint(eager=True)
     )
@@ -684,8 +681,11 @@ def _node_anomaly(res, node: ApplyNode):
     err_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in res.df.schema.fields
     ) + ", __err double"
-    with_err = res.df.groupBy("series").applyInPandas(
-        forecast_errors, schema=err_schema
+    # batched grouped map (guide §4.5): same per-series forecast kernel,
+    # one Python round per shuffle partition instead of per series
+    with_err = grouped_map_batched(
+        res.df, ["series"], forecast_errors, err_schema,
+        [f.name for f in res.df.schema.fields] + ["__err"],
     )
     # F2 per time step across series; flagged iff |err| > threshold·sqrt(F2)
     f2 = with_err.groupBy("ts_ns").agg(
@@ -896,8 +896,13 @@ def _spacesaver_sketch(res, node: ApplyNode, weighted: bool, portion: float):
             }
         )
 
-    summaries = stream.groupBy("__chunk").applyInPandas(
-        fold_chunk, out_schema
+    # batched grouped map (guide §4.5): drops the group-delimiting JVM
+    # sort of the whole stream (the fold re-sorts its chunk in pandas
+    # anyway) and amortizes the Python boundary across a partition's
+    # chunks; the fold itself is unchanged.
+    summaries = grouped_map_batched(
+        stream, ["__chunk"], fold_chunk, out_schema,
+        ["__chunk", "series", "cnt", "err", "ts_ns", "chunk_n", "chunk_min"],
     ).localCheckpoint(eager=True)
     # summaries feeds BOTH the chunk-stats total and the per-series merge;
     # unmaterialized, the whole scan + Python fold would execute twice.

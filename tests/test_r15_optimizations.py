@@ -162,6 +162,103 @@ def test_ewma_batches_multiple_series_per_partition(spark):
             assert got[(f"m host={s}", 1_000 + i * 10)] == exp[i], (s, i)
 
 
+def test_grouped_map_batched_matches_group_by_apply(spark):
+    """grouped_map_batched must emit exactly the rows
+    groupBy().applyInPandas emits for the same kernel — including a NULL
+    group key (grouped together, like Spark's groupBy) and kernels that
+    return zero rows for some groups."""
+    import pandas as pd
+
+    from akumuli_spark.grouped import grouped_map_batched
+
+    rows = [(k, i, float(i * 3 + (hash(k) % 7 if k else 0)))
+            for k in ("a", "b", None, "c") for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i").reset_index(drop=True)
+        if len(pdf) and pdf["k"].iloc[0] == "b":
+            return pdf.iloc[0:0][["k", "i", "v"]]  # empty-output group
+        pdf["v"] = pdf["v"].cumsum()
+        return pdf[["k", "i", "v"]]
+
+    schema = "k string, i long, v double"
+    key = lambda t: (t[0] is None, t[0] or "", t[1])  # noqa: E731
+    want = sorted(
+        ((r["k"], r["i"], r["v"])
+         for r in df.groupBy("k").applyInPandas(kernel, schema).collect()),
+        key=key,
+    )
+    got = sorted(
+        ((r["k"], r["i"], r["v"])
+         for r in grouped_map_batched(
+             df.repartition(3), ["k"], kernel, schema, ["k", "i", "v"]
+         ).collect()),
+        key=key,
+    )
+    assert got == want and len(got) == 27  # 3 surviving groups × 9 rows
+
+
+def test_sax_batches_multiple_series_per_partition(spark):
+    """The batched SAX plan (no per-group JVM sort) must produce the same
+    words per series as the per-group shape — multiple series per
+    partition exercised."""
+    rows = []
+    for s in ("a", "b", "c", "d", "e"):
+        for i in range(30):
+            rows.append((f"m host={s}", "m", {"host": s},
+                         1_000 + i * 10,
+                         float((i * 7 + ord(s)) % 13) - 6.0))
+    frame = spark.createDataFrame(
+        rows,
+        "series string, metric string, tags map<string,string>, "
+        "ts_ns long, value double",
+    ).repartition(2)
+    q = {
+        "select": "m",
+        "range": {"from": 0, "to": 10**9},
+        "apply": [{"name": "sax", "alphabet_size": 4, "window_width": 5}],
+    }
+    out = execute_query(spark, q, frame, allow_irregular=True)
+    got = {(r["series"], r["ts_ns"]): r["sax"] for r in out.collect()}
+
+    # independent reference: replay the documented kernel per series
+    import math
+    from statistics import NormalDist
+
+    cuts = [NormalDist().inv_cdf(i / 4) for i in range(1, 4)]
+
+    def to_char(v):
+        for i, c in enumerate(cuts):
+            if v < c:
+                return "abcd"[i]
+        return "abcd"[len(cuts)]
+
+    expect = {}
+    for s in ("a", "b", "c", "d", "e"):
+        series = f"m host={s}"
+        window, last = [], None
+        for i in range(30):
+            x = float((i * 7 + ord(s)) % 13) - 6.0
+            window.append(x)
+            if len(window) > 5:
+                window.pop(0)
+            if len(window) == 5:
+                n, tot = 5, sum(window)
+                mean = tot / n
+                sqr = sum(v * v for v in window)
+                var = (n * sqr - tot * tot) / (n * (n - 1))
+                std = math.sqrt(var) if var > 0 else 0.0
+                word = "".join(
+                    to_char((v - mean) / std if std >= 1e-10 else v - mean)
+                    for v in window
+                )
+                if word != last:
+                    last = word
+                    expect[(series, 1_000 + i * 10)] = word
+    assert got == expect
+
+
 def test_jpeg_huff_lut_matches_canonical_walk():
     """The packed 16-bit-peek LUT must decode every possible 16-bit
     prefix exactly like the T.81 bit-by-bit canonical walk."""

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.query import engine as engine_mod
 from akumuli_spark.query import metadata
 from akumuli_spark.query import rollup as rollup_mod
@@ -484,7 +485,7 @@ class ZorderCatalog:
         log = CasLog(get_fs(self.root), self._table)
         _v, cur = log.current()
         if cur is None:
-            return self.spark.createDataFrame([], self._SCHEMA)
+            return local_frame(self.spark, [], self._SCHEMA)
         return self.spark.read.parquet(cur)
 
     def register(self, name: str, path: str, kind: str = "metrics") -> None:
@@ -506,7 +507,7 @@ class ZorderCatalog:
                 "before registering it"
             )
         layout = ",".join(f"{k}={meta[k]}" for k in sorted(meta))
-        row = self.spark.createDataFrame(
+        row = local_frame(self.spark,
             [(name, kind, path, meta.get("bucket_ns"), meta.get("bits"),
               meta.get("files_per_partition"), layout)], self._SCHEMA,
         )

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.query.errors import QueryValidationError
 
 
@@ -240,7 +241,7 @@ def metrics_correlation_lagged(
     xs = resampled(metric_a, "x")
     ys = resampled(metric_b, "y").withColumnRenamed("bucket", "__yb")
     spark = metrics.sparkSession
-    lag_df = spark.createDataFrame([(int(l),) for l in sorted(set(lags))],
+    lag_df = local_frame(spark, [(int(l),) for l in sorted(set(lags))],
                                    "lag long")
     aligned = (
         xs.crossJoin(F.broadcast(lag_df))

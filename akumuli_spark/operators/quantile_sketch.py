@@ -34,6 +34,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.smallframe import local_frame
 #: bin ids for the three sign classes: negatives mirror below _ZERO_BIN
 _ZERO_BIN = 0
 
@@ -104,7 +105,7 @@ def quantiles_from_histogram(hist: DataFrame, qs: Sequence[float],
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spark = hist.sparkSession
-    q_df = spark.createDataFrame(
+    q_df = local_frame(spark,
         [(float(q),) for q in sorted(set(qs))], "q double"
     )
     cum = hist.withColumn("__cum", F.sum("cnt").over(w)).withColumn(

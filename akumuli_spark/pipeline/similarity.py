@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.materialize import corpus_checkpoint
 
 LSH_BITS = 8
@@ -234,7 +235,7 @@ def ivf_kmeans_centroids(embs: DataFrame, nlist: int = IVF_NLIST,
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = KMeans(k=nlist, maxIter=max_iter, seed=seed).fit(feat)
-    return embs.sparkSession.createDataFrame(
+    return local_frame(embs.sparkSession,
         [(i + 1, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cid int, ce array<double>",
     )
@@ -676,7 +677,7 @@ def _read_lists(spark, path: str) -> DataFrame:
     recover_compaction(path)
     lists = read_table_or_none(spark, f"{path}/lists")
     if lists is None:
-        return spark.createDataFrame([], _LISTS_SCHEMA)
+        return local_frame(spark, [], _LISTS_SCHEMA)
     return lists
 
 
@@ -816,7 +817,7 @@ def _write_lists_with_stats(assigned: DataFrame, cents: DataFrame,
             raise
         n, sd = 0, 0.0
     spark = assigned.sparkSession
-    spark.createDataFrame(
+    local_frame(spark,
         [(phase, n, sd)],
         "phase string, n long, sum_dist double",
     ).write.mode("overwrite" if mode == "overwrite" else "append") \
@@ -981,7 +982,7 @@ def retrain_ivf_index(spark, path: str, nlist: int = IVF_NLIST,
     cents = centroids if centroids is not None else _centroids(embs, nlist)
     # pin the codebook rows: its lineage reads {path}, which the swap
     # below replaces — and both write actions must see the SAME centers
-    cents = spark.createDataFrame(
+    cents = local_frame(spark,
         [(int(r["cid"]), list(r["ce"])) for r in cents.collect()],
         "cid int, ce array<double>",
     )
@@ -1043,7 +1044,7 @@ def ivf_topk_from_index(spark, path: str, query_ids: list[int], k: int = 10,
     probe_lists = sorted({r["list_id"] for r in probe_rows})
     # qn rides along through the driver round-trip (Python float IS the
     # double, so the value is preserved exactly)
-    probes = spark.createDataFrame(
+    probes = local_frame(spark,
         [(r["query_id"], r["qe"], r["qn"], r["list_id"]) for r in probe_rows],
         "query_id long, qe array<float>, qn double, list_id int",
     )
@@ -1237,7 +1238,7 @@ def pq_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS) -> DataFrame:
     empty/all-null corpus yields an empty codebook (total, not fatal)."""
     dim = _pq_dim(embs)
     if dim is None:
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "sub int, code int, ce array<float>"
         )
     if dim % m != 0:
@@ -1277,7 +1278,7 @@ def _pq_encode_vectorized(embs: DataFrame, cb: DataFrame,
 
     rows = cb.orderBy("sub", "code").collect()  # m·ks rows — codebook-sized
     if not rows:
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "vec_id long, codes array<int>"
         )
     C = {
@@ -1324,7 +1325,7 @@ def pq_encode(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
     embs = _usable(embs)
     dim = _pq_dim(embs)
     if dim is None:
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "vec_id long, codes array<int>"
         )
     dsub = dim // m
@@ -1373,7 +1374,7 @@ def pq_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     encode once, scan many)."""
     dim = _pq_dim(embs)
     if dim is None:  # empty/all-null corpus: zero results, not a crash
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "query_id long, neighbor_id long, adc_dist double, rank long"
         )
     dsub = dim // m
@@ -1509,7 +1510,7 @@ def ivfadc_topk(embs: DataFrame, query_ids: list[int], k: int = 10,
     keep the operator oracle-reproducible."""
     dim = _pq_dim(embs)
     if dim is None:  # empty/all-null corpus: zero results, not a crash
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "query_id long, neighbor_id long, acos double, rank long"
         )
     cents = centroids if centroids is not None else _centroids(embs, nlist)
@@ -1758,7 +1759,7 @@ def _index_rows_vectorized(embs: DataFrame, cents: DataFrame,
     brows = cb.orderBy("sub", "code").collect()
     spark = embs.sparkSession
     if not crows or not brows:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "vec_id long, en double, codes array<int>, list_id int"
         )
     C = np.array([r["ce"] for r in crows], dtype=np.float64)
@@ -1849,7 +1850,7 @@ def _ivfadc_serve_vectorized(codes: DataFrame, probes: DataFrame,
     import pandas as pd
 
     if not cb_rows:
-        return codes.sparkSession.createDataFrame(
+        return local_frame(codes.sparkSession,
             [], "query_id long, neighbor_id long, acos double, rank long"
         )
     # code-ascending row order per subspace: the gather indexes B[s] by
@@ -1942,7 +1943,7 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
     cb = spark.read.parquet(f"{path}/codebooks")
     codes = read_table_or_none(spark, f"{path}/codes")
     if codes is None:
-        codes = spark.createDataFrame([], _CODES_SCHEMA)
+        codes = local_frame(spark, [], _CODES_SCHEMA)
     dsub_row = cb.select(F.size("ce").alias("d")).first()
     dsub = int(dsub_row["d"]) if dsub_row else 0
 
@@ -1967,7 +1968,7 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
     )
     probe_lists = sorted({r["list_id"] for r in probe_rows})
     if vectorized:
-        vprobes = spark.createDataFrame(
+        vprobes = local_frame(spark,
             [(r["query_id"], r["qe"], r["qn"], r["list_id"])
              for r in probe_rows] or [],
             "query_id long, qe array<float>, qn double, list_id int",
@@ -1976,7 +1977,7 @@ def ivfadc_topk_from_index(spark, path: str, queries: DataFrame,
             codes.filter(F.col("list_id").isin(probe_lists)),
             vprobes, cb.collect(), k, m, ks,
         )
-    probes = spark.createDataFrame(
+    probes = local_frame(spark,
         [(r["query_id"], r["list_id"]) for r in probe_rows] or [],
         "query_id long, list_id int",
     )
@@ -2051,7 +2052,7 @@ def pq_kmeans_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
 
     dim = _pq_dim(embs)
     if dim is None:
-        return embs.sparkSession.createDataFrame(
+        return local_frame(embs.sparkSession,
             [], "sub int, code int, ce array<float>"
         )
     if dim % m != 0:
@@ -2083,7 +2084,7 @@ def pq_kmeans_codebooks(embs: DataFrame, m: int = PQ_M, ks: int = PQ_KS,
         out.extend(
             (s, c + 1, [float(x) for x in C[c]]) for c in range(kk)
         )
-    return embs.sparkSession.createDataFrame(
+    return local_frame(embs.sparkSession,
         out, "sub int, code int, ce array<float>"
     )
 
@@ -2182,11 +2183,11 @@ def ivfadc_topk_batch_from_index(spark, path: str, queries: DataFrame,
 
     codes = read_table_or_none(spark, f"{path}/codes")
     if codes is None:
-        codes = spark.createDataFrame([], _CODES_SCHEMA)
+        codes = local_frame(spark, [], _CODES_SCHEMA)
 
     crows = cents.orderBy("cid").collect()  # nlist rows
     if not crows:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, neighbor_id long, acos double, rank long"
         )
     C = np.array([r["ce"] for r in crows], dtype=np.float64)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.materialize import corpus_checkpoint
 
 # ---------------------------------------------------------------------------
@@ -996,7 +997,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 3) -> DataFrame:
             ).alias("r"),
             "__wc",
         ).localCheckpoint(eager=True)  # keep each round one projection
-    return docs.sparkSession.createDataFrame(
+    return local_frame(docs.sparkSession,
         merges, "step long, left string, right string, count long"
     )
 
@@ -1089,7 +1090,7 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
                 F.lit(S + r["left"] + r["right"] + E),
             )
         cur = cur.select(col.alias("r"), "__wc").localCheckpoint(eager=True)
-    return docs.sparkSession.createDataFrame(
+    return local_frame(docs.sparkSession,
         merges, "step long, left string, right string, count long"
     )
 
@@ -1450,7 +1451,7 @@ def bm25_topk(docs: DataFrame, queries: list[tuple[int, str]], k: int = 10,
             for t, c in counts.items():
                 qrows.append((int(qid), t, c))
         spark = docs.sparkSession
-        qterms = spark.createDataFrame(
+        qterms = local_frame(spark,
             qrows, "query_id long, term string, qtf long"
         )
     # per_doc feeds the GLOBAL df aggregation AND the scoring join.  The
@@ -1537,7 +1538,7 @@ def _write_bm25_meta(spark, path: str, buckets: int,
     The positions flag travels here too, replacing the driver-local
     ``os.path.exists`` probe that is always False on S3/HDFS
     (ADVICE r10)."""
-    spark.createDataFrame(
+    local_frame(spark,
         [(int(BM25_LAYOUT_VERSION), int(buckets), bool(positions))],
         "layout_version int, buckets int, positions boolean",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -1947,7 +1948,7 @@ def bm25_topk_from_index(spark, path: str,
     # condition, any other failure re-raises (ADVICE r10)
     postings = read_table_or_none(spark, f"{path}/postings")
     if postings is None:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, doc_id long, score double, rank long"
         )
     dfreq = spark.read.parquet(f"{path}/dfreq")
@@ -2002,7 +2003,7 @@ def bm25_topk_from_index(spark, path: str,
                 buckets.add(
                     int(_hl.md5(t.encode()).hexdigest()[:8], 16) % nb
                 )
-        qterms = spark.createDataFrame(
+        qterms = local_frame(spark,
             qrows, "query_id long, term string, qtf long"
         )
     # literal bucket set → static partition pruning at BOTH readers
@@ -2232,7 +2233,7 @@ def phrase_counts(docs: DataFrame,
         )
     spark = docs.sparkSession
     if not entries:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, doc_id long, n_matches long"
         )
     return (
@@ -2280,7 +2281,7 @@ def phrase_counts_from_index(spark, path: str,
     nb = meta["buckets"] if meta is not None else BM25_BUCKETS
     pos = read_table_or_none(spark, f"{path}/positions")
     if pos is None:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, doc_id long, n_matches long"
         )
     import hashlib as _hl
@@ -2320,7 +2321,7 @@ def phrase_counts_from_index(spark, path: str,
         ).filter(F.col("n_matches") > 0)
         out = frame if out is None else out.unionByName(frame)
     if out is None:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, doc_id long, n_matches long"
         )
     return out
@@ -2370,7 +2371,7 @@ def phrase_counts_relational(docs: DataFrame, phrases) -> DataFrame:
     :func:`phrase_counts_relational_from_index`."""
     if not isinstance(phrases, DataFrame):
         spark = docs.sparkSession
-        phrases = spark.createDataFrame(
+        phrases = local_frame(spark,
             [(int(q), str(t)) for q, t in phrases],
             "query_id long, text string",
         )
@@ -2426,7 +2427,7 @@ def phrase_counts_relational_from_index(spark, path: str,
     )
 
     if not isinstance(phrases, DataFrame):
-        phrases = spark.createDataFrame(
+        phrases = local_frame(spark,
             [(int(q), str(t)) for q, t in phrases],
             "query_id long, text string",
         )
@@ -2435,7 +2436,7 @@ def phrase_counts_relational_from_index(spark, path: str,
     nb = meta["buckets"] if meta is not None else BM25_BUCKETS
     pos = read_table_or_none(spark, f"{path}/positions")
     if pos is None:
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "query_id long, doc_id long, n_matches long"
         )
     p = _phrase_term_offsets(phrases)

@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.query.engine import execute_query
 from akumuli_spark.query.metadata import search, suggest
 from akumuli_spark.query.parser import parse_query
@@ -3204,7 +3205,7 @@ def _bm25_indexed_df(spark: SparkSession, sf: str) -> DataFrame:
     bounded distinct-bucket collect instead of the Python-side literal
     walk; results are identical, so the oracle is unchanged."""
     path = _bm25_index_path(spark, sf, grow=False)
-    qdf = spark.createDataFrame(
+    qdf = local_frame(spark,
         _BM25_QUERIES, "query_id long, text string"
     )
     return _text.bm25_topk_from_index(spark, path, qdf, k=10)
@@ -3281,7 +3282,7 @@ def _phrase_relational(spark: SparkSession, sf: str) -> DataFrame:
     decontamination-by-exact-quote path (VERDICT r10 wrong #2).  Same
     semantics as the per-phrase expression plan, so the oracle is the
     shared direct-formula twin."""
-    qdf = spark.createDataFrame(_PHRASES, "query_id long, text string")
+    qdf = local_frame(spark, _PHRASES, "query_id long, text string")
     return _text.phrase_counts_relational(
         load_table(spark, sf, "documents"), qdf
     )
@@ -3301,7 +3302,7 @@ def _phrase_relational_indexed(spark: SparkSession, sf: str) -> DataFrame:
     postings — bucket-pruned via the stored layout contract, pos_lists
     exploded only for the matched terms."""
     path = _bm25_index_path(spark, sf, grow=False, positions=True)
-    qdf = spark.createDataFrame(_PHRASES, "query_id long, text string")
+    qdf = local_frame(spark, _PHRASES, "query_id long, text string")
     return _text.phrase_counts_relational_from_index(spark, path, qdf)
 
 

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.operators.distinct import hll_estimate, hll_registers
 from akumuli_spark.operators.quantile_sketch import (
     log_histogram,
@@ -92,7 +93,7 @@ def _bucket(ts_col: str, bucket_ns: int):
 def _write_meta(spark: SparkSession, path: str, group_col: str,
                 distinct_col: str, value_col: str, ts_col: str,
                 bucket_ns: int, b: int, k: int) -> None:
-    spark.createDataFrame(
+    local_frame(spark,
         [(SKETCH_LAYOUT_VERSION, group_col, distinct_col, value_col,
           ts_col, int(bucket_ns), int(b), int(k))],
         "layout_version int, group_col string, distinct_col string, "
@@ -334,7 +335,7 @@ def distinct_over_range(spark: SparkSession, path: str, ts_from: int,
             meta["distinct_col"], ["group"], meta["b"],
         ))
     if not parts:  # built over an empty frame, nothing appended yet
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "group string, approx_distinct double"
         )
     regs = parts[0]
@@ -379,7 +380,7 @@ def quantiles_over_range(spark: SparkSession, path: str, ts_from: int,
             meta["value_col"], ["group"], meta["k"],
         ))
     if not parts:  # built over an empty frame, nothing appended yet
-        return spark.createDataFrame(
+        return local_frame(spark,
             [], "group string, q double, est double"
         )
     hist = parts[0]

@@ -80,6 +80,7 @@ import posixpath
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.sources.fs import (
     CasLog, get_fs, parent_dir, prefers_cas, store_lock, strip_scheme,
     swap_compact,
@@ -228,7 +229,7 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
     fs.rmtree(tmp)
     _write_clustered(metrics, tmp, bucket_ns, files_per_partition, bits)
     _write_manifest(spark, tmp)
-    meta_df = spark.createDataFrame(
+    meta_df = local_frame(spark,
         [(ZORDER_LAYOUT_VERSION, int(bucket_ns), int(bits),
           int(files_per_partition))],
         "layout_version int, bucket_ns long, bits int, "
@@ -259,7 +260,7 @@ def zorder_metrics_table(spark: SparkSession, metrics: DataFrame, path: str,
         )
     try:
         new_man = spark.read.parquet(posixpath.join(tmp, MANIFEST_DIR))
-        new_man = spark.createDataFrame(new_man.collect(), new_man.schema)
+        new_man = local_frame(spark, new_man.collect(), new_man.schema)
         _carry_committed_epochs_cas(spark, fs, path)
         _cas_move_in(fs, tmp, path)
         if old_meta is None:
@@ -419,7 +420,7 @@ def zorder_append(spark: SparkSession, metrics: DataFrame,
         new_rows = spark.read.parquet(posixpath.join(tmp, MANIFEST_DIR))
         # materialize driver-side BEFORE the files move out from under
         # the lazy plan — manifest-sized (one row per new file)
-        new_rows = spark.createDataFrame(
+        new_rows = local_frame(spark,
             new_rows.collect(), new_rows.schema
         )
 
@@ -498,7 +499,7 @@ def _ledger_add(spark: SparkSession, path: str, epochs: set[int],
             )
             if want <= have:
                 return None
-            return spark.createDataFrame(
+            return local_frame(spark,
                 [(int(e),) for e in sorted(have | want)], "epoch long"
             )
 
@@ -507,7 +508,7 @@ def _ledger_add(spark: SparkSession, path: str, epochs: set[int],
     merged = sorted(_committed_epochs_ledger(spark, path) | set(epochs))
     tmp = f"{lp}.compact-tmp"
     fs.rmtree(tmp)
-    spark.createDataFrame(
+    local_frame(spark,
         [(int(e),) for e in merged], "epoch long"
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     swap_compact(fs, lp)
@@ -639,7 +640,7 @@ def _carry_ledger_on_rebuild(spark: SparkSession, path: str,
     committed |= _committed_epochs_ledger(spark, path)
     if not committed:
         return
-    spark.createDataFrame(
+    local_frame(spark,
         [(int(e),) for e in sorted(committed)], "epoch long"
     ).coalesce(1).write.mode("overwrite").parquet(
         posixpath.join(tmp, LEDGER_DIR)
@@ -777,7 +778,7 @@ def zorder_optimize(spark: SparkSession, path: str,
         # wide selections (a year of eroded daily buckets × metrics at
         # lake scale) would build one OR-arm per bucket — the same plan
         # blowup zorder_select guards against; join instead
-        bdf = F.broadcast(spark.createDataFrame(
+        bdf = F.broadcast(local_frame(spark,
             [(m, int(b)) for m, b in buckets], "metric string, ts_bucket long"
         ))
         target = man.join(bdf, ["metric", "ts_bucket"], "left_semi")
@@ -803,7 +804,7 @@ def zorder_optimize(spark: SparkSession, path: str,
                          meta["files_per_partition"], meta["bits"])
         _write_manifest(spark, tmp, epoch=0)
         new_rows = spark.read.parquet(posixpath.join(tmp, MANIFEST_DIR))
-        new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
+        new_rows = local_frame(spark, new_rows.collect(), new_rows.schema)
 
         if _race_hook is not None:  # test-only: interleave a writer here
             _race_hook()
@@ -814,7 +815,7 @@ def zorder_optimize(spark: SparkSession, path: str,
             # buckets) are not in old_files and are carried forward
             if len(old_files) <= _SERIES_EXPR_CAP:
                 return fresh.filter(~F.col("file").isin(old_files))
-            fdf = F.broadcast(spark.createDataFrame(
+            fdf = F.broadcast(local_frame(spark,
                 [(f,) for f in old_files], "file string"
             ))
             return fresh.join(fdf, "file", "left_anti")
@@ -1129,7 +1130,7 @@ def _write_manifest(spark: SparkSession, table_dir: str,
         else df.select(F.input_file_name().alias("f")).first()
     )
     if probe is None:  # zero-row table: publish an empty manifest
-        spark.createDataFrame([], manifest_schema).coalesce(1).write.mode(
+        local_frame(spark, [], manifest_schema).coalesce(1).write.mode(
             "overwrite").parquet(posixpath.join(table_dir, MANIFEST_DIR))
         return
     manifest = (
@@ -1176,7 +1177,7 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
     recover_compaction(path)
     # absent/empty stores answer in the caller's frame shape — metrics
     # by default, the events shape (body payload) via empty_schema
-    empty = spark.createDataFrame([], empty_schema or ENGINE_SCHEMA)
+    empty = local_frame(spark, [], empty_schema or ENGINE_SCHEMA)
     fs = get_fs(path)
     if not fs.exists(path):
         if stats is not None:
@@ -1211,7 +1212,7 @@ def zorder_select(spark: SparkSession, path: str, metric: str | None = None,
         # plan-compile time and driver memory before any data is read
         # (the reference brags 10⁵–10⁶-series cardinality) — prune via a
         # broadcast range-overlap join against the manifest instead
-        wanted_df = spark.createDataFrame(
+        wanted_df = local_frame(spark,
             [(s,) for s in wanted], "__wanted_series string"
         )
         pruned = pruned.join(
@@ -1306,7 +1307,7 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
     fs.rmtree(tmp)
     _write_corpus_clustered(docs, tmp, cat_col, num_col, files_total, bits)
     _write_corpus_manifest(spark, tmp, cat_col, num_col)
-    meta_df = spark.createDataFrame(
+    meta_df = local_frame(spark,
         [(ZORDER_LAYOUT_VERSION, cat_col, num_col, int(files_total),
           int(bits))],
         "layout_version int, cat_col string, num_col string, "
@@ -1335,7 +1336,7 @@ def zorder_corpus_table(spark: SparkSession, docs: DataFrame, path: str,
     try:
         new_man = spark.read.parquet(
             posixpath.join(tmp, CORPUS_MANIFEST_DIR))
-        new_man = spark.createDataFrame(new_man.collect(), new_man.schema)
+        new_man = local_frame(spark, new_man.collect(), new_man.schema)
         _carry_committed_epochs_cas(spark, fs, path,
                                     manifest_dir=CORPUS_MANIFEST_DIR)
         _cas_move_in(fs, tmp, path)
@@ -1458,7 +1459,7 @@ def zorder_corpus_append(spark: SparkSession, docs: DataFrame, path: str,
         _write_corpus_manifest(spark, tmp, meta["cat_col"],
                                meta["num_col"], epoch=epoch)
         new_rows = spark.read.parquet(posixpath.join(tmp, CORPUS_MANIFEST_DIR))
-        new_rows = spark.createDataFrame(new_rows.collect(), new_rows.schema)
+        new_rows = local_frame(spark, new_rows.collect(), new_rows.schema)
 
         if cas:
             # lock-free, same protocol as the metrics store: invisible
@@ -1595,7 +1596,7 @@ def _write_corpus_manifest(spark: SparkSession, table_dir: str,
         else df.select(F.input_file_name().alias("f")).first()
     )
     if probe is None:
-        spark.createDataFrame([], schema).coalesce(1).write.mode(
+        local_frame(spark, [], schema).coalesce(1).write.mode(
             "overwrite").parquet(posixpath.join(table_dir, CORPUS_MANIFEST_DIR))
         return
     (

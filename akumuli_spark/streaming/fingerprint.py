@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from akumuli_spark.smallframe import local_frame
 
 def _read_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
@@ -55,7 +56,7 @@ def fingerprint_batch_against_store(spark: SparkSession, batch: DataFrame,
     if stored is not None and epoch_id is not None:
         stored = stored.filter(F.col("epoch") != epoch_id)
     if stored is None:
-        stored = spark.createDataFrame([], "id long, simhash long")
+        stored = local_frame(spark, [], "id long, simhash long")
     pairs = signature_hamming_pairs_incremental(
         stored.select("id", "simhash"), batch, max_hamming
     ).localCheckpoint(eager=True)  # force BEFORE the store grows

@@ -33,6 +33,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
 
+from akumuli_spark.smallframe import local_frame
 from akumuli_spark.sources.fs import CasLog, get_fs
 from akumuli_spark.sources.resp import parse_resp_stage
 
@@ -230,7 +231,7 @@ class HighWaterState:
                 # not seed an empty marks table (that would disable the
                 # late-write gate for every committed series)
                 raise
-            seeded = spark.createDataFrame([], "series string, __hw long")
+            seeded = local_frame(spark, [], "series string, __hw long")
         self._commit(seeded)
         return self._read(spark)
 
@@ -249,7 +250,7 @@ class HighWaterState:
             # marks dir vanished between marks_df and advance (external
             # deletion): merging against empty keeps this batch's maxima;
             # older series re-seed from the sink on the next marks_df call
-            cur = spark.createDataFrame([], "series string, __hw long")
+            cur = local_frame(spark, [], "series string, __hw long")
         merged = cur.join(batch_max, "series", "full").select(
             "series", F.greatest(F.col("__hw"), F.col("__bm")).alias("__hw")
         )

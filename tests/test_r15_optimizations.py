@@ -259,6 +259,25 @@ def test_sax_batches_multiple_series_per_partition(spark):
     assert got == expect
 
 
+def test_local_frame_single_partition_same_rows(spark):
+    """local_frame must return the same rows/schema as
+    createDataFrame(list) while planning ONE source partition (the
+    32-slice local relation is what made one-row coalesce(1) meta
+    writes cost seconds)."""
+    from akumuli_spark.smallframe import local_frame
+
+    rows = [(1, "x", [0.5, 0.25]), (2, None, [])]
+    schema = "a long, b string, c array<double>"
+    df = local_frame(spark, rows, schema)
+    assert df.rdd.getNumPartitions() == 1
+    assert df.schema == spark.createDataFrame(rows, schema).schema
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, spark.createDataFrame(rows, schema).collect()))
+    # empty rows round-trip with a string schema
+    empty = local_frame(spark, [], schema)
+    assert empty.count() == 0 and empty.schema == df.schema
+
+
 def test_jpeg_huff_lut_matches_canonical_walk():
     """The packed 16-bit-peek LUT must decode every possible 16-bit
     prefix exactly like the T.81 bit-by-bit canonical walk."""
